@@ -1,0 +1,87 @@
+"""Runtime table discovery and structural classification.
+
+The reference discovers tables from JDBC catalog metadata
+(OMTZHModifier.java:36-43) and classifies each by which columns it has
+(OMTZHModifier.java:48-74): ``id``+``name``+``tags`` → id-keyed table, else
+``osm_id``+``name``+``tags`` → osm-keyed table, else skipped. The precedence
+is load-bearing (B4, SURVEY.md §2.10): a table with BOTH ``id`` and
+``osm_id`` is keyed by ``id``.
+
+Here discovery is a pure function over self-describing schemas: Parquet
+footers / the Spark catalog replace ``DatabaseMetaData``. The classifier is
+pure ``schema → id_field | None`` so it needs no IO and no session to test.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+NAME_COL = "name"
+TAGS_COL = "tags"
+ID_COL = "id"
+OSM_ID_COL = "osm_id"
+
+
+@dataclass(frozen=True)
+class TableClass:
+    """Classification result for one table."""
+
+    table: str
+    id_field: str  # "id" or "osm_id"
+
+
+def classify_schema(schema: StructType, table: str = "") -> TableClass | None:
+    """Pure classifier: which key column drives the zh back-fill, if any.
+
+    Mirrors OMTZHModifier.java:69-73 if/else-if precedence: ``id`` wins over
+    ``osm_id`` when both are present (B4). Returns None when the table does
+    not qualify (no name+tags, or neither key column).
+    """
+    cols = set(schema.fieldNames())
+    if NAME_COL not in cols or TAGS_COL not in cols:
+        return None
+    if ID_COL in cols:
+        return TableClass(table, ID_COL)
+    if OSM_ID_COL in cols:
+        return TableClass(table, OSM_ID_COL)
+    return None
+
+
+def classify_table(df: DataFrame, table: str = "") -> TableClass | None:
+    return classify_schema(df.schema, table)
+
+
+def discover_parquet_tables(spark: SparkSession, root: str) -> dict[str, DataFrame]:
+    """Lake-mode catalog scan: every ``*.parquet`` under ``root`` is a table.
+
+    Replaces the reference's ``getTables`` loop (OMTZHModifier.java:39-43).
+    Reading a DataFrame here only touches footers — it is lazy and cheap
+    even when the files hold terabytes.
+    """
+    out: dict[str, DataFrame] = {}
+    for p in sorted(Path(root).glob("*.parquet")):
+        out[p.stem] = spark.read.parquet(str(p))
+    return out
+
+
+def discover_catalog_tables(
+    spark: SparkSession, database: str | None = None
+) -> dict[str, DataFrame]:
+    """Metastore-mode catalog scan via ``spark.catalog.listTables``."""
+    tables = spark.catalog.listTables(database) if database else spark.catalog.listTables()
+    return {t.name: spark.table(t.name) for t in tables}
+
+
+def classify_all(tables: dict[str, DataFrame]) -> list[TableClass]:
+    """Classify every discovered table; unqualified tables are dropped
+    (parity with the reference skipping them, OMTZHModifier.java:69-74)."""
+    out = []
+    for name, df in sorted(tables.items()):
+        tc = classify_schema(df.schema, name)
+        if tc is not None:
+            out.append(tc)
+    return out

@@ -1,0 +1,204 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark callable,
+DuckDB oracle SQL) pair.
+
+Contract (driver-defined, see __spark_entry__.py): each ``QUERIES[name]``
+takes ``(spark, sf_dir)`` and returns a DataFrame; ``ORACLE_SQL[name]`` is
+ANSI SQL DuckDB runs over the same parquet registered as views. The driver
+compares row-count + schema + order-insensitive value hash, sorting columns
+by NAME — so every computed column is aliased identically on both sides.
+
+Float discipline: double aggregates are rounded (2-6 dp) on BOTH sides —
+double addition is not associative, and Spark's partial-agg order differs
+from DuckDB's; unrounded sums of 60k doubles WILL hash-mismatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.functions.zh import (
+    HAN_REGEX_RE2,
+    S2T_FROM,
+    S2T_TO,
+    T2S_FROM,
+    T2S_TO,
+    is_han,
+    nullif_empty,
+    to_simplified,
+    to_traditional,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# =========================================================================
+# zh back-fill (the reference's native query, SURVEY.md §2.1-§2.10)
+#
+# The driver testdata has no map-typed tags table, so the oracle-checked
+# form derives a deterministic zh fixture from `documents` (doc_id-indexed
+# Chinese literals) and runs the scalar-column stage of the pipeline:
+# han-gate (P4) → ''-normalization (P5) → coalesce cascade (F5) →
+# changed-rows (F6). The map-typed stages (element_at projection,
+# map_concat write-back) are pytest-verified in tests/test_zh_backfill.py.
+# =========================================================================
+
+_ZH_NAMES = ["臺灣鐵路", "Berlin", "頭髮廣場", "Beijing 北京", "", None, "國語學校"]
+_ZH_TAGVALS = [None, "臺北車站", "廣州東門", None, "馬場公園", None, None]
+_ZH_HANS = [None, "", None, "北京", None, None, None]
+_ZH_HANT = [None, None, "廣州東門", None, "", None, "國語學校"]
+
+
+def _pick_spark(vals: list[str | None], idx) -> F.Column:
+    expr = F.lit(vals[-1])
+    for i in range(len(vals) - 2, -1, -1):
+        expr = F.when(idx % len(vals) == i, F.lit(vals[i])).otherwise(expr)
+    return expr
+
+
+def _pick_sql(vals: list[str | None], idx: str) -> str:
+    n = len(vals)
+    whens = " ".join(
+        f"WHEN {idx} % {n} = {i} THEN "
+        + ("NULL" if v is None else f"'{v}'")
+        for i, v in enumerate(vals[:-1])
+    )
+    last = "NULL" if vals[-1] is None else f"'{vals[-1]}'"
+    return f"CASE {whens} ELSE {last} END"
+
+
+@register(
+    "zh_backfill",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id,
+         {_pick_sql(_ZH_NAMES, "doc_id")} AS name,
+         {_pick_sql(_ZH_TAGVALS, "doc_id")} AS zh_tag,
+         {_pick_sql(_ZH_HANS, "doc_id")} AS hans_tag,
+         {_pick_sql(_ZH_HANT, "doc_id")} AS hant_tag
+  FROM documents
+),
+qualified AS (
+  -- P2 server-side WHERE: raw IS NULL (quirk B7)
+  SELECT * FROM src
+  WHERE (name IS NOT NULL OR zh_tag IS NOT NULL)
+    AND (hant_tag IS NULL OR hans_tag IS NULL)
+),
+derived AS (
+  SELECT doc_id,
+         COALESCE(zh_tag,
+                  CASE WHEN name IS NOT NULL AND name <> ''
+                            AND regexp_matches(name, '{HAN_REGEX_RE2}')
+                       THEN name END) AS zh,
+         NULLIF(hans_tag, '') AS hans_old,
+         NULLIF(hant_tag, '') AS hant_old
+  FROM qualified
+)
+SELECT doc_id,
+       COALESCE(hans_old, translate(zh, '{T2S_FROM}', '{T2S_TO}')) AS hans,
+       COALESCE(hant_old, translate(zh, '{S2T_FROM}', '{S2T_TO}')) AS hant
+FROM derived
+WHERE zh IS NOT NULL AND (hans_old IS NULL OR hant_old IS NULL)
+ORDER BY doc_id
+""",
+)
+def q_zh_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    idx = F.col("doc_id")
+    src = docs.select(
+        idx,
+        _pick_spark(_ZH_NAMES, idx).alias("name"),
+        _pick_spark(_ZH_TAGVALS, idx).alias("zh_tag"),
+        _pick_spark(_ZH_HANS, idx).alias("hans_tag"),
+        _pick_spark(_ZH_HANT, idx).alias("hant_tag"),
+    )
+    name, zh_tag = F.col("name"), F.col("zh_tag")
+    hans_tag, hant_tag = F.col("hans_tag"), F.col("hant_tag")
+    qualified = src.where(
+        (name.isNotNull() | zh_tag.isNotNull())
+        & (hant_tag.isNull() | hans_tag.isNull())
+    )
+    name_usable = name.isNotNull() & (name != F.lit("")) & is_han(name)
+    zh = F.coalesce(zh_tag, F.when(name_usable, name))
+    hans_old = nullif_empty(hans_tag)
+    hant_old = nullif_empty(hant_tag)
+    return (
+        qualified.select(
+            "doc_id",
+            zh.alias("zh"),
+            hans_old.alias("hans_old"),
+            hant_old.alias("hant_old"),
+        )
+        .where(F.col("zh").isNotNull()
+               & (F.col("hans_old").isNull() | F.col("hant_old").isNull()))
+        .select(
+            "doc_id",
+            F.coalesce("hans_old", to_simplified("zh")).alias("hans"),
+            F.coalesce("hant_old", to_traditional("zh")).alias("hant"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# =========================================================================
+# TPC-H-style relational surface (SURVEY.md §2.3-§2.7 engine declarations)
+# =========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1,0 +1,178 @@
+"""zh back-fill pipeline: the FIXTURES.md §1 truth-table lattice, the B1
+typo-compat mode, the B4 classifier precedence, and map-concat semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from openmaptiles_zh_modifier_spark.catalog import classify_schema
+from openmaptiles_zh_modifier_spark.functions.zh import (
+    is_han,
+    to_simplified,
+    to_traditional,
+)
+from openmaptiles_zh_modifier_spark.operators.zh_backfill import (
+    backfill_table,
+    merge_backfill,
+    updates_frame,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("tags", MapType(StringType(), StringType())),
+    ]
+)
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+# The FIXTURES.md §1 row lattice. tags keys: name:zh, name:zh-Hans, name:zh-Hant
+LATTICE = [
+    # (id, name, tags, expect_update, expect_hans, expect_hant) — default mode
+    (1, None, {}, False, None, None),  # skip: no source
+    (2, "Berlin", {}, False, None, None),  # skip: non-Han name, no zh
+    (3, "臺北", {}, True, "台北", "臺北"),  # derive from name
+    (4, "Taipei", {"name:zh": "臺北"}, True, "台北", "臺北"),  # derive from zh
+    # half-filled (hant missing): hans kept, hant derived, both keys written
+    (5, "x", {"name:zh": "臺北", "name:zh-Hans": "台北"}, True, "台北", "臺北"),
+    # B7: BOTH empty-string → raw IS NULL server filter fails → untouched
+    (6, "x", {"name:zh": "臺北", "name:zh-Hans": "", "name:zh-Hant": ""}, False, None, None),
+    # complete: filtered server-side, untouched
+    (7, "x", {"name:zh": "臺北", "name:zh-Hans": "台北", "name:zh-Hant": "臺北"}, False, None, None),
+    # empty name, no zh: skip
+    (8, "", {}, False, None, None),
+    # mixed-script name qualifies as Han source
+    (9, "Beijing 北京", {}, True, "Beijing 北京", "Beijing 北京"),
+    # non-BMP Han (CJK Ext B, U+20000): must be detected as Han
+    (10, "\U00020000", {}, True, "\U00020000", "\U00020000"),
+    # B7: one '' + one NULL → qualifies via the NULL, then BOTH regenerated
+    (11, "x", {"name:zh": "臺北", "name:zh-Hans": ""}, True, "台北", "臺北"),
+]
+
+
+@pytest.fixture(scope="module")
+def lattice_df(spark):
+    return mk(spark, [Row(id=i, name=n, tags=t) for i, n, t, *_ in LATTICE])
+
+
+def test_updates_frame_lattice(spark, lattice_df):
+    got = {
+        r["id"]: (r["hans"], r["hant"])
+        for r in updates_frame(lattice_df).collect()
+    }
+    expected = {
+        i: (hs, ht) for i, _, _, upd, hs, ht in LATTICE if upd
+    }
+    assert got == expected
+
+
+def test_backfill_table_lattice(spark, lattice_df):
+    out = {r["id"]: r["tags"] for r in backfill_table(lattice_df).collect()}
+    for i, _, tags, upd, hs, ht in LATTICE:
+        if upd:
+            assert out[i]["name:zh-Hans"] == hs, f"row {i}"
+            assert out[i]["name:zh-Hant"] == ht, f"row {i}"
+        else:
+            assert out[i] == tags, f"row {i} must be untouched"
+
+
+def test_backfill_preserves_other_tags_and_row_count(spark, lattice_df):
+    df = mk(
+        spark,
+        [Row(id=1, name="臺北", tags={"name:en": "Taipei", "amenity": "cafe"})],
+    )
+    out = backfill_table(df).collect()[0]["tags"]
+    assert out["name:en"] == "Taipei" and out["amenity"] == "cafe"
+    assert out["name:zh-Hans"] == "台北" and out["name:zh-Hant"] == "臺北"
+    assert backfill_table(lattice_df).count() == lattice_df.count()
+
+
+def test_b1_typo_compat_regenerates_hant(spark):
+    # hans missing, hant PRESENT: row qualifies. Faithful-typo mode reads
+    # hant from 'names:zh-Hant' (≡ NULL) → regenerates & overwrites hant;
+    # intended mode keeps the existing hant.
+    df = mk(
+        spark,
+        [Row(id=1, name="x", tags={"name:zh": "头发", "name:zh-Hant": "頭髮"})],
+    )
+    intended = backfill_table(df, compat_names_typo=False).collect()[0]["tags"]
+    assert intended["name:zh-Hant"] == "頭髮"  # kept
+    faithful = backfill_table(df, compat_names_typo=True).collect()[0]["tags"]
+    # regenerated char-level: 头发 → 頭發 (char-level can't know 髮; that's
+    # exactly the B1 bug being reproduced: existing value clobbered)
+    assert faithful["name:zh-Hant"] == to_trad_py("头发")
+    assert faithful["name:zh-Hans"] == "头发"
+
+
+def to_trad_py(s: str) -> str:
+    from openmaptiles_zh_modifier_spark.functions.zh import S2T_FROM, S2T_TO
+
+    table = str.maketrans(S2T_FROM, S2T_TO)
+    return s.translate(table)
+
+
+def test_merge_backfill_equals_inline_backfill(spark, lattice_df):
+    upd = updates_frame(lattice_df)
+    via_merge = merge_backfill(lattice_df, upd, broadcast_updates=True)
+    via_inline = backfill_table(lattice_df)
+    a = {r["id"]: r["tags"] for r in via_merge.collect()}
+    b = {r["id"]: r["tags"] for r in via_inline.collect()}
+    assert a == b
+
+
+def test_is_han_non_bmp(spark):
+    df = spark.createDataFrame(
+        [("北京",), ("Berlin",), ("\U00020000",), ("",), ("ランド",)],
+        ["s"],
+    )
+    got = [r[0] for r in df.select(is_han("s")).collect()]
+    assert got == [True, False, True, False, False]
+
+
+def test_conversion_roundtrip_props(spark):
+    # t2s then s2t recovers the canonical traditional form for chars whose
+    # mapping is bijective in our table (臺 is, 髮 is not — 发 reverses to 發).
+    df = spark.createDataFrame([("臺灣鐵路",), ("頭髮",)], ["s"])
+    out = df.select(
+        to_simplified("s").alias("simp"),
+        to_traditional(to_simplified("s")).alias("rt"),
+    ).collect()
+    assert out[0]["simp"] == "台湾铁路"
+    assert out[0]["rt"] == "臺灣鐵路"
+    assert out[1]["simp"] == "头发"
+    assert out[1]["rt"] == "頭發"  # 发→發 (first-listed wins): lossy, documented
+
+
+def test_classifier_precedence_and_negatives():
+    def sch(*cols):
+        return StructType([StructField(c, StringType()) for c in cols])
+
+    assert classify_schema(sch("id", "name", "tags"), "t").id_field == "id"
+    assert classify_schema(sch("osm_id", "name", "tags"), "t").id_field == "osm_id"
+    # B4: both keys → id wins
+    assert classify_schema(sch("id", "osm_id", "name", "tags"), "t").id_field == "id"
+    assert classify_schema(sch("id", "name"), "t") is None  # no tags
+    assert classify_schema(sch("id", "tags"), "t") is None  # no name
+    assert classify_schema(sch("name", "tags"), "t") is None  # no key
+
+
+def test_map_concat_last_win(spark):
+    # The load-bearing config: right operand wins on duplicate keys.
+    df = spark.createDataFrame([Row(m={"k": "old"})])
+    out = df.select(
+        F.map_concat("m", F.create_map(F.lit("k"), F.lit("new"))).alias("m")
+    ).collect()[0]["m"]
+    assert out["k"] == "new"

@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every QUERIES[name] on Spark and the matching ORACLE_SQL[name] on
+DuckDB over the same parquet, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted, values
+stringified). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # canonical float text: kill -0.0 and trailing noise
+        return repr(round(v + 0.0, 9))
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), sorted_cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from openmaptiles_zh_modifier_spark.registry import ORACLE_SQL, QUERIES
+    from openmaptiles_zh_modifier_spark.session import get_spark
+
+    names = sys.argv[2:] or list(QUERIES)
+    spark = get_spark(app_name="oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = 0
+    for name in names:
+        fn = QUERIES[name]
+        sdf = fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        s_fp = frame_fingerprint(s_cols, s_rows)
+
+        if name not in ORACLE_SQL:
+            print(f"  {name}: rows={s_fp[0]} (rows-only check, no oracle)")
+            continue
+        res = con.execute(ORACLE_SQL[name])
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+        d_fp = frame_fingerprint(d_cols, d_rows)
+
+        ok = s_fp == d_fp
+        status = "OK " if ok else "FAIL"
+        print(f"  [{status}] {name}: spark(rows={s_fp[0]}, hash={s_fp[2]}) duckdb(rows={d_fp[0]}, hash={d_fp[2]})")
+        if not ok:
+            failures += 1
+            if s_fp[1] != d_fp[1]:
+                print(f"      cols spark={s_fp[1]} duckdb={d_fp[1]}")
+            if s_fp[0] == d_fp[0] and s_fp[1] == d_fp[1]:
+                order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                sl = sorted("|".join(norm(r[i]) for i in order) for r in s_rows)
+                d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                dl = sorted("|".join(norm(r[i]) for i in d_order) for r in d_rows)
+                for a, b in zip(sl, dl):
+                    if a != b:
+                        print(f"      spark : {a[:200]}\n      duckdb: {b[:200]}")
+                        break
+    print(f"{len(names) - failures}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
