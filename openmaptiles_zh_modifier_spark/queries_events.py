@@ -1,0 +1,135 @@
+"""Event-stream analytics in batch form (SURVEY.md §2.8 from_json, §2.9).
+
+These are the BATCH versions of the streaming operators — identical column
+expressions are reused by openmaptiles_zh_modifier_spark.streaming (the
+Structured-Streaming layer), which is the point: batch-first delivery, one
+expression set, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+@register(
+    "q_events_from_json",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(json_extract_string(props, '$.k')::INT) AS sum_k,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction. ``from_json`` with an explicit schema (not
+    schema_of_json — that would scan twice); stays in codegen."""
+    ev = load(spark, sf_dir, "events")
+    props_schema = StructType([StructField("k", IntegerType())])
+    return (
+        ev.withColumn("props_s", F.from_json("props", props_schema))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("props_s.k")).alias("sum_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_events_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form). The streaming form
+    is `window(ts, '1 hour')` + watermark; same grouping expression."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q_events_sessionize",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, value,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM seq
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap), batch form: lag-gap →
+    cumulative-sum session ids. One shuffle on user_id shared by both
+    windows. Streaming equivalent: session_window(ts, '30 minutes') —
+    see streaming module. Gap arithmetic on integer microseconds
+    (unix_micros) so Spark and the oracle agree exactly."""
+    ev = load(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w_seq)
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -48,7 +48,13 @@ def register(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        # TIMESTAMP(NANOS) read as long (nanosAsLong conf) → truncate to
+        # micros with INTEGER division (double division would round up at
+        # this magnitude) — bit-exact with DuckDB's nanos handling.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 # =========================================================================
@@ -202,3 +208,12 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# Register the rest of the surface (import side effects populate QUERIES).
+def _register_all() -> None:
+    import openmaptiles_zh_modifier_spark.queries_events  # noqa: F401
+    import openmaptiles_zh_modifier_spark.queries_relational  # noqa: F401
+
+
+_register_all()

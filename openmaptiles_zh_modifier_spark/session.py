@@ -25,6 +25,10 @@ SEMANTIC_CONFS: dict[str, str] = {
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     # Deterministic timestamp behavior across JVM/pandas/Arrow boundaries.
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) (the events fixture) is otherwise rejected;
+    # read as long and convert with `timestamp_micros(ts div 1000)` —
+    # integer division, matching DuckDB's nanos→micros truncation exactly.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # Performance defaults — sized for local[32] testing; a cluster deployment

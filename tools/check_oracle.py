@@ -67,9 +67,14 @@ def main() -> int:
     failures = 0
     for name in names:
         fn = QUERIES[name]
-        sdf = fn(spark, sf_dir)
-        s_cols = sdf.columns
-        s_rows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # one broken query must not kill the run
+            print(f"  [FAIL] {name}: spark error: {str(exc)[:300]}")
+            failures += 1
+            continue
         s_fp = frame_fingerprint(s_cols, s_rows)
 
         if name not in ORACLE_SQL:
