@@ -1,0 +1,286 @@
+"""Fuzzy deduplication over ``documents``: n-gram Jaccard, MinHash+LSH,
+SimHash (SURVEY.md §2.9 north-star extensions).
+
+All hashing is the portable md5-derived h32 with fixed integer permutation
+constants (functions/text.py), so the DuckDB oracles compute bit-identical
+signatures — the correctness gate covers the *whole* sketch pipeline, not
+just the final pair list.
+
+Scale shape (the part that matters at 100 TB):
+- shingle explode is linear in corpus tokens; the (shingle -> doc) shuffle
+  is the canonical MinHash/Jaccard shape and partitions uniformly because
+  the keys are hashes.
+- LSH banding turns all-pairs O(n^2) into per-bucket candidate generation;
+  bucket keys are hash-uniform. The exact-Jaccard verification only runs on
+  candidates (LSH output), never all pairs.
+- SimHash reduces each doc to one 32-bit int; the pair join is
+  candidate-free here (testdata is small) but the documented scale path is
+  banding the simhash bytes exactly like MinHash bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.functions.text import (
+    LSH_BANDS,
+    NUM_PERM,
+    SIMHASH_BITS,
+    h32,
+    h32_sql,
+    minhash_col,
+    minhash_sql,
+    shingles,
+    simhash_bit_weights,
+    tokens,
+)
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+
+# Shared oracle CTE: distinct 3-gram shingles per doc (1-based list indexing
+# in DuckDB; empty when the doc has < 3 tokens — same guard as Spark side).
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - 2),
+             j -> concat_ws(' ', t[j], t[j+1], t[j+2])))) AS s
+  FROM toks
+)
+"""
+
+
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("s")
+    )
+
+
+# -------------------------------------------------------------------------
+# n-gram Jaccard (exact, via shared-shingle join)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(n_common * 1.0 / (ca.c + cb.c - n_common), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE n_common * 1.0 / (ca.c + cb.c - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard near-dup pairs (>= 0.5). The self-join on
+    the shingle column is a hash-partitioned equi-join on uniform keys; the
+    per-pair aggregate is map-side combinable. At scale, stop-shingle
+    removal (drop shingles with document frequency above a cap) bounds the
+    join fan-out — the standard guard against O(df^2) hot shingles."""
+    sh = _exploded_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    jac = F.col("n_common") / (F.col("ca") + F.col("cb") - F.col("n_common"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -------------------------------------------------------------------------
+# MinHash + LSH banding
+# -------------------------------------------------------------------------
+
+_ROWS_PER_BAND = NUM_PERM // LSH_BANDS
+
+
+def _minhash_sig_sql() -> str:
+    cols = ", ".join(
+        f"min({minhash_sql(h32_sql('s'), i)}) AS m{i}" for i in range(NUM_PERM)
+    )
+    return f"SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+def _band_key_sql(b: int) -> str:
+    parts = " || '_' || ".join(
+        f"m{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+    )
+    return parts
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+sig AS ({_minhash_sig_sql()}),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS bkey FROM sig" for b in range(LSH_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_a, x.doc_b, count(*) AS n_common
+  FROM cand x
+  JOIN sh a ON a.doc_id = x.doc_a
+  JOIN sh b ON b.doc_id = x.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.n_common * 1.0 / (ca.c + cb.c - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.doc_a
+JOIN cnt cb ON cb.doc_id = i.doc_b
+WHERE i.n_common * 1.0 / (ca.c + cb.c - i.n_common) >= {JACCARD_THRESHOLD}
+ORDER BY i.doc_a, i.doc_b
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) -> LSH (4 bands x 4 rows) -> candidate pairs ->
+    exact-Jaccard verification. This is the scale
+    path for fuzzy dedup: signatures are one groupBy over the shingle
+    explode; banding multiplies rows by #bands (constant); the bucket
+    self-join only pairs docs agreeing on a whole band. Verification cost
+    is proportional to candidates, not n^2."""
+    sh = _exploded_shingles(spark, sf_dir).withColumn("h", h32(F.col("s")))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(minhash_col(F.col("h"), i)).alias(f"m{i}") for i in range(NUM_PERM)]
+    )
+    band_key = [
+        F.concat_ws(
+            "_", *[F.col(f"m{i}") for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)]
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_key[b].alias("bkey"))
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("sa") == F.col("sb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    jac = F.col("n_common") / (F.col("ca") + F.col("cb") - F.col("n_common"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -------------------------------------------------------------------------
+# SimHash
+# -------------------------------------------------------------------------
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, {h32_sql('unnest(t)')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM tok, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) b
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.simhash AS simhash_a, b.simhash AS simhash_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: per-token h32 -> per-bit +-1 weights ->
+    sign -> 32-bit fingerprint; pairs with Hamming distance <= 3. Token
+    multiplicity counts (true SimHash weighting). The bit expansion stays
+    in an array column (no 32x row blow-up); one groupBy(doc) shuffle.
+    Scale path for the pair stage: band the simhash into 4 bytes and join
+    on any-equal-byte (pigeonhole: Hamming<=3 over 4 bands guarantees one
+    exact band) instead of the all-pairs join used at test scale."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).withColumn("h", h32(F.col("t")))
+    # per-token array[32] of +-1, summed element-wise via posexplode
+    bits = (
+        tok.select("doc_id", F.posexplode(simhash_bit_weights(F.col("h"))).alias("bit", "w"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("w"))
+    )
+    from openmaptiles_zh_modifier_spark.functions.text import pow2_array
+
+    sim = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.get(pow2_array(), F.col("bit"))).otherwise(0)
+        ).alias("simhash")
+    )
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("simhash_a"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("simhash_b"))
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(hamming <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "simhash_a", "simhash_b", hamming.alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

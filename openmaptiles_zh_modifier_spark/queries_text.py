@@ -1,0 +1,222 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID, document fingerprinting, exact dedup.
+
+These are the text-side primitives a 100 TB training-data pipeline needs
+(SURVEY.md §2.9 north-star extensions). Every operator is pure column
+expressions — whole-stage codegen, zero Python in the hot path — and each
+has a DuckDB oracle computing the identical integer/deterministic math
+(see functions/text.py for the shared constants).
+
+Scale notes: all are embarrassingly parallel per-row maps except the final
+ORDER BY (driver-side presentation only) and exact-dedup's groupBy (one
+hash-partition shuffle on the dedup key — the minimal possible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.functions.text import (
+    FP_MOD,
+    LANG_ORDER,
+    STOPWORDS,
+    h32,
+    h32_sql,
+    rolling_fingerprint,
+    tokens,
+)
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+
+def _stop_in_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+# -------------------------------------------------------------------------
+# Token counting + quality scoring
+# -------------------------------------------------------------------------
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks, length(text) AS n_chars_txt
+  FROM documents
+)
+SELECT doc_id,
+       source,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_types,
+       ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS type_token_ratio,
+       ROUND(len(list_filter(toks, x -> x IN ({_stop_in_sql('en')}))) * 1.0 / len(toks), 4) AS stopword_ratio,
+       ROUND((n_chars_txt - len(toks) + 1) * 1.0 / len(toks), 4) AS avg_token_len,
+       ROUND(0.5 * (len(list_distinct(toks)) * 1.0 / len(toks))
+             + 0.5 * (1.0 - len(list_filter(toks, x -> x IN ({_stop_in_sql('en')}))) * 1.0 / len(toks)), 4) AS quality_score
+FROM t
+ORDER BY doc_id
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count, type/token ratio, stopword ratio, average
+    token length, and a composite quality score. Pure narrow map — scales
+    linearly, no shuffle except the presentation sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_types = F.size(F.array_distinct(toks)).cast("long")
+    stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    # filter, not array_intersect: repeated stopwords must count every time
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    ttr = F.round(n_types / n_tokens, 4)
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    avg_tok = F.round((F.length("text") - n_tokens + 1) / n_tokens, 4)
+    quality = F.round(0.5 * (n_types / n_tokens) + 0.5 * (1.0 - n_stop / n_tokens), 4)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            n_types.alias("n_types"),
+            ttr.alias("type_token_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            avg_tok.alias("avg_token_len"),
+            quality.alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------------------
+# Language identification (stopword n-gram scoring)
+# -------------------------------------------------------------------------
+
+def _langid_score_sql(lang: str) -> str:
+    return f"len(list_filter(toks, x -> x IN ({_stop_in_sql(lang)})))"
+
+
+_LANGID_PRED_SQL = "CASE " + " ".join(
+    # first lang (in preference order) achieving the max score wins
+    f"WHEN score_{lang} = best THEN '{lang}'" for lang in LANG_ORDER
+) + " END"
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_langid_score_sql(lang)} AS score_{lang}" for lang in LANG_ORDER)}
+  FROM t
+),
+m AS (
+  SELECT *, GREATEST({", ".join(f"score_{lang}" for lang in LANG_ORDER)}) AS best
+  FROM s
+)
+SELECT doc_id, lang AS lang_label,
+       {", ".join(f"score_{lang}" for lang in LANG_ORDER)},
+       CASE WHEN best = 0 THEN 'und' ELSE {_LANGID_PRED_SQL} END AS lang_pred
+FROM m
+ORDER BY doc_id
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language hit counts, argmax with a
+    deterministic preference-order tie-break, 'und' when nothing matches.
+    The testdata's ``lang`` column is a synthetic label on identical text,
+    so the gate is score parity with the oracle, not label recovery."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    def score(lang: str):
+        stop_arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("long")
+
+    scores = {lang: score(lang) for lang in LANG_ORDER}
+    df = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return df.withColumn("lang_pred", pred).orderBy("doc_id")
+
+
+# -------------------------------------------------------------------------
+# Document fingerprinting (rolling polynomial hash)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT, list_transform(toks, x -> {h32_sql('x')})),
+         (acc, h) -> (acc * 31 + h) % {FP_MOD}
+       ) AS fingerprint,
+       {h32_sql('doc_id::VARCHAR')} AS id_hash
+FROM t
+ORDER BY doc_id
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash over the token stream (content-defined
+    fingerprint), plus the portable h32 on the id. Left-fold on both
+    engines => identical values. Narrow map, linear scale."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            rolling_fingerprint(tokens(F.col("text"))).alias("fingerprint"),
+            h32(F.col("doc_id").cast("string")).alias("id_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------------------
+# Exact deduplication (hash-groupBy canonicalization)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS dk FROM documents
+),
+grp AS (
+  SELECT dk, min(doc_id) AS canonical_id, count(*) AS n_copies
+  FROM keyed GROUP BY dk
+)
+SELECT k.doc_id, k.source, g.canonical_id, g.n_copies,
+       (k.doc_id = g.canonical_id) AS is_canonical
+FROM keyed k JOIN grp g USING (dk)
+ORDER BY k.doc_id
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text as the group key; min doc_id is
+    the canonical survivor. One shuffle on the 128-bit key (uniform — no
+    skew by construction); at 100 TB the md5 key also serves as the
+    bucketing key so re-dedup of deltas is shuffle-free."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("dk")
+    )
+    grp = keyed.groupBy("dk").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        keyed.join(grp, "dk")
+        .select(
+            "doc_id",
+            "source",
+            "canonical_id",
+            "n_copies",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

@@ -214,6 +214,8 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_all() -> None:
     import openmaptiles_zh_modifier_spark.queries_events  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_relational  # noqa: F401
+    import openmaptiles_zh_modifier_spark.queries_dedup  # noqa: F401
+    import openmaptiles_zh_modifier_spark.queries_text  # noqa: F401
 
 
 _register_all()
