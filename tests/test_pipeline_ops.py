@@ -1,0 +1,170 @@
+"""Unit tests for the training-data pipeline operators: text primitives,
+dedup sketches, embedding similarity, multimodal plumbing, streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.functions.text import (
+    FP_MOD,
+    P31,
+    PERMS,
+    h32,
+    rolling_fingerprint,
+    shingles,
+    simhash_bit_weights,
+    tokens,
+)
+from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+
+def one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# ---------------------------------------------------------------- text prims
+
+def test_h32_matches_md5_prefix(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("hello",)], "s string").select(h32(F.col("s")))
+    expected = int(hashlib.md5(b"hello").hexdigest()[:8], 16)
+    assert one(df)[0] == expected
+
+
+def test_shingles_small_doc_is_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "s string").select(
+        shingles(tokens(F.col("s"))).alias("sh")
+    )
+    rows = [r.sh for r in df.collect()]
+    assert rows[0] == []
+    assert rows[1] == ["a b c", "b c d"]
+
+
+def test_shingles_distinct(spark):
+    df = spark.createDataFrame([("x y z x y z x y z x y",)], "s string").select(
+        shingles(tokens(F.col("s"))).alias("sh")
+    )
+    sh = one(df).sh
+    assert len(sh) == len(set(sh)) == 3  # x y z / y z x / z x y
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",)], "s string").select(
+        rolling_fingerprint(tokens(F.col("s"))).alias("fp")
+    )
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] != fps[1]
+    assert all(0 <= fp < FP_MOD for fp in fps)
+
+
+def test_minhash_perms_fixed_and_in_range():
+    assert len(PERMS) == 16
+    assert PERMS == type(PERMS)(PERMS)  # deterministic constants
+    for a, b in PERMS:
+        assert 0 < a < P31 and 0 <= b < P31 and a % 2 == 1
+
+
+def test_simhash_bits_are_plus_minus_one(spark):
+    df = spark.createDataFrame([(123456789,)], "h long").select(
+        simhash_bit_weights(F.col("h")).alias("w")
+    )
+    w = one(df).w
+    assert len(w) == 32 and set(w) <= {-1, 1}
+
+
+# ------------------------------------------------------------------- queries
+
+def test_dedup_exact_all_unique_are_canonical(spark, sf_dir):
+    out = QUERIES["q_dedup_exact"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    # canonical id is always the min of its group; singleton groups are self
+    for r in rows:
+        if r.n_copies == 1:
+            assert r.is_canonical and r.canonical_id == r.doc_id
+        assert r.canonical_id <= r.doc_id
+
+
+def test_minhash_lsh_superset_check(spark, sf_dir):
+    """Every exact-Jaccard pair >= threshold that LSH finds must verify with
+    the same jaccard value the exact query computes."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["q_dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    # LSH output is a subset of exact pairs (post-verification) with equal values
+    for pair, jc in lsh.items():
+        assert exact[pair] == jc
+    # at the planted-dup similarity (~0.9+) 4x4 banding should recall everything
+    high = {p for p, jc in exact.items() if jc >= 0.9}
+    assert high <= set(lsh)
+
+
+def test_embed_topk_shape_and_self_exclusion(spark, sf_dir):
+    out = QUERIES["q_embed_topk_cosine"](spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        assert r.nn_id != r.qid
+        assert -1.0001 <= r.cosine <= 1.0001
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.cosine for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_embed_lsh_bucket_partition(spark, sf_dir):
+    out = QUERIES["q_embed_lsh_buckets"](spark, sf_dir).collect()
+    assert sum(r.n_vectors for r in out) == spark.read.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).count()
+    assert all(0 <= r.bucket < 16 for r in out)
+
+
+def test_multimodal_decode_real_stub_raises():
+    from openmaptiles_zh_modifier_spark.functions.multimodal import real_decode_image
+
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"\x89PNG")
+
+
+def test_multimodal_mapinpandas_schema(spark, sf_dir):
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        attach_payload,
+        decode_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    with_payload = attach_payload(docs)
+    assert dict(with_payload.dtypes)["payload"] == "binary"
+    decoded = decode_features(with_payload)
+    assert set(decoded.columns) == {
+        "doc_id", "source", "n_bytes", "width", "height", "n_frames", "aspect"
+    }
+    row = decoded.orderBy("doc_id").first()
+    assert row.n_bytes > 0 and 1 <= row.width <= 64 and 1 <= row.n_frames <= 16
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    batch = QUERIES["q_events_tumbling"](spark, sf_dir)
+    stream = QUERIES["q_stream_tumbling"](spark, sf_dir)
+    b = [(r.window_start, r.event_type, r.n, r.sum_value) for r in batch.collect()]
+    s = [(r.window_start, r.event_type, r.n, r.sum_value) for r in stream.collect()]
+    assert b == s
+
+
+def test_streaming_dedup_is_noop_on_unique_ids(spark, sf_dir):
+    out = QUERIES["q_stream_dedup"](spark, sf_dir)
+    total = sum(r.n_unique for r in out.collect())
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
