@@ -1,0 +1,154 @@
+"""Engine IO surface: readers and sinks (SURVEY.md §2.1).
+
+The reference's only connector is PostgreSQL JDBC with hand-rolled
+id-range batching (OMTZHModifier.java:23-25, 130-137) and per-row batched
+UPDATE write-back (:156-169). Here:
+
+- file-lake readers (Parquet primary; CSV/JSON for ingest) — splits replace
+  manual ranges; footers carry the schema, so "discovery" is free.
+- ``read_jdbc_partitioned`` reproduces the reference's exact BETWEEN-range
+  scan: Spark's partitioned JDBC read generates
+  ``WHERE idField BETWEEN lo AND hi`` per task — the same SQL the
+  reference emits, but issued concurrently from executors.
+- writers: partitioned/bucketed Parquet (the 100 TB path), ``overwrite``
+  full-rewrite write-back, and a keyed ``write_back_merge`` that rewrites
+  ONLY the partitions that contain updated keys — the lake equivalent of
+  an indexed UPDATE (Delta MERGE compiles to the same shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ readers
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    opts = {"header": "true", "inferSchema": "false", **options}
+    return spark.read.options(**opts).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).json(path)
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    id_field: str,
+    num_partitions: int = 100,
+    lower: int | None = None,
+    upper: int | None = None,
+    **options,
+) -> DataFrame:
+    """Range-partitioned JDBC scan (S3). When bounds are not given, probe
+    min/max with one scalar query (the reference's getMaxID, S4/A1) — the
+    only eager step; everything else stays lazy.
+
+    numPartitions≈100 mirrors the reference's maxID/100 heuristic for
+    sparse osm_id key spaces (B2): Spark distributes empty ranges across
+    tasks and AQE coalesces them after the scan."""
+    if lower is None or upper is None:
+        probe = spark.read.jdbc(url, table, properties=dict(options))
+        row = probe.agg(
+            F.min(id_field).alias("lo"), F.max(id_field).alias("hi")
+        ).first()
+        lower = row["lo"] if lower is None else lower
+        upper = row["hi"] if upper is None else upper
+    return spark.read.jdbc(
+        url,
+        table,
+        column=id_field,
+        lowerBound=int(lower),
+        upperBound=int(upper) + 1,
+        numPartitions=num_partitions,
+        properties=dict(options),
+    )
+
+
+# ------------------------------------------------------------------- sinks
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink; ``partition_by`` gives directory-level partition
+    pruning on the listed columns for every downstream reader."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: co-locates join/agg keys so repeated
+    joins on ``bucket_cols`` are exchange-free (the lake answer to the
+    reference's temp b-tree index, SURVEY.md §2.10 B3)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 20_000,
+    **options,
+) -> None:
+    """JDBC sink. batchsize=20000 matches the reference's executeBatch
+    granularity (OMTZHModifier.java:122) — per-partition batched inserts."""
+    df.write.mode(mode).options(batchsize=str(batchsize), **options).jdbc(
+        url, table
+    )
+
+
+def write_back_overwrite(df: DataFrame, path: str) -> None:
+    """S5 option (b): full-column rewrite of the table (immutable lake
+    semantics). Reads and writes must not overlap a live path — callers
+    stage to a new location or use checkpointed overwrite."""
+    write_parquet(df, path, mode="overwrite")
+
+
+def write_back_merge(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    id_field: str,
+    apply_update,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Keyed merge write-back (S5 option a) without Delta: left-join the
+    base with the updates frame and apply ``apply_update(base_df, upd_cols)``.
+
+    When ``partition_col`` is given, only partitions containing updated
+    keys are rewritten (partition-pruned merge — the scale path; Delta's
+    MERGE file-pruning is the same idea at file granularity). Returns the
+    merged frame; caller writes it with write_back_overwrite / per-partition
+    overwrite."""
+    base = spark.read.parquet(base_path)
+    if partition_col is not None:
+        touched = [
+            r[0]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        base = base.where(F.col(partition_col).isin(touched))
+    return apply_update(base, F.broadcast(updates))
