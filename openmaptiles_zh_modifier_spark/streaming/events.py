@@ -82,20 +82,36 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
+) -> DataFrame:
     """Execute a streaming plan to completion (availableNow) into a memory
-    sink and return the materialized result as a batch DataFrame."""
+    sink and return the materialized result as a batch DataFrame.
+
+    Stateful streaming allocates one state-store instance per shuffle
+    partition — a fixed per-partition cost (store init, checkpoint files)
+    that dwarfs the work at test scale and is tuned to key cardinality in
+    production. The shuffle-partition conf is pinned for the stream's plan
+    compilation and restored after."""
+    spark = stream_df.sparkSession
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="omt-ckpt-"))
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="omt-ckpt-"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @register(
