@@ -1,0 +1,100 @@
+"""Advanced operator queries: as-of join (custom operator) and pivot.
+
+The as-of oracle uses DuckDB's native ASOF JOIN, so the gate proves our
+union+window construction implements the standard backward-inclusive
+semantics exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.operators.asof_join import asof_join
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+
+@register(
+    "q_asof_click_purchase",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+-- deterministic pick among same-(user, ts) purchases: largest event_id
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM purchases
+),
+dedup AS (SELECT user_id, ts, event_id, value FROM ranked WHERE rn = 1)
+SELECT c.user_id, c.ts, c.event_id,
+       p.event_id AS asof_event_id,
+       ROUND(p.value, 4) AS asof_value
+FROM clicks c
+ASOF LEFT JOIN dedup p ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.user_id, c.ts, c.event_id
+""",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's most recent purchase at-or-before it.
+    One shuffle on user_id; compare with DuckDB's native ASOF JOIN."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        payload_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "asof_event_id",
+        F.round("asof_value", 4).alias("asof_value"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot_user_activity",
+    oracle=f"""
+SELECT user_id,
+       {", ".join(
+           f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}, "
+           f"ROUND(COALESCE(SUM(value) FILTER (event_type = '{t}'), 0), 2) AS sum_{t}"
+           for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types into per-user columns. Explicit value list (no
+    extra distinct-scan job) keeps it one shuffle; Catalyst plans pivot as
+    a single aggregate with one expression pair per pivot value."""
+    ev = load(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("sum"),
+        )
+    )
+    # pivot names columns "<value>_<alias>"; normalize + fill count nulls
+    cols = [F.col("user_id")]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}"))
+        cols.append(F.coalesce(F.col(f"{t}_sum"), F.lit(0.0)).alias(f"sum_{t}"))
+    return pivoted.select(*cols).orderBy("user_id")

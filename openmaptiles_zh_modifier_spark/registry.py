@@ -214,6 +214,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_all() -> None:
     import openmaptiles_zh_modifier_spark.queries_events  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_relational  # noqa: F401
+    import openmaptiles_zh_modifier_spark.queries_advanced  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_dedup  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_embeddings  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_multimodal  # noqa: F401
