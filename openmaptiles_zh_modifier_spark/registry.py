@@ -218,6 +218,7 @@ def _register_all() -> None:
     import openmaptiles_zh_modifier_spark.queries_dedup  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_embeddings  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_multimodal  # noqa: F401
+    import openmaptiles_zh_modifier_spark.queries_sketches  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_text  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_tpch_extra  # noqa: F401
     import openmaptiles_zh_modifier_spark.streaming.events  # noqa: F401

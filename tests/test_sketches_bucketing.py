@@ -1,0 +1,46 @@
+"""Sketch accuracy contracts + bucketed-join exchange elimination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.registry import QUERIES
+from openmaptiles_zh_modifier_spark.sources.io import write_bucketed_table
+
+
+def test_approx_sketches_within_rated_error(spark, sf_dir):
+    rows = QUERIES["q_approx_sketches"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HLL at rsd=0.02: allow 3 sigma
+        assert abs(r.approx_parts - r.exact_parts) <= max(3, 0.06 * r.exact_parts)
+        # t-digest median within 1% of the value range of a broad column
+        assert r.p50_approx > 0
+        lo, hi = r.iqr_approx
+        assert lo <= r.p50_approx <= hi
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    # warehouse.dir is static config; managed test tables land in the
+    # default ./spark-warehouse (gitignored) and are dropped on exit
+    left = spark.range(0, 1000).withColumn("v", F.col("id") % 13)
+    right = spark.range(0, 1000, 2).withColumn("w", F.col("id") % 7)
+    write_bucketed_table(left, "bk_left", ["id"], n_buckets=8, sort_cols=["id"])
+    write_bucketed_table(right, "bk_right", ["id"], n_buckets=8, sort_cols=["id"])
+    try:
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "id")
+        # disable broadcast so the co-located sort-merge path is chosen
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        # both sides bucketed on the join key: no shuffle exchange at all
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
