@@ -211,6 +211,72 @@ def _bucket_sql() -> str:
 
 
 @register(
+    "q_embed_lsh_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+bucketed AS (SELECT vec_id, label, e, {_bucket_sql()} AS bucket FROM v),
+q AS (SELECT vec_id AS qid, e AS qe, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, b.vec_id AS nn_id, b.bucket,
+         ROUND({_dot_sql('q.qe', 'b.e')}
+               / (sqrt({_dot_sql('q.qe', 'q.qe')}) * sqrt({_dot_sql('b.e', 'b.e')})), 4) AS cosine
+  FROM q JOIN bucketed b ON b.bucket = q.bucket AND b.vec_id <> q.qid
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nn_id) AS rk
+  FROM scored
+)
+SELECT qid, nn_id, bucket, cosine, rk FROM ranked WHERE rk <= 3
+ORDER BY qid, rk
+""",
+)
+def q_embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    exact cosine only within it. The candidate join is a hash-partitioned
+    equi-join on the bucket key — per-query work is O(bucket size), not
+    O(corpus); recall trades off against #planes. The true ANN scale
+    shape (IVF with hyperplane quantizer)."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e"), "label"
+    )
+    bucket = None
+    for p in range(LSH_PLANES):
+        plane = F.array(*[F.lit(c) for c in _plane(p)])
+        bit = F.when(_dot_fold(F.col("e"), plane) > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = v.withColumn("bucket", bucket).withColumn(
+        "nrm", _norm(F.col("e"))
+    ).cache()
+    q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),  # renamed: self-join lineage
+    )
+    cos = F.round(
+        _dot_fold(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")), 4
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("nn_id"),
+            F.col("bucket"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .orderBy("qid", "rk")
+    )
+
+
+@register(
     "q_embed_lsh_buckets",
     oracle=f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),

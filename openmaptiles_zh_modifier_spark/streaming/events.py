@@ -75,6 +75,31 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def session_aggregation(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-merged state windows): the streaming
+    twin of the batch lag/cumsum sessionization in queries_events.py —
+    same 30-minute inactivity rule, but sessions merge incrementally in
+    the state store as events arrive. State per key is bounded by the
+    watermark horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id, state bounded by the watermark."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(

@@ -168,3 +168,27 @@ def test_streaming_dedup_is_noop_on_unique_ids(spark, sf_dir):
     out = QUERIES["q_stream_dedup"](spark, sf_dir)
     total = sum(r.n_unique for r in out.collect())
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """Native streaming session_window must produce the same sessions as
+    the batch lag/cumsum sessionization (same 30-min gap rule)."""
+    from openmaptiles_zh_modifier_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        session_aggregation,
+    )
+
+    stream = run_to_memory(
+        session_aggregation(read_events_stream(spark, sf_dir))
+    )
+    batch = QUERIES["q_events_sessionize"](spark, sf_dir)
+    s = sorted(
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in stream.collect()
+    )
+    b = sorted(
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in batch.collect()
+    )
+    assert s == b
