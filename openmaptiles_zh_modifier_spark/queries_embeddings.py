@@ -170,6 +170,10 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, labels, mat, norms))
 
+    BLOCK = 256  # keep matmul temporaries in-cache: large allocations are
+    # pathologically slow on some virtualized hosts (measured 27x here),
+    # and blocking is what the scaled block-partitioned join does anyway
+
     def score(batches):
         b_ids, b_labels, b_mat, b_norms = bc.value
         for pdf in batches:
@@ -177,19 +181,25 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub_ids = pdf["vec_id"].to_numpy()
             sub_labels = pdf["label"].to_numpy()
             sub_norms = np.sqrt((sub * sub).sum(axis=1))
-            sims = (sub @ b_mat.T) / (sub_norms[:, None] * b_norms[None, :])
-            # upper triangle only (vec_a < vec_b), threshold on UNROUNDED
-            keep = (sub_ids[:, None] < b_ids[None, :]) & (sims >= NEARDUP_COS)
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_a": sub_ids[ai],
-                    "vec_b": b_ids[bj],
-                    "label_a": sub_labels[ai].astype("int32"),
-                    "label_b": b_labels[bj].astype("int32"),
-                    "cosine": np.round(sims[ai, bj], 4),
-                }
-            )
+            for lo in range(0, len(sub), BLOCK):
+                hi = lo + BLOCK
+                sims = (sub[lo:hi] @ b_mat.T) / (
+                    sub_norms[lo:hi, None] * b_norms[None, :]
+                )
+                # upper triangle only (vec_a < vec_b), threshold UNROUNDED
+                keep = (sub_ids[lo:hi, None] < b_ids[None, :]) & (
+                    sims >= NEARDUP_COS
+                )
+                ai, bj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": sub_ids[lo:hi][ai],
+                        "vec_b": b_ids[bj],
+                        "label_a": sub_labels[lo:hi][ai].astype("int32"),
+                        "label_b": b_labels[bj].astype("int32"),
+                        "cosine": np.round(sims[ai, bj], 4),
+                    }
+                )
 
     out = v.mapInPandas(
         score,
