@@ -192,3 +192,35 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
         for r in batch.collect()
     )
     assert s == b
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running totals: the final per-user state
+    (last emitted row per user) must equal the batch groupBy totals."""
+    from openmaptiles_zh_modifier_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        running_user_totals,
+    )
+
+    out = run_to_memory(
+        running_user_totals(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    # keep the final update per user (availableNow may emit several)
+    w_rows = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    got = {r.user_id: (r.n_events, r.total_value) for r in w_rows.collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r.user_id: (r.n, round(r.t, 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 0.05
