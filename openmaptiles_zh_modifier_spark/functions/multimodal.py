@@ -94,3 +94,44 @@ def decode_features(df: DataFrame) -> DataFrame:
             yield pd.concat([out, feats], axis=1)
 
     return df.mapInPandas(extract, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, source string, frame_idx long, frame_hash long"
+
+
+def sample_frames(df: DataFrame, stride: int = 4) -> DataFrame:
+    """Frame sampling over the binary payload: every ``stride``-th frame of
+    each (fake-decoded) video payload becomes one output row with a
+    deterministic per-frame fingerprint.
+
+    This is the 1->N explode shape of real video frame extraction
+    (ffmpeg -vf select) as an Arrow-batched ``mapInPandas``: input batches
+    of payload rows, output batches of frame rows, payload bytes dropped at
+    the boundary. Frame count derives from payload size with the same
+    integer math as ``_fake_features`` so the DuckDB oracle can recompute
+    it; a real deployment swaps the body for codec calls and keeps the
+    plan, schema, and partitioning unchanged.
+    """
+    import numpy as np
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_bytes = pdf["payload"].map(len).astype("int64").to_numpy()
+            n_frames = n_bytes % 16 + 1
+            reps = -(-n_frames // stride)  # ceil: frames sampled per doc
+            idx = np.concatenate(
+                [np.arange(0, n, stride, dtype="int64") for n in n_frames]
+            )
+            nb_rep = np.repeat(n_bytes, reps)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), reps),
+                    "source": np.repeat(pdf["source"].to_numpy(), reps),
+                    "frame_idx": idx,
+                    "frame_hash": (nb_rep * 31 + idx * 7919) % 1000003,
+                }
+            )
+
+    return df.mapInPandas(explode_frames, schema=FRAME_SCHEMA)

@@ -133,3 +133,43 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "q_events_sliding",
+    oracle="""
+WITH w AS (
+  SELECT make_timestamp((epoch_us(ts) // 1800000000 - k.k) * 1800000000)
+             AS window_start,
+         event_type, value
+  FROM events, (VALUES (0), (1)) AS k(k)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM w
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide (batch form of the streaming
+    hopping window). Spark's window() duplicates each row into the
+    size/slide = 2 overlapping windows before the hash aggregate — the
+    oracle does the same with an explicit 2-row cross join on epoch-aligned
+    30-minute buckets. Streaming twin: identical expression + watermark."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

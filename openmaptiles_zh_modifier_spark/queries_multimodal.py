@@ -62,3 +62,46 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_multimodal_framesample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS n_bytes FROM documents
+),
+f AS (
+  SELECT source, n_bytes, (n_bytes % 16 + 1) AS n_frames FROM b
+),
+fr AS (
+  SELECT source, n_bytes, unnest(range(0, n_frames, 4)) AS frame_idx FROM f
+)
+SELECT source,
+       COUNT(*) AS n_sampled_frames,
+       SUM((n_bytes * 31 + frame_idx * 7919) % 1000003) AS frame_hash_sum,
+       MAX(frame_idx) AS max_frame_idx
+FROM fr
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: payload -> mapInPandas 1->N frame
+    explode (every 4th frame, deterministic per-frame fingerprint) ->
+    JVM-side aggregation per source. The Python stage is the only
+    non-codegen span; frame rows are narrow (no payload bytes), so the
+    post-explode shuffle carries ~24 bytes/frame regardless of media
+    size — the property that keeps this shape viable at 100 TB."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    frames = sample_frames(attach_payload(docs), stride=4)
+    return (
+        frames.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            F.sum("frame_hash").alias("frame_hash_sum"),
+            F.max("frame_idx").alias("max_frame_idx"),
+        )
+        .orderBy("source")
+    )

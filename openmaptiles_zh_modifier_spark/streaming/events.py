@@ -212,3 +212,47 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, value,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END
+             AS new_session
+  FROM seq
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min gap), run to completion and
+    compared against a batch lag/cumsum oracle. Spark's session_window
+    opens [ts, ts+gap) per event and merges overlapping windows in the
+    state store, so a new session starts exactly when the inter-event gap
+    is >= the gap duration, and session_end = last event + gap — the
+    oracle spells out both rules. State per user is bounded by the
+    watermark horizon; availableNow drains the backlog like a production
+    catch-up."""
+    result = run_to_memory(session_aggregation(read_events_stream(spark, sf_dir)))
+    return result.orderBy("user_id", "session_start")

@@ -224,3 +224,44 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 0.05
+
+
+def test_sample_frames_explode_shape(spark, sf_dir):
+    """Every doc yields ceil(n_frames/stride) frame rows; indices are
+    stride-aligned and bounded by the doc's frame count."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .limit(200)
+    )
+    frames = sample_frames(attach_payload(docs), stride=4).cache()
+    per_doc = {
+        r.doc_id: (r.n, r.max_idx)
+        for r in frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("frame_idx").alias("max_idx"))
+        .collect()
+    }
+    expected = {
+        r.doc_id: len(r.text.encode("utf-8")) % 16 + 1 for r in docs.collect()
+    }
+    assert set(per_doc) == set(expected)
+    for doc_id, n_frames in expected.items():
+        n, max_idx = per_doc[doc_id]
+        assert n == -(-n_frames // 4)
+        assert max_idx % 4 == 0 and max_idx < n_frames
+    frames.unpersist()
+
+
+def test_sliding_window_duplicates_rows(spark, sf_dir):
+    """1h/30m sliding windows assign every event to exactly 2 windows."""
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = QUERIES["q_events_sliding"](spark, sf_dir)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * ev.count()
