@@ -220,3 +220,60 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -------------------------------------------------------------------------
+# BPE-ish regex token counting (subword-piece proxy)
+# -------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenization shape: letter runs, single digits, single
+# punctuation marks. Kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB) so both engines count identical pieces.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q_text_bpe_tokens",
+    oracle=r"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+             AS n_pieces,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_pieces) AS total_pieces,
+       ROUND(AVG(n_pieces), 4) AS avg_pieces,
+       ROUND(SUM(n_pieces) * 1.0 / SUM(n_words), 4) AS fertility,
+       MAX(n_pieces) AS max_pieces
+FROM t
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting with a BPE-ish regex pre-tokenizer (the
+    piece-count proxy used to size training corpora): per-source piece
+    totals plus fertility (pieces per whitespace word). Pure narrow map in
+    codegen — regexp_extract_all + size never leave the JVM — then a tiny
+    per-source aggregate; at 100 TB this is a single scan with map-side
+    partial aggregation and a 20-row shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    n_pieces = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    ).cast("long")
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    return (
+        docs.select("source", n_pieces.alias("n_pieces"), n_words.alias("n_words"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").alias("total_pieces"),
+            F.round(F.avg("n_pieces"), 4).alias("avg_pieces"),
+            F.round(F.sum("n_pieces") / F.sum("n_words"), 4).alias("fertility"),
+            F.max("n_pieces").alias("max_pieces"),
+        )
+        .orderBy("source")
+    )
