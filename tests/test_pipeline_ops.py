@@ -265,3 +265,34 @@ def test_sliding_window_duplicates_rows(spark, sf_dir):
     out = QUERIES["q_events_sliding"](spark, sf_dir)
     total = out.agg(F.sum("n")).collect()[0][0]
     assert total == 2 * ev.count()
+
+
+def test_salted_join_and_agg_match_plain(spark, sf_dir):
+    """Salting is physical-only: salted join + two-phase agg must equal
+    the plain join + single-phase agg exactly."""
+    from openmaptiles_zh_modifier_spark.operators.salted import (
+        salted_agg,
+        salted_join,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = (
+        li.join(orders, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_l_quantity"))
+    )
+    salted = salted_agg(
+        salted_join(li, orders, on="l_orderkey", tiebreak="l_linenumber", n_salt=4),
+        keys=["o_orderpriority"],
+        sums=["l_quantity"],
+        tiebreak="l_orderkey",
+        n_salt=4,
+    )
+    p = {r.o_orderpriority: (r.n, r.sum_l_quantity) for r in plain.collect()}
+    s = {r.o_orderpriority: (r.n, r.sum_l_quantity) for r in salted.collect()}
+    assert p == s
