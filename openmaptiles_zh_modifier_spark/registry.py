@@ -92,9 +92,7 @@ def _pick_sql(vals: list[str | None], idx: str) -> str:
     return f"CASE {whens} ELSE {last} END"
 
 
-@register(
-    "zh_backfill",
-    oracle=f"""
+ZH_BACKFILL_ORACLE = f"""
 WITH src AS (
   SELECT doc_id,
          {_pick_sql(_ZH_NAMES, "doc_id")} AS name,
@@ -125,18 +123,26 @@ SELECT doc_id,
 FROM derived
 WHERE zh IS NOT NULL AND (hans_old IS NULL OR hant_old IS NULL)
 ORDER BY doc_id
-""",
-)
-def q_zh_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+"""
+
+
+def zh_fixture_src(docs: DataFrame) -> DataFrame:
+    """Deterministic zh fixture columns over any doc_id-bearing frame
+    (batch or streaming — pure column expressions either way)."""
     idx = F.col("doc_id")
-    src = docs.select(
+    return docs.select(
         idx,
         _pick_spark(_ZH_NAMES, idx).alias("name"),
         _pick_spark(_ZH_TAGVALS, idx).alias("zh_tag"),
         _pick_spark(_ZH_HANS, idx).alias("hans_tag"),
         _pick_spark(_ZH_HANT, idx).alias("hant_tag"),
     )
+
+
+def zh_backfill_transform(src: DataFrame) -> DataFrame:
+    """The reference's derivation chain (P2 -> P4 -> P5 -> F5 -> F6) as
+    stateless column expressions: works identically under batch and
+    Structured Streaming (no aggregation, no state — append mode)."""
     name, zh_tag = F.col("name"), F.col("zh_tag")
     hans_tag, hant_tag = F.col("hans_tag"), F.col("hant_tag")
     qualified = src.where(
@@ -161,8 +167,13 @@ def q_zh_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("hans_old", to_simplified("zh")).alias("hans"),
             F.coalesce("hant_old", to_traditional("zh")).alias("hant"),
         )
-        .orderBy("doc_id")
     )
+
+
+@register("zh_backfill", oracle=ZH_BACKFILL_ORACLE)
+def q_zh_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return zh_backfill_transform(zh_fixture_src(docs)).orderBy("doc_id")
 
 
 # =========================================================================

@@ -256,3 +256,40 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     catch-up."""
     result = run_to_memory(session_aggregation(read_events_stream(spark, sf_dir)))
     return result.orderBy("user_id", "session_start")
+
+
+@register("q_stream_zh_backfill", oracle=None)  # oracle set below: same SQL as batch
+def q_stream_zh_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's native workload (zh back-fill, SURVEY.md §2.1-§2.10)
+    as a Structured Streaming pipeline: the derivation chain is stateless
+    column expressions + two pandas_udfs, so it runs unmodified under
+    readStream in append mode — the CDC-shaped deployment of the back-fill
+    (new rows arrive, derived zh tags stream out). Hash-checked against
+    the same DuckDB oracle as the batch `zh_backfill` query."""
+    from openmaptiles_zh_modifier_spark.registry import (
+        zh_backfill_transform,
+        zh_fixture_src,
+    )
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    derived = zh_backfill_transform(zh_fixture_src(stream))
+    return run_to_memory(derived, output_mode="append").orderBy("doc_id")
+
+
+# Reuse the batch oracle verbatim: streaming must compute the same result.
+from openmaptiles_zh_modifier_spark.registry import ORACLE_SQL, ZH_BACKFILL_ORACLE  # noqa: E402,E501
+
+ORACLE_SQL["q_stream_zh_backfill"] = ZH_BACKFILL_ORACLE
