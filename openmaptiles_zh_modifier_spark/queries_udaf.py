@@ -64,3 +64,60 @@ def q_udaf_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="l_returnflag string, mode_qty long, mode_count long, n long",
     )
     return out.orderBy("l_returnflag")
+
+
+# -------------------------------------------------------------------------
+# Python UDTF: 1->N table function via LATERAL (SURVEY.md §2.9 UDTF surface)
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_udtf_sentences",
+    oracle="""
+WITH s AS (
+  SELECT source, trim(sent) AS sent
+  FROM (SELECT source, unnest(string_split(text, '.')) AS sent FROM documents)
+  WHERE trim(sent) <> ''
+)
+SELECT source,
+       COUNT(*) AS n_sentences,
+       ROUND(AVG(length(sent)), 4) AS avg_sent_len,
+       MAX(length(sent)) AS max_sent_len
+FROM s
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 3.5+ `@udtf`) splitting documents into
+    sentences, applied per-row via LATERAL, then aggregated per source.
+    Unlike explode (which needs the array materialized as a column first),
+    the UDTF streams variable-length output rows directly from Python —
+    the right shape for generators whose output can't be precomputed as
+    one array value. Arrow-batched like pandas UDFs; the aggregate stays
+    JVM-side."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for part in text.split("."):
+                p = part.strip(" ")
+                if p:
+                    yield (p,)
+
+    spark.udtf.register("split_sentences_udtf", SplitSentences)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        """
+SELECT source,
+       COUNT(*) AS n_sentences,
+       ROUND(AVG(length(sent)), 4) AS avg_sent_len,
+       MAX(length(sent)) AS max_sent_len
+FROM docs_udtf_src, LATERAL split_sentences_udtf(text)
+GROUP BY source
+ORDER BY source
+"""
+    )
