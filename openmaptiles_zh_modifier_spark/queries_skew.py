@@ -47,3 +47,48 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_histogram_price",
+    oracle="""
+WITH binned AS (
+  SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS price_bin,
+         l_extendedprice
+  FROM lineitem
+),
+agg AS (
+  SELECT price_bin, COUNT(*) AS n, ROUND(AVG(l_extendedprice), 2) AS avg_price
+  FROM binned GROUP BY price_bin
+)
+SELECT price_bin, n, avg_price,
+       ROUND(n * 1.0 / SUM(n) OVER (), 6) AS share
+FROM agg
+ORDER BY price_bin
+""",
+)
+def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of a value column (the score/length binning
+    step of corpus analysis): floor-division bucketing, per-bin count and
+    mean, and each bin's share via a window over the aggregate. The
+    window's global SUM runs over the ~30-row aggregate, not the base
+    table — at 100 TB the single-partition window is fine because its
+    input is bin-cardinality, not row-cardinality."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    agg = (
+        li.select(
+            F.floor(F.col("l_extendedprice") / 5000).cast("long").alias("price_bin"),
+            "l_extendedprice",
+        )
+        .groupBy("price_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return agg.withColumn(
+        "share", F.round(F.col("n") * 1.0 / total, 6)
+    ).orderBy("price_bin")
