@@ -324,3 +324,69 @@ def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# -------------------------------------------------------------------------
+# IVF centroid assignment (coarse quantizer partitioning step)
+# -------------------------------------------------------------------------
+
+N_CENTROIDS = 8  # vec_id < 8 serve as fixed coarse centroids
+
+
+@register(
+    "q_embed_centroid_assign",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, v.label, c.cid,
+         {_dot_sql('v.e', 'v.e')} - 2 * {_dot_sql('v.e', 'c.ce')}
+             + {_dot_sql('c.ce', 'c.ce')} AS dist
+  FROM v, c
+),
+best AS (
+  SELECT vec_id, label, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+  FROM scored
+)
+SELECT vec_id, label, cid AS centroid_id, ROUND(dist, 4) AS dist
+FROM best WHERE rk = 1
+ORDER BY vec_id
+""",
+)
+def q_embed_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment: every vector goes to its nearest
+    centroid by squared L2 (expanded as <e,e> - 2<e,c> + <c,c>, folded
+    sequentially so both engines agree bit-exactly; ties break on
+    centroid id). This is the partitioning step of an IVF index build:
+    centroids broadcast, one corpus pass, argmin per vector via a
+    per-vector window over n_centroids rows. At 100 TB the output's
+    centroid_id IS the repartition key for bucket-local fine search
+    (q_embed_lsh_topk shows the bucket-restricted probe side)."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e"), "label"
+    )
+    c = v.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    dist = (
+        _dot_fold(F.col("e"), F.col("e"))
+        - 2 * _dot_fold(F.col("e"), F.col("ce"))
+        + _dot_fold(F.col("ce"), F.col("ce"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        v.crossJoin(F.broadcast(c))
+        .select("vec_id", "label", "cid", dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").alias("centroid_id"),
+            F.round("dist", 4).alias("dist"),
+        )
+        .orderBy("vec_id")
+    )
