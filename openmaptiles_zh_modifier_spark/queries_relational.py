@@ -426,3 +426,52 @@ def q_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year", "order_month")
     )
+
+
+@register(
+    "q_nullsafe_join",
+    oracle="""
+WITH e AS (
+  SELECT NULLIF(json_extract_string(props, '$.k')::INT % 10, 0) AS kbin, value
+  FROM events
+),
+a AS (
+  SELECT kbin, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+  FROM e GROUP BY kbin
+),
+b AS (
+  SELECT kbin, ROUND(AVG(value), 4) AS avg_value FROM e GROUP BY kbin
+)
+SELECT a.kbin, a.n, a.sum_value, b.avg_value
+FROM a JOIN b ON a.kbin IS NOT DISTINCT FROM b.kbin
+ORDER BY a.kbin NULLS FIRST
+""",
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`eqNullSafe` == SQL IS NOT DISTINCT FROM): the
+    NULL key group survives the join and matches exactly once — a plain
+    equi-join would silently drop it. The nullable key is derived with
+    NULLIF so the NULL group is guaranteed non-empty. Null-safe equality
+    stays a hash-joinable key (Catalyst plans BroadcastHashJoin /
+    SortMergeJoin on it, not a nested loop), so the shape scales like any
+    equi-join."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = load(spark, sf_dir, "events")
+    props_schema = StructType([StructField("k", IntegerType())])
+    e = ev.select(
+        F.nullif(
+            F.from_json("props", props_schema)["k"] % 10, F.lit(0)
+        ).alias("kbin"),
+        "value",
+    )
+    a = e.groupBy("kbin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    b = e.groupBy("kbin").agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    return (
+        a.join(b, a["kbin"].eqNullSafe(b["kbin"]))
+        .select(a["kbin"], "n", "sum_value", "avg_value")
+        .orderBy(F.asc_nulls_first("kbin"))
+    )
