@@ -475,3 +475,43 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(a["kbin"], "n", "sum_value", "avg_value")
         .orderBy(F.asc_nulls_first("kbin"))
     )
+
+
+@register(
+    "q_unpivot_measures",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderpriority,
+         ROUND(SUM(o_totalprice), 2) AS sum_price,
+         ROUND(AVG(o_totalprice), 4) AS avg_price,
+         ROUND(MAX(o_totalprice), 2) AS max_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, measure, value FROM (
+  SELECT o_orderpriority, 'sum_price' AS measure, sum_price AS value FROM agg
+  UNION ALL
+  SELECT o_orderpriority, 'avg_price', avg_price FROM agg
+  UNION ALL
+  SELECT o_orderpriority, 'max_price', max_price FROM agg
+)
+ORDER BY o_orderpriority, measure
+""",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of q_pivot_user_activity: wide
+    per-priority measures become (priority, measure, value) rows via
+    Spark's native unpivot operator (Catalyst Expand node: one pass,
+    3x row multiplication, no shuffle beyond the source aggregate).
+    The oracle spells the same relation as a UNION ALL."""
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return agg.unpivot(
+        ids=["o_orderpriority"],
+        values=["sum_price", "avg_price", "max_price"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("o_orderpriority", "measure")
