@@ -515,3 +515,45 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     ).orderBy("o_orderpriority", "measure")
+
+
+# Shared by the Spark query and the DuckDB oracle verbatim: the recursion
+# is ANSI WITH RECURSIVE (Spark 4.1+), and the explicit TIMESTAMP casts
+# pin the month key type (DuckDB's date_trunc on DATE yields DATE, Spark's
+# yields TIMESTAMP).
+_RECURSIVE_CALENDAR_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP) AS hi
+  FROM orders
+),
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months, bounds WHERE m < hi
+),
+per_month AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month_start,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(revenue, 0.0) AS revenue
+FROM months LEFT JOIN per_month ON months.m = per_month.m
+ORDER BY month_start
+"""
+
+
+@register("q_recursive_calendar", oracle=_RECURSIVE_CALENDAR_SQL)
+def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling via ANSI recursive CTE (Spark 4.1
+    WITH RECURSIVE): generate every month between the data's min and max
+    order date, then left-join per-month aggregates so empty months
+    surface as explicit zero rows. The recursion is driver-cheap (one row
+    per month, ~80 iterations over a 1-row frame); the heavy side stays a
+    single scan + hash aggregate. Identical SQL text runs on both
+    engines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_CALENDAR_SQL)
