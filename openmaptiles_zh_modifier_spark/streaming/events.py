@@ -293,3 +293,43 @@ def q_stream_zh_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 from openmaptiles_zh_modifier_spark.registry import ORACLE_SQL, ZH_BACKFILL_ORACLE  # noqa: E402,E501
 
 ORACLE_SQL["q_stream_zh_backfill"] = ZH_BACKFILL_ORACLE
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+WITH w AS (
+  SELECT make_timestamp((epoch_us(ts) // 1800000000 - k.k) * 1800000000)
+             AS window_start,
+         event_type, value
+  FROM events, (VALUES (0), (1)) AS k(k)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM w
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping window (1h size / 30m slide): same window
+    expression as the batch q_events_sliding, with a watermark bounding
+    state to (horizon / slide) windows per key. Run to completion and
+    hash-matched against the batch oracle."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg).orderBy("window_start", "event_type")
