@@ -277,3 +277,50 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------------------------------------------
+# Higher-order array functions (transform / filter / exists / sort_array)
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_array_functions",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       list_max(list_transform(toks, x -> length(x))) AS max_token_len,
+       len(list_filter(toks, x -> length(x) > 6)) AS n_long_tokens,
+       CASE WHEN len(list_filter(toks, x -> x = 'the')) > 0
+            THEN 1 ELSE 0 END AS has_the,
+       list_sort(toks)[1] AS first_token_sorted
+FROM t
+ORDER BY doc_id
+""",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class surface: transform
+    (per-element map), filter (predicate), exists (short-circuit any),
+    sort_array + element access — all lambda expressions evaluated inside
+    codegen, no Python boundary. The whole query is a narrow map over the
+    scan; the only shuffle is the presentation sort."""
+    toks = tokens(F.col("text"))
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_max(F.transform(toks, lambda x: F.length(x))).alias(
+                "max_token_len"
+            ),
+            F.size(F.filter(toks, lambda x: F.length(x) > 6)).alias(
+                "n_long_tokens"
+            ),
+            F.exists(toks, lambda x: x == F.lit("the"))
+            .cast("int")
+            .alias("has_the"),
+            F.sort_array(toks)[0].alias("first_token_sorted"),
+        )
+        .orderBy("doc_id")
+    )
