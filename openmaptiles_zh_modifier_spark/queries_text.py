@@ -324,3 +324,45 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -------------------------------------------------------------------------
+# Map functions under LAST_WIN (the reference's hstore || semantics, F7)
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_map_functions",
+    oracle="""
+SELECT doc_id,
+       upper(source) AS zh_val,
+       source AS src_val,
+       2 AS n_keys,
+       1 AS lang_missing
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column operations under mapKeyDedupPolicy=LAST_WIN — the
+    exact hstore `||` right-operand-wins rule the reference's tag
+    write-back depends on (OMTZHModifier.java:157-159): build two maps
+    sharing a key, map_concat them, and read back with element_at. The
+    oracle states the *expected* scalar outcomes directly (DuckDB's map
+    surface differs), so a LAST_WIN regression — e.g. the default
+    EXCEPTION policy, or first-wins — fails the hash. n_keys proves the
+    duplicate key collapsed; lang_missing proves element_at on an absent
+    key yields NULL, not an error."""
+    docs = load(spark, sf_dir, "documents")
+    m1 = F.create_map(
+        F.lit("name:zh"), F.col("source"), F.lit("src"), F.col("source")
+    )
+    m2 = F.create_map(F.lit("name:zh"), F.upper(F.col("source")))
+    merged = F.map_concat(m1, m2)
+    return docs.select(
+        "doc_id",
+        F.element_at(merged, "name:zh").alias("zh_val"),
+        F.element_at(merged, "src").alias("src_val"),
+        F.size(F.map_keys(merged)).alias("n_keys"),
+        F.element_at(merged, "lang").isNull().cast("int").alias("lang_missing"),
+    ).orderBy("doc_id")
