@@ -92,3 +92,41 @@ def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn(
         "share", F.round(F.col("n") * 1.0 / total, 6)
     ).orderBy("price_bin")
+
+
+@register(
+    "q_stat_aggregates",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+       ROUND(STDDEV_POP(l_extendedprice), 2) AS sdp_price,
+       ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+       ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS covar_price_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample/population stddev, correlation, and
+    covariance per group. Both engines use numerically stable single-pass
+    moment updates with mergeable partial states — the same
+    partial/final split as sum/avg, so these scale identically (one
+    shuffle of O(groups) moment tuples, never the raw rows)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.stddev_pop("l_extendedprice"), 2).alias("sdp_price"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+                "corr_price_qty"
+            ),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+                "covar_price_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
