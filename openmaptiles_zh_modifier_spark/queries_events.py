@@ -173,3 +173,98 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "q_time_rollup",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       date_trunc('hour', ts) AS hour,
+       GROUPING(date_trunc('hour', ts)) AS is_day_total,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP(CAST(date_trunc('day', ts) AS TIMESTAMP), date_trunc('hour', ts))
+HAVING GROUPING(CAST(date_trunc('day', ts) AS TIMESTAMP)) = 0
+ORDER BY day, is_day_total, hour
+""",
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: hour-grain aggregates
+    plus day-level superaggregates in one pass via ROLLUP(day, hour) —
+    the batch form of a continuous-aggregate maintenance job. One Expand
+    + one hash aggregate; the HAVING drops only the single grand-total
+    row. At 100 TB the same plan emits every rollup grain in one shuffle
+    instead of one job per grain."""
+    ev = load(spark, sf_dir, "events")
+    pre = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return (
+        pre.rollup("day", "hour")
+        .agg(
+            F.grouping("hour").cast("long").alias("is_day_total"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .where(F.grouping("day") == 0)
+        .select("day", "hour", "is_day_total", "n", "sum_value")
+        .orderBy("day", "is_day_total", "hour")
+    )
+
+
+@register(
+    "q_locf_gapfill",
+    oracle="""
+WITH sparse AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN value END AS reading
+  FROM events
+)
+SELECT user_id, event_id,
+       ROUND(COALESCE(
+         last_value(reading IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING),
+         -1.0), 2) AS filled
+FROM sparse
+ORDER BY user_id, ts, event_id
+""",
+)
+def q_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: a sparse sensor reading (80% of
+    rows NULL by construction) is forward-filled per user with
+    last(..., ignorenulls) over a running row frame — the time-series
+    gap-fill primitive. One shuffle on user_id; the running frame is
+    incremental (no per-row rescan)."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sparse = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.col("value")).alias("reading"),
+    )
+    return (
+        sparse.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(
+                F.coalesce(
+                    F.last("reading", ignorenulls=True).over(w), F.lit(-1.0)
+                ),
+                2,
+            ).alias("filled"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
