@@ -324,3 +324,65 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "simhash_a", "simhash_b", hamming.alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -------------------------------------------------------------------------
+# Deterministic sampling (reproducible subset selection)
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, doc_id,
+         {h32_sql('text')} % 100 AS bucket,
+         {h32_sql('text')} AS hk
+  FROM documents
+),
+uniform AS (
+  SELECT source, COUNT(*) AS n_sampled FROM keyed WHERE bucket < 10
+  GROUP BY source
+),
+strat AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+  FROM keyed
+)
+SELECT s.source, s.doc_id, s.rk, u.n_sampled AS n_uniform_10pct
+FROM strat s JOIN uniform u USING (source)
+WHERE s.rk <= 3
+ORDER BY s.source, s.rk
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling, two flavors in one pass: (a) uniform ~10%
+    via hash-bucket predicate (h32(text) % 100 < 10 — unlike
+    df.sample(), identical on every engine, every run, every partition
+    layout), and (b) stratified top-3 per source by hash order (equal
+    allocation per stratum regardless of stratum skew). Both are the
+    production-safe way to cut training subsets: membership is a pure
+    function of content, so reruns and backfills select identical rows.
+    The uniform count broadcasts back onto the stratified pick."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source", "doc_id", h32(F.col("text")).alias("hk")
+    )
+    uniform = (
+        keyed.where(F.col("hk") % 100 < 10)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_uniform_10pct"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    strat = (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("source", "doc_id", "rk")
+    )
+    return (
+        strat.join(F.broadcast(uniform), "source")
+        .select("source", "doc_id", "rk", "n_uniform_10pct")
+        .orderBy("source", "rk")
+    )
