@@ -557,3 +557,59 @@ def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_CALENDAR_SQL)
+
+
+@register(
+    "q_integrity_audit",
+    oracle="""
+SELECT 'lineitem_orphans' AS check_name,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS n_bad
+UNION ALL
+SELECT 'orders_orphans',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'orders_null_priority',
+       (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL)
+UNION ALL
+SELECT 'lineitem_negative_qty',
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 0)
+ORDER BY check_name
+""",
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: referential-integrity orphan counts via
+    LEFT ANTI joins (the distributed NOT EXISTS) plus null/range
+    invariant checks, unioned into one (check_name, n_bad) report — the
+    pre-ingestion gate of a training-data pipeline. Each anti join
+    shuffles only its key column; the violation counts are tiny and the
+    union is driver-cheap. All checks read each table once."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    checks = [
+        one(
+            "lineitem_orphans",
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"),
+        ),
+        one(
+            "orders_orphans",
+            orders.join(
+                customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+            ),
+        ),
+        one("orders_null_priority", orders.where(F.col("o_orderpriority").isNull())),
+        one("lineitem_negative_qty", li.where(F.col("l_quantity") < 0)),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
