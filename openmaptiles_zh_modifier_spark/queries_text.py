@@ -366,3 +366,63 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(merged)).alias("n_keys"),
         F.element_at(merged, "lang").isNull().cast("int").alias("lang_missing"),
     ).orderBy("doc_id")
+
+
+# -------------------------------------------------------------------------
+# N-gram (bigram) frequency with multiplicity — LM corpus counting
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_ngram_counts",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(list_zip(toks[:-1], toks[2:]),
+                               z -> z[1] || ' ' || z[2])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM b
+WHERE bigram IS NOT NULL
+GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT 20
+""",
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency with multiplicity (unlike the dedup shingles,
+    which are distinct-per-doc): pair each token with its successor via
+    two shifted slices + zip_with, explode, and count occurrences and
+    document frequency — the n-gram LM / collocation-mining counting
+    job. All array work is codegen-side; the single shuffle is the
+    bigram groupBy with map-side partial aggregation collapsing each
+    partition's counts before the exchange."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " ", -1), lambda x: x != ""
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    ).where(F.size("toks") >= 2)
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+        F.slice(F.col("toks"), 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(20)
+    )
