@@ -268,3 +268,40 @@ def q_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .drop("ts")
     )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+SELECT user_id, event_id,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL THEN 1 ELSE 0 END AS is_current,
+       ROUND(value, 2) AS state_value
+FROM events
+ORDER BY user_id, valid_from, event_id
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each change event opens a
+    validity interval closed by the next change (lead over the per-key
+    timeline; NULL valid_to marks the current row) — the CDC-to-dimension
+    materialization every warehouse needs. One shuffle on the dimension
+    key; both window functions share the single sort."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().cast("long").alias("is_current"),
+            F.round("value", 2).alias("state_value"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
