@@ -305,3 +305,61 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+@register(
+    "q_funnel_analysis",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND s1.t_view IS NOT NULL AND e.ts > s1.t_view
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1 WHERE t_view IS NOT NULL) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_click_after_view,
+       (SELECT COUNT(*) FROM s3) AS n_purchase_after_click
+""",
+)
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (view -> click -> purchase): each stage is a
+    conditional MIN over events occurring after the user's previous-stage
+    timestamp, so out-of-order events don't count — the event-analytics
+    sequence-match operator. Three aggregate+join rounds, all keyed on
+    user_id: with the events table bucketed (or AQE co-location) the
+    per-stage joins reuse one partitioning and never reshuffle the big
+    side."""
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"))
+        .where(F.col("t_view").isNotNull())
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    r1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    r2 = s2.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    r3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return r1.crossJoin(r2).crossJoin(r3)
