@@ -363,3 +363,57 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = s2.agg(F.count(F.lit(1)).alias("n_click_after_view"))
     r3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
     return r1.crossJoin(r2).crossJoin(r3)
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id,
+         MIN(epoch_us(ts) // 86400000000) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         c.cohort_day,
+         epoch_us(e.ts) // 86400000000 - c.cohort_day AS day_offset
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+  WHERE epoch_us(e.ts) // 86400000000 >= c.cohort_day
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_active_users
+FROM activity
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by signup day, activity counted
+    per day-offset from the cohort day — the retention-curve input table.
+    Day arithmetic is integer epoch-day division on both engines (no
+    timezone/date-type drift). Two shuffles on user_id (cohort min +
+    join, which AQE co-locates), then the small (cohort, offset)
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    epoch_day = (F.unix_micros(F.col("ts")) / F.lit(86400000000)).cast("long")
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", epoch_day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+    )
+    activity = (
+        ev.select("user_id", epoch_day.alias("d"))
+        .join(cohort, "user_id")
+        .where(F.col("d") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("d") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
