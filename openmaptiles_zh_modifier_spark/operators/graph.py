@@ -1,0 +1,98 @@
+"""Connected components via iterative min-label propagation.
+
+The transitive-closure step a dedup pipeline needs after pair generation:
+near-dup PAIRS (a~b, b~c) must collapse into CLUSTERS ({a,b,c}) before
+canonical-document election, and no single groupBy can do it — cluster
+membership is reachability, an inherently iterative fixpoint. The
+reference has no graph surface at all (SURVEY.md §2); this is
+engine-extension surface for the dedup north star.
+
+Algorithm: every node starts labeled with itself; each round every node
+takes the min of its own label and its neighbors' labels; stop when a
+round changes nothing. Rounds needed = graph diameter (not node count).
+Scale notes: each round is one join edges-to-labels + one min-aggregate —
+both hash-partitioned on the node key, so successive rounds reuse the
+same partitioning under AQE. Labels are local-checkpointed every few
+rounds to truncate the lineage (an iterative plan otherwise grows
+exponentially in the optimizer). For power-law graphs at 100 TB the
+large-star/small-star variant (alternating conditional joins) halves
+rounds; diameter-bounded dedup graphs (short chains) converge in a
+handful of rounds and don't need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Return (node, component) where component = min node id reachable.
+
+    ``edges`` is undirected input (each pair listed once is enough; both
+    directions are added internally). Nodes are longs.
+
+    Each round combines neighbor-min propagation with pointer jumping
+    (label := min over {own label, neighbors' labels, label's label}), so
+    chains collapse in O(log diameter) rounds, not O(diameter). Labels
+    are eagerly local-checkpointed every round: the convergence count
+    then reads materialized data instead of replaying the whole
+    iterative lineage (which would make round k cost O(k) recomputes —
+    quadratic overall).
+    """
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    both = both.localCheckpoint(eager=True)
+    nodes = both.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(
+        eager=True
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(
+                labels.withColumnRenamed("node", "v").withColumnRenamed(
+                    "component", "v_comp"
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("v_comp").alias("n_comp"))
+            .withColumnRenamed("u", "node")
+        )
+        once = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("n_comp", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: follow the new label one hop (label of label)
+        parent = once.select(
+            F.col("node").alias("component"), F.col("component").alias("gp")
+        )
+        updated = (
+            once.join(parent, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("gp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = updated
+        if n_changed == 0:
+            break
+    return labels

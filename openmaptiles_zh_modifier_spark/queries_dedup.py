@@ -386,3 +386,56 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rk", "n_uniform_10pct")
         .orderBy("source", "rk")
     )
+
+
+# -------------------------------------------------------------------------
+# Connected components: pair -> cluster transitive closure
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_connected_components",
+    oracle=f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, {h32_sql('text')} % 3 AS m FROM documents),
+mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+edges AS (
+  SELECT b.doc_id AS a, b.doc_id + 1 AS b
+  FROM base b, mx WHERE b.m = 0 AND b.doc_id + 1 <= mx.mx
+),
+und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, u.v FROM reach r JOIN und u ON u.u = r.lab
+)
+SELECT node, MIN(lab) AS component
+FROM reach
+GROUP BY node
+ORDER BY node
+""",
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster transitive closure: deterministic chain edges
+    (doc i ~ doc i+1 whenever h32(text) % 3 == 0) are collapsed into
+    components by iterative min-label propagation
+    (operators/graph.py) — the step that turns near-dup PAIRS into
+    CLUSTERS, which no single groupBy can express. The oracle computes
+    the same fixpoint as a DuckDB recursive CTE, so the iterative
+    DataFrame loop is checked against a declarative reachability
+    definition."""
+    from openmaptiles_zh_modifier_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    edges = (
+        docs.select("doc_id", h32(F.col("text")).alias("hk"))
+        .where(F.col("hk") % 3 == 0)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("doc_id") + 1 <= F.col("mx"))
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    )
+    return connected_components(edges).orderBy("node")

@@ -296,3 +296,23 @@ def test_salted_join_and_agg_match_plain(spark, sf_dir):
     p = {r.o_orderpriority: (r.n, r.sum_l_quantity) for r in plain.collect()}
     s = {r.o_orderpriority: (r.n, r.sum_l_quantity) for r in salted.collect()}
     assert p == s
+
+
+def test_connected_components_known_graph(spark):
+    """Chains and isolated pairs collapse to min-id components; the
+    iterative loop must reach the fixpoint regardless of chain length."""
+    from openmaptiles_zh_modifier_spark.operators.graph import (
+        connected_components,
+    )
+
+    # one 5-chain (1..5), one pair (10,11), one triangle (20,21,22)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
