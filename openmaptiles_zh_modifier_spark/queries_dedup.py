@@ -439,3 +439,56 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
     )
     return connected_components(edges).orderBy("node")
+
+
+# -------------------------------------------------------------------------
+# Train/test decontamination (cross-split exact-hash overlap)
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_decontamination",
+    oracle="""
+WITH split AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS dk,
+         CAST(substr(source, 4) AS INT) % 2 AS is_test
+  FROM documents
+),
+train AS (SELECT DISTINCT dk FROM split WHERE is_test = 0),
+test AS (SELECT * FROM split WHERE is_test = 1)
+SELECT t.source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN tr.dk IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+FROM test t LEFT JOIN train tr ON t.dk = tr.dk
+GROUP BY t.source
+ORDER BY t.source
+""",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: the held-out split is probed against
+    the training split's normalized-content hash set (exact-match
+    contamination, the first pass of any eval-leakage audit; the
+    near-dup passes reuse the minhash/simhash operators above). The
+    train hash set is distinct-compressed before the join — at 100 TB
+    this is a semi-join-shaped probe where only hashes shuffle, never
+    text."""
+    docs = load(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("dk"),
+        (F.substring("source", 4, 10).cast("int") % 2).alias("is_test"),
+    )
+    train = split.where(F.col("is_test") == 0).select("dk").distinct()
+    test = split.where(F.col("is_test") == 1)
+    marked = test.join(
+        train.withColumn("in_train", F.lit(1)), "dk", "left"
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("in_train", F.lit(0))).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )

@@ -426,3 +426,38 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(20)
     )
+
+
+# -------------------------------------------------------------------------
+# PII-style scrubbing (regex masking with audit counts)
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_text_scrub",
+    oracle=r"""
+SELECT doc_id,
+       md5(regexp_replace(text, '\b(customer|key)\b', '[MASK]', 'g'))
+           AS scrubbed_md5,
+       len(regexp_extract_all(text, '\b(customer|key)\b')) AS n_masked
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing with an audit count — the PII-masking shape
+    (emails/phones/SSNs in production; a stand-in sensitive vocabulary
+    here since the fixture text is synthetic): every match replaced by a
+    mask token, plus the per-document match count the compliance audit
+    needs. The output carries md5(scrubbed) rather than the scrubbed
+    text so the parity check stays narrow. Pure codegen map; scales as a
+    single scan."""
+    docs = load(spark, sf_dir, "documents")
+    pat = r"\b(customer|key)\b"
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", pat, "[MASK]")).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast(
+            "long"
+        ).alias("n_masked"),
+    ).orderBy("doc_id")
