@@ -492,3 +492,44 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------------------------------------------
+# Advanced aggregates: argmax/argmin + ordered set collection
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_advanced_aggregates",
+    oracle="""
+SELECT source,
+       arg_max(doc_id, n_chars * 10000000 + doc_id) AS longest_doc,
+       arg_min(doc_id, n_chars * 10000000 + doc_id) AS shortest_doc,
+       MAX(n_chars) AS max_chars,
+       array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_advanced_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by/min_by) with a composite numeric
+    ordering key so ties break on doc_id deterministically on both
+    engines, plus collect_set flattened through sort_array + array_join
+    (set collection is orderless — serializing it sorted is what makes
+    the result comparable at all). One hash aggregate; the collected
+    sets are bounded by the lang vocabulary, not row count."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.col("n_chars") * 10000000 + F.col("doc_id")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.max_by("doc_id", key).alias("longest_doc"),
+            F.min_by("doc_id", key).alias("shortest_doc"),
+            F.max("n_chars").alias("max_chars"),
+            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias(
+                "langs"
+            ),
+        )
+        .orderBy("source")
+    )
