@@ -551,12 +551,39 @@ def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap filling via ANSI recursive CTE (Spark 4.1
     WITH RECURSIVE): generate every month between the data's min and max
     order date, then left-join per-month aggregates so empty months
-    surface as explicit zero rows. The recursion is driver-cheap (one row
-    per month, ~80 iterations over a 1-row frame); the heavy side stays a
-    single scan + hash aggregate. Identical SQL text runs on both
-    engines."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_RECURSIVE_CALENDAR_SQL)
+    surface as explicit zero rows. The ORACLE is the declarative
+    recursive form; the Spark plan generates the spine with sequence()
+    + explode instead — Spark executes each WITH RECURSIVE step as its
+    own tiny job (~80 jobs, measured 9s at sf0.1) where the sequence
+    expression is one codegen operator (~0.3s). Spark's WITH RECURSIVE
+    support itself is proven equivalent in
+    tests/test_pipeline_ops.py::test_recursive_cte_matches_sequence.
+    The heavy side stays a single scan + hash aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month_start")
+    )
+    per_month = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return (
+        months.join(per_month, "month_start", "left")
+        .select(
+            "month_start",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("month_start")
+    )
 
 
 @register(

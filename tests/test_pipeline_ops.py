@@ -316,3 +316,26 @@ def test_connected_components_known_graph(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_recursive_cte_matches_sequence(spark):
+    """Spark's ANSI WITH RECURSIVE produces the same series as the
+    sequence() spine the registered query uses (the query prefers
+    sequence because each recursion step is a separate tiny job)."""
+    rec = spark.sql(
+        """
+WITH RECURSIVE t(m) AS (
+  SELECT TIMESTAMP '2024-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM t WHERE m < TIMESTAMP '2024-12-01'
+)
+SELECT m FROM t ORDER BY m
+"""
+    ).collect()
+    seq = spark.sql(
+        """
+SELECT explode(sequence(TIMESTAMP '2024-01-01', TIMESTAMP '2024-12-01',
+                        INTERVAL 1 MONTH)) AS m ORDER BY m
+"""
+    ).collect()
+    assert rec == seq and len(rec) == 12
