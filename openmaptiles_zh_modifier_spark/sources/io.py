@@ -152,3 +152,43 @@ def write_back_merge(
         ]
         base = base.where(F.col(partition_col).isin(touched))
     return apply_update(base, F.broadcast(updates))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a fragmented parquet dataset into
+    ~target-sized files, optionally range-sorted for min/max pruning.
+
+    The streaming/incremental ingest pattern leaves thousands of tiny
+    files per table; every downstream scan then pays per-file open cost
+    and tiny row groups defeat predicate skipping. Compaction sizes the
+    output from the ACTUAL input bytes (not row counts — row width
+    varies), and ``repartitionByRange`` on the sort columns produces
+    non-overlapping min/max ranges per file, the layout Z-order
+    approximates for one key. Returns the number of output files.
+    """
+    import math
+
+    from pyspark.sql.functions import spark_partition_id
+
+    df = spark.read.parquet(path)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = sum(
+        st.getLen()
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    out = spark.read.parquet(out_path)
+    return out.select(spark_partition_id()).distinct().count()

@@ -123,3 +123,25 @@ def test_write_back_merge_partition_pruned(spark, tmp_path):
     # only partition 3 was read/rewritten
     assert set(r.part for r in merged.select("part").distinct().collect()) == {3}
     assert rows[3] == "NEW" and rows[7] == "v7"
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    """50 tiny input files compact to the byte-sized target count; row
+    content survives; range-sorted output gives non-overlapping files."""
+    import glob
+
+    from openmaptiles_zh_modifier_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    df.repartition(50).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 50
+
+    n_out = compact_parquet(
+        spark, src, out, target_file_bytes=10**9, sort_cols=["k"]
+    )
+    assert n_out == 1
+    got = spark.read.parquet(out)
+    assert got.count() == 5000
+    assert got.agg(F.sum("k")).collect()[0][0] == 5000 * 4999 // 2
