@@ -339,3 +339,35 @@ SELECT explode(sequence(TIMESTAMP '2024-01-01', TIMESTAMP '2024-12-01',
 """
     ).collect()
     assert rec == seq and len(rec) == 12
+
+
+def test_stream_foreachbatch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the production sink pattern (stream -> per-batch
+    batch-DataFrame writes, where MERGE/upsert logic would run). The
+    accumulated parquet output must equal the batch read of the source."""
+    import tempfile
+
+    from openmaptiles_zh_modifier_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "sink")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.select("event_id", "user_id", "value").write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="omt-fb-"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert got.count() == src.count()
+    assert got.agg(F.sum("event_id")).collect()[0][0] == \
+        src.agg(F.sum("event_id")).collect()[0][0]
