@@ -123,3 +123,47 @@ def test_zh_translate_roundtrip_properties(spark):
         # simplified output contains no char from the traditional-only set
         trad_only = set(T2S_FROM) - set(T2S_TO)
         assert not (set(r.simp) & trad_only)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs: the iterative min-label propagation must
+    equal a pure-Python union-find ground truth (including singleton-free
+    node sets, multi-chain topologies, and dense pockets)."""
+    from openmaptiles_zh_modifier_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n_nodes = rng.randint(10, 40)
+        n_edges = rng.randint(5, 60)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for e in edges for a in e}
+        want = {x: find(x) for x in sorted(touched)}
+
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                spark.createDataFrame(edges, "a long, b long")
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
