@@ -417,3 +417,42 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+SELECT user_id, event_id AS latest_event, event_type AS latest_type,
+       ROUND(value, 2) AS latest_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+WHERE rk = 1
+ORDER BY user_id
+""",
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction (CDC upsert materialization): keep each
+    key's most recent record by (ts, event_id) — the read-side collapse
+    of an append-only changelog into current state. One shuffle on the
+    key; at 100 TB this is the standing pattern for compacting upsert
+    feeds without a transactional table format."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event"),
+            F.col("event_type").alias("latest_type"),
+            F.round("value", 2).alias("latest_value"),
+        )
+        .orderBy("user_id")
+    )

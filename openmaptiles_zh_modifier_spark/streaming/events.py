@@ -333,3 +333,62 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg).orderBy("window_start", "event_type")
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       ROUND(p.value, 2) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY c.user_id, click_id, purchase_id
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: clicks joined to
+    purchases by the same user within the following hour. Both sides are
+    watermarked and the join condition carries the time-range bound, so
+    Spark can expire click state one hour past the watermark instead of
+    buffering either stream forever — THE prerequisite for running a
+    two-stream join continuously. availableNow drains the backlog and
+    must reproduce exactly the batch interval join the oracle states."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return run_to_memory(joined, output_mode="append").orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
