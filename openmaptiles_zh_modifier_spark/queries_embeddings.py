@@ -390,3 +390,122 @@ def q_embed_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# -------------------------------------------------------------------------
+# IVF-probed top-k: coarse quantize, probe nprobe buckets, fine-rank
+# -------------------------------------------------------------------------
+
+NPROBE = 2  # probe the 2 nearest coarse cells per query
+
+_L2_SQL = (
+    "{ee} - 2 * {ec} + {cc}"
+)
+
+
+def _l2_sql(e: str, c: str) -> str:
+    return _L2_SQL.format(
+        ee=_dot_sql(e, e), ec=_dot_sql(e, c), cc=_dot_sql(c, c)
+    )
+
+
+@register(
+    "q_embed_ivf_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {N_CENTROIDS}),
+ad AS (
+  SELECT v.vec_id, v.e, v.label, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_l2_sql('v.e', 'c.ce')}, c.cid) AS rk
+  FROM v, c
+),
+assigned AS (SELECT vec_id, e, label, cid FROM ad WHERE rk = 1),
+probe AS (
+  SELECT vec_id AS qid, e AS qe, cid
+  FROM ad WHERE vec_id < {N_QUERIES} AND rk <= {NPROBE}
+),
+scored AS (
+  SELECT p.qid, a.vec_id AS nn_id, a.label AS nn_label,
+         ROUND({_dot_sql('p.qe', 'a.e')}
+               / (sqrt({_dot_sql('p.qe', 'p.qe')})
+                  * sqrt({_dot_sql('a.e', 'a.e')})), 4) AS cosine
+  FROM probe p JOIN assigned a USING (cid)
+  WHERE a.vec_id <> p.qid
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nn_id) AS rk
+  FROM scored
+)
+SELECT qid, nn_id, nn_label, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: coarse-quantize the corpus onto N_CENTROIDS cells
+    (argmin squared-L2, ties on cid), probe each query's NPROBE nearest
+    cells, and fine-rank cosine ONLY inside the probed cells — the
+    recall/cost dial of a real IVF index (vs q_embed_topk_cosine's exact
+    scan).
+
+    Scale shape: assignment is one corpus pass against broadcast
+    centroids with a map-side partial ``min(struct(dist,cid))`` argmin —
+    the 8x crossJoin blowup collapses BEFORE the shuffle, and the single
+    shuffle key (vec_id) is the data's natural key. The probe table is
+    queries x nprobe rows (tiny, broadcast); candidate scoring touches
+    only matching cells. At 100 TB the assigned frame is written once,
+    partitioned BY cid, and every later query reads just its probed
+    partitions (directory-level pruning)."""
+    from pyspark.sql import Window
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e"), "label"
+    )
+    c = v.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    dist = (
+        _dot_fold(F.col("e"), F.col("e"))
+        - 2 * _dot_fold(F.col("e"), F.col("ce"))
+        + _dot_fold(F.col("ce"), F.col("ce"))
+    )
+    cells = v.crossJoin(F.broadcast(c)).select(
+        "vec_id", "e", "label", "cid", dist.alias("dist")
+    )
+    assigned = (
+        cells.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("m"),
+            F.first("e").alias("e"),
+            F.first("label").alias("label"),
+        )
+        .select("vec_id", "e", "label", F.col("m.cid").alias("cid"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    probe = (
+        cells.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= NPROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "cid")
+    )
+    cos = F.round(
+        _dot_fold(F.col("qe"), F.col("e"))
+        / (_norm(F.col("qe")) * _norm(F.col("e"))),
+        4,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nn_id"),
+            F.col("label").alias("nn_label"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
