@@ -533,3 +533,98 @@ def q_advanced_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style candidate pruning)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_dedup_prefix_filter",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, len(t) - 2),
+             j -> concat_ws(' ', t[j], t[j+1], t[j+2]))) AS ts
+  FROM tk
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.ts, b.ts)) AS n_common,
+       len(a.ts) AS n_a, len(b.ts) AS n_b,
+       ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
+             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4)
+           AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE 2 * len(list_intersect(a.ts, b.ts))
+      >= len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set similarity join with PPJoin-style prefix filtering
+    (Xiao et al., WWW'08): order each doc's distinct 3-gram shingles rarest-first
+    by global document frequency, keep only the first
+    ``n - ceil(t*n) + 1`` tokens as the *prefix*, and generate candidate
+    pairs ONLY from docs sharing a prefix token — any pair with
+    Jaccard >= t must share one (pigeonhole), so the filter is lossless.
+    The oracle is the NAIVE all-pairs join; the hash match is the
+    losslessness proof.
+
+    The threshold test is the exact integer cross-multiplication
+    ``2*inter >= union`` (t = {JACCARD_THRESHOLD}) — no float compare.
+
+    Scale shape: all-pairs is O(n^2) and unrunnable at 100 TB; prefix
+    candidates are bounded by sum of per-token prefix-list sizes, and
+    rarest-first ordering makes those lists short (the most frequent
+    tokens never appear in prefixes). The candidate join shuffles on the
+    token hash — uniform keys — and exact verification touches only
+    candidates. Composes with minhash-LSH: LSH buckets first, prefix
+    filter within buckets."""
+    t = JACCARD_THRESHOLD
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", shingles(tokens(F.col("text"))).alias("ts"))
+    ex = tok.select("doc_id", F.explode("ts").alias("tk"))
+    dfreq = ex.groupBy("tk").agg(F.count(F.lit(1)).alias("dfc"))
+    n = F.size("ts")
+    p = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+    prefix = (
+        ex.join(F.broadcast(dfreq), "tk")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dfc", "tk"))).alias("ord"))
+        .join(tok, "doc_id")
+        .select(
+            "doc_id",
+            F.slice(F.transform("ord", lambda s: s["tk"]), 1, p).alias("pref"),
+        )
+    )
+    pe = prefix.select("doc_id", F.explode("pref").alias("tk"))
+    cand = (
+        pe.alias("a")
+        .join(pe.alias("b"), "tk")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    na, nb = F.size("ts_a"), F.size("ts_b")
+    union = na + nb - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(2 * inter >= union)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_common"),
+            na.cast("long").alias("n_a"),
+            nb.cast("long").alias("n_b"),
+            F.round(inter * 1.0 / union, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -461,3 +461,121 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_masked"),
     ).orderBy("doc_id")
+
+
+# -------------------------------------------------------------------------
+# BM25 relevance scoring (fixed query-term set)
+# -------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "join", "window", "hash"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 50
+
+
+def _eq_lit(t: str):
+    # NB: must return a 1-arg lambda — a 2-arg lambda (e.g. the `t=t`
+    # default-arg capture idiom) is treated by F.filter as (element, index).
+    return lambda x: x == F.lit(t)
+
+
+def _bm25_term_sql(t: str) -> str:
+    """Per-term BM25 contribution; tf/df/dl all integers, idf via ln."""
+    return (
+        f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * tf_{t} * {BM25_K1 + 1.0}"
+        f" / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    )
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+         {', '.join(f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS)}
+  FROM t
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl,
+         {', '.join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in BM25_TERMS)}
+  FROM d
+),
+scored AS (
+  SELECT doc_id, dl,
+         ROUND({' + '.join(f'({_bm25_term_sql(t)})' for t in BM25_TERMS)}, 4) AS bm25
+  FROM d CROSS JOIN stats
+  WHERE {' + '.join(f'tf_{t}' for t in BM25_TERMS)} > 0
+)
+SELECT doc_id, dl, bm25,
+       ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+FROM scored
+QUALIFY rk <= {BM25_TOP}
+ORDER BY rk
+""",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed query-term set — the
+    retrieval-side text primitive (data-curation pipelines use the same
+    shape for quality filtering against seed queries).
+
+    Determinism discipline: tf, df, dl are exact integers; avgdl is an
+    integer-sum / count; the only transcendental is the final ``ln`` in
+    idf, and Spark/DuckDB libm disagree at the last ulp on ~12% of
+    arguments, so the score is ROUNDed at 4 dp before ranking and doc_id
+    breaks ties — ulp noise cannot reorder the output.
+
+    Scale shape: one narrow scan computes per-doc (dl, tf*); one global
+    aggregate produces the (1-row) corpus stats, broadcast back via
+    crossJoin; scoring is a pure projection and the only shuffle is the
+    final top-k (TakeOrderedAndProject). At 100 TB the stats row is a
+    pre-computed corpus statistic, not a per-query cost."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_lit(t))).cast("long").alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str) -> F.Column:
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        return (
+            idf
+            * tf
+            * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+
+    score = term_score(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + term_score(t)
+    any_tf = sum(F.col(f"tf_{t}") for t in BM25_TERMS)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .where(any_tf > 0)
+        .select("doc_id", "dl", F.round(score, 4).alias("bm25"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOP)
+        .orderBy("rk")
+    )
