@@ -628,3 +628,75 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -------------------------------------------------------------------------
+# Weighted priority sampling (Duffield-Lund-Thorup)
+# -------------------------------------------------------------------------
+
+PRIORITY_K = 100
+_U32 = 4294967296.0  # 2^32; (h32+1)/2^32 is an exact dyadic in (0, 1]
+
+
+@register(
+    "q_priority_sample",
+    oracle=f"""
+WITH p AS (
+  SELECT o_orderkey, o_totalprice AS w,
+         o_totalprice
+           / ((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT + 1)
+              / {_U32}) AS priority
+  FROM orders
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, o_orderkey) AS rk
+  FROM p
+),
+tau AS (SELECT MIN(priority) AS tau FROM r WHERE rk <= {PRIORITY_K + 1})
+SELECT o_orderkey, w, priority, GREATEST(w, tau) AS w_hat
+FROM r CROSS JOIN tau
+WHERE rk <= {PRIORITY_K}
+ORDER BY o_orderkey
+""",
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM'07): each row gets priority = w/u with
+    u a deterministic hash-uniform in (0,1]; the sample is the top-K
+    priorities and each kept row's unbiased weight estimator is
+    max(w, tau) with tau the (K+1)-th priority. Subset-sum estimates off
+    the sample are provably unbiased — the sketch a 100 TB pipeline keeps
+    instead of the full table.
+
+    Determinism: u = (h32+1)/2^32 is an exact dyadic rational, so
+    priority is ONE IEEE division of bit-identical operands on both
+    engines — no rounding needed anywhere. No transcendentals (this is
+    why priority sampling is used here rather than the exponent-based
+    Efraimidis-Spirakis scheme: w/u needs no pow/ln, which differ at the
+    last ulp between engines).
+
+    Scale shape: priorities are a narrow projection; top-(K+1) compiles
+    to TakeOrderedAndProject (per-partition heaps + driver merge of K+1
+    rows per partition — no shuffle of the data); tau is a 1-row
+    broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    u = (h32(F.col("o_orderkey").cast("string")) + 1) / F.lit(_U32)
+    p = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("w"),
+        (F.col("o_totalprice") / u).alias("priority"),
+    )
+    top = p.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(PRIORITY_K + 1)
+    tau = top.agg(F.min("priority").alias("tau"))
+    return (
+        top.orderBy(F.desc("priority"), F.asc("o_orderkey"))
+        .limit(PRIORITY_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "o_orderkey",
+            "w",
+            "priority",
+            F.greatest("w", "tau").alias("w_hat"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -509,3 +509,121 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("qid", "rk")
     )
+
+
+# -------------------------------------------------------------------------
+# int8 scalar quantization + exact re-rank (two-stage ANN)
+# -------------------------------------------------------------------------
+
+QUANT_BITS = 127  # symmetric int8 range
+RERANK_CAND = 3 * TOP_K
+
+
+@register(
+    "q_embed_int8_rerank",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+s AS (SELECT MAX(ABS(x)) AS scale FROM (SELECT unnest(e) AS x FROM v)),
+q8 AS (
+  SELECT vec_id, e, label,
+         list_transform(e, x -> CAST(round(x / scale * {QUANT_BITS})
+                                     AS BIGINT)) AS qv
+  FROM v CROSS JOIN s
+),
+coarse AS (
+  SELECT q.vec_id AS qid, q.e AS qe, c.vec_id AS nn_id, c.label AS nn_label,
+         c.e AS ce,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(list_zip(q.qv, c.qv), z -> z[1] * z[2])),
+             (acc, x) -> acc + x) AS iscore
+  FROM q8 q JOIN q8 c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY iscore DESC, nn_id) AS crk
+  FROM coarse
+),
+rr AS (
+  SELECT qid, nn_id, nn_label, iscore,
+         ROUND({_dot_sql('qe', 'ce')}
+               / (sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('ce', 'ce')})),
+               4) AS cosine
+  FROM cand WHERE crk <= {RERANK_CAND}
+),
+ranked AS (
+  SELECT qid, nn_id, nn_label, iscore, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nn_id) AS rk
+  FROM rr
+)
+SELECT qid, nn_id, nn_label, iscore, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
+def q_embed_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN with int8 scalar quantization: (1) symmetric-quantize
+    every vector to int8 against the global max-abs scale, (2) coarse-rank
+    by the EXACT-INTEGER quantized dot product (bit-portable by
+    construction — no float in the wide stage), (3) re-rank only the top
+    {RERANK_CAND} candidates per query with full-precision cosine.
+
+    Scale rationale: the coarse stage reads 4x fewer bytes per vector
+    (int8 vs float32; 8x vs the double math) — at 100 TB the quantized
+    column is the only thing the scan touches, cutting memory bandwidth
+    on the O(n_query * n_corpus) stage, and the exact stage touches just
+    k*candidates rows. The global scale constant is a pre-computed corpus
+    statistic (one max). Integer scores make the candidate cut
+    deterministic across engines and runs — no ulp-sensitive ordering in
+    the wide stage; floats appear only in the final small re-rank, behind
+    a ROUND."""
+    from pyspark.sql import Window
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e"), "label"
+    )
+    scale = v.agg(
+        F.max(F.array_max(F.transform("e", F.abs))).alias("scale")
+    )
+    q8 = v.crossJoin(F.broadcast(scale)).select(
+        "vec_id",
+        "e",
+        "label",
+        F.transform(
+            "e", lambda x: F.round(x / F.col("scale") * QUANT_BITS).cast("long")
+        ).alias("qv"),
+    )
+    queries = q8.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("qv").alias("qqv")
+    )
+    iscore = F.aggregate(
+        F.zip_with("qqv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("iscore"), F.asc("nn_id"))
+    cand = (
+        q8.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qe",
+            F.col("vec_id").alias("nn_id"),
+            F.col("label").alias("nn_label"),
+            F.col("e").alias("ce"),
+            iscore.alias("iscore"),
+        )
+        .withColumn("crk", F.row_number().over(wc))
+        .where(F.col("crk") <= RERANK_CAND)
+    )
+    cosine = F.round(
+        _dot_fold(F.col("qe"), F.col("ce"))
+        / (_norm(F.col("qe")) * _norm(F.col("ce"))),
+        4,
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        cand.select("qid", "nn_id", "nn_label", "iscore", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
