@@ -207,3 +207,74 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# -------------------------------------------------------------------------
+# Incremental aggregate maintenance (mergeable partial states)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+SELECT o_custkey,
+       COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       FLOOR(100 * ROUND(SUM(o_totalprice), 2) / COUNT(*)) / 100 AS avg_price
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 1
+ORDER BY o_custkey
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the table arrives as a BASE batch
+    plus a DELTA batch (split on o_orderkey % 5 here); each batch is
+    reduced to mergeable partial states (count, sum, min, max) and the
+    states are merged — never the raw rows. The oracle is the direct
+    aggregate over the union, proving state-merge == full recompute.
+
+    This is the incremental shape a 100 TB pipeline runs nightly: the
+    base state is a stored table of |keys| rows, only the delta is
+    scanned (days, not the full history), and the merge is a groupBy over
+    states — all four states here are associative+commutative, the same
+    contract Spark's own partial aggregation relies on. AVG is derived
+    from (sum, cnt) at finalization — avg itself is NOT mergeable, the
+    classic decomposition. avg uses FLOOR-of-cents on the pre-rounded
+    sum, not ROUND: sum/cnt of 2-dp money lands systematically on .xx5
+    half-way points where the engines' HALF_UP disagree."""
+    orders = load(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("s"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+
+    base = partial(orders.where(F.col("o_orderkey") % 5 != 0))
+    delta = partial(orders.where(F.col("o_orderkey") % 5 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("s").alias("s"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    return (
+        merged.where(F.col("cnt") > 1)
+        .select(
+            "o_custkey",
+            "cnt",
+            F.round("s", 2).alias("total"),
+            "lo",
+            "hi",
+            (F.floor(100 * F.round("s", 2) / F.col("cnt")) / 100).alias("avg_price"),
+        )
+        .orderBy("o_custkey")
+    )

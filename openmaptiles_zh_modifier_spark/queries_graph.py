@@ -1,0 +1,143 @@
+"""Iterative graph analytics beyond connected components: fixed-iteration
+PageRank over the trade graph (supplier nation -> customer nation, edge
+weight = number of lineitems shipped between them).
+
+Determinism across engines: a PageRank step sums double contributions per
+destination, and unordered SUM() has engine-dependent reduction order. Both
+sides therefore fold contributions in EXPLICIT ascending-src order —
+Spark: ``F.aggregate(array_sort(collect_list(struct(src, contrib))))``,
+DuckDB: ``list_reduce(list_prepend(0.0, list(contrib ORDER BY src)))`` —
+so every iteration's ranks are bit-identical and no rounding slack is
+needed until the final presentation ROUND. All shared constants (damping,
+residual, initial rank) are injected as the same Python ``repr`` literal
+into both plans, because e.g. ``(1-0.85)/25`` and a hand-typed ``0.006``
+are DIFFERENT doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+PR_NODES = 25  # TPC-H nation is a fixed 25-row table at every SF
+PR_INIT = repr(1.0 / PR_NODES)
+PR_RES = repr((1.0 - PR_DAMP) / PR_NODES)
+
+_EDGE_SQL = """
+edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+e AS (SELECT edges.src, dst, w, ow FROM edges JOIN outw USING (src)),
+nodes AS (SELECT n_nationkey AS node, n_name FROM nation)
+"""
+
+
+def _iter_sql(i: int) -> str:
+    prev = f"pr{i - 1}"
+    return f"""
+pr{i} AS (
+  SELECT n.node,
+         {PR_RES} + {PR_DAMP} * COALESCE(c.s, 0.0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           list_reduce(
+             list_prepend(0.0::DOUBLE, list(p.r * e.w / e.ow ORDER BY e.src)),
+             (acc, x) -> acc + x) AS s
+    FROM e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst
+  ) c USING (node)
+)"""
+
+
+@register(
+    "q_pagerank_nations",
+    oracle=f"""
+WITH {_EDGE_SQL},
+pr0 AS (SELECT node, {PR_INIT}::DOUBLE AS r FROM nodes),
+{', '.join(_iter_sql(i) for i in range(1, PR_ITERS + 1))}
+SELECT n.node AS nationkey, n.n_name AS nation,
+       ROUND(p.r, 6) AS pagerank,
+       ROW_NUMBER() OVER (ORDER BY p.r DESC, n.node) AS rk
+FROM pr{PR_ITERS} p JOIN nodes n USING (node)
+ORDER BY rk
+""",
+)
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{PR_ITERS}-iteration PageRank (damping {PR_DAMP}) on the
+    supplier-nation -> customer-nation trade graph; oracle is the same
+    iteration unrolled as chained SQL CTEs.
+
+    Scale shape: the edge build is the expensive part — a lineitem-orders
+    shuffle join plus two broadcast dim joins, then a map-side-combinable
+    count. Iterations then touch ONLY the (nodes + edges) aggregate,
+    never the fact table; edges are cached once and each step is one
+    shuffle on dst (the natural PageRank partitioning — at 100 TB,
+    pre-partition edges by src and ranks co-partition for free after the
+    first step). The per-dst sorted-fold costs an in-group sort over the
+    in-degree (bounded by 25 here); at a billion nodes you'd drop the
+    bit-exact fold and accept float-sum nondeterminism, or fold in fixed
+    point."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(outw, "src").cache()
+    e.count()  # eager: referenced once per iteration; see memory on lazy cache
+
+    ranks = nation.select("node", F.lit(float(PR_INIT)).alias("r"))
+    res, damp = float(PR_RES), PR_DAMP
+    for _ in range(PR_ITERS):
+        contribs = e.join(ranks, e.src == ranks.node).select(
+            "dst", "src", (F.col("r") * F.col("w") / F.col("ow")).alias("contrib")
+        )
+        summed = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("s")
+        )
+        ranks = (
+            nation.select("node")
+            .join(summed, nation.node == summed.dst, "left")
+            .select(
+                "node",
+                (F.lit(res) + damp * F.coalesce("s", F.lit(0.0))).alias("r"),
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("r"), F.asc("node"))
+    return (
+        ranks.join(nation, "node")
+        .select(
+            F.col("node").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.round("r", 6).alias("pagerank"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .orderBy("rk")
+    )
