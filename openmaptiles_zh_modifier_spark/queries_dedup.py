@@ -584,7 +584,10 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter within buckets."""
     t = JACCARD_THRESHOLD
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", shingles(tokens(F.col("text"))).alias("ts"))
+    # Cached + eagerly materialized: the shingle HOF is interpreted and this
+    # frame feeds the df-count, the prefix build, and BOTH verify sides.
+    tok = docs.select("doc_id", shingles(tokens(F.col("text"))).alias("ts")).cache()
+    tok.count()
     ex = tok.select("doc_id", F.explode("ts").alias("tk"))
     dfreq = ex.groupBy("tk").agg(F.count(F.lit(1)).alias("dfc"))
     n = F.size("ts")
@@ -599,7 +602,9 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.transform("ord", lambda s: s["tk"]), 1, p).alias("pref"),
         )
     )
-    pe = prefix.select("doc_id", F.explode("pref").alias("tk"))
+    # cached: referenced by both sides of the candidate self-join
+    pe = prefix.select("doc_id", F.explode("pref").alias("tk")).cache()
+    pe.count()
     cand = (
         pe.alias("a")
         .join(pe.alias("b"), "tk")

@@ -570,12 +570,17 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in BM25_TERMS[1:]:
         score = score + term_score(t)
     any_tf = sum(F.col(f"tf_{t}") for t in BM25_TERMS)
+    # Top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global sort/shuffle), then rank just the k survivors — a
+    # global row_number window over the full corpus would funnel every
+    # matching doc into one partition.
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
         d.crossJoin(F.broadcast(stats))
         .where(any_tf > 0)
         .select("doc_id", "dl", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
         .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= BM25_TOP)
         .orderBy("rk")
     )
