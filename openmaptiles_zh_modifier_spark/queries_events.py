@@ -456,3 +456,58 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# -------------------------------------------------------------------------
+# Trailing time-range window features (RANGE frame on event time)
+# -------------------------------------------------------------------------
+
+TRAIL_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@register(
+    "q_trailing_window",
+    oracle=f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       ROUND(SUM(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN {TRAIL_US - 1} PRECEDING AND CURRENT ROW
+)
+ORDER BY event_id
+""",
+)
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1h activity features (count + spend sum over a
+    RANGE frame on event time, per user) — the rolling-feature shape for
+    fraud/abuse scoring and feature-store backfills.
+
+    The frame key is integer epoch-microseconds (identical on both
+    engines); events in the same hour but different micros never merge
+    frames ambiguously. sum_1h rounds at 2 dp: window SUM may evaluate
+    in segment-tree order in one engine and running order in the other,
+    but value is 2-dp money whose sums sit ON the cent grid — 1e-12
+    reduction noise cannot cross a .005 boundary.
+
+    Scale shape: one shuffle on user_id, per-user sort by time — the
+    partitioning every per-entity feature shares; frames are bounded by
+    the time span so state never exceeds one user-hour of events. The
+    streaming twin of this frame is a sliding window aggregate
+    (q_stream_sliding) with watermark-bounded state."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-(TRAIL_US - 1), 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )

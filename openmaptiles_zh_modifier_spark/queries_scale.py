@@ -1,0 +1,233 @@
+"""Scale-infrastructure operators: bloom-filter runtime join pruning and
+Merkle-style replica diffing. Both are the 100 TB shapes — a compact
+summary structure is built once (small, broadcastable), and the full-size
+side is processed with a narrow pass against it instead of a wide join.
+
+Portability: every bit position comes from the md5-derived portable h32
+(functions/text.py), masks stay below 2^32 (no BIGINT shift overflow in
+either engine), and checksums are integer XOR folds — bit-identical
+across engines by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.functions.text import h32, h32_sql
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+# ---------------------------------------------------------------- bloom ----
+
+BLOOM_BITS = 1 << 16  # 65536 bits = 2048 x 32-bit words
+BLOOM_K = 3
+BLOOM_PRICE = 450_000.0  # orders above this form the filter's key set
+
+
+def _hpos_spark(key: Column, i: int) -> Column:
+    return h32(F.concat(key.cast("string"), F.lit(f"#{i}"))) % BLOOM_BITS
+
+
+def _hpos_sql(key: str, i: int) -> str:
+    salted = key + " || '#" + str(i) + "'"
+    return f"({h32_sql(salted)} % {BLOOM_BITS})"
+
+
+@register(
+    "q_bloom_join_prune",
+    oracle=f"""
+WITH keys AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > {BLOOM_PRICE}
+),
+bits AS (
+  SELECT p // 32 AS word, bit_or(1 << (p % 32)) AS bm
+  FROM (
+    {' UNION ALL '.join(f"SELECT {_hpos_sql('o_orderkey::VARCHAR', i)} AS p FROM keys" for i in range(BLOOM_K))}
+  )
+  GROUP BY 1
+),
+probe AS (
+  SELECT l.l_orderkey, l.l_returnflag,
+         {' AND '.join(f"COALESCE(b{i}.bm, 0) & (1 << ({_hpos_sql('l.l_orderkey::VARCHAR', i)} % 32)) != 0" for i in range(BLOOM_K))}
+           AS pass,
+         o.o_totalprice > {BLOOM_PRICE} AS truth
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  {' '.join(f"LEFT JOIN bits b{i} ON b{i}.word = {_hpos_sql('l.l_orderkey::VARCHAR', i)} // 32" for i in range(BLOOM_K))}
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE pass) AS n_pass,
+       COUNT(*) FILTER (WHERE truth) AS n_true,
+       COUNT(*) FILTER (WHERE pass AND NOT truth) AS n_false_pos,
+       COUNT(*) FILTER (WHERE truth AND NOT pass) AS n_false_neg
+FROM probe
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning, built from scratch with portable
+    hashing: the selective side's keys are folded into a {BLOOM_BITS}-bit
+    bloom ({BLOOM_K} hashes) stored as <=2048 (word, bitmask) rows via a
+    map-side-combinable ``bit_or`` aggregate; the fact side then passes a
+    pure narrow filter — {BLOOM_K} broadcast word-lookups and bit tests —
+    BEFORE any shuffle. The report counts, per returnflag, how many rows
+    pass, how many truly match, and the false-positive overhead;
+    false-negatives must be 0 by construction (the oracle proves it).
+
+    This is what Spark's own runtime-filter / Delta bloom indexes do
+    internally; building it from relational primitives makes the
+    mechanism testable and engine-portable. At 100 TB the bloom build
+    reads only the dim side, the probe is embedded in the fact scan
+    (no exchange), and the downstream join sees ~selectivity x rows."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    keys = orders.where(F.col("o_totalprice") > BLOOM_PRICE).select("o_orderkey")
+    positions = keys.select(
+        F.explode(
+            F.array(*[_hpos_spark(F.col("o_orderkey"), i) for i in range(BLOOM_K)])
+        ).alias("p")
+    )
+    # NB: Python F.shiftleft requires a literal count; SQL shiftleft takes
+    # expressions for both operands — hence F.expr here and below.
+    bits = positions.groupBy(F.floor(F.col("p") / 32).alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(1, cast(p % 32 as int))")).alias("bm")
+    )
+    probe = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_totalprice")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_returnflag",
+        (F.col("o_totalprice") > BLOOM_PRICE).alias("truth"),
+    )
+    pass_cond = F.lit(True)
+    for i in range(BLOOM_K):
+        probe = probe.withColumn(
+            f"pos{i}", _hpos_spark(F.col("l_orderkey"), i)
+        )
+        b = bits.select(
+            F.col("word").alias(f"word{i}"), F.col("bm").alias(f"bm{i}")
+        )
+        probe = probe.join(
+            F.broadcast(b),
+            F.floor(F.col(f"pos{i}") / 32) == F.col(f"word{i}"),
+            "left",
+        )
+        hit = (
+            F.coalesce(F.col(f"bm{i}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(1, cast(pos{i} % 32 as int))")
+            )
+            != 0
+        )
+        pass_cond = pass_cond & hit
+    return (
+        probe.withColumn("pass", pass_cond)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("pass")).alias("n_pass"),
+            F.count_if(F.col("truth")).alias("n_true"),
+            F.count_if(F.col("pass") & ~F.col("truth")).alias("n_false_pos"),
+            F.count_if(F.col("truth") & ~F.col("pass")).alias("n_false_neg"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ------------------------------------------------------------- tablediff ---
+
+DIFF_BUCKETS = 256
+DRIFT_MOD = 97  # keys divisible by this get +1.00 price drift in replica B
+
+
+@register(
+    "q_tablediff_checksum",
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_orderkey % {DIFF_BUCKETS} AS bucket,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT k, bucket,
+         CASE WHEN k % {DRIFT_MOD} = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM v1
+),
+c1 AS (SELECT bucket, bit_xor({h32_sql("k::VARCHAR || ':' || cents::VARCHAR")}) AS cs
+       FROM v1 GROUP BY bucket),
+c2 AS (SELECT bucket, bit_xor({h32_sql("k::VARCHAR || ':' || cents::VARCHAR")}) AS cs
+       FROM v2 GROUP BY bucket),
+bad AS (
+  SELECT c1.bucket FROM c1 JOIN c2 USING (bucket) WHERE c1.cs <> c2.cs
+)
+SELECT v1.k AS o_orderkey, v1.bucket, v1.cents AS cents_a, v2.cents AS cents_b
+FROM v1 JOIN v2 ON v1.k = v2.k
+JOIN bad ON bad.bucket = v1.bucket
+WHERE v1.cents <> v2.cents
+ORDER BY o_orderkey
+""",
+)
+def q_tablediff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica diff: two table versions (B carries a
+    deterministic price drift on keys % {DRIFT_MOD} == 0) are each
+    reduced to {DIFF_BUCKETS} per-bucket XOR checksums of portable row
+    hashes; only buckets whose checksums disagree are re-scanned row-by-
+    row for the actual changed keys.
+
+    Scale rationale: comparing two 100 TB replicas row-by-row is a full
+    shuffle join of both; the checksum pass is a map-side-combinable
+    aggregate producing {DIFF_BUCKETS} rows per side (XOR is
+    associative+commutative — order-free), and the row-level join runs
+    only on the O(changed) buckets — with bucket-partitioned storage
+    that's partition pruning, reading ~1/{DIFF_BUCKETS} of each replica
+    per bad bucket. Deepen the tree (bucket -> sub-bucket) for
+    logarithmic drill-down exactly like anti-entropy repair in Dynamo-
+    style stores. Row hash uses integer cents, never double-to-string
+    (engines format doubles differently)."""
+    orders = load(spark, sf_dir, "orders")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % DIFF_BUCKETS).alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v2 = v1.select(
+        "k",
+        "bucket",
+        F.when(F.col("k") % DRIFT_MOD == 0, F.col("cents") + 100)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+    def checksums(v: DataFrame) -> DataFrame:
+        rh = h32(
+            F.concat(
+                F.col("k").cast("string"), F.lit(":"), F.col("cents").cast("string")
+            )
+        )
+        return v.groupBy("bucket").agg(F.bit_xor(rh).alias("cs"))
+
+    bad = (
+        checksums(v1)
+        .alias("a")
+        .join(checksums(v2).alias("b"), "bucket")
+        .where(F.col("a.cs") != F.col("b.cs"))
+        .select("bucket")
+    )
+    return (
+        v1.alias("x")
+        .join(F.broadcast(bad), "bucket")
+        .join(
+            v2.select(F.col("k").alias("k2"), F.col("cents").alias("cents_b")),
+            F.col("x.k") == F.col("k2"),
+        )
+        .where(F.col("x.cents") != F.col("cents_b"))
+        .select(
+            F.col("x.k").alias("o_orderkey"),
+            "bucket",
+            F.col("x.cents").alias("cents_a"),
+            "cents_b",
+        )
+        .orderBy("o_orderkey")
+    )

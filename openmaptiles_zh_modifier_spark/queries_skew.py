@@ -130,3 +130,54 @@ def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# -------------------------------------------------------------------------
+# Equi-depth histogram (quantile binning via ntile)
+# -------------------------------------------------------------------------
+
+EQUI_DEPTH_BINS = 8
+
+
+@register(
+    "q_histogram_equidepth",
+    oracle=f"""
+WITH b AS (
+  SELECT o_totalprice,
+         NTILE({EQUI_DEPTH_BINS}) OVER (ORDER BY o_totalprice, o_orderkey)
+           AS bin
+  FROM orders
+)
+SELECT bin, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       ROUND(SUM(o_totalprice), 2) AS mass
+FROM b GROUP BY bin ORDER BY bin
+""",
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram: ntile assigns equal-population
+    bins, then per-bin count/min/max/mass — the boundary table an
+    optimizer's statistics or a range-partitioner needs (equi-WIDTH bins,
+    q_histogram_price, are useless under skew; equi-depth bins adapt).
+
+    The global ntile is a single-partition sort here — correct but not
+    the 100 TB physical plan; at scale the same boundaries come from
+    approx_percentile partials or repartitionByRange's sampled
+    boundaries, then this per-bin aggregate is map-side combinable. The
+    tie-break on o_orderkey makes bin assignment total-order
+    deterministic, so both engines bin identically."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("bin", F.ntile(EQUI_DEPTH_BINS).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("mass"),
+        )
+        .orderBy("bin")
+    )
