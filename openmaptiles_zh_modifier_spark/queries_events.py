@@ -511,3 +511,69 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# -------------------------------------------------------------------------
+# Event-path transition matrix (first-order Markov over per-user sequences)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, SUM(n) AS t FROM cnt GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       FLOOR(1000000 * c.n / t.t) / 1000000 AS prob
+FROM cnt c JOIN tot t USING (from_type)
+ORDER BY from_type, to_type
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths:
+    lead() pairs each event with its successor, transitions are counted,
+    and row-stochastic probabilities derived per source state — the
+    path-analysis primitive behind next-action prediction and UX-flow
+    mining (funnel analysis is the special case of one fixed path).
+
+    prob uses FLOOR-of-ppm, not ROUND: n/t is an exact rational that
+    lands on round-half boundaries systematically (1/8000 = 0.000125),
+    where the engines' half-up implementations diverge; floor of
+    bit-identical doubles is tie-free.
+
+    Scale shape: one shuffle on user_id + per-user time sort for lead()
+    (shared with every other per-entity sequence feature), then a
+    map-side-combinable count over at most |types|^2 keys — the
+    transition matrix is tiny regardless of corpus size."""
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    )
+    cnt = (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return (
+        cnt.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.floor(1000000 * F.col("n") / F.col("t")) / 1000000).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -231,3 +231,80 @@ def q_tablediff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ------------------------------------------------------- gdpr cascade ------
+
+ERASE_MOD = 1000  # customers with c_custkey % this == 0 request erasure
+
+
+@register(
+    "q_gdpr_cascade",
+    oracle=f"""
+WITH victims AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0
+),
+del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM victims)
+),
+del_li AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+)
+SELECT 'customer' AS tbl,
+       (SELECT COUNT(*) FROM victims) AS n_deleted,
+       (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM victims)
+         AS n_retained
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM del_li),
+       (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM del_li)
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM del_orders),
+       (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_orders)
+ORDER BY tbl
+""",
+)
+def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: a deletion request set on the root
+    entity (customers) is propagated through the foreign-key chain
+    (orders -> lineitem) with semi-joins, producing the per-table
+    deleted/retained manifest a compliance run must log BEFORE the
+    destructive write (which would then be anti-join rewrites or Delta
+    DELETEs of exactly these row sets).
+
+    Scale shape: the victim set is tiny and broadcasts; each fact table
+    is one narrow semi-join scan — no shuffle of the facts themselves.
+    The deepest child (lineitem) semi-joins the *derived* order-key set,
+    which stays broadcastable because deletions are a sliver of the
+    keyspace; were it not, the cascade becomes a shuffle semi-join and
+    still never materializes the deleted rows."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    victims = cust.where(F.col("c_custkey") % ERASE_MOD == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(victims), orders.o_custkey == victims.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+
+    def manifest(tbl: str, deleted, total) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(deleted).cast("long").alias("n_deleted"),
+            F.lit(total - deleted).cast("long").alias("n_retained"),
+        )
+
+    n_v, n_c = victims.count(), cust.count()
+    n_do, n_o = del_orders.count(), orders.count()
+    n_dl, n_l = del_li.count(), li.count()
+    return (
+        manifest("customer", n_v, n_c)
+        .unionByName(manifest("lineitem", n_dl, n_l))
+        .unionByName(manifest("orders", n_do, n_o))
+        .orderBy("tbl")
+    )

@@ -181,3 +181,68 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# -------------------------------------------------------------------------
+# Robust outlier detection (IQR fences per group)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_outliers_iqr",
+    oracle="""
+WITH q AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       q.n,
+       ROUND(q.q1, 2) AS q1,
+       ROUND(q.q3, 2) AS q3,
+       COUNT(*) FILTER (
+         WHERE o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+            OR o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)) AS n_outliers,
+       MAX(o.o_totalprice) AS worst
+FROM orders o JOIN q USING (o_orderpriority)
+GROUP BY 1, 2, 3, 4
+ORDER BY 1
+""",
+)
+def q_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per order priority: exact Q1/Q3
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, both linear
+    interpolation on the sorted group), 1.5*IQR fences, and per-group
+    outlier counts — the robust data-quality screen (z-scores break on
+    the very outliers they hunt; quartiles don't).
+
+    Two-pass shape: quantile aggregate per group (5 groups -> broadcast),
+    then a fence-count re-aggregate over the fact — at 100 TB pass 2 is
+    a narrow scan against broadcast fences, and pass 1's exact quantiles
+    would switch to approx_percentile partials (mergeable t-digest-like
+    state) to avoid the per-group sort."""
+    orders = load(spark, sf_dir, "orders")
+    q = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("o_totalprice") > F.col("q3") + 1.5 * iqr) | (
+        F.col("o_totalprice") < F.col("q1") - 1.5 * iqr
+    )
+    return (
+        orders.join(F.broadcast(q), "o_orderpriority")
+        .groupBy(
+            "o_orderpriority",
+            "n",
+            F.round("q1", 2).alias("q1"),
+            F.round("q3", 2).alias("q3"),
+        )
+        .agg(
+            F.count_if(is_out).alias("n_outliers"),
+            F.max("o_totalprice").alias("worst"),
+        )
+        .orderBy("o_orderpriority")
+    )
