@@ -577,3 +577,69 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# -------------------------------------------------------------------------
+# Late-data audit (watermark simulation over arrival order)
+# -------------------------------------------------------------------------
+
+WATERMARK_US = 30 * 60 * 1_000_000  # 30 min, matches the streaming configs
+
+
+@register(
+    "q_late_data_audit",
+    oracle=f"""
+WITH arr AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high_water
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE ts_us < high_water - {WATERMARK_US}) AS n_late,
+       COALESCE(MAX(CASE WHEN ts_us < high_water - {WATERMARK_US}
+                         THEN high_water - ts_us END), 0) AS worst_lateness_us
+FROM arr
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit: replaying events in arrival order
+    (event_id), each row is compared against the running event-time
+    high-water mark of its key; rows older than high_water - 30min are
+    exactly what a streaming job with ``withWatermark('ts', '30 min')``
+    would drop. The per-user report (drop count + worst lateness) is how
+    you SIZE a watermark before deploying the stream — run this batch
+    audit over history, pick the delay that bounds drops.
+
+    Integer microsecond arithmetic end-to-end. One shuffle on user_id +
+    per-user sort by arrival — the same physical shape as every sequence
+    feature, so at 100 TB it piggybacks on the shared partitioning."""
+    hw = (
+        F.max(F.unix_micros(F.col("ts")))
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("high_water")
+    )
+    arr = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), hw
+    )
+    late = F.col("ts_us") < F.col("high_water") - WATERMARK_US
+    return (
+        arr.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(late).alias("n_late"),
+            F.coalesce(
+                F.max(F.when(late, F.col("high_water") - F.col("ts_us"))),
+                F.lit(0),
+            ).alias("worst_lateness_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -308,3 +308,92 @@ def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(manifest("orders", n_do, n_o))
         .orderBy("tbl")
     )
+
+
+# ------------------------------------------------------------- z-order -----
+
+Z_BITS = 16
+Z_FILES = 16  # simulated clustered-file count
+
+
+def _zvalue_sql(d1: str, d2: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        # full parens: << binds looser than + in DuckDB (C-style precedence)
+        terms.append(f"((({d1} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({d2} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zvalue_spark(d1: Column, d2: Column) -> Column:
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        z = z + F.shiftleft(F.shiftright(d1, i).bitwiseAND(1), 2 * i)
+        z = z + F.shiftleft(F.shiftright(d2, i).bitwiseAND(1), 2 * i + 1)
+    return z
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey,
+         o_custkey % {1 << Z_BITS} AS d1,
+         CAST(epoch_us(o_orderdate) // 86400000000 % {1 << Z_BITS} AS BIGINT)
+           AS d2
+  FROM orders
+),
+z AS (
+  SELECT *, {_zvalue_sql('d1', 'd2')} AS zval FROM d
+),
+f AS (
+  SELECT *, NTILE({Z_FILES}) OVER (ORDER BY zval, o_orderkey) AS file_id
+  FROM z
+)
+SELECT file_id, COUNT(*) AS n,
+       MIN(d1) AS d1_lo, MAX(d1) AS d1_hi,
+       MIN(d2) AS d2_lo, MAX(d2) AS d2_hi,
+       MIN(zval) AS z_lo, MAX(zval) AS z_hi
+FROM f GROUP BY file_id ORDER BY file_id
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering layout: interleave the bits of
+    two query dimensions (customer, order-day) into one z-value, split
+    the table into {Z_FILES} equal z-ranges ("files"), and report each
+    file's min/max envelope on BOTH dimensions — the footer stats a
+    lake's data-skipping uses. Sorting by a single column bounds only
+    that column per file; the space-filling curve bounds both, so
+    predicates on EITHER dimension prune files.
+
+    The bit-interleave is pure integer shift/mask arithmetic (identical
+    on both engines); file assignment is ntile over (zval, key) — at
+    100 TB that is ``repartitionByRange(zval)`` + per-file parquet
+    min/max footers, and this query's output is exactly the skipping
+    index. Delta/Iceberg OPTIMIZE ZORDER BY is this same curve."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % (1 << Z_BITS)).alias("d1"),
+        (F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86400000000) % (1 << Z_BITS))
+        .cast("long")
+        .alias("d2"),
+    )
+    z = d.withColumn("zval", _zvalue_spark(F.col("d1"), F.col("d2")))
+    w = Window.orderBy("zval", "o_orderkey")
+    return (
+        z.withColumn("file_id", F.ntile(Z_FILES).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("d1").alias("d1_lo"),
+            F.max("d1").alias("d1_hi"),
+            F.min("d2").alias("d2_lo"),
+            F.max("d2").alias("d2_hi"),
+            F.min("zval").alias("z_lo"),
+            F.max("zval").alias("z_hi"),
+        )
+        .orderBy("file_id")
+    )
