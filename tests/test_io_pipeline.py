@@ -82,6 +82,16 @@ def test_csv_json_roundtrip(spark, tmp_path):
     assert sorted(jread.collect()) == [Row(s="a", n=1), Row(s="b", n=2)]
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    from openmaptiles_zh_modifier_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "s string, n long")
+    op = str(tmp_path / "o")
+    write_orc(df, op)
+    back = read_orc(spark, op).select("s", "n")  # orc keeps types + schema
+    assert sorted(back.collect()) == [Row(s="a", n=1), Row(s="b", n=2)]
+
+
 def test_run_backfill_end_to_end(spark, lake, tmp_path):
     out = str(tmp_path / "out")
     report = run_backfill(spark, lake, out)
