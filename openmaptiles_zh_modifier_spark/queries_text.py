@@ -584,3 +584,111 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .orderBy("rk")
     )
+
+
+# -------------------------------------------------------------------------
+# End-to-end curation pipeline (dedup -> quality gate -> sample -> report)
+# -------------------------------------------------------------------------
+
+CURATE_QUALITY_MIN = 0.5
+CURATE_SAMPLE_BUCKETS = 10
+CURATE_SAMPLE_KEEP = 3  # keep hash-buckets 0..2 => deterministic 30%
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=f"""
+WITH canonical AS (
+  SELECT doc_id, text, source
+  FROM (
+    SELECT doc_id, text, source,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         ROUND(0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' ')))
+               + 0.5 * (1.0 - len(list_filter(string_split(text, ' '),
+                                              x -> x IN ({_stop_in_sql('en')})))
+                              * 1.0 / len(string_split(text, ' '))), 4) AS q,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT % {CURATE_SAMPLE_BUCKETS}
+           AS bucket
+  FROM canonical
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE q >= {CURATE_QUALITY_MIN} AND bucket < {CURATE_SAMPLE_KEEP}
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       ROUND(SUM(q), 4) AS total_quality,
+       FLOOR(10000 * ROUND(SUM(q), 4) / COUNT(*)) / 10000 AS avg_quality
+FROM kept
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data curation pipeline, end to end in ONE
+    lazy plan: exact dedup (canonical = lowest doc_id per content hash)
+    -> quality gate (type/token + stopword composite >= {CURATE_QUALITY_MIN})
+    -> deterministic {CURATE_SAMPLE_KEEP}0% hash-bucket sample -> per-source
+    corpus report. This is the query a user of the engine actually runs
+    nightly; every stage reuses an operator that is also individually
+    oracle-checked.
+
+    Determinism: quality is rounded to 4 dp per doc BEFORE summing (sums
+    of grid values tolerate reduction-order noise), and avg uses
+    floor-of-fixed-point on the pre-rounded sum. Sampling keys on
+    content hash, not doc_id, so reruns and backfills keep identical
+    membership (rerun-stable, the q_stratified_sample property).
+
+    Scale shape: dedup is the only wide stage (one shuffle on the
+    content hash); scoring is pure projection, the sample is a narrow
+    filter, and the report is a map-side-combinable aggregate over
+    |sources| keys. Catalyst pipelines the filter+projection into the
+    dedup output without re-shuffling."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canonical = (
+        docs.select("doc_id", "text", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_types = F.size(F.array_distinct(toks)).cast("long")
+    stops = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    q = F.round(
+        0.5 * (n_types / n_tokens) + 0.5 * (1.0 - n_stop / n_tokens), 4
+    )
+    scored = canonical.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        q.alias("q"),
+        (h32(F.col("text")) % CURATE_SAMPLE_BUCKETS).alias("bucket"),
+    )
+    kept = scored.where(
+        (F.col("q") >= CURATE_QUALITY_MIN)
+        & (F.col("bucket") < CURATE_SAMPLE_KEEP)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("q"), 4).alias("total_quality"),
+            (F.floor(10000 * F.round(F.sum("q"), 4) / F.count(F.lit(1))) / 10000)
+            .alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
