@@ -640,3 +640,67 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+# -------------------------------------------------------------------------
+# Top-k per group WITHOUT a window (bounded-state aggregation)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_topk_per_group_agg",
+    oracle="""
+SELECT p_brand, p_partkey, p_name, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3
+ORDER BY p_brand, rn
+""",
+)
+def q_topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per brand via AGGREGATION instead of a ranking window — the
+    oracle is the window formulation, so the hash match proves the two
+    plans equivalent. Shape: collect each group's (price, key, name)
+    structs, sort_array descending once per GROUP (not a per-partition
+    sort of the whole table), slice 3, posexplode for ranks.
+
+    Why it matters at 100 TB: a ranking window sorts every row of every
+    partition; the aggregate only needs per-group state, and Spark's
+    partial aggregation starts collapsing map-side. The honest caveat:
+    collect_list's partial state is unbounded per group, so this wins
+    when groups are small/medium (the common case); for huge groups the
+    production form is a bounded re-aggregating top-k UDAF or the window.
+    Both forms stay registered — same answer, different physics."""
+    part = load(spark, sf_dir, "part")
+    # struct orders by first field: negate nothing — sort desc then slice
+    packed = part.groupBy("p_brand").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("p_retailprice"),
+                        (-F.col("p_partkey")).alias("negkey"),
+                        F.col("p_name"),
+                    )
+                ),
+                asc=False,
+            ),
+            1,
+            3,
+        ).alias("top")
+    )
+    return (
+        packed.select(
+            "p_brand", F.posexplode("top").alias("pos", "s")
+        )
+        .select(
+            "p_brand",
+            (-F.col("s.negkey")).alias("p_partkey"),
+            F.col("s.p_name").alias("p_name"),
+            F.col("s.p_retailprice").alias("p_retailprice"),
+            (F.col("pos") + 1).alias("rn"),
+        )
+        .orderBy("p_brand", "rn")
+    )
