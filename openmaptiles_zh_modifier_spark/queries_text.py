@@ -692,3 +692,130 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------------------------------------------
+# Document chunking (overlapping token windows, RAG ingestion shape)
+# -------------------------------------------------------------------------
+
+CHUNK_LEN = 40
+CHUNK_STRIDE = 30
+
+
+@register(
+    "q_doc_chunking",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+spans AS (
+  SELECT doc_id, toks,
+         unnest(range(0, GREATEST(len(toks) - {CHUNK_LEN - CHUNK_STRIDE}, 1),
+                      {CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       start // {CHUNK_STRIDE} AS chunk_id,
+       start AS tok_start,
+       LEAST(start + {CHUNK_LEN}, len(toks)) - start AS n_tokens,
+       md5(array_to_string(
+           list_slice(toks, start + 1, LEAST(start + {CHUNK_LEN}, len(toks))),
+           ' ')) AS chunk_md5
+FROM spans
+ORDER BY doc_id, chunk_id
+""",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking ({CHUNK_LEN}-token chunks,
+    stride {CHUNK_STRIDE}): every chunk carries its token offset, length,
+    and content hash — the RAG-ingestion shape (chunk -> embed -> index)
+    and the long-document splitter for context-bounded training. The
+    final partial chunk is kept; a document shorter than one stride
+    still yields exactly one chunk.
+
+    Pure per-row explode (sequence of starts -> slice -> hash): no
+    shuffle at all except the presentation sort — embarrassingly
+    parallel at any scale, and chunk_md5 feeds the SAME exact-dedup
+    operator downstream (chunk-level dedup is how near-identical
+    boilerplate gets stripped from RAG corpora)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - (CHUNK_LEN - CHUNK_STRIDE), F.lit(1)) - 1,
+        F.lit(CHUNK_STRIDE),
+    )
+    spans = t.select("doc_id", "toks", F.explode(starts).alias("start"))
+    end = F.least(F.col("start") + CHUNK_LEN, F.size("toks"))
+    return spans.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("start").alias("tok_start"),
+        (end - F.col("start")).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("toks", F.col("start") + 1, end - F.col("start"))
+            )
+        ).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# -------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk to a fixed token budget)
+# -------------------------------------------------------------------------
+
+PACK_CAP = 512
+
+
+@register(
+    "q_sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT doc_id, n,
+       (cum - n) // {PACK_CAP} AS first_pack,
+       (cum - 1) // {PACK_CAP} AS last_pack,
+       (cum - 1) // {PACK_CAP} - (cum - n) // {PACK_CAP} + 1 AS n_packs,
+       cum - n - ((cum - n) // {PACK_CAP}) * {PACK_CAP} AS offset_in_pack
+FROM c
+ORDER BY doc_id
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents concatenate into one
+    global token stream (doc_id order) which is cut every {PACK_CAP}
+    tokens — each doc's report says which training sequence(s) it lands
+    in and at what offset, i.e. the pack manifest GPT-style pretraining
+    writes before tokenizing shards. Integer running-sum arithmetic
+    end-to-end.
+
+    Scale note: the global running sum is a single-partition ordered
+    window here; at 100 TB packing runs per shard (partition) with a
+    two-phase prefix sum — per-partition totals are scanned once
+    (driver-side, |partitions| values) and re-broadcast as offsets, the
+    standard distributed prefix-sum decomposition, preserving identical
+    output."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("cum", F.sum("n").over(w))
+    first = F.floor((F.col("cum") - F.col("n")) / PACK_CAP)
+    last = F.floor((F.col("cum") - 1) / PACK_CAP)
+    return c.select(
+        "doc_id",
+        "n",
+        first.alias("first_pack"),
+        last.alias("last_pack"),
+        (last - first + 1).alias("n_packs"),
+        (F.col("cum") - F.col("n") - first * PACK_CAP).alias("offset_in_pack"),
+    ).orderBy("doc_id")
