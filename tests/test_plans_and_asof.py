@@ -110,3 +110,48 @@ def test_asof_single_shuffle(spark, asof_frames):
     # one exchange for the window partitioning; no join exchange at all
     assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
     assert "Join" not in plan
+
+
+# -------------------------------------------- new-operator plan shapes
+
+def test_bloom_probe_is_broadcast_only(spark, sf_dir):
+    plan = plan_text(QUERIES["q_bloom_join_prune"](spark, sf_dir))
+    # every bloom word-lookup and the truth join must broadcast; a
+    # sort-merge join would mean the "filter before shuffle" claim is false
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_priority_sample_takeordered_no_exchange(spark, sf_dir):
+    plan = plan_text(QUERIES["q_priority_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the only exchanges allowed are broadcast (tau) — no hash/range
+    # repartition of the data
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_merge_full_outer_single_key_shuffle(spark, sf_dir):
+    plan = plan_text(QUERIES["q_merge_upsert"](spark, sf_dir))
+    # 3-clause merge cannot broadcast (FULL outer); it must be exactly one
+    # sort-merge join on the merge key (formatted mode prints each node
+    # twice — once in the tree, once in the details — so count tree lines)
+    assert plan.count("SortMergeJoin FullOuter") == 1
+
+
+def test_embed_queries_broadcast_the_query_side(spark, sf_dir):
+    for name in ("q_embed_topk_cosine", "q_embed_int8_rerank", "q_embed_maxsim"):
+        plan = plan_text(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_incremental_agg_partial_aggregation(spark, sf_dir):
+    plan = plan_text(QUERIES["q_incremental_agg"](spark, sf_dir))
+    assert "partial_sum" in plan  # states merge map-side before the exchange
+
+
+def test_chunking_has_no_shuffle_before_sort(spark, sf_dir):
+    plan = plan_text(QUERIES["q_doc_chunking"](spark, sf_dir))
+    # explode+project only: the single exchange is the presentation sort
+    assert "Exchange hashpartitioning" not in plan
