@@ -392,3 +392,45 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append").orderBy(
         "user_id", "click_id", "purchase_id"
     )
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT user_id, user_id % 3 AS tier FROM events
+)
+SELECT d.tier,
+       e.event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(e.value), 2) AS total_value
+FROM events e JOIN dim d USING (user_id)
+GROUP BY d.tier, e.event_type
+ORDER BY d.tier, e.event_type
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the unbounded event stream joins a BATCH
+    dimension (per-user tier) — the lookup-table pattern every production
+    stream uses (user profiles, geo, price books). The static side is a
+    plain DataFrame: no watermark, no state store for the join; Spark
+    re-plans it per micro-batch (picking up dimension updates) and
+    broadcasts it under the join threshold. Stateless join + stateful
+    downstream aggregate compose in one plan.
+
+    The oracle is the identical batch join+aggregate, so the gate proves
+    the streaming micro-batch execution changes nothing."""
+    dim = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.col("user_id") % 3)
+    )
+    enriched = read_events_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy(
+        "tier", "event_type"
+    )
