@@ -73,6 +73,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "sec_per_query": round(total / max(len(timings), 1), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
