@@ -141,3 +141,92 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# -------------------------------------------------------------------------
+# Triangle counting (co-purchase graph)
+# -------------------------------------------------------------------------
+
+TRI_MIN_W = 2  # keep edges co-occurring in >= 2 orders
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+WITH e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRI_MIN_W}
+),
+wedge AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedge w JOIN e e3 ON e3.pa = w.a AND e3.pb = w.c
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM wedge) AS n_wedges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts appearing in
+    the same order, kept when they co-occur in >= {TRI_MIN_W} orders).
+    Edges are canonically oriented a<b, so each triangle is counted
+    exactly once as a<b<c: wedges join e(a,b)+e(b,c), then close against
+    e(a,c) — the standard two-join distributed formulation (the basis of
+    clustering-coefficient and community-detection pipelines).
+
+    Scale notes: the edge build dominates — the per-order pair explode is
+    quadratic in basket size (bounded: TPC-H baskets <= 7 lines) and the
+    weight filter prunes the long tail of one-off pairs BEFORE the
+    wedge join, which is the step that explodes on skewed degree
+    (production also caps max degree, the standard guard). Orientation
+    by id is the degeneracy trick's cheap cousin: every join key is the
+    middle vertex, hash-uniform after the weight cut."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= TRI_MIN_W)
+        .select("pa", "pb")
+        .cache()
+    )
+    n_edges = e.count()  # also materializes the cache for the two joins
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.pa") == F.col("e1.pb"))
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+        .cache()
+    )
+    n_wedges = wedge.count()
+    n_tri = (
+        wedge.alias("w")
+        .join(
+            e.alias("e3"),
+            (F.col("e3.pa") == F.col("w.a")) & (F.col("e3.pb") == F.col("w.c")),
+        )
+        .count()
+    )
+    return spark.range(1).select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_wedges).cast("long").alias("n_wedges"),
+        F.lit(n_tri).cast("long").alias("n_triangles"),
+    )
