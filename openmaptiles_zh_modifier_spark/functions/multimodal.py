@@ -135,3 +135,42 @@ def sample_frames(df: DataFrame, stride: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
+
+
+THUMB_SCHEMA = (
+    "doc_id long, width int, height int, thumb_w int, thumb_h int,"
+    " thumb_bytes long"
+)
+
+
+def resize_thumbnail(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Thumbnail resize over the binary payload: each (fake-decoded) image
+    is scaled to fit ``max_side`` preserving aspect ratio with integer
+    floor math, and the "resized" payload is the corresponding byte slice
+    (a real deployment swaps in PIL/libvips and keeps the plan shape).
+    Output carries source + target dims and the thumbnail byte count;
+    payload bytes are dropped at the stage boundary as always.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            w = (n_bytes % 64 + 1).astype("int64")
+            h = (n_bytes * 7 % 64 + 1).astype("int64")
+            # fit the long side to max_side, floor-scale the short side
+            long_side = w.where(w >= h, h)
+            tw = (w * max_side // long_side).clip(lower=1)
+            th = (h * max_side // long_side).clip(lower=1)
+            thumb = (tw * th).where(tw * th < n_bytes, n_bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "thumb_w": tw.astype("int32"),
+                    "thumb_h": th.astype("int32"),
+                    "thumb_bytes": thumb,
+                }
+            )
+
+    return df.mapInPandas(resize, schema=THUMB_SCHEMA)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from openmaptiles_zh_modifier_spark.functions.multimodal import (
     attach_payload,
     decode_features,
+    resize_thumbnail,
 )
 from openmaptiles_zh_modifier_spark.registry import load, register
 
@@ -104,4 +105,43 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("frame_idx").alias("max_frame_idx"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+),
+d AS (
+  SELECT doc_id, n_bytes,
+         (n_bytes % 64 + 1) AS w,
+         (n_bytes * 7 % 64 + 1) AS h
+  FROM b
+),
+t AS (
+  SELECT doc_id, w, h,
+         GREATEST(w * 32 // GREATEST(w, h), 1) AS tw,
+         GREATEST(h * 32 // GREATEST(w, h), 1) AS th
+  FROM d
+)
+SELECT t.doc_id, t.w::INT AS width, t.h::INT AS height,
+       t.tw::INT AS thumb_w, t.th::INT AS thumb_h,
+       LEAST(t.tw * t.th, d.n_bytes) AS thumb_bytes
+FROM t JOIN d USING (doc_id)
+ORDER BY t.doc_id
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize stage: binary payload in, aspect-preserving
+    integer-floor target dims + thumbnail byte count out, via Arrow-
+    batched mapInPandas (fake scale math stands in for PIL/libvips; the
+    plumbing — binary column, batch iterator, payload dropped at the
+    boundary — is the production shape). Completes the multimodal
+    operator set: decode, frame-sample, resize."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        resize_thumbnail(attach_payload(docs))
+        .orderBy("doc_id")
     )
