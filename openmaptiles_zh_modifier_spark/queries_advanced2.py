@@ -278,3 +278,99 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# -------------------------------------------------------------------------
+# Exact DECIMAL arithmetic (money without float slack)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_decimal_exact",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(price) AS total,
+       SUM(CAST(price * 100 AS BIGINT)) // COUNT(*) AS avg_cents
+FROM d
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math on the exact-DECIMAL path: prices cast to
+    DECIMAL(18,2), summed exactly (no reduction-order slack, no rounding
+    discipline needed — the hash matches because the arithmetic IS
+    exact), and the average derived in integer cents with integer
+    division. This is the financial-reporting mode every other money
+    query here avoids by double+ROUND; both paths belong in the engine
+    (decimal aggregation costs ~2-3x double in Tungsten but removes the
+    entire float-parity problem class).
+
+    Scale shape: plain partial-aggregatable groupBy; decimal(18,2)
+    states are 2 longs — still map-side combinable."""
+    d = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").alias("total"),
+            F.expr(
+                "sum(cast(price * 100 as bigint)) div count(*)"
+            ).alias("avg_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# -------------------------------------------------------------------------
+# LATERAL correlated subquery (top-n per row, SQL surface)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey % 100 = 0
+ORDER BY c.c_custkey, t.o_orderkey
+""",
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — per customer, the 2 largest orders —
+    running the IDENTICAL SQL text on both engines (the one surface where
+    the engine's query language, not the DataFrame API, is the contract).
+    Catalyst decorrelates the LATERAL into a ranked join (DeduplicateRight
+    + window or rewritten limit), so the executed plan is set-based, not
+    nested-loop per row.
+
+    The DataFrame twin of this shape is q_topk_window /
+    q_topk_per_group_agg; registering the SQL form proves parser+analyzer
+    coverage for correlated table subqueries."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey % 100 = 0
+ORDER BY c.c_custkey, t.o_orderkey
+"""
+    )
