@@ -643,3 +643,72 @@ def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# -------------------------------------------------------------------------
+# Map higher-order functions (transform_keys/values, map_filter, zip_with)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_map_hofs",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_keys,
+       COALESCE(list_sort(list(event_type || '=' || n) FILTER (WHERE n >= 20)),
+                []) AS busy_entries,
+       list_sort(list(upper(event_type) || '=' || 3 * n)) AS tripled_entries
+FROM c
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed higher-order functions end-to-end: per-user event-type
+    count MAPS are built with map_from_entries, then map_filter keeps
+    busy types (>= 20), transform_values doubles, map_zip_with merges the
+    original with the doubled map (tripling), and transform_keys
+    uppercases — results normalized to sorted "k=v" entry strings so the
+    DuckDB oracle (whose map surface differs) states the same values
+    relationally. Completes HOF coverage: arrays (q_array_functions),
+    maps (here), folds (dot products), UDTF lateral.
+
+    One map-side-combinable count + one groupBy per user — maps live
+    entirely inside codegen expressions, never Python."""
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("event_type", "n")))
+    per_user = c.groupBy("user_id").agg(m.alias("m"))
+    busy = F.map_filter(F.col("m"), lambda k, v: v >= 20)
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    tripled = F.transform_keys(
+        F.map_zip_with(
+            F.col("m"),
+            doubled,
+            lambda k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+        ),
+        lambda k, v: F.upper(k),
+    )
+
+    def entries(mcol):
+        return F.array_sort(
+            F.transform(
+                F.map_entries(mcol),
+                lambda e: F.concat(
+                    e["key"], F.lit("="), e["value"].cast("string")
+                ),
+            )
+        )
+
+    return per_user.select(
+        "user_id",
+        F.size(F.map_keys("m")).cast("long").alias("n_keys"),
+        entries(busy).alias("busy_entries"),
+        entries(tripled).alias("tripled_entries"),
+    ).orderBy("user_id")
