@@ -608,12 +608,16 @@ ORDER BY user_id
 )
 def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark lateness audit: replaying events in arrival order
-    (event_id), each row is compared against the running event-time
-    high-water mark of its key; rows older than high_water - 30min are
-    exactly what a streaming job with ``withWatermark('ts', '30 min')``
-    would drop. The per-user report (drop count + worst lateness) is how
-    you SIZE a watermark before deploying the stream — run this batch
-    audit over history, pick the delay that bounds drops.
+    (event_id), each row is compared against the running PER-KEY
+    event-time high-water mark; rows older than high_water - 30min are
+    flagged late. (A real stream's watermark is global across keys and
+    advances at micro-batch boundaries, so it is LOOSER than this
+    per-key per-row bound — a row flagged here may still be accepted;
+    the audit is a conservative upper bound on drops, which is the safe
+    direction for sizing.) The per-user report (drop count + worst
+    lateness) is how you SIZE a watermark before deploying the stream —
+    run this batch audit over history, pick the delay that bounds
+    drops.
 
     Integer microsecond arithmetic end-to-end. One shuffle on user_id +
     per-user sort by arrival — the same physical shape as every sequence
