@@ -610,11 +610,12 @@ def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark lateness audit: replaying events in arrival order
     (event_id), each row is compared against the running PER-KEY
     event-time high-water mark; rows older than high_water - 30min are
-    flagged late. (A real stream's watermark is global across keys and
-    advances at micro-batch boundaries, so it is LOOSER than this
-    per-key per-row bound — a row flagged here may still be accepted;
-    the audit is a conservative upper bound on drops, which is the safe
-    direction for sizing.) The per-user report (drop count + worst
+    flagged late. (A real stream's watermark is GLOBAL across keys — at
+    least this key's high-water mark, usually higher — so an idealized
+    row-by-row global watermark drops a SUPERSET of these rows; actual
+    micro-batch watermarks advance only at batch boundaries and drop
+    fewer. Treat the audit as a per-key lateness profile, not an exact
+    drop count.) The per-user report (drop count + worst
     lateness) is how you SIZE a watermark before deploying the stream —
     run this batch audit over history, pick the delay that bounds
     drops.
