@@ -246,3 +246,55 @@ def q_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# -------------------------------------------------------------------------
+# Median absolute deviation (robust dispersion, two-pass percentile)
+# -------------------------------------------------------------------------
+
+@register(
+    "q_mad_dispersion",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       ROUND(med.m, 2) AS median_price,
+       ROUND(quantile_cont(ABS(o.o_totalprice - med.m), 0.5), 2) AS mad,
+       ROUND(quantile_cont(ABS(o.o_totalprice - med.m), 0.5) * 1.4826, 2)
+         AS sigma_hat
+FROM orders o JOIN med USING (o_orderpriority)
+GROUP BY o.o_orderpriority, med.m
+ORDER BY o.o_orderpriority
+""",
+)
+def q_mad_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group, plus the 1.4826-scaled
+    normal-consistent sigma estimate — the robust dispersion measure
+    (stddev is quadratically sensitive to the outliers q_outliers_iqr
+    hunts; MAD has a 50% breakdown point). Two passes: per-group median
+    (5 rows, broadcast back), then the median of absolute deviations.
+    Exact ``percentile`` == DuckDB ``quantile_cont`` (both linear
+    interpolation), |x - m| is one exact subtraction of bit-identical
+    operands, and 1.4826 parses to the same double literal on both
+    engines — ROUND(2) absorbs nothing but presentation.
+
+    At 100 TB both percentile passes switch to approx_percentile
+    partials; everything else is unchanged."""
+    orders = load(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+    )
+    dev = F.abs(F.col("o_totalprice") - F.col("m"))
+    return (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority", F.round("m", 2).alias("median_price"))
+        .agg(
+            F.round(F.percentile(dev, F.lit(0.5)), 2).alias("mad"),
+            F.round(F.percentile(dev, F.lit(0.5)) * 1.4826, 2).alias(
+                "sigma_hat"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
