@@ -69,6 +69,12 @@ def kmeans_fit(
     keep their previous centroid (k never shrinks)."""
     v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__e"))
     init_rows = v.orderBy("__id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} but corpus has only {len(init_rows)} rows — "
+            "an IVF index sized for k cells cannot be trained; lower k or "
+            "grow the corpus"
+        )
     centroids = [list(r["__e"]) for r in init_rows]
     dim = len(centroids[0])
     history: list[float] = []

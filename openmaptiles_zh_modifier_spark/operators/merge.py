@@ -40,6 +40,7 @@ def merge_into(
     matched_update: dict[str, Column] | None = None,
     matched_delete: Column | None = None,
     not_matched_insert: dict[str, Column] | None = None,
+    validate_source_unique: bool = True,
 ) -> DataFrame:
     """Merge ``source`` into ``base``; returns a frame with ``base``'s
     schema (column set and order), like Delta's MERGE result table.
@@ -57,10 +58,32 @@ def merge_into(
     - ``not_matched_insert``: ``{target_col: expr}`` for source-only
       keys (unlisted columns become NULL). ``None`` disables the insert
     branch entirely and plans a left join instead of full-outer.
+    - ``validate_source_unique``: eagerly reject sources carrying more
+      than one row per merge key (Delta's multiple-matches error).
     """
     if isinstance(on, str):
         on = [on]
     key_pairs = list(on.items()) if isinstance(on, dict) else [(k, k) for k in on]
+
+    if validate_source_unique:
+        # Delta MERGE contract: multiple source rows matching one target
+        # row is an error, not a silent row-count fan-out. One eager
+        # aggregation on the (small) source side; pass False to skip when
+        # uniqueness is guaranteed by construction (e.g. a groupBy source).
+        src_keys = [sc for _, sc in key_pairs]
+        dup = (
+            source.groupBy(*src_keys)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "merge_into: source has multiple rows for merge key "
+                f"{tuple(dup[0])[:-1]} — MERGE requires at most one source "
+                "row per target row (dedupe or pre-aggregate the source)"
+            )
 
     t = base.withColumn(_T_MARK, F.lit(True)).alias("t")
     s = source.withColumn(_S_MARK, F.lit(True)).alias("s")

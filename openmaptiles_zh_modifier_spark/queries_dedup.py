@@ -35,7 +35,7 @@ from openmaptiles_zh_modifier_spark.functions.text import (
     simhash_bit_weights,
     tokens,
 )
-from openmaptiles_zh_modifier_spark.registry import load, register
+from openmaptiles_zh_modifier_spark.registry import load, memo_frame, register
 
 JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 3
@@ -594,11 +594,17 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. Composes with minhash-LSH: LSH buckets first, prefix
     filter within buckets."""
     t = JACCARD_THRESHOLD
-    docs = load(spark, sf_dir, "documents")
-    # Cached + eagerly materialized: the shingle HOF is interpreted and this
-    # frame feeds the df-count, the prefix build, and BOTH verify sides.
-    tok = docs.select("doc_id", shingles(tokens(F.col("text"))).alias("ts")).cache()
-    tok.count()
+    # Memoized + eagerly materialized (registry.memo_frame): the shingle
+    # HOF is interpreted and this frame feeds the df-count, the prefix
+    # build, and BOTH verify sides; memoization (vs a per-call .cache())
+    # keeps repeat invocations from accumulating pinned storage blocks.
+    tok = memo_frame(
+        spark,
+        f"prefix_tok:{sf_dir}",
+        lambda: load(spark, sf_dir, "documents").select(
+            "doc_id", shingles(tokens(F.col("text"))).alias("ts")
+        ),
+    )
     ex = tok.select("doc_id", F.explode("ts").alias("tk"))
     dfreq = ex.groupBy("tk").agg(F.count(F.lit(1)).alias("dfc"))
     n = F.size("ts")
@@ -613,9 +619,12 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.transform("ord", lambda s: s["tk"]), 1, p).alias("pref"),
         )
     )
-    # cached: referenced by both sides of the candidate self-join
-    pe = prefix.select("doc_id", F.explode("pref").alias("tk")).cache()
-    pe.count()
+    # memoized: referenced by both sides of the candidate self-join
+    pe = memo_frame(
+        spark,
+        f"prefix_pe:{sf_dir}",
+        lambda: prefix.select("doc_id", F.explode("pref").alias("tk")),
+    )
     cand = (
         pe.alias("a")
         .join(pe.alias("b"), "tk")

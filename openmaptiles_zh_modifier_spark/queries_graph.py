@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openmaptiles_zh_modifier_spark.registry import load, register
+from openmaptiles_zh_modifier_spark.registry import load, memo_frame, register
 
 PR_ITERS = 5
 PR_DAMP = 0.85
@@ -104,8 +104,10 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    e = edges.join(outw, "src").cache()
-    e.count()  # eager: referenced once per iteration; see memory on lazy cache
+    # memoized (not a per-call .cache()): referenced once per iteration
+    # AND at collect time by the returned lazy plan — memo_frame keeps
+    # repeat invocations from stacking pinned copies.
+    e = memo_frame(spark, f"pagerank_edges:{sf_dir}", lambda: edges.join(outw, "src"))
 
     ranks = nation.select("node", F.lit(float(PR_INIT)).alias("r"))
     res, damp = float(PR_RES), PR_DAMP
@@ -235,6 +237,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .count()
     )
+    # all consumption happened above (the returned frame is literals) —
+    # release the pinned blocks instead of leaking them per invocation
+    wedge.unpersist()
+    e.unpersist()
     return spark.range(1).select(
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.lit(n_wedges).cast("long").alias("n_wedges"),

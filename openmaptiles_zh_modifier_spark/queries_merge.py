@@ -5,7 +5,10 @@ FULL JOIN SQL.
 
 Scenario (deterministic, derived only from testdata):
 - source = per-customer order rollup; keys with ``o_custkey % 10 = 0``
-  are shifted by +1,000,000 so they miss the base → INSERT branch.
+  are NEGATED (``-o_custkey - 1``) so they can never collide with a real
+  customer key at ANY scale factor → INSERT branch. (A fixed positive
+  shift would silently start matching real customers once c_custkey
+  exceeds the shift, at SF >= ~7.)
 - matched & cnt > 15 → DELETE (heavy bought-out accounts).
 - matched otherwise → UPDATE ``c_acctbal += spent/1000``.
 - unmatched base rows pass through unchanged.
@@ -27,14 +30,13 @@ from openmaptiles_zh_modifier_spark.operators.merge import merge_into
 from openmaptiles_zh_modifier_spark.registry import load, register
 
 DELETE_CNT = 15  # matched customers with more orders than this are dropped
-KEY_SHIFT = 1_000_000
 
 
 @register(
     "q_merge_upsert",
     oracle=f"""
 WITH src AS (
-  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + {KEY_SHIFT}
+  SELECT CASE WHEN o_custkey % 10 = 0 THEN -o_custkey - 1
               ELSE o_custkey END AS key,
          ROUND(SUM(o_totalprice), 2) AS spent,
          COUNT(*) AS cnt
@@ -61,7 +63,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     key = F.when(
-        F.col("o_custkey") % 10 == 0, F.col("o_custkey") + KEY_SHIFT
+        F.col("o_custkey") % 10 == 0, -F.col("o_custkey") - 1
     ).otherwise(F.col("o_custkey"))
     src = orders.groupBy(key.alias("key")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("spent"),

@@ -284,10 +284,14 @@ def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    victims = cust.where(F.col("c_custkey") % ERASE_MOD == 0).select("c_custkey")
+    # tiny frames consumed by several counts below — cache, then release
+    # before returning (the manifest is literals, nothing stays lazy)
+    victims = (
+        cust.where(F.col("c_custkey") % ERASE_MOD == 0).select("c_custkey").cache()
+    )
     del_orders = orders.join(
         F.broadcast(victims), orders.o_custkey == victims.c_custkey, "left_semi"
-    ).select("o_orderkey")
+    ).select("o_orderkey").cache()
     del_li = li.join(
         F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_semi"
     )
@@ -302,6 +306,8 @@ def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_v, n_c = victims.count(), cust.count()
     n_do, n_o = del_orders.count(), orders.count()
     n_dl, n_l = del_li.count(), li.count()
+    victims.unpersist()
+    del_orders.unpersist()
     return (
         manifest("customer", n_v, n_c)
         .unionByName(manifest("lineitem", n_dl, n_l))

@@ -420,8 +420,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is the identical batch join+aggregate, so the gate proves
     the streaming micro-batch execution changes nothing."""
+    from openmaptiles_zh_modifier_spark.registry import load
+
     dim = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
         .withColumn("tier", F.col("user_id") % 3)

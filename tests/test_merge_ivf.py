@@ -97,3 +97,34 @@ def test_kmeans_deterministic(spark):
     a, _ = kmeans_fit(_vecs(spark), "e", k=2, id_col="id", max_iter=5)
     b, _ = kmeans_fit(_vecs(spark), "e", k=2, id_col="id", max_iter=5)
     assert a == b
+
+
+def test_merge_rejects_duplicate_source_keys(spark):
+    import pytest
+
+    dup_src = spark.createDataFrame(
+        [(2, 1.0, False), (2, 3.0, False)], "key int, amt double, drop boolean"
+    )
+    with pytest.raises(ValueError, match="multiple rows for merge key"):
+        merge_into(
+            _base(spark), dup_src, on={"k": "key"},
+            matched_update={"bal": F.col("s.amt")},
+            not_matched_insert={"k": F.col("s.key")},
+        )
+    # opt-out path still works for by-construction-unique sources
+    out = merge_into(
+        _base(spark),
+        dup_src.groupBy("key").agg(F.sum("amt").alias("amt")),
+        on={"k": "key"},
+        matched_update={"bal": F.col("s.amt")},
+        not_matched_insert=None,
+        validate_source_unique=False,
+    )
+    assert {r.k: r.bal for r in out.collect()}[2] == 4.0
+
+
+def test_kmeans_rejects_k_larger_than_corpus(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="corpus has only"):
+        kmeans_fit(_vecs(spark), "e", k=99, id_col="id")

@@ -116,7 +116,9 @@ def test_transform_with_state_v2_running_totals(spark, sf_dir):
         want = {r.user_id: (r.n, r.t) for r in batch.collect()}
         assert got == want
     finally:
-        if prev:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
