@@ -154,3 +154,102 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# -------------------------------------------------------------------------
+# Portable Count-Min Sketch (heavy-hitter frequency estimation)
+# -------------------------------------------------------------------------
+
+CMS_W = 64  # counters per row
+CMS_D = 3   # independent hash rows
+CMS_TOP = 10
+
+
+def _cms_pos_sql(tok: str, i: int) -> str:
+    salted = tok + " || '#" + str(i) + "'"
+    return f"(('0x' || substr(md5({salted}), 1, 8))::BIGINT % {CMS_W})"
+
+
+@register(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+exact AS (
+  SELECT t, COUNT(*) AS n FROM tok GROUP BY t
+),
+cms AS (
+  {' UNION ALL '.join(f"SELECT {i} AS row_id, {_cms_pos_sql('t', i)} AS pos, COUNT(*) AS c FROM tok GROUP BY 1, 2" for i in range(CMS_D))}
+),
+top AS (
+  SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk
+  FROM exact QUALIFY rk <= {CMS_TOP}
+),
+est AS (
+  SELECT top.t, top.n, top.rk,
+         MIN(cms.c) AS cms_estimate
+  FROM top JOIN cms
+    ON {' OR '.join(f"(cms.row_id = {i} AND cms.pos = {_cms_pos_sql('top.t', i)})" for i in range(CMS_D))}
+  GROUP BY 1, 2, 3
+)
+SELECT t AS token, n AS exact_count, cms_estimate,
+       cms_estimate - n AS overcount, rk
+FROM est
+ORDER BY rk
+""",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch from scratch with portable integer arithmetic:
+    {CMS_D} hash rows x {CMS_W} counters (salted h32 positions), point
+    estimate = MIN over the rows' counters — never under-counts, over-
+    counts by colliding tokens (reported per heavy hitter against the
+    exact count). Like q_hll_distinct, every value is an integer, so the
+    sketch AND the estimates hash-match DuckDB exactly.
+
+    Scale shape: the sketch build is one map-side-combinable groupBy to
+    {CMS_D}x{CMS_W} cells — constant size regardless of corpus, mergeable
+    across partitions/shards by cell-wise addition (the streaming /
+    incremental form adds per-batch sketches). The probe side touches
+    only the top-k exact rows (tiny, broadcast)."""
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+
+    def pos(col: F.Column, i: int) -> F.Column:
+        return h32(F.concat(col, F.lit(f"#{i}"))) % CMS_W
+
+    cms = None
+    for i in range(CMS_D):
+        row = tok.groupBy(pos(F.col("t"), i).alias("pos")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).select(F.lit(i).alias("row_id"), "pos", "c")
+        cms = row if cms is None else cms.unionByName(row)
+
+    from pyspark.sql import Window
+
+    top = (
+        exact.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("t")))
+        )
+        .where(F.col("rk") <= CMS_TOP)
+    )
+    probe_cond = None
+    for i in range(CMS_D):
+        c = (F.col("row_id") == i) & (F.col("pos") == pos(F.col("t"), i))
+        probe_cond = c if probe_cond is None else (probe_cond | c)
+    return (
+        F.broadcast(top)
+        .join(cms, probe_cond)
+        .groupBy("t", "n", "rk")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            F.col("t").alias("token"),
+            F.col("n").alias("exact_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n")).alias("overcount"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
