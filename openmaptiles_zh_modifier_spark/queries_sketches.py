@@ -253,3 +253,109 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# -------------------------------------------------------------------------
+# Portable KMV sketch (distinct-set overlap estimation via set algebra)
+# -------------------------------------------------------------------------
+
+KMV_K = 128
+_KMV_A = "'1-URGENT'"
+_KMV_B = "'5-LOW'"
+_U32_SPAN = 4294967296.0  # 2^32: h32 range, for the (k-1)/kth_min estimator
+
+
+@register(
+    "q_kmv_set_overlap",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderpriority AS grp, o_custkey,
+         ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT AS hv
+  FROM orders WHERE o_orderpriority IN ({_KMV_A}, {_KMV_B})
+),
+ka AS (
+  SELECT hv FROM keys WHERE grp = {_KMV_A} ORDER BY hv LIMIT {KMV_K}
+),
+kb AS (
+  SELECT hv FROM keys WHERE grp = {_KMV_B} ORDER BY hv LIMIT {KMV_K}
+),
+ku AS (
+  SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+  ORDER BY hv LIMIT {KMV_K}
+),
+stats AS (
+  SELECT (SELECT MAX(hv) FROM ku) AS kth_u,
+         (SELECT COUNT(*) FROM ku
+          WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb))
+           AS n_both
+),
+exact AS (
+  SELECT COUNT(*) AS n_inter FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = {_KMV_A}
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = {_KMV_B}
+  )
+)
+SELECT exact.n_inter AS exact_overlap,
+       stats.n_both AS sketch_agreement,
+       ROUND(({KMV_K} - 1) * {_U32_SPAN} / stats.kth_u, 2) AS union_estimate,
+       ROUND(stats.n_both * 1.0 / {KMV_K}
+             * (({KMV_K} - 1) * {_U32_SPAN} / stats.kth_u), 2)
+         AS overlap_estimate
+FROM stats CROSS JOIN exact
+""",
+)
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketches with SET ALGEBRA — the capability
+    HLL lacks: each side keeps its {KMV_K} smallest distinct-key hashes;
+    the union sketch is the k smallest of the merged sketches, the union
+    cardinality estimate is (k-1)*2^32/kth_min, and the overlap estimate
+    scales that by the fraction of union-sketch values present in BOTH
+    sides (Beyer et al., SIGMOD'07). Integer hashes + two divisions —
+    bit-portable like the HLL/CMS siblings.
+
+    Scale shape: per-side sketch = orderBy+limit on distinct hashes
+    (TakeOrderedAndProject: per-partition heaps of k, no full sort);
+    sketches are k values — shippable, mergeable, and intersectable
+    without ever joining the underlying key sets (estimating overlap of
+    two 100 TB corpora from two 1 KB sketches)."""
+    orders = load(spark, sf_dir, "orders")
+    keys = (
+        orders.where(
+            F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+        )
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            h32(F.col("o_custkey").cast("string")).alias("hv"),
+        )
+    )
+    ka = keys.where(F.col("grp") == "1-URGENT").select("hv").orderBy("hv").limit(KMV_K)
+    kb = keys.where(F.col("grp") == "5-LOW").select("hv").orderBy("hv").limit(KMV_K)
+    ku = ka.union(kb).distinct().orderBy("hv").limit(KMV_K)
+    both = (
+        ku.join(ka.withColumnRenamed("hv", "ha"), ku.hv == F.col("ha"), "left_semi")
+        .join(kb.withColumnRenamed("hv", "hb"), F.col("hv") == F.col("hb"), "left_semi")
+    )
+    kth_u = ku.agg(F.max("hv").alias("kth_u"))
+    n_both = both.agg(F.count(F.lit(1)).alias("n_both"))
+    a_keys = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b_keys = orders.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    exact = (
+        a_keys.intersect(b_keys)
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    union_est = (KMV_K - 1) * _U32_SPAN / F.col("kth_u")
+    return (
+        exact.crossJoin(F.broadcast(n_both))
+        .crossJoin(F.broadcast(kth_u))
+        .select(
+            "exact_overlap",
+            F.col("n_both").alias("sketch_agreement"),
+            F.round(union_est, 2).alias("union_estimate"),
+            F.round(F.col("n_both") * 1.0 / KMV_K * union_est, 2).alias(
+                "overlap_estimate"
+            ),
+        )
+    )
