@@ -44,3 +44,29 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+# ------------------------------------------------- portable sketch bounds
+
+def test_portable_sketches_respect_their_contracts(spark, sf_dir):
+    from openmaptiles_zh_modifier_spark.queries_sketches import (
+        q_cms_heavy_hitters,
+        q_hll_distinct,
+        q_kmv_set_overlap,
+    )
+
+    # CMS: min-over-rows can only OVER-count
+    for r in q_cms_heavy_hitters(spark, sf_dir).collect():
+        assert r.overcount >= 0
+        assert r.cms_estimate >= r.exact_count
+
+    # HLL m=64: raw estimate within ~5 sigma of exact (sigma ~ 1.04/8)
+    for r in q_hll_distinct(spark, sf_dir).collect():
+        assert r.rel_error < 5 * 1.04 / 8, (r.o_orderpriority, r.rel_error)
+
+    # KMV: union estimate >= each side's true overlap; agreement <= k
+    row = q_kmv_set_overlap(spark, sf_dir).collect()[0]
+    assert 0 <= row.sketch_agreement <= 128
+    assert row.overlap_estimate >= 0
+    # overlap cannot exceed the union estimate
+    assert row.overlap_estimate <= row.union_estimate + 1e-9
