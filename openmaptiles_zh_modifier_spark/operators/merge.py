@@ -66,15 +66,22 @@ def merge_into(
     key_pairs = list(on.items()) if isinstance(on, dict) else [(k, k) for k in on]
 
     if validate_source_unique:
-        # Delta MERGE contract: multiple source rows matching one target
-        # row is an error, not a silent row-count fan-out. One eager
-        # aggregation on the (small) source side; pass False to skip when
-        # uniqueness is guaranteed by construction (e.g. a groupBy source).
+        # Delta MERGE contract: multiple source rows matching one TARGET
+        # row is an error, not a silent row-count fan-out. Faithful to
+        # Delta: duplicate source keys that match no target row are fine
+        # (both rows just INSERT), and NULL merge keys never match under
+        # equality, so only base-matching keys are checked. One eager
+        # semi-join + aggregation; pass False to skip when uniqueness is
+        # guaranteed by construction (e.g. a groupBy source).
         src_keys = [sc for _, sc in key_pairs]
+        base_keys = base.select(
+            *[F.col(tc).alias(sc) for tc, sc in key_pairs]
+        )
         dup = (
-            source.groupBy(*src_keys)
-            .count()
-            .where(F.col("count") > 1)
+            source.join(base_keys, src_keys, "left_semi")
+            .groupBy(*src_keys)
+            .agg(F.count(F.lit(1)).alias("__merge_nsrc"))
+            .where(F.col("__merge_nsrc") > 1)
             .limit(1)
             .collect()
         )
@@ -82,7 +89,8 @@ def merge_into(
             raise ValueError(
                 "merge_into: source has multiple rows for merge key "
                 f"{tuple(dup[0])[:-1]} — MERGE requires at most one source "
-                "row per target row (dedupe or pre-aggregate the source)"
+                "row per matched target row (dedupe or pre-aggregate the "
+                "source)"
             )
 
     t = base.withColumn(_T_MARK, F.lit(True)).alias("t")

@@ -66,9 +66,6 @@ sh AS (
 """
 
 
-_SHINGLE_FRAMES: dict[str, DataFrame] = {}
-
-
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) pairs with stop-shingles removed: one window count
     over the shingle key (same shuffle the pair join needs anyway, so the
@@ -81,35 +78,31 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 6x slower at sf0.1. At cluster scale this is a persisted
     intermediate (MEMORY_AND_DISK), the standard shape for sketch
     pipelines."""
-    # Memoized per sf_dir: four dedup queries consume this same frame; a
-    # bench/driver session re-running them would otherwise rebuild and
-    # re-cache it per query (the interpreted shingle HOF dominates).
-    key = f"{id(spark)}:{sf_dir}"
-    hit = _SHINGLE_FRAMES.get(key)
-    if hit is not None:
-        return hit
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("s")
-    )
-    # DF cap as a broadcast anti-join against the (tiny) hot-shingle set —
-    # NOT a count-over-window: a window partitioned by a high-cardinality
-    # key measured 25x slower than aggregate+anti-join here, and at scale
-    # the aggregate is map-side combinable while the window must sort.
-    hot = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > MAX_SHINGLE_DF)
-        .select("s")
-    )
-    out = sh.join(F.broadcast(hot), "s", "left_anti").cache()
-    _SHINGLE_FRAMES[key] = out
-    # Materialize NOW: the consumers reference this frame 3-5x in one
-    # action, and concurrently-scheduled stages would each recompute an
-    # unpopulated cache (Spark's cache has no cross-task compute lock).
-    # One eager pass fills it; everything downstream reads memory.
-    out.count()
-    return out
+    # Memoized per (session, sf_dir) via registry.memo_frame: four dedup
+    # queries consume this same frame; a bench/driver session re-running
+    # them would otherwise rebuild and re-cache the interpreted shingle
+    # HOF per query. memo_frame materializes BEFORE publishing (an
+    # interrupted build can't leave an unmaterialized entry) and is
+    # covered by clear_frame_cache().
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        sh = docs.select(
+            "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("s")
+        )
+        # DF cap as a broadcast anti-join against the (tiny) hot-shingle
+        # set — NOT a count-over-window: a window partitioned by a
+        # high-cardinality key measured 25x slower than agg+anti-join
+        # here, and at scale the aggregate is map-side combinable while
+        # the window must sort.
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > MAX_SHINGLE_DF)
+            .select("s")
+        )
+        return sh.join(F.broadcast(hot), "s", "left_anti")
+
+    return memo_frame(spark, f"shingles:{sf_dir}", build)
 
 
 # -------------------------------------------------------------------------

@@ -56,6 +56,9 @@ def memo_frame(spark: SparkSession, key: str, builder) -> DataFrame:
     in one session reuse a single persisted intermediate instead of
     accumulating a new pinned .cache() per call. Eagerly materialized
     (concurrent consumers of an unpopulated cache each recompute it)."""
+    # id(spark) cannot be recycled while entries exist: every cached
+    # DataFrame holds a reference to its SparkSession, so the session
+    # object stays alive (and its id taken) until the cache is cleared.
     k = (id(spark), key)
     hit = _FRAME_CACHE.get(k)
     if hit is not None:

@@ -39,19 +39,32 @@ def _jaccard(a: set, b: set) -> float:
 
 def test_prefix_filter_lossless_on_random_corpora(spark):
     """Property: the PPJoin prefix-filter query returns EXACTLY the pairs
-    a naive all-pairs Jaccard >= 0.5 finds, on randomized corpora —
-    complements the fixed-corpus oracle match with adversarial inputs
-    (heavy duplication, tiny vocab => maximal prefix collisions)."""
+    a naive all-pairs Jaccard >= 0.5 finds, on randomized corpora that
+    are FORCED to contain true near-duplicate pairs (seeded base docs
+    with one-token mutations) — so the recall half of losslessness is
+    actually exercised, plus unrelated docs for the precision half."""
     from openmaptiles_zh_modifier_spark import queries_dedup as qd
+    from openmaptiles_zh_modifier_spark.registry import clear_frame_cache
 
-    rng = random.Random(7)
-    vocab = [f"w{i}" for i in range(12)]
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
     for trial in range(3):
-        docs = []
-        for i in range(30):
-            n = rng.randint(3, 12)
-            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
-        # naive ground truth over distinct 3-gram shingle sets
+        docs, i = [], 0
+        # 5 families of near-duplicates (guaranteed high-Jaccard pairs)
+        for _ in range(5):
+            base = [rng.choice(vocab) for _ in range(rng.randint(8, 14))]
+            for _ in range(rng.randint(2, 3)):
+                copy = list(base)
+                copy[rng.randrange(len(copy))] = rng.choice(vocab)
+                docs.append((i, " ".join(copy)))
+                i += 1
+        # unrelated noise docs
+        for _ in range(10):
+            docs.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+            )
+            i += 1
+
         def sh(text):
             t = text.split(" ")
             return {" ".join(t[j : j + 3]) for j in range(len(t) - 2)}
@@ -63,17 +76,20 @@ def test_prefix_filter_lossless_on_random_corpora(spark):
                 inter = len(sa & sb)
                 if 2 * inter >= len(sa) + len(sb) - inter:
                     want.add((ia, ib))
+        assert want, "trial must generate true near-dup pairs"
 
         df = spark.createDataFrame(docs, "doc_id long, text string")
-        df.createOrReplaceTempView("_pf_docs")
-        # run the query body against this corpus by monkey-patching load
         orig = qd.load
         qd.load = lambda s, d, t: df
+        clear_frame_cache()  # memo keys include sf_dir; isolate each trial
         try:
             got = {
                 (r.doc_a, r.doc_b)
-                for r in qd.q_dedup_prefix_filter(spark, "ignored").collect()
+                for r in qd.q_dedup_prefix_filter(
+                    spark, f"trial{trial}"
+                ).collect()
             }
         finally:
             qd.load = orig
+            clear_frame_cache()
         assert got == want, (trial, got ^ want)
