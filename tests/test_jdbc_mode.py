@@ -1,0 +1,78 @@
+"""End-to-end JDBC mode against embedded Derby (bundled with Spark) —
+the reference's native transport (SURVEY.md §2.1 S3/S4/S5): partitioned
+BETWEEN-range scan with a min/max bounds probe, derive, and batched
+write-back to a staging table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.registry import zh_backfill_transform
+from openmaptiles_zh_modifier_spark.sources.io import (
+    read_jdbc_partitioned,
+    write_jdbc,
+)
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _url(name: str) -> str:
+    return f"jdbc:derby:memory:{name};create=true"
+
+
+def test_jdbc_partitioned_roundtrip_and_writeback(spark):
+    url = _url("zh")
+    # seed a zh-style source table (sparse ids exercise the range scan:
+    # the reference's osm_id case B2 — most BETWEEN ranges are empty)
+    rows = [
+        (10, "臺灣鐵路", None, None, None),
+        (250, "Berlin", None, None, None),
+        (500, "頭髮廣場", None, None, "廣場"),
+        (900, None, "臺北車站", None, None),
+        (1300, "國語學校", None, "国语学校", "國語學校"),
+    ]
+    src = spark.createDataFrame(
+        rows, "id long, name string, zh_tag string, hans_tag string, hant_tag string"
+    )
+    write_jdbc(src, url, "src", mode="overwrite", driver=DRIVER)
+
+    # S3+S4: partitioned read with probed bounds; Spark generates the
+    # reference's `id BETWEEN lo AND hi` predicates, one per partition
+    scan = read_jdbc_partitioned(
+        spark, url, "src", "id", num_partitions=8, driver=DRIVER
+    )
+    assert scan.rdd.getNumPartitions() == 8
+    assert {r.id for r in scan.collect()} == {10, 250, 500, 900, 1300}
+
+    # derive + changed-rows (P4/P5/F5/F6) over the JDBC frame, then S5:
+    # batched write-back to a staging table (the UPDATE ... FROM shape)
+    derived = zh_backfill_transform(
+        scan.withColumnRenamed("id", "doc_id")
+    ).withColumnRenamed("doc_id", "id")
+    write_jdbc(derived, url, "updates", mode="overwrite", driver=DRIVER)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "updates")
+        .option("driver", DRIVER)
+        .load()
+    )
+    got = {r.id: (r.hans, r.hant) for r in back.collect()}
+    # 10: Han name -> both derived; 250: non-Han, no zh source -> absent;
+    # 500: hant present, hans derived from Han name; 900: zh_tag source;
+    # 1300: hans+hant both present -> filtered out (no update needed)
+    assert set(got) == {10, 500, 900}
+    assert got[900][0] is not None and got[900][1] is not None
+
+
+def test_jdbc_explicit_bounds_skip_probe(spark):
+    url = _url("zh2")
+    src = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(100)], "id long, name string"
+    )
+    write_jdbc(src, url, "t", mode="overwrite", driver=DRIVER)
+    df = read_jdbc_partitioned(
+        spark, url, "t", "id", num_partitions=4, lower=0, upper=99, driver=DRIVER
+    )
+    assert df.count() == 100
+    assert df.rdd.getNumPartitions() == 4
