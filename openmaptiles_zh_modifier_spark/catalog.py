@@ -85,3 +85,41 @@ def classify_all(tables: dict[str, DataFrame]) -> list[TableClass]:
         if tc is not None:
             out.append(tc)
     return out
+
+
+def discover_jdbc_tables(
+    spark: SparkSession, url: str, driver: str, schema_pattern: str | None = None
+) -> dict[str, DataFrame]:
+    """JDBC-mode catalog scan — the reference's LITERAL discovery path
+    (``DatabaseMetaData.getTables(null, null, "%", {"TABLE"})``,
+    OMTZHModifier.java:36-43) through the JVM's java.sql API, then one
+    lazy ``spark.read.jdbc`` frame per discovered table (whose schema
+    fetch replaces the reference's per-table ``getColumns``, :49-68).
+
+    Works against any driver on Spark's classpath (tested with the
+    bundled Derby). ``schema_pattern`` narrows discovery (Derby surfaces
+    system tables under SYS otherwise)."""
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        arr = spark.sparkContext._gateway.new_array(jvm.java.lang.String, 1)
+        arr[0] = "TABLE"
+        rs = conn.getMetaData().getTables(None, schema_pattern, "%", arr)
+        names = []
+        while rs.next():
+            schema_name = rs.getString("TABLE_SCHEM")
+            table_name = rs.getString("TABLE_NAME")
+            names.append(
+                f"{schema_name}.{table_name}" if schema_name else table_name
+            )
+    finally:
+        conn.close()
+    return {
+        n: spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", n)
+        .option("driver", driver)
+        .load()
+        for n in sorted(names)
+    }

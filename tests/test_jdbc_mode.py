@@ -76,3 +76,43 @@ def test_jdbc_explicit_bounds_skip_probe(spark):
     )
     assert df.count() == 100
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_jdbc_catalog_discovery_and_classification(spark):
+    """S1/S2 over real JDBC metadata: DatabaseMetaData.getTables + schema
+    classification, the reference's literal discovery loop."""
+    from openmaptiles_zh_modifier_spark.catalog import (
+        classify_all,
+        discover_jdbc_tables,
+    )
+
+    url = _url("cat")
+    # one id-keyed table, one osm_id-keyed, one unqualified
+    write_jdbc(
+        spark.createDataFrame(
+            [(1, "a", "t")], "id long, name string, tags string"
+        ),
+        url, "poi", mode="overwrite", driver=DRIVER,
+    )
+    write_jdbc(
+        spark.createDataFrame(
+            [(1, "a", "t")], "osm_id long, name string, tags string"
+        ),
+        url, "roads", mode="overwrite", driver=DRIVER,
+    )
+    write_jdbc(
+        spark.createDataFrame([(1, "a")], "id long, label string"),
+        url, "plain", mode="overwrite", driver=DRIVER,
+    )
+    tables = discover_jdbc_tables(spark, url, DRIVER, schema_pattern="APP")
+    # derby uppercases unquoted identifiers; classifier is case-sensitive
+    # on purpose (the reference compares lowercase PG names), so normalize
+    normalized = {
+        name.split(".")[-1].lower(): df.toDF(*[c.lower() for c in df.columns])
+        for name, df in tables.items()
+    }
+    assert {"poi", "roads", "plain"} <= set(normalized)
+    classes = {t.table: t.id_field for t in classify_all(normalized)}
+    assert classes["poi"] == "id"
+    assert classes["roads"] == "osm_id"
+    assert "plain" not in classes
