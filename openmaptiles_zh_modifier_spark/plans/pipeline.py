@@ -84,3 +84,68 @@ def run_backfill(
             )
         )
     return report
+
+
+def hstore_text_to_map(col):
+    """Parse PostgreSQL hstore TEXT output (``"k"=>"v", "k2"=>"v2"``) into
+    a MapType column — how the reference's ``tags`` column surfaces over
+    plain JDBC without a custom dialect. Assumes no embedded quotes in
+    keys/values (true for OSM name tags)."""
+    from pyspark.sql import functions as F
+
+    return F.str_to_map(F.regexp_replace(col, '"', ""), F.lit(", "), F.lit("=>"))
+
+
+def run_backfill_jdbc(
+    spark: SparkSession,
+    url: str,
+    driver: str,
+    schema_pattern: str | None = None,
+    compat_names_typo: bool = False,
+    staging_suffix: str = "_updates",
+) -> RunReport:
+    """The reference's ENTIRE program over a live database: JDBC catalog
+    discovery (S1/S2 via DatabaseMetaData), structural classification
+    (B4 precedence), hstore-text -> map parsing, the derivation chain,
+    and batched write-back of the changed-rows frame to a per-table
+    staging table (S5 option c — the server-side ``UPDATE ... FROM
+    staging`` is the one statement left to the DBA, since Spark's JDBC
+    sink cannot express keyed UPDATE).
+
+    Identifier case is normalized to lowercase: Derby/Oracle fold
+    unquoted names UP, PostgreSQL folds DOWN, and the classifier matches
+    the reference's lowercase PG names."""
+    from openmaptiles_zh_modifier_spark.catalog import discover_jdbc_tables
+    from openmaptiles_zh_modifier_spark.sources.io import write_jdbc
+
+    raw = discover_jdbc_tables(spark, url, driver, schema_pattern)
+    tables = {}
+    for name, df in raw.items():
+        short = name.split(".")[-1].lower()
+        if short.endswith(staging_suffix):
+            continue  # never re-process our own staging output
+        tables[short] = df.toDF(*[c.lower() for c in df.columns])
+    report = RunReport()
+    for tc in classify_all(tables):
+        df = tables[tc.table]
+        t0 = time.perf_counter()
+        mapped = df.withColumn("tags", hstore_text_to_map(df["tags"]))
+        updates = updates_frame(mapped, tc.id_field, compat_names_typo)
+        n_updated = updates.count()
+        write_jdbc(
+            updates,
+            url,
+            f"{tc.table}{staging_suffix}",
+            mode="overwrite",
+            driver=driver,
+        )
+        report.tables.append(
+            TableResult(
+                tc.table,
+                tc.id_field,
+                df.count(),
+                n_updated,
+                round(time.perf_counter() - t0, 4),
+            )
+        )
+    return report

@@ -116,3 +116,51 @@ def test_jdbc_catalog_discovery_and_classification(spark):
     assert classes["poi"] == "id"
     assert classes["roads"] == "osm_id"
     assert "plain" not in classes
+
+
+def test_run_backfill_jdbc_end_to_end(spark):
+    """The whole reference program against a live (embedded) database:
+    discover -> classify -> parse hstore text -> derive -> staging
+    write-back, with S6 telemetry."""
+    from openmaptiles_zh_modifier_spark.plans.pipeline import run_backfill_jdbc
+
+    url = _url("full")
+    poi = spark.createDataFrame(
+        [
+            (1, "臺灣鐵路", '"amenity"=>"station"'),           # Han name -> update
+            (2, "Berlin", '"amenity"=>"cafe"'),                # non-Han -> skip
+            (3, None, '"name:zh"=>"臺北車站"'),                # zh tag -> update
+            (4, "頭髮", '"name:zh-Hans"=>"头发", "name:zh-Hant"=>"頭髮"'),  # complete -> skip
+        ],
+        "id long, name string, tags string",
+    )
+    roads = spark.createDataFrame(
+        [(7, "國語學校", '"highway"=>"primary"')],
+        "osm_id long, name string, tags string",
+    )
+    plain = spark.createDataFrame([(1, "x")], "id long, label string")
+    write_jdbc(poi, url, "poi", mode="overwrite", driver=DRIVER)
+    write_jdbc(roads, url, "roads", mode="overwrite", driver=DRIVER)
+    write_jdbc(plain, url, "plain", mode="overwrite", driver=DRIVER)
+
+    report = run_backfill_jdbc(spark, url, DRIVER, schema_pattern="APP")
+    by_table = {t.table: t for t in report.tables}
+    assert set(by_table) == {"poi", "roads"}          # plain skipped (S2)
+    assert by_table["poi"].id_field == "id"
+    assert by_table["roads"].id_field == "osm_id"     # B4 classes
+    assert by_table["poi"].n_updated == 2
+    assert by_table["roads"].n_updated == 1
+    assert report.records_per_sec() > 0               # S6 telemetry
+
+    staged = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "poi_updates")
+        .option("driver", DRIVER).load()
+    )
+    got = {r.id: (r.hans, r.hant) for r in staged.collect()}
+    assert set(got) == {1, 3}
+    assert all(h and t for h, t in got.values())
+
+    # idempotence guard: a second run must not discover the staging tables
+    report2 = run_backfill_jdbc(spark, url, DRIVER, schema_pattern="APP")
+    assert {t.table for t in report2.tables} == {"poi", "roads"}
