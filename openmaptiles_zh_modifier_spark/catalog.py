@@ -88,7 +88,11 @@ def classify_all(tables: dict[str, DataFrame]) -> list[TableClass]:
 
 
 def discover_jdbc_tables(
-    spark: SparkSession, url: str, driver: str, schema_pattern: str | None = None
+    spark: SparkSession,
+    url: str,
+    driver: str,
+    schema_pattern: str | None = None,
+    properties: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """JDBC-mode catalog scan — the reference's LITERAL discovery path
     (``DatabaseMetaData.getTables(null, null, "%", {"TABLE"})``,
@@ -96,30 +100,44 @@ def discover_jdbc_tables(
     lazy ``spark.read.jdbc`` frame per discovered table (whose schema
     fetch replaces the reference's per-table ``getColumns``, :49-68).
 
-    Works against any driver on Spark's classpath (tested with the
-    bundled Derby). ``schema_pattern`` narrows discovery (Derby surfaces
-    system tables under SYS otherwise)."""
+    Keys are the schema-qualified names exactly as the metadata reports
+    them (two schemas may hold same-named tables); reads use QUOTED
+    identifiers built from those exact names, so mixed-case/reserved
+    names resolve on any engine. ``properties`` carries credentials
+    (user/password) to both the metadata connection and the table reads
+    — never embed them in the URL, it leaks into job descriptions.
+    Tested with the bundled Derby; ``schema_pattern`` narrows discovery
+    (Derby surfaces system tables under SYS otherwise)."""
     jvm = spark.sparkContext._jvm
     jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         arr = spark.sparkContext._gateway.new_array(jvm.java.lang.String, 1)
         arr[0] = "TABLE"
         rs = conn.getMetaData().getTables(None, schema_pattern, "%", arr)
-        names = []
+        found: list[tuple[str | None, str]] = []
         while rs.next():
-            schema_name = rs.getString("TABLE_SCHEM")
-            table_name = rs.getString("TABLE_NAME")
-            names.append(
-                f"{schema_name}.{table_name}" if schema_name else table_name
-            )
+            found.append((rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME")))
     finally:
         conn.close()
-    return {
-        n: spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", n)
-        .option("driver", driver)
-        .load()
-        for n in sorted(names)
-    }
+
+    def quoted(schema: str | None, name: str) -> str:
+        q = '"' + name.replace('"', '""') + '"'
+        return f'"{schema}".{q}' if schema else q
+
+    out: dict[str, DataFrame] = {}
+    for schema, name in sorted(found):
+        key = f"{schema}.{name}" if schema else name
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", quoted(schema, name))
+            .option("driver", driver)
+        )
+        for k, v in (properties or {}).items():
+            reader = reader.option(k, v)
+        out[key] = reader.load()
+    return out

@@ -87,13 +87,36 @@ def run_backfill(
 
 
 def hstore_text_to_map(col):
-    """Parse PostgreSQL hstore TEXT output (``"k"=>"v", "k2"=>"v2"``) into
+    """Parse PostgreSQL hstore TEXT output (``"k"=>"v", "k2"=>NULL``) into
     a MapType column — how the reference's ``tags`` column surfaces over
-    plain JDBC without a custom dialect. Assumes no embedded quotes in
-    keys/values (true for OSM name tags)."""
+    plain JDBC without a custom dialect. Regex-based, NOT a naive
+    ``str_to_map`` split: values may contain ``, `` and ``=>``; unquoted
+    ``NULL`` values become real SQL nulls; ``\"`` and ``\\`` escapes in
+    keys/values are unescaped. Duplicate keys collapse LAST_WIN (matches
+    hstore || and the session's mapKeyDedupPolicy)."""
     from pyspark.sql import functions as F
 
-    return F.str_to_map(F.regexp_replace(col, '"', ""), F.lit(", "), F.lit("=>"))
+    # mark unquoted NULL values with a sentinel that cannot appear in
+    # hstore text (U+0000), so extraction sees uniformly-quoted values
+    marked = F.regexp_replace(col, r'=>\s*NULL', '=>"\u0000"')
+    entry = r'"((?:[^"\\]|\\.)*)"\s*=>\s*"((?:[^"\\]|\\.)*)"'
+    keys = F.regexp_extract_all(marked, F.lit(entry), F.lit(1))
+    vals = F.regexp_extract_all(marked, F.lit(entry), F.lit(2))
+
+    def unescape(c):
+        return F.replace(
+            F.replace(c, F.lit('\\"'), F.lit('"')),
+            F.lit("\\\\"),
+            F.lit("\\"),
+        )
+
+    return F.map_from_arrays(
+        F.transform(keys, unescape),
+        F.transform(
+            vals,
+            lambda v: F.when(v == "\u0000", F.lit(None)).otherwise(unescape(v)),
+        ),
+    )
 
 
 def run_backfill_jdbc(
@@ -102,49 +125,73 @@ def run_backfill_jdbc(
     driver: str,
     schema_pattern: str | None = None,
     compat_names_typo: bool = False,
-    staging_suffix: str = "_updates",
+    staging_suffix: str = "_zh_staging",
+    properties: dict[str, str] | None = None,
+    num_partitions: int = 16,
 ) -> RunReport:
     """The reference's ENTIRE program over a live database: JDBC catalog
     discovery (S1/S2 via DatabaseMetaData), structural classification
-    (B4 precedence), hstore-text -> map parsing, the derivation chain,
-    and batched write-back of the changed-rows frame to a per-table
-    staging table (S5 option c — the server-side ``UPDATE ... FROM
-    staging`` is the one statement left to the DBA, since Spark's JDBC
-    sink cannot express keyed UPDATE).
+    (B4 precedence), hstore-text -> map parsing, the derivation chain
+    over a PARTITIONED BETWEEN-range scan (S3/S4), and batched write-back
+    of the changed-rows frame to a schema-qualified staging table (S5
+    option c — the server-side ``UPDATE ... FROM staging`` is the one
+    statement left to the DBA, since Spark's JDBC sink cannot express
+    keyed UPDATE).
 
-    Identifier case is normalized to lowercase: Derby/Oracle fold
-    unquoted names UP, PostgreSQL folds DOWN, and the classifier matches
-    the reference's lowercase PG names."""
+    Telemetry counts the rows actually STAGED (read back after the
+    write), not a separate pre-write scan — on a live database two scans
+    can see different data. Tables whose name already ends with
+    ``staging_suffix`` are skipped (the distinctive default makes a
+    user-table collision unlikely; pass another suffix if needed).
+    Column/table case is normalized to lowercase for classification
+    (Derby folds up, PostgreSQL folds down; the reference compares
+    lowercase PG names); staging tables are created unquoted next to
+    their source schema."""
     from openmaptiles_zh_modifier_spark.catalog import discover_jdbc_tables
-    from openmaptiles_zh_modifier_spark.sources.io import write_jdbc
+    from openmaptiles_zh_modifier_spark.sources.io import (
+        read_jdbc_partitioned,
+        write_jdbc,
+    )
 
-    raw = discover_jdbc_tables(spark, url, driver, schema_pattern)
-    tables = {}
+    raw = discover_jdbc_tables(spark, url, driver, schema_pattern, properties)
+    tables: dict[str, DataFrame] = {}
     for name, df in raw.items():
-        short = name.split(".")[-1].lower()
-        if short.endswith(staging_suffix):
-            continue  # never re-process our own staging output
-        tables[short] = df.toDF(*[c.lower() for c in df.columns])
+        if name.split(".")[-1].lower().endswith(staging_suffix):
+            continue  # never re-process staging output
+        tables[name.lower()] = df.toDF(*[c.lower() for c in df.columns])
     report = RunReport()
+    opts = dict(properties or {})
     for tc in classify_all(tables):
-        df = tables[tc.table]
         t0 = time.perf_counter()
-        mapped = df.withColumn("tags", hstore_text_to_map(df["tags"]))
-        updates = updates_frame(mapped, tc.id_field, compat_names_typo)
-        n_updated = updates.count()
-        write_jdbc(
-            updates,
+        # S3/S4: re-read the qualifying table as a partitioned range scan
+        # (the discovery frame is a single-connection unpartitioned read)
+        scan = read_jdbc_partitioned(
+            spark,
             url,
-            f"{tc.table}{staging_suffix}",
-            mode="overwrite",
+            tc.table,
+            tc.id_field,
+            num_partitions=num_partitions,
             driver=driver,
+            **opts,
+        ).toDF(*[c.lower() for c in tables[tc.table].columns])
+        mapped = scan.withColumn("tags", hstore_text_to_map(scan["tags"]))
+        updates = updates_frame(mapped, tc.id_field, compat_names_typo)
+        staging = f"{tc.table}{staging_suffix}"
+        write_jdbc(updates, url, staging, mode="overwrite", driver=driver, **opts)
+        staged = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", staging)
+            .option("driver", driver)
+            .options(**opts)
+            .load()
         )
         report.tables.append(
             TableResult(
                 tc.table,
                 tc.id_field,
-                df.count(),
-                n_updated,
+                scan.count(),
+                staged.count(),
                 round(time.perf_counter() - t0, 4),
             )
         )

@@ -145,16 +145,17 @@ def test_run_backfill_jdbc_end_to_end(spark):
 
     report = run_backfill_jdbc(spark, url, DRIVER, schema_pattern="APP")
     by_table = {t.table: t for t in report.tables}
-    assert set(by_table) == {"poi", "roads"}          # plain skipped (S2)
-    assert by_table["poi"].id_field == "id"
-    assert by_table["roads"].id_field == "osm_id"     # B4 classes
-    assert by_table["poi"].n_updated == 2
-    assert by_table["roads"].n_updated == 1
+    # keys are schema-qualified (two schemas may hold same-named tables)
+    assert set(by_table) == {"app.poi", "app.roads"}  # plain skipped (S2)
+    assert by_table["app.poi"].id_field == "id"
+    assert by_table["app.roads"].id_field == "osm_id"  # B4 classes
+    assert by_table["app.poi"].n_updated == 2
+    assert by_table["app.roads"].n_updated == 1
     assert report.records_per_sec() > 0               # S6 telemetry
 
     staged = (
         spark.read.format("jdbc")
-        .option("url", url).option("dbtable", "poi_updates")
+        .option("url", url).option("dbtable", "app.poi_zh_staging")
         .option("driver", DRIVER).load()
     )
     got = {r.id: (r.hans, r.hant) for r in staged.collect()}
@@ -163,4 +164,27 @@ def test_run_backfill_jdbc_end_to_end(spark):
 
     # idempotence guard: a second run must not discover the staging tables
     report2 = run_backfill_jdbc(spark, url, DRIVER, schema_pattern="APP")
-    assert {t.table for t in report2.tables} == {"poi", "roads"}
+    assert {t.table for t in report2.tables} == {"app.poi", "app.roads"}
+
+
+def test_hstore_text_parser_adversarial_values(spark):
+    """The cases a naive str_to_map split corrupts: commas and arrows in
+    values, unquoted NULL values, escaped quotes/backslashes, duplicate
+    keys (hstore last-wins)."""
+    from openmaptiles_zh_modifier_spark.plans.pipeline import hstore_text_to_map
+
+    cases = [
+        ('"name"=>"Washington, D.C."', {"name": "Washington, D.C."}),
+        ('"a"=>"x=>y", "b"=>"z"', {"a": "x=>y", "b": "z"}),
+        ('"name:zh"=>NULL, "k"=>"v"', {"name:zh": None, "k": "v"}),
+        ('"q"=>"he said \\"hi\\""', {"q": 'he said "hi"'}),
+        ('"p"=>"back\\\\slash"', {"p": "back\\slash"}),
+        ('"dup"=>"first", "dup"=>"second"', {"dup": "second"}),
+        ("", {}),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i int, tags string"
+    )
+    rows = df.select("i", hstore_text_to_map(df["tags"]).alias("m")).collect()
+    for r in rows:
+        assert r.m == cases[r.i][1], (r.i, cases[r.i][0], r.m)
