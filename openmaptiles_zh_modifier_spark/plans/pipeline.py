@@ -119,6 +119,70 @@ def hstore_text_to_map(col):
     )
 
 
+def map_to_hstore_text(col):
+    """Serialize a MapType column back to PostgreSQL hstore TEXT
+    (``"k"=>"v", "k2"=>NULL``) — the exact inverse of hstore_text_to_map,
+    with ``\\`` and ``\"`` escaping and unquoted NULL for null values.
+    Pure codegen expressions (map_entries -> transform -> array_join)."""
+    from pyspark.sql import functions as F
+
+    def esc(c):
+        return F.replace(
+            F.replace(c, F.lit("\\"), F.lit("\\\\")),
+            F.lit('"'),
+            F.lit('\\"'),
+        )
+
+    entries = F.transform(
+        F.map_entries(col),
+        lambda e: F.concat(
+            F.lit('"'),
+            esc(e["key"]),
+            F.lit('"=>'),
+            F.when(e["value"].isNull(), F.lit("NULL")).otherwise(
+                F.concat(F.lit('"'), esc(e["value"]), F.lit('"'))
+            ),
+        ),
+    )
+    return F.array_join(entries, ", ")
+
+
+def _apply_update_sql(
+    table: str, staging: str, id_field: str, url: str
+) -> str:
+    """The final server-side keyed apply — the statement the reference
+    executes row-batched (``UPDATE ... SET tags = tags || hstore(...)
+    WHERE id = ?``, OMTZHModifier.java:156-169), set-based.
+
+    PostgreSQL gets the native hstore-concat form (``||`` right-wins on the
+    two zh keys, exactly the reference's expression); every other engine
+    gets the ANSI correlated-subquery form over the staged full
+    ``new_tags`` text (Derby-compatible; hstore-as-TEXT transport).
+
+    Column identifiers are QUOTED lowercase: the engine lowercases every
+    discovered column, the staging table is written by Spark's JDBC sink
+    (which quotes, preserving that lowercase), and the reference's own
+    PostgreSQL schema is lowercase-folded — so quoted-lowercase resolves
+    on both transports. Table names stay unquoted (fold to whatever the
+    engine's catalog holds)."""
+    bare = table.split(".")[-1]
+    q = f'"{id_field}"'
+    if url.startswith("jdbc:postgresql"):
+        return (
+            f'UPDATE {table} SET "tags" = "tags" || '
+            f"hstore(ARRAY['name:zh-Hans','name:zh-Hant'], "
+            f'ARRAY[s."hans", s."hant"]) '
+            f"FROM {staging} s WHERE s.{q} = {bare}.{q}"
+        )
+    return (
+        f'UPDATE {table} SET "tags" = '
+        f'(SELECT s."new_tags" FROM {staging} s '
+        f"WHERE s.{q} = {bare}.{q}) "
+        f"WHERE EXISTS (SELECT 1 FROM {staging} s "
+        f"WHERE s.{q} = {bare}.{q})"
+    )
+
+
 def run_backfill_jdbc(
     spark: SparkSession,
     url: str,
@@ -132,23 +196,32 @@ def run_backfill_jdbc(
     """The reference's ENTIRE program over a live database: JDBC catalog
     discovery (S1/S2 via DatabaseMetaData), structural classification
     (B4 precedence), hstore-text -> map parsing, the derivation chain
-    over a PARTITIONED BETWEEN-range scan (S3/S4), and batched write-back
-    of the changed-rows frame to a schema-qualified staging table (S5
-    option c — the server-side ``UPDATE ... FROM staging`` is the one
-    statement left to the DBA, since Spark's JDBC sink cannot express
-    keyed UPDATE).
+    over a PARTITIONED BETWEEN-range scan (S3/S4), batched write-back of
+    the changed-rows frame to a schema-qualified staging table, and the
+    final server-side ``UPDATE ... FROM staging`` executed through the
+    same JVM java.sql path discovery uses (S5 — the statement the
+    reference runs row-batched, OMTZHModifier.java:156-169, applied
+    set-based; Spark's JDBC sink cannot express keyed UPDATE, so the
+    apply runs as ONE statement on the server where it belongs).
 
-    Telemetry counts the rows actually STAGED (read back after the
-    write), not a separate pre-write scan — on a live database two scans
-    can see different data. Tables whose name already ends with
+    Telemetry counts the rows the server reports UPDATED (the statement's
+    update count — the reference's executeBatch tally, :169-176), not a
+    separate pre-write scan. Tables whose name already ends with
     ``staging_suffix`` are skipped (the distinctive default makes a
     user-table collision unlikely; pass another suffix if needed).
     Column/table case is normalized to lowercase for classification
     (Derby folds up, PostgreSQL folds down; the reference compares
     lowercase PG names); staging tables are created unquoted next to
     their source schema."""
+    from pyspark.sql import functions as F
+
     from openmaptiles_zh_modifier_spark.catalog import discover_jdbc_tables
+    from openmaptiles_zh_modifier_spark.operators.zh_backfill import (
+        KEY_HANS,
+        KEY_HANT,
+    )
     from openmaptiles_zh_modifier_spark.sources.io import (
+        execute_jdbc_update,
         read_jdbc_partitioned,
         write_jdbc,
     )
@@ -176,22 +249,49 @@ def run_backfill_jdbc(
         ).toDF(*[c.lower() for c in tables[tc.table].columns])
         mapped = scan.withColumn("tags", hstore_text_to_map(scan["tags"]))
         updates = updates_frame(mapped, tc.id_field, compat_names_typo)
+        # the generic-dialect apply sets the FULL new tags text, so stage it
+        # alongside (id, hans, hant): join the (small) updates frame back to
+        # the source tags — Catalyst broadcasts the updates side.
+        staged_df = (
+            updates.join(
+                mapped.select(tc.id_field, "tags"), tc.id_field
+            )
+            .withColumn(
+                "new_tags",
+                map_to_hstore_text(
+                    F.map_concat(
+                        F.coalesce(
+                            F.col("tags"),
+                            F.create_map().cast("map<string,string>"),
+                        ),
+                        F.create_map(
+                            F.lit(KEY_HANS), F.col("hans"),
+                            F.lit(KEY_HANT), F.col("hant"),
+                        ),
+                    )
+                ),
+            )
+            .select(tc.id_field, "hans", "hant", "new_tags")
+        )
         staging = f"{tc.table}{staging_suffix}"
-        write_jdbc(updates, url, staging, mode="overwrite", driver=driver, **opts)
-        staged = (
-            spark.read.format("jdbc")
-            .option("url", url)
-            .option("dbtable", staging)
-            .option("driver", driver)
-            .options(**opts)
-            .load()
+        write_jdbc(
+            staged_df, url, staging, mode="overwrite", driver=driver, **opts
+        )
+        # S5 final apply: ONE set-based server-side statement; its update
+        # count is the telemetry the reference logs per executeBatch.
+        n_updated = execute_jdbc_update(
+            spark,
+            url,
+            driver,
+            _apply_update_sql(tc.table, staging, tc.id_field, url),
+            properties=opts or None,
         )
         report.tables.append(
             TableResult(
                 tc.table,
                 tc.id_field,
                 scan.count(),
-                staged.count(),
+                n_updated,
                 round(time.perf_counter() - t0, 4),
             )
         )

@@ -283,12 +283,13 @@ bits AS (
 ),
 sim AS (
   SELECT doc_id,
-         SUM(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+         CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        a.simhash AS simhash_a, b.simhash AS simhash_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY doc_a, doc_b
@@ -299,9 +300,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign -> 32-bit fingerprint; pairs with Hamming distance <= 3. Token
     multiplicity counts (true SimHash weighting). The bit expansion stays
     in an array column (no 32x row blow-up); one groupBy(doc) shuffle.
-    Scale path for the pair stage: band the simhash into 4 bytes and join
-    on any-equal-byte (pigeonhole: Hamming<=3 over 4 bands guarantees one
-    exact band) instead of the all-pairs join used at test scale."""
+
+    Pair stage is the BANDED pigeonhole join, not all-pairs: the 32-bit
+    fingerprint splits into 4 x 8-bit bands; Hamming <= 3 differing bits
+    over 4 bands guarantees at least one band is bit-identical, so joining
+    on (band_index, band_value) finds every qualifying pair while only
+    comparing fingerprints that collide in some band. At 100 TB the join
+    key space is 4 * 256 * (docs/band-bucket) — an equi-join Catalyst can
+    shuffle-hash, vs the O(n^2) cartesian range join it replaces. Hamming
+    is verified exactly on the candidate set, so output equals all-pairs.
+    """
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("t")
@@ -317,15 +325,51 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = bits.groupBy("doc_id").agg(
         F.sum(
             F.when(F.col("w") > 0, F.get(pow2_array(), F.col("bit"))).otherwise(0)
-        ).alias("simhash")
+        ).cast("long").alias("simhash")
     ).cache()  # tiny (one row per doc); reused by both pair-join sides
-    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("simhash_a"))
-    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("simhash_b"))
+    n_bands = SIMHASH_BITS // 8  # 8-bit bands; 4 bands cover Hamming <= 3
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("simhash"), 8 * i)
+                    .bitwiseAND(F.lit(0xFF))
+                    .alias("bval"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
     hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .where(hamming <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "simhash_a", "simhash_b", hamming.alias("hamming"))
+        cand.where(hamming <= SIMHASH_MAX_HAMMING)
+        .select(
+            "doc_a",
+            "doc_b",
+            "simhash_a",
+            "simhash_b",
+            hamming.cast("long").alias("hamming"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -461,8 +505,9 @@ WITH split AS (
 train AS (SELECT DISTINCT dk FROM split WHERE is_test = 0),
 test AS (SELECT * FROM split WHERE is_test = 1)
 SELECT t.source,
-       COUNT(*) AS n_docs,
-       SUM(CASE WHEN tr.dk IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN tr.dk IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated
 FROM test t LEFT JOIN train tr ON t.dk = tr.dk
 GROUP BY t.source
 ORDER BY t.source
@@ -492,7 +537,9 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         marked.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.coalesce("in_train", F.lit(0))).alias("n_contaminated"),
+            F.sum(F.coalesce("in_train", F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
         )
         .orderBy("source")
     )

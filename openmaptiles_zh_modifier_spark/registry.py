@@ -95,10 +95,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         return hit
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        # TIMESTAMP(NANOS) read as long (nanosAsLong conf) → truncate to
-        # micros with INTEGER division (double division would round up at
-        # this magnitude) — bit-exact with DuckDB's nanos handling.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # The events fixture stores TIMESTAMP(NANOS). Spark >= 4.x reads it
+        # natively as timestamp_ntz (truncating nanos->micros, which already
+        # matches DuckDB); older Sparks only read it under
+        # spark.sql.legacy.parquet.nanosAsLong=true, yielding BIGINT nanos.
+        # Branch on the ACTUAL dtype so both environments converge on the
+        # same micros-precision timestamp — integer `div` truncation is
+        # bit-exact with DuckDB's nanos handling.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Session TZ is pinned UTC (SEMANTIC_CONFS), so ntz->ltz is a
+            # value-identical relabel; downstream code (unix_micros, window,
+            # watermarks) requires the TZ-aware TIMESTAMP type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _LOAD_CACHE[key] = df
     return df
 

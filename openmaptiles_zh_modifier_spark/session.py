@@ -25,9 +25,14 @@ SEMANTIC_CONFS: dict[str, str] = {
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     # Deterministic timestamp behavior across JVM/pandas/Arrow boundaries.
     "spark.sql.session.timeZone": "UTC",
-    # Parquet TIMESTAMP(NANOS) (the events fixture) is otherwise rejected;
-    # read as long and convert with `timestamp_micros(ts div 1000)` —
-    # integer division, matching DuckDB's nanos→micros truncation exactly.
+}
+
+# Best-effort compatibility confs: harmless no-ops on current Spark, needed
+# only on older versions. NOT semantic on Spark 4.x — PySpark 4.1.2 reads
+# parquet TIMESTAMP(NANOS) natively as timestamp_ntz (nanos truncated to
+# micros) and ignores this flag entirely; registry.load() branches on the
+# actual ts dtype so either read path converges on the same frame.
+COMPAT_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
@@ -58,7 +63,12 @@ def session_builder(
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
-    for k, v in {**PERF_CONFS, **(extra or {}), **SEMANTIC_CONFS}.items():
+    for k, v in {
+        **PERF_CONFS,
+        **COMPAT_CONFS,
+        **(extra or {}),
+        **SEMANTIC_CONFS,
+    }.items():
         builder = builder.config(k, v)
     return builder
 

@@ -129,6 +129,36 @@ def write_jdbc(
     )
 
 
+def execute_jdbc_update(
+    spark: SparkSession,
+    url: str,
+    driver: str,
+    sql: str,
+    properties: dict[str, str] | None = None,
+) -> int:
+    """Run one server-side DML statement over py4j's java.sql (the same
+    JVM-side connection path catalog discovery uses) and return the update
+    count — the reference's ``executeBatch`` tally (OMTZHModifier.java:
+    156-169) for set-based UPDATE statements Spark's JDBC sink cannot
+    express. One statement, one connection: the heavy lifting (computing
+    the changed rows) already happened distributed; this is the final
+    keyed apply, which belongs on the database server."""
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        st = conn.createStatement()
+        try:
+            return st.executeUpdate(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
 def write_back_overwrite(df: DataFrame, path: str) -> None:
     """S5 option (b): full-column rewrite of the table (immutable lake
     semantics). Reads and writes must not overlap a live path — callers

@@ -27,18 +27,20 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from openmaptiles_zh_modifier_spark.registry import register
 
 # Parquet streaming source needs an explicit schema; ts is TIMESTAMP(NANOS)
-# on disk, surfaced as long under the nanosAsLong conf (see session.py).
+# on disk, which Spark 4.x reads natively as timestamp_ntz (nanos truncated
+# to micros — same value the batch path in registry.load() produces).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("value", DoubleType()),
         StructField("props", StringType()),
     ]
@@ -53,7 +55,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Session TZ is UTC, so ntz->ltz is value-identical; watermarks and
+    # window() want the TZ-aware type (matches the batch frame exactly).
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

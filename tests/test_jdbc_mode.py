@@ -162,9 +162,33 @@ def test_run_backfill_jdbc_end_to_end(spark):
     assert set(got) == {1, 3}
     assert all(h and t for h, t in got.values())
 
-    # idempotence guard: a second run must not discover the staging tables
+    # S5 completion: the SOURCE table itself was updated server-side —
+    # the reference's UPDATE actually ran, not just the staging write.
+    from openmaptiles_zh_modifier_spark.plans.pipeline import hstore_text_to_map
+
+    poi_after = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "app.poi")
+        .option("driver", DRIVER).load()
+    )
+    tags_after = {
+        r.id: r.m
+        for r in poi_after.select(
+            "id", hstore_text_to_map(poi_after["tags"]).alias("m")
+        ).collect()
+    }
+    assert tags_after[1]["name:zh-Hans"] and tags_after[1]["name:zh-Hant"]
+    assert tags_after[1]["amenity"] == "station"     # untouched keys survive
+    assert tags_after[3]["name:zh-Hans"] == "台北车站"
+    assert tags_after[3]["name:zh-Hant"] == "臺北車站"
+    assert "name:zh-Hans" not in tags_after[2]       # non-qualifying rows
+    assert tags_after[4]["name:zh-Hans"] == "头发"    # already-complete row
+
+    # idempotence guard: a second run must not discover the staging tables,
+    # and — now that the UPDATE landed — must find nothing left to update.
     report2 = run_backfill_jdbc(spark, url, DRIVER, schema_pattern="APP")
     assert {t.table for t in report2.tables} == {"app.poi", "app.roads"}
+    assert all(t.n_updated == 0 for t in report2.tables)
 
 
 def test_hstore_text_parser_adversarial_values(spark):

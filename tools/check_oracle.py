@@ -51,11 +51,24 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    from openmaptiles_zh_modifier_spark.registry import ORACLE_SQL, QUERIES
-    from openmaptiles_zh_modifier_spark.session import get_spark
+    # Driver-faithful session: the driver builds a PLAIN SparkSession (no
+    # creation-time semantic confs) and calls the __spark_entry__ wrappers,
+    # which apply_semantic_confs() at runtime. Replicate exactly that, so
+    # environment drift (e.g. a conf that is runtime-dead on the installed
+    # Spark) shows up HERE before it shows up in CORRECTNESS_r{N}.json.
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
 
+    QUERIES = entrymod.queries()
+    ORACLE_SQL = entrymod.oracle_sql()
     names = sys.argv[2:] or list(QUERIES)
-    spark = get_spark(app_name="oracle-check")
+    spark = (
+        SparkSession.builder.appName("oracle-check")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
