@@ -148,13 +148,18 @@ ORDER BY vec_a, vec_b
 """,
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold — the vectorized
-    block-matmul path: the corpus matrix broadcasts to every executor (here
-    2000x64 float64 = 1 MB; at scale, one block of a block-partitioned
-    corpus), and each Arrow batch of vectors scores against it with one
-    BLAS matmul inside mapInPandas. ~25x faster than per-pair interpreted
-    expression folds, and the exact shape a 100 TB near-dup pass uses
-    (outer loop = partitions of A, broadcast block = partitions of B).
+    """Embedding-cosine near-dup pairs above a threshold — the BLOCK-
+    PARTITIONED matmul join. The corpus is split into fixed-size id blocks;
+    the outer loop collects ONE bounded block at a time (<= BLOCK_ROWS
+    rows — never the whole corpus), broadcasts it, and every executor
+    scores its Arrow batches against that block with one BLAS matmul
+    inside mapInPandas. Driver memory is O(BLOCK_ROWS * dim) regardless of
+    corpus size; the A side stays fully distributed and is pruned to
+    blocks <= the broadcast block (vec_a < vec_b implies blk_a <= blk_b).
+    ~25x faster than per-pair interpreted expression folds. At extreme
+    corpus sizes where n_blocks itself explodes, the LSH-bucketed variant
+    below is the intended pruning path; this operator is the exact
+    threshold join.
 
     Numeric note: numpy sums pairwise, DuckDB folds sequentially — both
     double; the <=1e-14 difference is absorbed by ROUND(4), which the
@@ -162,49 +167,69 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    BLOCK_ROWS = 1024  # broadcast-block granularity (1024 x 64 f64 = 512 KB)
+    SUB = 256  # inner matmul tile: keep temporaries cache-resident
+
     v = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    corpus = v.toPandas()
-    ids = corpus["vec_id"].to_numpy()
-    labels = corpus["label"].to_numpy()
-    mat = np.array(corpus["embedding"].tolist(), dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, labels, mat, norms))
-
-    BLOCK = 256  # keep matmul temporaries in-cache: large allocations are
-    # pathologically slow on some virtualized hosts (measured 27x here),
-    # and blocking is what the scaled block-partitioned join does anyway
-
-    def score(batches):
-        b_ids, b_labels, b_mat, b_norms = bc.value
-        for pdf in batches:
-            sub = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            sub_ids = pdf["vec_id"].to_numpy()
-            sub_labels = pdf["label"].to_numpy()
-            sub_norms = np.sqrt((sub * sub).sum(axis=1))
-            for lo in range(0, len(sub), BLOCK):
-                hi = lo + BLOCK
-                sims = (sub[lo:hi] @ b_mat.T) / (
-                    sub_norms[lo:hi, None] * b_norms[None, :]
-                )
-                # upper triangle only (vec_a < vec_b), threshold UNROUNDED
-                keep = (sub_ids[lo:hi, None] < b_ids[None, :]) & (
-                    sims >= NEARDUP_COS
-                )
-                ai, bj = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {
-                        "vec_a": sub_ids[lo:hi][ai],
-                        "vec_b": b_ids[bj],
-                        "label_a": sub_labels[lo:hi][ai].astype("int32"),
-                        "label_b": b_labels[bj].astype("int32"),
-                        "cosine": np.round(sims[ai, bj], 4),
-                    }
-                )
-
-    out = v.mapInPandas(
-        score,
-        schema="vec_a long, vec_b long, label_a int, label_b int, cosine double",
+    vb = v.withColumn(
+        "blk", F.floor(F.col("vec_id") / BLOCK_ROWS).cast("int")
     )
+    # bounded collect: one small int per corpus block, not the corpus
+    block_ids = sorted(r[0] for r in vb.select("blk").distinct().collect())
+
+    def scorer(bc):
+        def score(batches):
+            b_ids, b_labels, b_mat, b_norms = bc.value
+            for pdf in batches:
+                sub = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                sub_ids = pdf["vec_id"].to_numpy()
+                sub_labels = pdf["label"].to_numpy()
+                sub_norms = np.sqrt((sub * sub).sum(axis=1))
+                for lo in range(0, len(sub), SUB):
+                    hi = lo + SUB
+                    sims = (sub[lo:hi] @ b_mat.T) / (
+                        sub_norms[lo:hi, None] * b_norms[None, :]
+                    )
+                    # upper triangle (vec_a < vec_b), threshold UNROUNDED
+                    keep = (sub_ids[lo:hi, None] < b_ids[None, :]) & (
+                        sims >= NEARDUP_COS
+                    )
+                    ai, bj = np.nonzero(keep)
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": sub_ids[lo:hi][ai],
+                            "vec_b": b_ids[bj],
+                            "label_a": sub_labels[lo:hi][ai].astype("int32"),
+                            "label_b": b_labels[bj].astype("int32"),
+                            "cosine": np.round(sims[ai, bj], 4),
+                        }
+                    )
+
+        return score
+
+    schema = "vec_a long, vec_b long, label_a int, label_b int, cosine double"
+    out = None
+    for blk in block_ids:
+        block = (
+            vb.where(F.col("blk") == blk)
+            .select("vec_id", "embedding", "label")
+            .toPandas()  # bounded: <= BLOCK_ROWS rows by construction
+        )
+        mat = np.array(block["embedding"].tolist(), dtype=np.float64)
+        bc = spark.sparkContext.broadcast(
+            (
+                block["vec_id"].to_numpy(),
+                block["label"].to_numpy(),
+                mat,
+                np.sqrt((mat * mat).sum(axis=1)),
+            )
+        )
+        part = (
+            vb.where(F.col("blk") <= blk)  # a < b pairs only: prune A side
+            .select("vec_id", "embedding", "label")
+            .mapInPandas(scorer(bc), schema=schema)
+        )
+        out = part if out is None else out.unionAll(part)
     return out.orderBy("vec_a", "vec_b")
 
 

@@ -176,3 +176,62 @@ def test_map_concat_last_win(spark):
         F.map_concat("m", F.create_map(F.lit("k"), F.lit("new"))).alias("m")
     ).collect()[0]["m"]
     assert out["k"] == "new"
+
+
+# ---------------------------------------------------------------------------
+# OpenCC divergence envelope (SURVEY "hard parts" (b)): the reference uses
+# WORD-LEVEL opencc4j (OMTZHModifier.java:228,233); this engine ships a
+# char-level F.translate degraded mode. This fixture measures exactly where
+# the degraded mode agrees with / diverges from the dictionary-faithful
+# output, so the error is quantified rather than just documented.
+# Each row: (input, direction, opencc_word_level_expected, char_level_expected)
+# ---------------------------------------------------------------------------
+
+_OPENCC_FIXTURE = [
+    # -- agreements: unambiguous 1:1 chars convert identically --------------
+    ("頭髮", "t2s", "头发", "头发"),    # both chars unambiguous in t2s
+    ("臺灣鐵路", "t2s", "台湾铁路", "台湾铁路"),
+    ("发展", "s2t", "發展", "發展"),    # 发→發 is the right pick here
+    ("云彩", "s2t", "雲彩", "雲彩"),
+    # -- accidental agreements: char missing from table, but the word-level
+    #    output happens to keep the char too (exception words / stable chars)
+    ("乾隆", "t2s", "乾隆", "乾隆"),    # OpenCC exception: era name keeps 乾
+    ("皇后", "s2t", "皇后", "皇后"),    # 后 correct (empress), not 後
+    ("千里", "s2t", "千里", "千里"),    # 里 (distance unit) stays 里
+    # -- divergences: many-to-one reverse picks the wrong traditional char --
+    ("理发", "s2t", "理髮", "理發"),    # needs 髮; first-listed 發 wins
+    ("头发", "s2t", "頭髮", "頭發"),
+    # -- divergences: ambiguous char intentionally absent from the table ----
+    ("乾燥", "t2s", "干燥", "乾燥"),    # 乾→干 needs word context
+    ("后面", "s2t", "後面", "后面"),    # 后→後 needs word context
+    ("里面", "s2t", "裡面", "里面"),    # 里→裡 needs word context
+]
+
+
+def test_opencc_divergence_envelope(spark):
+    """Pin the degraded mode's EXACT output on word-level hard cases and
+    measure the divergence rate against dictionary-faithful opencc output.
+    If the char table changes, this test tells you precisely which hard
+    cases started/stopped agreeing."""
+    df = spark.createDataFrame(
+        [(i, w, d) for i, (w, d, _, _) in enumerate(_OPENCC_FIXTURE)],
+        "i int, w string, d string",
+    )
+    out = {
+        r.i: r.got
+        for r in df.select(
+            "i",
+            F.when(
+                F.col("d") == "t2s", to_simplified("w")
+            ).otherwise(to_traditional("w")).alias("got"),
+        ).collect()
+    }
+    diverged = []
+    for i, (w, d, opencc_expected, char_expected) in enumerate(_OPENCC_FIXTURE):
+        assert out[i] == char_expected, (w, d, out[i], char_expected)
+        if char_expected != opencc_expected:
+            diverged.append(w)
+    # the measured envelope: exactly these hard cases diverge (5/12), and
+    # every divergence is either a many-to-one reverse pick or a char the
+    # table deliberately omits because it needs word context
+    assert diverged == ["理发", "头发", "乾燥", "后面", "里面"]
