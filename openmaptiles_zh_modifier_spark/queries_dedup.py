@@ -751,7 +751,14 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("w"),
         (F.col("o_totalprice") / u).alias("priority"),
     )
-    top = p.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(PRIORITY_K + 1)
+    # cache the K+1-row top frame: both tau and the sample derive from it,
+    # and without the cache each branch re-runs the full TakeOrdered scan
+    # (hash + per-partition heaps over the whole table, twice)
+    top = (
+        p.orderBy(F.desc("priority"), F.asc("o_orderkey"))
+        .limit(PRIORITY_K + 1)
+        .cache()
+    )
     tau = top.agg(F.min("priority").alias("tau"))
     return (
         top.orderBy(F.desc("priority"), F.asc("o_orderkey"))
