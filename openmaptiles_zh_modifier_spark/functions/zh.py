@@ -144,6 +144,43 @@ def _build_alphabets() -> tuple[str, str, str, str]:
 
 T2S_FROM, T2S_TO, S2T_FROM, S2T_TO = _build_alphabets()
 
+# ---------------------------------------------------------------------------
+# Word-level disambiguation pre-pass (a subset of the public OpenCC
+# TSPhrases/STPhrases idea): multi-char words whose conversion the char
+# table cannot decide are rewritten FIRST; the char-level translate then
+# handles everything else. This is exactly how opencc resolves 干/乾/幹,
+# 发/發/髮, 后/後, 里/裡 — by word, not by char. Applied longest-first so
+# overlapping entries resolve deterministically; the DuckDB oracle emits
+# the identical replace() chain (see *_sql below), so the two engines stay
+# bit-identical. Ambiguous single chars (干, 后, 里, 面) remain absent
+# from the char table ON PURPOSE: outside a known word there is no safe
+# char-level answer.
+# ---------------------------------------------------------------------------
+
+# traditional word -> simplified word (t2s direction)
+T2S_PHRASES: list[tuple[str, str]] = [
+    ("乾燥", "干燥"), ("乾杯", "干杯"), ("乾淨", "干净"), ("餅乾", "饼干"),
+    ("乾旱", "干旱"), ("幹部", "干部"), ("幹活", "干活"), ("能幹", "能干"),
+    ("裡面", "里面"), ("裏面", "里面"), ("這裡", "这里"), ("那裡", "那里"),
+    ("哪裡", "哪里"), ("後面", "后面"), ("以後", "以后"), ("之後", "之后"),
+    ("最後", "最后"), ("後來", "后来"), ("麵條", "面条"), ("麵包", "面包"),
+]
+
+# simplified word -> traditional word (s2t direction)
+S2T_PHRASES: list[tuple[str, str]] = [
+    ("头发", "頭髮"), ("理发", "理髮"), ("假发", "假髮"), ("发型", "髮型"),
+    ("发廊", "髮廊"), ("干燥", "乾燥"), ("干杯", "乾杯"), ("干净", "乾淨"),
+    ("饼干", "餅乾"), ("干旱", "乾旱"), ("干部", "幹部"), ("干活", "幹活"),
+    ("能干", "能幹"), ("里面", "裡面"), ("这里", "這裡"), ("那里", "那裡"),
+    ("哪里", "哪裡"), ("后面", "後面"), ("以后", "以後"), ("之后", "之後"),
+    ("最后", "最後"), ("后来", "後來"), ("面条", "麵條"), ("面包", "麵包"),
+]
+
+
+def _phrase_order(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Longest source first (stable) — identical ordering on both engines."""
+    return sorted(pairs, key=lambda p: (-len(p[0]), p[0]))
+
 
 def is_han(col: Column | str) -> Column:
     """True iff the string contains at least one Han-script codepoint.
@@ -157,15 +194,38 @@ def is_han(col: Column | str) -> Column:
 
 
 def to_simplified(col: Column | str) -> Column:
-    """Traditional → Simplified, char-level (see module docstring)."""
+    """Traditional → Simplified: word-level phrase pre-pass, then
+    char-level translate (see module docstring). One codegen expression."""
     c = F.col(col) if isinstance(col, str) else col
+    for src, dst in _phrase_order(T2S_PHRASES):
+        c = F.replace(c, F.lit(src), F.lit(dst))
     return F.translate(c, T2S_FROM, T2S_TO)
 
 
 def to_traditional(col: Column | str) -> Column:
-    """Simplified → Traditional, char-level (see module docstring)."""
+    """Simplified → Traditional: word-level phrase pre-pass, then
+    char-level translate (see module docstring). One codegen expression."""
     c = F.col(col) if isinstance(col, str) else col
+    for src, dst in _phrase_order(S2T_PHRASES):
+        c = F.replace(c, F.lit(src), F.lit(dst))
     return F.translate(c, S2T_FROM, S2T_TO)
+
+
+def to_simplified_sql(expr: str) -> str:
+    """DuckDB SQL with the IDENTICAL phrase chain + translate as
+    :func:`to_simplified` — the oracle twin."""
+    out = expr
+    for src, dst in _phrase_order(T2S_PHRASES):
+        out = f"replace({out}, '{src}', '{dst}')"
+    return f"translate({out}, '{T2S_FROM}', '{T2S_TO}')"
+
+
+def to_traditional_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`to_traditional`."""
+    out = expr
+    for src, dst in _phrase_order(S2T_PHRASES):
+        out = f"replace({out}, '{src}', '{dst}')"
+    return f"translate({out}, '{S2T_FROM}', '{S2T_TO}')"
 
 
 def nullif_empty(col: Column | str) -> Column:

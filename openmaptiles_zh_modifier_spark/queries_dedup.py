@@ -772,3 +772,144 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# -------------------------------------------------------------------------
+# N-gram decontamination (GPT-3-style shingle-collision probe)
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_decontaminate_ngram",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+split AS (
+  SELECT doc_id, source, CAST(substr(source, 4) AS INT) % 2 AS is_test
+  FROM documents
+),
+tr AS (
+  SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE is_test = 0
+),
+te AS (
+  SELECT sh.doc_id, split.source, sh.s
+  FROM sh JOIN split USING (doc_id) WHERE is_test = 1
+)
+SELECT te.doc_id, te.source,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM te LEFT JOIN tr ON te.s = tr.s
+GROUP BY te.doc_id, te.source
+ORDER BY te.doc_id
+""",
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-collision decontamination (the GPT-3 appendix-C shape): a
+    held-out doc is contaminated when any of its distinct 3-gram shingles
+    appears anywhere in the training split. Complements q_decontamination
+    (exact normalized-hash match) with substring-level leakage detection.
+
+    Scale shape: the training side compresses to DISTINCT shingles before
+    the probe join — only shingle hashes shuffle, never text; the join key
+    is hash-uniform; stop-shingles are dropped by the shared DF cap (a
+    ubiquitous 3-gram carries no leakage signal and would fan the join
+    out). This reuses the SAME memoized shingle frame as the Jaccard /
+    MinHash operators — one explode serves four operators per session."""
+    sh = _exploded_shingles(spark, sf_dir)
+    split = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.substring("source", 4, 10).cast("int") % 2).alias("is_test"),
+    )
+    joined = sh.join(split, "doc_id")
+    train = (
+        joined.where(F.col("is_test") == 0).select("s").distinct()
+    )
+    test = joined.where(F.col("is_test") == 1).select("doc_id", "source", "s")
+    marked = test.join(
+        train.withColumn("hit", F.lit(1)), "s", "left"
+    )
+    return (
+        marked.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------------------
+# Training-mix planning: per-source token budgets and sampling weights
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_source_mixture",
+    oracle="""
+WITH per_doc AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS actual_share,
+       ROUND((1.0 / n_sources)
+             / (n_tokens / CAST(total_tokens AS DOUBLE)), 6) AS sample_weight
+FROM per_source CROSS JOIN tot
+ORDER BY source
+""",
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning: per-source document/token tallies, each
+    source's share of the corpus, and the uniform-target sampling weight
+    (weight > 1 means upsample, < 1 means downsample) — the arithmetic
+    behind domain-mixture curation (e.g. The Pile / DoReMi-style reweighting
+    starts from exactly this table).
+
+    Scale shape: one map-side-combinable aggregate over the corpus; the
+    totals frame is one row per source crossed back as a broadcast — no
+    second corpus scan, no unbounded state anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("total_tokens").cast("double")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("actual_share"),
+            F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias(
+                "sample_weight"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -21,14 +21,12 @@ from pyspark.sql import functions as F
 
 from openmaptiles_zh_modifier_spark.functions.zh import (
     HAN_REGEX_RE2,
-    S2T_FROM,
-    S2T_TO,
-    T2S_FROM,
-    T2S_TO,
     is_han,
     nullif_empty,
     to_simplified,
+    to_simplified_sql,
     to_traditional,
+    to_traditional_sql,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -175,8 +173,8 @@ derived AS (
   FROM qualified
 )
 SELECT doc_id,
-       COALESCE(hans_old, translate(zh, '{T2S_FROM}', '{T2S_TO}')) AS hans,
-       COALESCE(hant_old, translate(zh, '{S2T_FROM}', '{S2T_TO}')) AS hant
+       COALESCE(hans_old, {to_simplified_sql('zh')}) AS hans,
+       COALESCE(hant_old, {to_traditional_sql('zh')}) AS hant
 FROM derived
 WHERE zh IS NOT NULL AND (hans_old IS NULL OR hant_old IS NULL)
 ORDER BY doc_id

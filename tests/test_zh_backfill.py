@@ -111,17 +111,25 @@ def test_b1_typo_compat_regenerates_hant(spark):
     intended = backfill_table(df, compat_names_typo=False).collect()[0]["tags"]
     assert intended["name:zh-Hant"] == "頭髮"  # kept
     faithful = backfill_table(df, compat_names_typo=True).collect()[0]["tags"]
-    # regenerated char-level: 头发 → 頭發 (char-level can't know 髮; that's
-    # exactly the B1 bug being reproduced: existing value clobbered)
+    # regenerated — the B1 bug being reproduced is that the EXISTING value
+    # is clobbered by a regenerated one (here the regeneration happens to
+    # produce the same text because 头发 is in the phrase vocabulary)
     assert faithful["name:zh-Hant"] == to_trad_py("头发")
     assert faithful["name:zh-Hans"] == "头发"
 
 
 def to_trad_py(s: str) -> str:
-    from openmaptiles_zh_modifier_spark.functions.zh import S2T_FROM, S2T_TO
+    """Python twin of functions.zh.to_traditional (phrase pass + chars)."""
+    from openmaptiles_zh_modifier_spark.functions.zh import (
+        S2T_FROM,
+        S2T_PHRASES,
+        S2T_TO,
+        _phrase_order,
+    )
 
-    table = str.maketrans(S2T_FROM, S2T_TO)
-    return s.translate(table)
+    for src, dst in _phrase_order(S2T_PHRASES):
+        s = s.replace(src, dst)
+    return s.translate(str.maketrans(S2T_FROM, S2T_TO))
 
 
 def test_merge_backfill_equals_inline_backfill(spark, lattice_df):
@@ -153,7 +161,9 @@ def test_conversion_roundtrip_props(spark):
     assert out[0]["simp"] == "台湾铁路"
     assert out[0]["rt"] == "臺灣鐵路"
     assert out[1]["simp"] == "头发"
-    assert out[1]["rt"] == "頭發"  # 发→發 (first-listed wins): lossy, documented
+    # 头发 is in the phrase vocabulary, so the roundtrip recovers 髮 (the
+    # bare char-level reverse would lossily pick first-listed 發)
+    assert out[1]["rt"] == "頭髮"
 
 
 def test_classifier_precedence_and_negatives():
@@ -198,13 +208,15 @@ _OPENCC_FIXTURE = [
     ("乾隆", "t2s", "乾隆", "乾隆"),    # OpenCC exception: era name keeps 乾
     ("皇后", "s2t", "皇后", "皇后"),    # 后 correct (empress), not 後
     ("千里", "s2t", "千里", "千里"),    # 里 (distance unit) stays 里
-    # -- divergences: many-to-one reverse picks the wrong traditional char --
-    ("理发", "s2t", "理髮", "理發"),    # needs 髮; first-listed 發 wins
-    ("头发", "s2t", "頭髮", "頭發"),
-    # -- divergences: ambiguous char intentionally absent from the table ----
-    ("乾燥", "t2s", "干燥", "乾燥"),    # 乾→干 needs word context
-    ("后面", "s2t", "後面", "后面"),    # 后→後 needs word context
-    ("里面", "s2t", "裡面", "里面"),    # 里→裡 needs word context
+    # -- word-level hard cases RESOLVED by the phrase pre-pass --------------
+    ("理发", "s2t", "理髮", "理髮"),    # needs 髮, not first-listed 發
+    ("头发", "s2t", "頭髮", "頭髮"),
+    ("乾燥", "t2s", "干燥", "干燥"),    # 乾→干 needs word context
+    ("后面", "s2t", "後面", "後面"),    # 后→後 needs word context
+    ("里面", "s2t", "裡面", "裡面"),    # 里→裡 needs word context
+    # -- residual divergences: words OUTSIDE the phrase vocabulary ----------
+    ("烫发", "s2t", "燙髮", "烫發"),    # OOV word: 发→發 fallback is wrong
+    ("干线", "s2t", "幹線", "干線"),    # OOV word: 干 stays unconverted
 ]
 
 
@@ -231,7 +243,7 @@ def test_opencc_divergence_envelope(spark):
         assert out[i] == char_expected, (w, d, out[i], char_expected)
         if char_expected != opencc_expected:
             diverged.append(w)
-    # the measured envelope: exactly these hard cases diverge (5/12), and
-    # every divergence is either a many-to-one reverse pick or a char the
-    # table deliberately omits because it needs word context
-    assert diverged == ["理发", "头发", "乾燥", "后面", "里面"]
+    # the measured envelope: the phrase pre-pass resolves every
+    # in-vocabulary word-level case; only out-of-vocabulary ambiguous
+    # words still diverge (2/14), each falling back to the char table
+    assert diverged == ["烫发", "干线"]
