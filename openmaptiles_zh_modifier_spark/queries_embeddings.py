@@ -174,8 +174,16 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = v.withColumn(
         "blk", F.floor(F.col("vec_id") / BLOCK_ROWS).cast("int")
     )
-    # bounded collect: one small int per corpus block, not the corpus
-    block_ids = sorted(r[0] for r in vb.select("blk").distinct().collect())
+    # bounded collect: one small int per corpus block, not the corpus.
+    # NULL vec_ids are excluded from BOTH sides — a NULL id satisfies
+    # neither a < b nor b > a, which is exactly the oracle's join behavior.
+    block_ids = sorted(
+        r[0]
+        for r in vb.where(F.col("blk").isNotNull())
+        .select("blk")
+        .distinct()
+        .collect()
+    )
 
     def scorer(bc):
         def score(batches):
@@ -208,7 +216,8 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return score
 
     schema = "vec_a long, vec_b long, label_a int, label_b int, cosine double"
-    out = None
+    # empty corpus -> no blocks -> a valid empty frame, same as the oracle
+    out = spark.createDataFrame([], schema) if not block_ids else None
     for blk in block_ids:
         block = (
             vb.where(F.col("blk") == blk)

@@ -33,28 +33,47 @@ from pyspark.sql.types import (
 from openmaptiles_zh_modifier_spark.registry import register
 
 # Parquet streaming source needs an explicit schema; ts is TIMESTAMP(NANOS)
-# on disk, which Spark 4.x reads natively as timestamp_ntz (nanos truncated
-# to micros — same value the batch path in registry.load() produces).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("ts", TimestampNTZType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# on disk. How that surfaces depends on the installed Spark: 4.x reads it
+# natively as timestamp_ntz (nanos truncated to micros); older Sparks only
+# read it as BIGINT nanos under the nanosAsLong conf (which session.py
+# still sets best-effort). The reader below peeks the BATCH schema of the
+# same file and adapts — the same dtype branch registry.load() applies —
+# so both environments produce an identical micros-precision frame.
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", ts_type),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_raw_schema(TimestampNTZType())
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded source (file-stream; in production a
     Kafka source with the same downstream plan)."""
+    # schema peek via the batch reader (footer-only, no data scan): the
+    # declared stream schema must match how THIS Spark reads the file
+    batch_ts = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    ).get("ts")
+    nanos_as_long = batch_ts == "bigint"
+    schema = _events_raw_schema(
+        LongType() if nanos_as_long else TimestampNTZType()
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if nanos_as_long:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     # Session TZ is UTC, so ntz->ltz is value-identical; watermarks and
     # window() want the TZ-aware type (matches the batch frame exactly).
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
