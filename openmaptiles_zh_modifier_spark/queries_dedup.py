@@ -923,3 +923,100 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------------------------------------------
+# Cluster canonicalization: dedup clusters -> one kept representative
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_canonical",
+    oracle=f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, {h32_sql('text')} % 3 AS m FROM documents),
+mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+edges AS (
+  SELECT b.doc_id AS a, b.doc_id + 1 AS b
+  FROM base b, mx WHERE b.m = 0 AND b.doc_id + 1 <= mx.mx
+),
+und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, u.v FROM reach r JOIN und u ON u.u = r.lab
+),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+canon AS (
+  SELECT cluster,
+         arg_max(doc_id, n_chars * 10000000 - doc_id) AS canonical_doc
+  FROM lab GROUP BY cluster
+)
+SELECT l.doc_id,
+       CAST(l.cluster AS BIGINT) AS cluster,
+       CAST(c.canonical_doc AS BIGINT) AS canonical_doc,
+       CAST(CASE WHEN l.doc_id = c.canonical_doc THEN 1 ELSE 0 END AS INT)
+           AS is_canonical
+FROM lab l JOIN canon c USING (cluster)
+ORDER BY l.doc_id
+""",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster canonicalization — the step AFTER pair finding and
+    component closure: every document gets its cluster id (singletons are
+    their own cluster) and each cluster elects ONE representative by
+    quality (longest text, ties to the lowest doc_id). The keep-list a
+    dedup pipeline actually emits is `is_canonical = 1`.
+
+    Scale shape: the component frame is (node, component) int pairs —
+    tiny next to the corpus — so the label join broadcasts; the election
+    is one max_by aggregate on the cluster key (map-side combinable); no
+    text ever shuffles. Composes with any pair source (MinHash bands,
+    SimHash bands, embedding near-dup) — the chain edges here are the
+    same deterministic fixture q_connected_components verifies."""
+    from openmaptiles_zh_modifier_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    edges = (
+        docs.select("doc_id", h32(F.col("text")).alias("hk"))
+        .where(F.col("hk") % 3 == 0)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("doc_id") + 1 <= F.col("mx"))
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    lab = (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", "doc_id").cast("long").alias("cluster"),
+        )
+    )
+    quality_key = F.col("n_chars") * 10000000 - F.col("doc_id")
+    canon = lab.groupBy("cluster").agg(
+        F.max_by("doc_id", quality_key).cast("long").alias("canonical_doc")
+    )
+    return (
+        lab.join(F.broadcast(canon), "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            "canonical_doc",
+            (F.col("doc_id") == F.col("canonical_doc")).cast("int").alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("doc_id")
+    )
