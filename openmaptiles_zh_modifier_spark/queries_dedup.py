@@ -214,8 +214,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join only pairs docs agreeing on a whole band. Verification cost
     is proportional to candidates, not n^2."""
     sh = _exploded_shingles(spark, sf_dir).withColumn("h", h32(F.col("s")))
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(minhash_col(F.col("h"), i)).alias(f"m{i}") for i in range(NUM_PERM)]
+    # memoized: one narrow row per doc, but BOTH sides of the band
+    # self-join descend from it — without persistence the 16-way min
+    # aggregate over the shingle frame runs twice per invocation
+    sig = memo_frame(
+        spark,
+        f"minhash_sig:{sf_dir}",
+        lambda: sh.groupBy("doc_id").agg(
+            *[
+                F.min(minhash_col(F.col("h"), i)).alias(f"m{i}")
+                for i in range(NUM_PERM)
+            ]
+        ),
     )
     band_key = [
         F.concat_ws(
@@ -322,11 +332,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from openmaptiles_zh_modifier_spark.functions.text import pow2_array
 
-    sim = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("w") > 0, F.get(pow2_array(), F.col("bit"))).otherwise(0)
-        ).cast("long").alias("simhash")
-    ).cache()  # tiny (one row per doc); reused by both pair-join sides
+    # memoized (one row per doc): both band-join sides reuse it, and
+    # repeat invocations in one session share a single pinned entry
+    sim = memo_frame(
+        spark,
+        f"simhash_sig:{sf_dir}",
+        lambda: bits.groupBy("doc_id").agg(
+            F.sum(
+                F.when(
+                    F.col("w") > 0, F.get(pow2_array(), F.col("bit"))
+                ).otherwise(0)
+            ).cast("long").alias("simhash")
+        ),
+    )
     n_bands = SIMHASH_BITS // 8  # 8-bit bands; 4 bands cover Hamming <= 3
     # the pigeonhole guarantee (some band is bit-identical) requires more
     # bands than differing bits — make the coupling explicit so a future
