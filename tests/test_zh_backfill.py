@@ -247,3 +247,28 @@ def test_opencc_divergence_envelope(spark):
     # in-vocabulary word-level case; only out-of-vocabulary ambiguous
     # words still diverge (2/14), each falling back to the char table
     assert diverged == ["烫发", "干线"]
+
+
+def test_updates_frame_with_tags_consistent(spark, lattice_df):
+    """The single-scan (id, hans, hant, new_tags_map) frame must select
+    exactly the rows updates_frame selects, with identical hans/hant, and
+    its new_tags_map must equal what backfill_table writes for those rows
+    — the three write-back forms are views of one derivation."""
+    from openmaptiles_zh_modifier_spark.operators.zh_backfill import (
+        updates_frame_with_tags,
+    )
+
+    upd = {
+        r["id"]: (r["hans"], r["hant"])
+        for r in updates_frame(lattice_df).collect()
+    }
+    with_tags = {
+        r["id"]: (r["hans"], r["hant"], r["new_tags_map"])
+        for r in updates_frame_with_tags(lattice_df).collect()
+    }
+    assert {i: v[:2] for i, v in with_tags.items()} == upd
+    rewritten = {
+        r["id"]: r["tags"] for r in backfill_table(lattice_df).collect()
+    }
+    for i, (_, _, new_tags) in with_tags.items():
+        assert new_tags == rewritten[i], i
