@@ -93,3 +93,46 @@ def test_prefix_filter_lossless_on_random_corpora(spark):
             qd.load = orig
             clear_frame_cache()
         assert got == want, (trial, got ^ want)
+
+
+def test_hstore_text_roundtrip_property(spark):
+    """parse(serialize(m)) == m for randomized maps over an adversarial
+    alphabet (quotes, backslashes, '=>', ', ', NULL values, hstore-ish
+    keys) — the serializer map_to_hstore_text and the parser
+    hstore_text_to_map must be exact inverses, because the JDBC staging
+    path writes with one and the next run's discovery reads with the
+    other."""
+    from openmaptiles_zh_modifier_spark.plans.pipeline import (
+        hstore_text_to_map,
+        map_to_hstore_text,
+    )
+
+    rng = random.Random(20260813)
+    alphabet = ['a', 'z', '"', '\\', '=>', ', ', "'", ':', '名', ' ']
+
+    def rand_str():
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 8))
+        )
+
+    cases = []
+    for i in range(60):
+        m = {}
+        for _ in range(rng.randrange(0, 5)):
+            # keys must be unique and non-empty-ish; hstore allows any text
+            k = rand_str() + f"#{len(m)}"
+            m[k] = None if rng.random() < 0.25 else rand_str()
+        cases.append((i, m))
+
+    df = spark.createDataFrame(
+        cases, "i int, m map<string,string>"
+    )
+    out = {
+        r.i: r.back
+        for r in df.select(
+            "i",
+            hstore_text_to_map(map_to_hstore_text(F.col("m"))).alias("back"),
+        ).collect()
+    }
+    for i, m in cases:
+        assert out[i] == m, (i, m, out[i])
