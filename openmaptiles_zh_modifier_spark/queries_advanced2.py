@@ -294,8 +294,8 @@ WITH d AS (
 )
 SELECT o_orderpriority,
        COUNT(*) AS n,
-       SUM(price) AS total,
-       SUM(CAST(price * 100 AS BIGINT)) // COUNT(*) AS avg_cents
+       CAST(SUM(price) AS DECIMAL(28,2)) AS total,
+       CAST(SUM(CAST(price * 100 AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_cents
 FROM d
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

@@ -22,7 +22,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(json_extract_string(props, '$.k')::INT) AS sum_k,
+       CAST(SUM(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
        ROUND(AVG(value), 4) AS avg_value
 FROM events
 GROUP BY event_type
@@ -95,7 +95,7 @@ sessions AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,

@@ -33,8 +33,8 @@ f AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_bytes) AS total_bytes,
-       SUM(n_frames) AS total_frames,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_frames) AS BIGINT) AS total_frames,
        ROUND(AVG(width), 4) AS avg_width,
        ROUND(AVG(aspect), 4) AS avg_aspect,
        MAX(height) AS max_height
@@ -79,7 +79,7 @@ fr AS (
 )
 SELECT source,
        COUNT(*) AS n_sampled_frames,
-       SUM((n_bytes * 31 + frame_idx * 7919) % 1000003) AS frame_hash_sum,
+       CAST(SUM((n_bytes * 31 + frame_idx * 7919) % 1000003) AS BIGINT) AS frame_hash_sum,
        MAX(frame_idx) AS max_frame_idx
 FROM fr
 GROUP BY source

@@ -244,7 +244,7 @@ WITH t AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_pieces) AS total_pieces,
+       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
        ROUND(AVG(n_pieces), 4) AS avg_pieces,
        ROUND(SUM(n_pieces) * 1.0 / SUM(n_words), 4) AS fertility,
        MAX(n_pieces) AS max_pieces
@@ -624,7 +624,7 @@ kept AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(SUM(q), 4) AS total_quality,
        FLOOR(10000 * ROUND(SUM(q), 4) / COUNT(*)) / 10000 AS avg_quality
 FROM kept
@@ -780,10 +780,12 @@ c AS (
   FROM t
 )
 SELECT doc_id, n,
-       (cum - n) // {PACK_CAP} AS first_pack,
-       (cum - 1) // {PACK_CAP} AS last_pack,
-       (cum - 1) // {PACK_CAP} - (cum - n) // {PACK_CAP} + 1 AS n_packs,
-       cum - n - ((cum - n) // {PACK_CAP}) * {PACK_CAP} AS offset_in_pack
+       CAST((cum - n) // {PACK_CAP} AS BIGINT) AS first_pack,
+       CAST((cum - 1) // {PACK_CAP} AS BIGINT) AS last_pack,
+       CAST((cum - 1) // {PACK_CAP} - (cum - n) // {PACK_CAP} + 1
+            AS BIGINT) AS n_packs,
+       CAST(cum - n - ((cum - n) // {PACK_CAP}) * {PACK_CAP}
+            AS BIGINT) AS offset_in_pack
 FROM c
 ORDER BY doc_id
 """,

@@ -1,0 +1,94 @@
+"""Driver-hash-risk detector: compare the DuckDB output type of every
+oracle query against the Spark dtype of the matching engine query.
+
+The correctness gate hashes STRINGIFIED values after its own
+normalization, and some normalizations (e.g. pandas conversion) turn
+DuckDB HUGEINT into float64 — so a value-identical result can
+hash-mismatch purely on output type. Round 1 lost q_dedup_simhash and
+q_decontamination to exactly this. Rule enforced here: no oracle output
+column may be HUGEINT (CAST integer SUMs / bit ops to BIGINT), and
+flagged non-cosmetic type divergences should be pinned on both sides.
+
+Usage: python tools/type_audit.py [sf_dir]     (exit 1 on HUGEINT hits)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# cosmetic pairs that stringify identically — not a risk
+_EQUIV = {
+    ("VARCHAR", "STRING"),
+    ("BOOLEAN", "BOOLEAN"),
+    ("BOOL", "BOOLEAN"),
+}
+
+
+def _norm_duck(t: str) -> str:
+    t = str(t).upper()
+    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if "TIMESTAMP" in t:
+        return "ts"
+    return t
+
+
+def _norm_spark(t: str) -> str:
+    t = t.lower()
+    if t in ("bigint", "int", "smallint", "tinyint"):
+        return "int"
+    if t in ("double", "float"):
+        return "float"
+    if "timestamp" in t:
+        return "ts"
+    return t.upper()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from openmaptiles_zh_modifier_spark.registry import ORACLE_SQL, QUERIES
+    from openmaptiles_zh_modifier_spark.session import get_spark
+
+    spark = get_spark(app_name="type-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    hugeint_hits = 0
+    for name, sql in ORACLE_SQL.items():
+        try:
+            rows = con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) AS q LIMIT 0"
+            ).fetchall()
+            s_types = {k: _norm_spark(v) for k, v in QUERIES[name](spark, sf_dir).dtypes}
+        except Exception as exc:
+            print(f"  [ERR ] {name}: {str(exc)[:120]}")
+            continue
+        for col, typ, *_ in rows:
+            d = _norm_duck(typ)
+            s = s_types.get(col, "MISSING")
+            if "HUGEINT" in d:
+                print(f"  [HUGE] {name}.{col}: duckdb={typ} spark={s} — CAST AS BIGINT in the oracle")
+                hugeint_hits += 1
+            elif d != s and (str(typ).upper(), s) not in _EQUIV and not (
+                d.startswith("VARCHAR") and s == "STRING"
+            ):
+                print(f"  [DIFF] {name}.{col}: duckdb={typ} spark={s}")
+    print(f"{hugeint_hits} HUGEINT output columns")
+    return 1 if hugeint_hits else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
