@@ -821,3 +821,140 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (last - first + 1).alias("n_packs"),
         (F.col("cum") - F.col("n") - first * PACK_CAP).alias("offset_in_pack"),
     ).orderBy("doc_id")
+
+
+# -------------------------------------------------------------------------
+# Repetition-based quality filtering (Gopher-rule shape)
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_quality_repetition",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+ut AS (
+  SELECT doc_id, MAX(c) AS mc, CAST(SUM(c) AS BIGINT) AS n
+  FROM tc GROUP BY 1
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS b
+  FROM toks
+),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM big GROUP BY 1, 2),
+bt AS (SELECT doc_id, MAX(c) AS mb, CAST(SUM(c) AS BIGINT) AS nb FROM bc GROUP BY 1)
+SELECT u.doc_id,
+       u.n AS n_tokens,
+       ROUND(u.mc * 1.0 / u.n, 4) AS top_token_frac,
+       ROUND(COALESCE(b.mb * 1.0 / b.nb, 0), 4) AS top_bigram_frac,
+       CAST(CASE WHEN u.mc * 1.0 / u.n <= 0.20
+                  AND COALESCE(b.mb * 1.0 / b.nb, 0) <= 0.18
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM ut u LEFT JOIN bt b USING (doc_id)
+ORDER BY u.doc_id
+""",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gating (the Gopher-rules shape): a doc is
+    dropped when one token dominates (> 20% of all tokens) or one bigram
+    dominates (> 18%) — the cheap structural signals that catch boiler-
+    plate, keyword stuffing, and degenerate generations before any model
+    scoring. Complements q_text_stats (TTR/stopword) with the
+    repetition axis of the published filter suites.
+
+    Scale shape: two groupBy aggregates per granularity (token, bigram),
+    both map-side combinable on (doc_id, gram) keys; the per-doc maxima
+    join back on doc_id. Grams never leave their aggregate — no text
+    shuffles beyond the gram keys themselves."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    tc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    ut = tc.groupBy("doc_id").agg(
+        F.max("c").alias("mc"), F.sum("c").cast("long").alias("n")
+    )
+    t = F.col("t")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    big = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+    )
+    bc = big.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    bt = bc.groupBy("doc_id").agg(
+        F.max("c").alias("mb"), F.sum("c").cast("long").alias("nb")
+    )
+    tok_frac = F.col("mc") / F.col("n")
+    big_frac = F.coalesce(F.col("mb") / F.col("nb"), F.lit(0.0))
+    return (
+        ut.join(bt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(tok_frac, 4).alias("top_token_frac"),
+            F.round(big_frac, 4).alias("top_bigram_frac"),
+            ((tok_frac <= 0.20) & (big_frac <= 0.18)).cast("int").alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------------------
+# BPE merge-candidate counting (the tokenizer-training inner loop)
+# -------------------------------------------------------------------------
+
+
+@register(
+    "q_bpe_merge_candidates",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                i -> substr(w, i, 2))) AS pair
+  FROM toks
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS INT) AS rk
+FROM pairs
+GROUP BY pair
+ORDER BY rk
+LIMIT 10
+""",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop: count adjacent symbol (character)
+    pairs across the corpus and rank merge candidates — the top pair is
+    the merge a BPE trainer would apply next. Iterating this (merge,
+    re-count) trains the full vocabulary; one step is the distributed
+    primitive.
+
+    Scale shape: pair generation is a bounded in-row explode (pair count
+    = token length - 1); counting is one map-side-combinable aggregate on
+    the pair key; ranking is a TakeOrdered over the (tiny) distinct-pair
+    space. No text shuffles — only 2-char pair keys."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    pairs = tok.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occ"), F.asc("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .orderBy("rk")
+        .limit(10)
+    )
