@@ -488,6 +488,32 @@ GROUP BY node
 ORDER BY node
 """,
 )
+def _chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) closure over the deterministic chain-edge fixture
+    (doc i ~ doc i+1 whenever h32(text) % 3 == 0). Memoized: both the CC
+    query and the canonicalization query consume it, and the iterative
+    min-label loop is the expensive part — one closure serves both."""
+    from openmaptiles_zh_modifier_spark.operators.graph import (
+        connected_components,
+    )
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        mx = docs.agg(F.max("doc_id").alias("mx"))
+        edges = (
+            docs.select("doc_id", h32(F.col("text")).alias("hk"))
+            .where(F.col("hk") % 3 == 0)
+            .crossJoin(F.broadcast(mx))
+            .where(F.col("doc_id") + 1 <= F.col("mx"))
+            .select(
+                F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+            )
+        )
+        return connected_components(edges)
+
+    return memo_frame(spark, f"chain_cc:{sf_dir}", build)
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-cluster transitive closure: deterministic chain edges
     (doc i ~ doc i+1 whenever h32(text) % 3 == 0) are collapsed into
@@ -497,20 +523,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same fixpoint as a DuckDB recursive CTE, so the iterative
     DataFrame loop is checked against a declarative reachability
     definition."""
-    from openmaptiles_zh_modifier_spark.operators.graph import (
-        connected_components,
-    )
-
-    docs = load(spark, sf_dir, "documents")
-    mx = docs.agg(F.max("doc_id").alias("mx"))
-    edges = (
-        docs.select("doc_id", h32(F.col("text")).alias("hk"))
-        .where(F.col("hk") % 3 == 0)
-        .crossJoin(F.broadcast(mx))
-        .where(F.col("doc_id") + 1 <= F.col("mx"))
-        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
-    )
-    return connected_components(edges).orderBy("node")
+    return _chain_components(spark, sf_dir).orderBy("node")
 
 
 # -------------------------------------------------------------------------
@@ -996,21 +1009,10 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one max_by aggregate on the cluster key (map-side combinable); no
     text ever shuffles. Composes with any pair source (MinHash bands,
     SimHash bands, embedding near-dup) — the chain edges here are the
-    same deterministic fixture q_connected_components verifies."""
-    from openmaptiles_zh_modifier_spark.operators.graph import (
-        connected_components,
-    )
-
+    same deterministic fixture q_connected_components verifies, and the
+    closure itself is the memoized frame both queries share."""
     docs = load(spark, sf_dir, "documents")
-    mx = docs.agg(F.max("doc_id").alias("mx"))
-    edges = (
-        docs.select("doc_id", h32(F.col("text")).alias("hk"))
-        .where(F.col("hk") % 3 == 0)
-        .crossJoin(F.broadcast(mx))
-        .where(F.col("doc_id") + 1 <= F.col("mx"))
-        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
-    )
-    comp = connected_components(edges).select(
+    comp = _chain_components(spark, sf_dir).select(
         F.col("node").alias("doc_id"), "component"
     )
     lab = (
