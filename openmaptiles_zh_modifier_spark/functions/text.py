@@ -83,6 +83,18 @@ def shingles(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def bigrams(toks: Column) -> Column:
+    """Adjacent token pairs WITH multiplicity (unlike shingles, which are
+    distinct): each token concat-ws'd with its successor via two shifted
+    slices + zip_with. Empty when the array has < 2 elements."""
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
 def minhash_col(h: Column, i: int) -> Column:
     a, b = PERMS[i]
     return (F.lit(a) * (h % F.lit(P31)) + F.lit(b)) % F.lit(P31)

@@ -96,9 +96,22 @@ def hstore_text_to_map(col):
     hstore || and the session's mapKeyDedupPolicy)."""
     from pyspark.sql import functions as F
 
-    # mark unquoted NULL values with a sentinel that cannot appear in
-    # hstore text (U+0000), so extraction sees uniformly-quoted values
-    marked = F.regexp_replace(col, r'=>\s*NULL', '=>"\u0000"')
+    # Mark unquoted NULL values with a sentinel that cannot appear in
+    # hstore text (U+0000: PostgreSQL text types reject NUL), so
+    # extraction sees uniformly-quoted values. The match is anchored to
+    # the start of the text or the ", " pair separator, then a full
+    # QUOTED KEY, then the arrow: a bare `=>NULL` (or even a
+    # quoted-key-anchored one) would also fire on the literal text
+    # '=>NULL' INSIDE a quoted value — e.g. "k"=>"=>NULL", where
+    # `"=>"` spanning the key-close and value-open quotes parses as a
+    # quoted string. Key positions are exactly (start | separator) in
+    # well-formed hstore text, and quotes inside keys/values are always
+    # escaped, so the anchored pattern cannot start mid-value.
+    marked = F.regexp_replace(
+        col,
+        r'(^|,\s*)("(?:[^"\\]|\\.)*")\s*=>\s*NULL',
+        '$1$2=>"\u0000"',
+    )
     entry = r'"((?:[^"\\]|\\.)*)"\s*=>\s*"((?:[^"\\]|\\.)*)"'
     keys = F.regexp_extract_all(marked, F.lit(entry), F.lit(1))
     vals = F.regexp_extract_all(marked, F.lit(entry), F.lit(2))

@@ -465,29 +465,6 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------------------
 
 
-@register(
-    "q_connected_components",
-    oracle=f"""
-WITH RECURSIVE
-base AS (SELECT doc_id, {h32_sql('text')} % 3 AS m FROM documents),
-mx AS (SELECT MAX(doc_id) AS mx FROM documents),
-edges AS (
-  SELECT b.doc_id AS a, b.doc_id + 1 AS b
-  FROM base b, mx WHERE b.m = 0 AND b.doc_id + 1 <= mx.mx
-),
-und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
-nodes AS (SELECT DISTINCT u AS node FROM und),
-reach(node, lab) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT r.node, u.v FROM reach r JOIN und u ON u.u = r.lab
-)
-SELECT node, MIN(lab) AS component
-FROM reach
-GROUP BY node
-ORDER BY node
-""",
-)
 def _chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, component) closure over the deterministic chain-edge fixture
     (doc i ~ doc i+1 whenever h32(text) % 3 == 0). Memoized: both the CC
@@ -514,6 +491,29 @@ def _chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_frame(spark, f"chain_cc:{sf_dir}", build)
 
 
+@register(
+    "q_connected_components",
+    oracle=f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, {h32_sql('text')} % 3 AS m FROM documents),
+mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+edges AS (
+  SELECT b.doc_id AS a, b.doc_id + 1 AS b
+  FROM base b, mx WHERE b.m = 0 AND b.doc_id + 1 <= mx.mx
+),
+und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, u.v FROM reach r JOIN und u ON u.u = r.lab
+)
+SELECT node, MIN(lab) AS component
+FROM reach
+GROUP BY node
+ORDER BY node
+""",
+)
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-cluster transitive closure: deterministic chain edges
     (doc i ~ doc i+1 whenever h32(text) % 3 == 0) are collapsed into

@@ -20,6 +20,7 @@ from openmaptiles_zh_modifier_spark.functions.text import (
     FP_MOD,
     LANG_ORDER,
     STOPWORDS,
+    bigrams,
     h32,
     h32_sql,
     rolling_fingerprint,
@@ -411,13 +412,8 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", toks.alias("toks")
     ).where(F.size("toks") >= 2)
-    bigrams = F.zip_with(
-        F.slice(F.col("toks"), 1, F.size("toks") - 1),
-        F.slice(F.col("toks"), 2, F.size("toks") - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     return (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        docs.select("doc_id", F.explode(bigrams(F.col("toks"))).alias("bigram"))
         .groupBy("bigram")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
@@ -876,16 +872,10 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ut = tc.groupBy("doc_id").agg(
         F.max("c").alias("mc"), F.sum("c").cast("long").alias("n")
     )
-    t = F.col("t")
-    bigrams = F.zip_with(
-        F.slice(t, 1, F.size(t) - 1),
-        F.slice(t, 2, F.size(t) - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     big = (
         docs.select("doc_id", toks.alias("t"))
         .where(F.size("t") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.explode(bigrams(F.col("t"))).alias("b"))
     )
     bc = big.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     bt = bc.groupBy("doc_id").agg(
@@ -945,9 +935,18 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     space. No text shuffles — only 2-char pair keys."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-    pairs = tok.select(
-        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
-    ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
+    # single-char tokens have no pairs; the length guard also matters for
+    # correctness — Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+    # being empty, which would fabricate phantom pairs the oracle's
+    # generate_series (empty on 1..0) never produces
+    pairs = (
+        tok.where(F.length("w") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+            "w",
+        )
+        .select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("n_occ"), F.asc("pair"))

@@ -108,7 +108,11 @@ def test_hstore_text_roundtrip_property(spark):
     )
 
     rng = random.Random(20260813)
-    alphabet = ['a', 'z', '"', '\\', '=>', ', ', "'", ':', '名', ' ']
+    # 'NULL' is in the alphabet on purpose: values containing the literal
+    # text '=>NULL' (e.g. '=>NULL', 'x, "k"=>NULL') are the adversarial
+    # case for the parser's unquoted-NULL sentinel — it must fire only at
+    # separator positions, never inside a quoted value
+    alphabet = ['a', 'z', '"', '\\', '=>', ', ', "'", ':', '名', ' ', 'NULL']
 
     def rand_str():
         return "".join(

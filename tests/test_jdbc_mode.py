@@ -204,6 +204,11 @@ def test_hstore_text_parser_adversarial_values(spark):
         ('"q"=>"he said \\"hi\\""', {"q": 'he said "hi"'}),
         ('"p"=>"back\\\\slash"', {"p": "back\\slash"}),
         ('"dup"=>"first", "dup"=>"second"', {"dup": "second"}),
+        # literal '=>NULL' INSIDE a quoted value must stay text — the
+        # unquoted-NULL sentinel fires only at separator positions
+        ('"k"=>"=>NULL"', {"k": "=>NULL"}),
+        ('"k"=>"x, \\"a\\"=>NULL", "m"=>NULL', {"k": 'x, "a"=>NULL', "m": None}),
+        ('"=>NULL"=>"v"', {"=>NULL": "v"}),
         ("", {}),
     ]
     df = spark.createDataFrame(

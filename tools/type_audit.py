@@ -67,6 +67,7 @@ def main() -> int:
         )
 
     hugeint_hits = 0
+    errors = 0
     for name, sql in ORACLE_SQL.items():
         try:
             rows = con.execute(
@@ -75,6 +76,7 @@ def main() -> int:
             s_types = {k: _norm_spark(v) for k, v in QUERIES[name](spark, sf_dir).dtypes}
         except Exception as exc:
             print(f"  [ERR ] {name}: {str(exc)[:120]}")
+            errors += 1
             continue
         for col, typ, *_ in rows:
             d = _norm_duck(typ)
@@ -86,8 +88,9 @@ def main() -> int:
                 d.startswith("VARCHAR") and s == "STRING"
             ):
                 print(f"  [DIFF] {name}.{col}: duckdb={typ} spark={s}")
-    print(f"{hugeint_hits} HUGEINT output columns")
-    return 1 if hugeint_hits else 0
+    print(f"{hugeint_hits} HUGEINT output columns, {errors} unauditable queries")
+    # an unauditable oracle could hide a HUGEINT — fail on errors too
+    return 1 if (hugeint_hits or errors) else 0
 
 
 if __name__ == "__main__":
