@@ -663,9 +663,11 @@ WITH c AS (
 )
 SELECT user_id,
        COUNT(*) AS n_keys,
-       COALESCE(list_sort(list(event_type || '=' || n) FILTER (WHERE n >= 20)),
-                []) AS busy_entries,
-       list_sort(list(upper(event_type) || '=' || 3 * n)) AS tripled_entries
+       COALESCE(array_to_string(
+         list_sort(list(event_type || '=' || n) FILTER (WHERE n >= 20)),
+         ','), '') AS busy_entries,
+       array_to_string(list_sort(list(upper(event_type) || '=' || 3 * n)),
+                       ',') AS tripled_entries
 FROM c
 GROUP BY user_id
 ORDER BY user_id
@@ -676,9 +678,10 @@ def q_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count MAPS are built with map_from_entries, then map_filter keeps
     busy types (>= 20), transform_values doubles, map_zip_with merges the
     original with the doubled map (tripling), and transform_keys
-    uppercases — results normalized to sorted "k=v" entry strings so the
-    DuckDB oracle (whose map surface differs) states the same values
-    relationally. Completes HOF coverage: arrays (q_array_functions),
+    uppercases — results normalized to sorted, comma-joined "k=v" entry
+    STRINGS (scalar columns: the driver's canonicalizer pandas-sorts rows
+    and cannot hash array cells) so the DuckDB oracle (whose map surface
+    differs) states the same values relationally. Completes HOF coverage: arrays (q_array_functions),
     maps (here), folds (dot products), UDTF lateral.
 
     One map-side-combinable count + one groupBy per user — maps live
@@ -702,13 +705,16 @@ def q_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def entries(mcol):
-        return F.array_sort(
-            F.transform(
-                F.map_entries(mcol),
-                lambda e: F.concat(
-                    e["key"], F.lit("="), e["value"].cast("string")
-                ),
-            )
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(mcol),
+                    lambda e: F.concat(
+                        e["key"], F.lit("="), e["value"].cast("string")
+                    ),
+                )
+            ),
+            ",",
         )
 
     return per_user.select(

@@ -1,10 +1,12 @@
 """Approximate/sketch aggregates — the mergeable-summary surface a 100 TB
 engine actually runs (exact forms exist beside them for small data).
 
-No DuckDB oracle: HLL/t-digest implementations differ across engines by
-design, so these register as rows-only checks; the accuracy contract
-(within rated error of exact) is enforced by tests/test_sketches.py
-instead."""
+Engine-internal sketches (approx_count_distinct, percentile_approx) can't
+hash-match another engine's values, so q_approx_sketches asserts its
+rated-error CONTRACT instead: exact columns are hash-checked against
+DuckDB, and each approximate value is reduced to a 0/1 within-bound flag
+that the oracle asserts is 1. The portable sketches below (HLL/CMS/KMV)
+use integer arithmetic and hash-match DuckDB bit for bit."""
 
 from __future__ import annotations
 
@@ -15,27 +17,70 @@ from openmaptiles_zh_modifier_spark.functions.text import h32
 from openmaptiles_zh_modifier_spark.registry import load, register
 
 
-@register("q_approx_sketches")  # rows-only: engine-specific sketch values
+@register(
+    "q_approx_sketches",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n,
+       CAST(1 AS BIGINT) AS approx_parts_ok,
+       CAST(1 AS BIGINT) AS p25_ok,
+       CAST(1 AS BIGINT) AS p50_ok,
+       CAST(1 AS BIGINT) AS p75_ok,
+       CAST(1 AS BIGINT) AS iqr_monotone_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-returnflag HLL distinct counts and t-digest percentiles over
-    lineitem. Both sketches are mergeable: partial states combine
+    """Per-returnflag HLL distinct counts and KLL/GK percentile sketches
+    over lineitem. Both are mergeable: partial states combine
     associatively across partitions, so the shuffle carries fixed-size
     summaries regardless of input scale — the entire point vs their exact
-    counterparts (q_distinct_agg, q_percentiles)."""
+    counterparts (q_distinct_agg, q_percentiles).
+
+    Oracle contract: the sketch VALUES are engine-internal, so each is
+    reduced to a scalar 0/1 within-rated-bound flag —
+    approx_count_distinct(rsd=0.02) within 8% (4 sigma) of the exact
+    count; percentile_approx(accuracy=10000, rank error <= n/10000)
+    between the EXACT 24th/26th (49th/51st, 74th/76th) percentiles — and
+    the DuckDB oracle hash-checks the exact columns while asserting every
+    flag is 1. The exact percentile() here is the assertion harness, not
+    the operator; at 100 TB only the sketch side runs."""
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-            F.percentile_approx(
-                "l_extendedprice", [0.25, 0.75], 10000
-            ).alias("iqr_approx"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("l_returnflag")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 10000
+        ).alias("pa"),
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.24D, 0.26D, 0.49D, 0.51D, 0.74D, 0.76D))"
+        ).alias("xb"),
+        F.count(F.lit(1)).alias("n"),
     )
+
+    def within(value, lo, hi):
+        return ((value >= lo) & (value <= hi)).cast("long")
+
+    pa, xb = F.col("pa"), F.col("xb")
+    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
+        "exact_parts"
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        (rel_err <= 0.08).cast("long").alias("approx_parts_ok"),
+        within(pa[0], xb[0], xb[1]).alias("p25_ok"),
+        within(pa[1], xb[2], xb[3]).alias("p50_ok"),
+        within(pa[2], xb[4], xb[5]).alias("p75_ok"),
+        ((pa[0] <= pa[1]) & (pa[1] <= pa[2])).cast("long").alias(
+            "iqr_monotone_ok"
+        ),
+    ).orderBy("l_returnflag")
 
 
 # -------------------------------------------------------------------------

@@ -21,6 +21,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+class NonScalarCell(TypeError):
+    """A result cell the DRIVER's canonicalizer cannot handle.
+
+    The driver pandas-sorts result rows before hashing; list/map/struct
+    cells raise ``TypeError: unhashable type`` inside pandas and the query
+    is recorded as ``err`` regardless of value correctness (this killed
+    q_map_hofs in rounds 1-2). Be faithful to that: refuse to stringify
+    non-scalar cells so the failure shows up HERE first. Queries must
+    project arrays/maps to strings (array_join / array_to_string)."""
+
+
 def norm(v) -> str:
     import datetime
     import math
@@ -34,10 +45,14 @@ def norm(v) -> str:
         return repr(round(v + 0.0, 9))
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{norm(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (str, int, bool, bytes, datetime.date, datetime.time)):
+        return str(v)
+    if hasattr(v, "__len__") or isinstance(v, (list, tuple, dict, set)):
+        raise NonScalarCell(
+            f"non-scalar result cell {type(v).__name__}: the driver's "
+            "canonicalizer would crash on this — project it to a string "
+            "(array_join / array_to_string) in the query"
+        )
     return str(v)
 
 
@@ -88,7 +103,12 @@ def main() -> int:
             print(f"  [FAIL] {name}: spark error: {str(exc)[:300]}")
             failures += 1
             continue
-        s_fp = frame_fingerprint(s_cols, s_rows)
+        try:
+            s_fp = frame_fingerprint(s_cols, s_rows)
+        except NonScalarCell as exc:
+            print(f"  [FAIL] {name}: driver-canonicalizer: {exc}")
+            failures += 1
+            continue
 
         if name not in ORACLE_SQL:
             print(f"  {name}: rows={s_fp[0]} (rows-only check, no oracle)")
@@ -96,7 +116,12 @@ def main() -> int:
         res = con.execute(ORACLE_SQL[name])
         d_cols = [d[0] for d in res.description]
         d_rows = res.fetchall()
-        d_fp = frame_fingerprint(d_cols, d_rows)
+        try:
+            d_fp = frame_fingerprint(d_cols, d_rows)
+        except NonScalarCell as exc:
+            print(f"  [FAIL] {name}: oracle canonicalizer: {exc}")
+            failures += 1
+            continue
 
         ok = s_fp == d_fp
         status = "OK " if ok else "FAIL"

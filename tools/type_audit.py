@@ -67,7 +67,28 @@ def main() -> int:
         )
 
     hugeint_hits = 0
+    nonscalar_hits = 0
     errors = 0
+    # Rule: NO registered query may output array/map/struct columns — the
+    # driver's canonicalizer pandas-sorts rows and crashes on unhashable
+    # cells (killed q_map_hofs/q_approx_sketches in rounds 1-2). Audit
+    # EVERY query, including oracle-less ones: the driver canonicalizes
+    # those too for its rows-only record.
+    for name in QUERIES:
+        try:
+            dtypes = QUERIES[name](spark, sf_dir).dtypes
+        except Exception as exc:
+            print(f"  [ERR ] {name}: {str(exc)[:120]}")
+            errors += 1
+            continue
+        for col, typ in dtypes:
+            if typ.startswith(("array<", "map<", "struct<")):
+                print(
+                    f"  [LIST] {name}.{col}: spark={typ} — the driver "
+                    "canonicalizer crashes on non-scalar cells; "
+                    "array_join it to a string"
+                )
+                nonscalar_hits += 1
     for name, sql in ORACLE_SQL.items():
         try:
             rows = con.execute(
@@ -79,6 +100,13 @@ def main() -> int:
             errors += 1
             continue
         for col, typ, *_ in rows:
+            dt = str(typ).upper()
+            if dt.endswith("[]") or dt.startswith(("MAP(", "STRUCT(")):
+                print(
+                    f"  [LIST] {name}.{col}: duckdb={typ} — non-scalar "
+                    "oracle output; array_to_string it"
+                )
+                nonscalar_hits += 1
             d = _norm_duck(typ)
             s = s_types.get(col, "MISSING")
             if "HUGEINT" in d:
@@ -88,9 +116,13 @@ def main() -> int:
                 d.startswith("VARCHAR") and s == "STRING"
             ):
                 print(f"  [DIFF] {name}.{col}: duckdb={typ} spark={s}")
-    print(f"{hugeint_hits} HUGEINT output columns, {errors} unauditable queries")
+    print(
+        f"{hugeint_hits} HUGEINT output columns, "
+        f"{nonscalar_hits} non-scalar output columns, "
+        f"{errors} unauditable queries"
+    )
     # an unauditable oracle could hide a HUGEINT — fail on errors too
-    return 1 if (hugeint_hits or errors) else 0
+    return 1 if (hugeint_hits or nonscalar_hits or errors) else 0
 
 
 if __name__ == "__main__":
