@@ -148,98 +148,104 @@ ORDER BY vec_a, vec_b
 """,
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold — the BLOCK-
-    PARTITIONED matmul join. The corpus is split into fixed-size id blocks;
-    the outer loop collects ONE bounded block at a time (<= BLOCK_ROWS
-    rows — never the whole corpus), broadcasts it, and every executor
-    scores its Arrow batches against that block with one BLAS matmul
-    inside mapInPandas. Driver memory is O(BLOCK_ROWS * dim) regardless of
-    corpus size; the A side stays fully distributed and is pruned to
-    blocks <= the broadcast block (vec_a < vec_b implies blk_a <= blk_b).
-    ~25x faster than per-pair interpreted expression folds. At extreme
-    corpus sizes where n_blocks itself explodes, the LSH-bucketed variant
-    below is the intended pruning path; this operator is the exact
-    threshold join.
+    """Embedding-cosine near-dup pairs above a threshold — the BLOCK-PAIR
+    GRID matmul join, as ONE lazy plan. The corpus is split into
+    fixed-size id blocks; each vector is exploded onto every grid cell
+    (blk_a, blk_b), blk_a <= blk_b, where it can meet a partner (as the A
+    side for cells to its right, as the B side for cells above), and a
+    single COGROUPED applyInPandas scores each cell with one BLAS matmul
+    over at most 2 x BLOCK_ROWS vectors. Catalyst sees exactly one
+    cogroup — no driver-side loop, no O(n_blocks) union branches, no
+    collect anywhere: block bounds come from a broadcast one-row
+    aggregate. Work is the same O(n^2 / B) grid an exact threshold join
+    requires; at extreme corpus sizes the LSH-bucketed variant below is
+    the intended pruning path.
 
     Numeric note: numpy sums pairwise, DuckDB folds sequentially — both
     double; the <=1e-14 difference is absorbed by ROUND(4), which the
-    oracle applies identically."""
+    oracle applies identically (threshold compares UNROUNDED sims on both
+    sides)."""
     import numpy as np
     import pandas as pd
 
-    BLOCK_ROWS = 1024  # broadcast-block granularity (1024 x 64 f64 = 512 KB)
-    SUB = 256  # inner matmul tile: keep temporaries cache-resident
+    BLOCK_ROWS = 1024  # grid granularity (1024 x 64 f64 = 512 KB per side)
 
-    v = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    vb = v.withColumn(
-        "blk", F.floor(F.col("vec_id") / BLOCK_ROWS).cast("int")
+    # NULL vec_ids are excluded — a NULL id satisfies neither a < b nor
+    # b > a, which is exactly the oracle's join behavior.
+    vb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .where(F.col("vec_id").isNotNull())
+        .withColumn("blk", F.floor(F.col("vec_id") / BLOCK_ROWS).cast("int"))
     )
-    # bounded collect: one small int per corpus block, not the corpus.
-    # NULL vec_ids are excluded from BOTH sides — a NULL id satisfies
-    # neither a < b nor b > a, which is exactly the oracle's join behavior.
-    block_ids = sorted(
-        r[0]
-        for r in vb.where(F.col("blk").isNotNull())
-        .select("blk")
-        .distinct()
-        .collect()
-    )
+    # lazy scalar bounds: one-row aggregate, broadcast-cross-joined in.
+    # bounds shares vb's lineage, so qualify every reference through
+    # aliases — Spark's ambiguous-self-join check rejects bare columns.
+    bounds = vb.agg(F.min("blk").alias("blk_lo"), F.max("blk").alias("blk_hi"))
 
-    def scorer(bc):
-        def score(batches):
-            b_ids, b_labels, b_mat, b_norms = bc.value
-            for pdf in batches:
-                sub = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-                sub_ids = pdf["vec_id"].to_numpy()
-                sub_labels = pdf["label"].to_numpy()
-                sub_norms = np.sqrt((sub * sub).sum(axis=1))
-                for lo in range(0, len(sub), SUB):
-                    hi = lo + SUB
-                    sims = (sub[lo:hi] @ b_mat.T) / (
-                        sub_norms[lo:hi, None] * b_norms[None, :]
-                    )
-                    # upper triangle (vec_a < vec_b), threshold UNROUNDED
-                    keep = (sub_ids[lo:hi, None] < b_ids[None, :]) & (
-                        sims >= NEARDUP_COS
-                    )
-                    ai, bj = np.nonzero(keep)
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": sub_ids[lo:hi][ai],
-                            "vec_b": b_ids[bj],
-                            "label_a": sub_labels[lo:hi][ai].astype("int32"),
-                            "label_b": b_labels[bj].astype("int32"),
-                            "cosine": np.round(sims[ai, bj], 4),
-                        }
-                    )
-
-        return score
-
-    schema = "vec_a long, vec_b long, label_a int, label_b int, cosine double"
-    # empty corpus -> no blocks -> a valid empty frame, same as the oracle
-    out = spark.createDataFrame([], schema) if not block_ids else None
-    for blk in block_ids:
-        block = (
-            vb.where(F.col("blk") == blk)
-            .select("vec_id", "embedding", "label")
-            .toPandas()  # bounded: <= BLOCK_ROWS rows by construction
-        )
-        mat = np.array(block["embedding"].tolist(), dtype=np.float64)
-        bc = spark.sparkContext.broadcast(
-            (
-                block["vec_id"].to_numpy(),
-                block["label"].to_numpy(),
-                mat,
-                np.sqrt((mat * mat).sum(axis=1)),
+    def grid_side(tag: str, pa_expr, pb_expr) -> DataFrame:
+        return (
+            vb.alias(tag)
+            .crossJoin(F.broadcast(bounds.alias(tag + "_b")))
+            .select(
+                F.col(f"{tag}.vec_id").alias("vec_id"),
+                F.col(f"{tag}.embedding").alias("embedding"),
+                F.col(f"{tag}.label").alias("label"),
+                pa_expr.alias("pa"),
+                pb_expr.alias("pb"),
             )
         )
-        part = (
-            vb.where(F.col("blk") <= blk)  # a < b pairs only: prune A side
-            .select("vec_id", "embedding", "label")
-            .mapInPandas(scorer(bc), schema=schema)
+
+    a_side = grid_side(
+        "ga",
+        F.col("ga.blk"),
+        F.explode(F.sequence(F.col("ga.blk"), F.col("ga_b.blk_hi"))),
+    )
+    b_side = grid_side(
+        "gb",
+        F.explode(F.sequence(F.col("gb_b.blk_lo"), F.col("gb.blk"))),
+        F.col("gb.blk"),
+    )
+
+    def score(key, a_pdf, b_pdf):
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "label_a": np.array([], dtype=np.int32),
+                    "label_b": np.array([], dtype=np.int32),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        a_mat = np.array(a_pdf["embedding"].tolist(), dtype=np.float64)
+        b_mat = np.array(b_pdf["embedding"].tolist(), dtype=np.float64)
+        a_ids = a_pdf["vec_id"].to_numpy()
+        b_ids = b_pdf["vec_id"].to_numpy()
+        sims = (a_mat @ b_mat.T) / (
+            np.sqrt((a_mat * a_mat).sum(axis=1))[:, None]
+            * np.sqrt((b_mat * b_mat).sum(axis=1))[None, :]
         )
-        out = part if out is None else out.unionAll(part)
-    return out.orderBy("vec_a", "vec_b")
+        # upper triangle (vec_a < vec_b), threshold UNROUNDED
+        keep = (a_ids[:, None] < b_ids[None, :]) & (sims >= NEARDUP_COS)
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_a": a_ids[ai],
+                "vec_b": b_ids[bj],
+                "label_a": a_pdf["label"].to_numpy()[ai].astype("int32"),
+                "label_b": b_pdf["label"].to_numpy()[bj].astype("int32"),
+                "cosine": np.round(sims[ai, bj], 4),
+            }
+        )
+
+    schema = "vec_a long, vec_b long, label_a int, label_b int, cosine double"
+    return (
+        a_side.groupBy("pa", "pb")
+        .cogroup(b_side.groupBy("pa", "pb"))
+        .applyInPandas(score, schema=schema)
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 # -------------------------------------------------------------------------
