@@ -106,10 +106,12 @@ def hstore_text_to_map(col):
     # `"=>"` spanning the key-close and value-open quotes parses as a
     # quoted string. Key positions are exactly (start | separator) in
     # well-formed hstore text, and quotes inside keys/values are always
-    # escaped, so the anchored pattern cannot start mid-value.
+    # escaped, so the anchored pattern cannot start mid-value. Leading
+    # whitespace before the first key (or after any comma) is tolerated
+    # the way lenient hstore producers emit it.
     marked = F.regexp_replace(
         col,
-        r'(^|,\s*)("(?:[^"\\]|\\.)*")\s*=>\s*NULL',
+        r'(^\s*|,\s*)("(?:[^"\\]|\\.)*")\s*=>\s*NULL',
         '$1$2=>"\u0000"',
     )
     entry = r'"((?:[^"\\]|\\.)*)"\s*=>\s*"((?:[^"\\]|\\.)*)"'

@@ -563,7 +563,8 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.md5(F.lower(F.trim(F.col("text")))).alias("dk"),
-        (F.substring("source", 4, 10).cast("int") % 2).alias("is_test"),
+        # unbounded substring — mirrors the oracle's substr(source, 4)
+        (F.expr("substring(source, 4)").cast("int") % 2).alias("is_test"),
     )
     train = split.where(F.col("is_test") == 0).select("dk").distinct()
     test = split.where(F.col("is_test") == 1)
@@ -862,7 +863,8 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = load(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        (F.substring("source", 4, 10).cast("int") % 2).alias("is_test"),
+        # unbounded substring — mirrors the oracle's substr(source, 4)
+        (F.expr("substring(source, 4)").cast("int") % 2).alias("is_test"),
     )
     joined = sh.join(split, "doc_id")
     train = (

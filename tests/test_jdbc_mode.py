@@ -209,6 +209,9 @@ def test_hstore_text_parser_adversarial_values(spark):
         ('"k"=>"=>NULL"', {"k": "=>NULL"}),
         ('"k"=>"x, \\"a\\"=>NULL", "m"=>NULL', {"k": 'x, "a"=>NULL', "m": None}),
         ('"=>NULL"=>"v"', {"=>NULL": "v"}),
+        # leading whitespace before the first key still anchors the
+        # unquoted-NULL sentinel (lenient producers indent entries)
+        ('  "lead"=>NULL, "k"=>"v"', {"lead": None, "k": "v"}),
         ("", {}),
     ]
     df = spark.createDataFrame(
