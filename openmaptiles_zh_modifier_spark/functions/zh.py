@@ -11,13 +11,18 @@ Re-expresses the reference's three client-side scalar functions
   * ``to_traditional``— OMTZHModifier.java:233 ``ZhConverterUtil.toTraditional``.
 
 The reference uses the OpenCC dictionaries (word-level, via opencc4j). This
-container has no OpenCC build, so conversion is a deterministic CHAR-LEVEL
-mapping over a published common Traditional↔Simplified table, applied with
-``F.translate`` — a single whole-stage-codegen JVM expression. Char-level
-conversion is the standard degraded mode of OpenCC itself (its t2s/s2t char
-dictionaries); word-level disambiguation (e.g. 干→乾/幹) is NOT attempted.
-The mapping is exposed as module constants so the DuckDB oracle can run the
-byte-identical ``translate`` and hash-match.
+container has no OpenCC build, so conversion is (1) a word-level phrase
+pre-pass (an OpenCC TSPhrases/STPhrases subset, ~120 high-frequency
+disambiguation words) followed by (2) a deterministic CHAR-LEVEL
+``F.translate`` over ~900 pairs from the public OpenCC TSCharacters data —
+all whole-stage-codegen JVM expressions. Char tables are DIRECTION-SCOPED:
+a traditional char may safely collapse t2s while its simplified form must
+not blindly reverse (後→后 but 皇后 keeps 后), so those pairs feed only the
+t2s alphabet and the s2t side relies on phrases + its own defaults. The
+mapping is exposed as module constants so the DuckDB oracle can run the
+byte-identical ``translate`` chain and hash-match. Residual divergence vs
+full OpenCC (OOV ambiguous words) is measured by
+tests/test_zh_backfill.py::test_opencc_divergence_envelope.
 
 If a real ``opencc`` package is present, ``to_simplified_opencc`` /
 ``to_traditional_opencc`` provide Arrow-batched pandas-UDF variants behind an
@@ -63,11 +68,11 @@ _T2S_PAIRS = [
     ("寶", "宝"), ("禮", "礼"), ("義", "义"), ("議", "议"), ("記", "记"),
     ("計", "计"), ("設", "设"), ("訪", "访"), ("許", "许"), ("評", "评"),
     ("識", "识"), ("詞", "词"), ("試", "试"), ("詩", "诗"), ("誠", "诚"),
-    ("誌", "志"), ("認", "认"), ("請", "请"), ("論", "论"), ("諸", "诸"),
+    ("認", "认"), ("請", "请"), ("論", "论"), ("諸", "诸"),
     ("謝", "谢"), ("譯", "译"), ("護", "护"), ("財", "财"), ("貨", "货"),
     ("貴", "贵"), ("費", "费"), ("資", "资"), ("賓", "宾"), ("質", "质"),
     ("購", "购"), ("贈", "赠"), ("輕", "轻"), ("載", "载"), ("輪", "轮"),
-    ("轉", "转"), ("農", "农"), ("連", "连"), ("週", "周"), ("進", "进"),
+    ("轉", "转"), ("農", "农"), ("連", "连"), ("進", "进"),
     ("遊", "游"), ("過", "过"), ("達", "达"), ("違", "违"), ("遠", "远"),
     ("適", "适"), ("選", "选"), ("遺", "遗"), ("還", "还"), ("邊", "边"),
     ("郵", "邮"), ("鄰", "邻"), ("釋", "释"), ("鐘", "钟"), ("鋼", "钢"),
@@ -77,7 +82,7 @@ _T2S_PAIRS = [
     ("響", "响"), ("順", "顺"), ("須", "须"), ("頂", "顶"), ("項", "项"),
     ("領", "领"), ("顏", "颜"), ("顯", "显"), ("養", "养"), ("餐", "餐"),
     ("飯", "饭"), ("飲", "饮"), ("館", "馆"), ("驗", "验"), ("騎", "骑"),
-    ("驚", "惊"), ("鬥", "斗"), ("鬧", "闹"), ("麗", "丽"), ("麥", "麦"),
+    ("驚", "惊"), ("鬧", "闹"), ("麗", "丽"), ("麥", "麦"),
     ("點", "点"), ("黨", "党"), ("齊", "齐"), ("齒", "齿"), ("龜", "龟"),
     ("優", "优"), ("傳", "传"), ("傷", "伤"), ("價", "价"), ("儀", "仪"),
     ("億", "亿"), ("兒", "儿"), ("內", "内"), ("兩", "两"), ("冊", "册"),
@@ -89,14 +94,14 @@ _T2S_PAIRS = [
     ("烏", "乌"), ("習", "习"), ("鄭", "郑"), ("亞", "亚"), ("產", "产"),
     ("親", "亲"), ("億", "亿"), ("僅", "仅"), ("從", "从"), ("倉", "仓"),
     ("儀", "仪"), ("們", "们"), ("價", "价"), ("眾", "众"), ("優", "优"),
-    ("夥", "伙"), ("會", "会"), ("傘", "伞"), ("偉", "伟"), ("傳", "传"),
+    ("會", "会"), ("傘", "伞"), ("偉", "伟"), ("傳", "传"),
     ("傷", "伤"), ("倫", "伦"), ("側", "侧"), ("僑", "侨"), ("俠", "侠"),
-    ("係", "系"), ("繫", "系"), ("促", "促"), ("儉", "俭"), ("修", "修"),
+    ("促", "促"), ("儉", "俭"), ("修", "修"),
     ("個", "个"), ("豫", "豫"), ("雅", "雅"), ("集", "集"), ("雄", "雄"),
     ("雖", "虽"), ("雨", "雨"), ("青", "青"), ("靠", "靠"), ("非", "非"),
     ("面", "面"), ("鞋", "鞋"), ("音", "音"), ("韻", "韵"), ("頻", "频"),
     ("題", "题"), ("額", "额"), ("願", "愿"), ("類", "类"), ("飄", "飘"),
-    ("餘", "余"), ("駐", "驻"), ("驅", "驱"), ("骨", "骨"), ("高", "高"),
+    ("駐", "驻"), ("驅", "驱"), ("骨", "骨"), ("高", "高"),
     ("魯", "鲁"), ("鮮", "鲜"), ("鳳", "凤"), ("鳴", "鸣"), ("鴻", "鸿"),
     ("鵬", "鹏"), ("黃", "黄"), ("黑", "黑"), ("墨", "墨"), ("默", "默"),
     ("鼓", "鼓"), ("鼠", "鼠"), ("鼻", "鼻"), ("北", "北"), ("京", "京"),
@@ -115,8 +120,158 @@ _T2S_PAIRS = [
     ("腦", "脑"), ("膚", "肤"), ("臟", "脏"), ("艦", "舰"), ("藝", "艺"),
     ("藍", "蓝"), ("藥", "药"), ("蘇", "苏"), ("蘭", "兰"), ("處", "处"),
     ("號", "号"), ("蟲", "虫"), ("術", "术"), ("裝", "装"), ("補", "补"),
-    ("製", "制"), ("複", "复"), ("規", "规"), ("視", "视"), ("覺", "觉"),
+    ("規", "规"), ("視", "视"), ("覺", "觉"),
     ("觀", "观"), ("角", "角"), ("解", "解"), ("觸", "触"), ("訓", "训"),
+    # --- round-3 expansion: the high-frequency remainder of the public
+    # OpenCC TSCharacters data (bidirectional-safe 1:1 chars only; chars
+    # whose reverse is ambiguous live in _T2S_ONLY_PAIRS below) ---
+    ("現", "现"), ("寬", "宽"), ("覽", "览"), ("負", "负"), ("貢", "贡"),
+    ("責", "责"), ("賢", "贤"), ("敗", "败"), ("賬", "账"), ("貯", "贮"),
+    ("貼", "贴"), ("貸", "贷"), ("貿", "贸"), ("賀", "贺"), ("賃", "赁"),
+    ("賊", "贼"), ("賠", "赔"), ("賦", "赋"), ("賭", "赌"), ("賴", "赖"),
+    ("賽", "赛"), ("贊", "赞"), ("贏", "赢"), ("贓", "赃"), ("贖", "赎"),
+    ("貧", "贫"), ("貪", "贪"), ("貫", "贯"), ("實", "实"), ("賤", "贱"),
+    ("訂", "订"), ("訊", "讯"), ("討", "讨"), ("證", "证"), ("訴", "诉"),
+    ("診", "诊"), ("詔", "诏"), ("誇", "夸"), ("話", "话"), ("誕", "诞"),
+    ("詮", "诠"), ("說", "说"), ("誦", "诵"), ("調", "调"), ("諒", "谅"),
+    ("謀", "谋"), ("諜", "谍"), ("謊", "谎"), ("諧", "谐"), ("謂", "谓"),
+    ("諭", "谕"), ("諮", "谘"), ("諺", "谚"), ("謎", "谜"), ("謗", "谤"),
+    ("謙", "谦"), ("講", "讲"), ("謠", "谣"), ("謬", "谬"), ("謹", "谨"),
+    ("譏", "讥"), ("譚", "谭"), ("譜", "谱"), ("譽", "誉"), ("讓", "让"),
+    ("訝", "讶"), ("詳", "详"), ("誤", "误"), ("誘", "诱"), ("語", "语"),
+    ("釘", "钉"), ("針", "针"), ("釣", "钓"), ("鈔", "钞"), ("鈍", "钝"),
+    ("鈣", "钙"), ("鈕", "钮"), ("鈴", "铃"), ("鉛", "铅"), ("銀", "银"),
+    ("銅", "铜"), ("銘", "铭"), ("鋁", "铝"), ("鋒", "锋"), ("鋤", "锄"),
+    ("鋪", "铺"), ("銷", "销"), ("鋸", "锯"), ("錯", "错"), ("錘", "锤"),
+    ("錨", "锚"), ("錫", "锡"), ("鍋", "锅"), ("鍵", "键"), ("鍛", "锻"),
+    ("鎊", "镑"), ("鏈", "链"), ("鏟", "铲"), ("鏢", "镖"), ("鑄", "铸"),
+    ("鑰", "钥"), ("鑲", "镶"), ("鑼", "锣"), ("鑽", "钻"), ("鈞", "钧"),
+    ("鉤", "钩"), ("鉗", "钳"), ("鉀", "钾"), ("銜", "衔"), ("鋅", "锌"),
+    ("錐", "锥"), ("錠", "锭"), ("鎬", "镐"), ("鎳", "镍"), ("鎢", "钨"),
+    ("鏽", "锈"), ("鑒", "鉴"), ("閃", "闪"), ("問", "问"), ("閘", "闸"),
+    ("閑", "闲"), ("閣", "阁"), ("閥", "阀"), ("閨", "闺"), ("聞", "闻"),
+    ("閩", "闽"), ("闊", "阔"), ("闖", "闯"), ("闡", "阐"), ("閻", "阎"),
+    ("糾", "纠"), ("紀", "纪"), ("約", "约"), ("紅", "红"), ("紉", "纫"),
+    ("紋", "纹"), ("納", "纳"), ("紐", "纽"), ("純", "纯"), ("紗", "纱"),
+    ("紙", "纸"), ("級", "级"), ("紛", "纷"), ("紡", "纺"), ("細", "细"),
+    ("紳", "绅"), ("紹", "绍"), ("終", "终"), ("組", "组"), ("結", "结"),
+    ("絕", "绝"), ("絞", "绞"), ("絡", "络"), ("給", "给"), ("絨", "绒"),
+    ("統", "统"), ("絹", "绢"), ("綁", "绑"), ("經", "经"), ("綠", "绿"),
+    ("綢", "绸"), ("綱", "纲"), ("綴", "缀"), ("綸", "纶"), ("綿", "绵"),
+    ("緊", "紧"), ("緒", "绪"), ("緝", "缉"), ("緞", "缎"), ("締", "缔"),
+    ("緣", "缘"), ("編", "编"), ("緩", "缓"), ("緬", "缅"), ("緯", "纬"),
+    ("練", "练"), ("縛", "缚"), ("縫", "缝"), ("縷", "缕"), ("總", "总"),
+    ("績", "绩"), ("繃", "绷"), ("繩", "绳"), ("繡", "绣"), ("繪", "绘"),
+    ("繞", "绕"), ("繳", "缴"), ("繽", "缤"), ("纏", "缠"), ("纖", "纤"),
+    ("纜", "缆"), ("絲", "丝"),
+    ("頃", "顷"), ("頑", "顽"), ("頒", "颁"), ("頌", "颂"), ("預", "预"),
+    ("頗", "颇"), ("頰", "颊"), ("頸", "颈"), ("頹", "颓"), ("頤", "颐"),
+    ("顆", "颗"), ("顛", "颠"), ("顧", "顾"), ("顫", "颤"), ("顱", "颅"),
+    ("頓", "顿"),
+    ("飢", "饥"), ("飽", "饱"), ("飾", "饰"), ("餃", "饺"), ("餅", "饼"),
+    ("餓", "饿"), ("餒", "馁"), ("餡", "馅"), ("饅", "馒"), ("饒", "饶"),
+    ("饞", "馋"), ("飼", "饲"), ("餵", "喂"),
+    ("馭", "驭"), ("馴", "驯"), ("馳", "驰"), ("駁", "驳"), ("駛", "驶"),
+    ("駝", "驼"), ("駕", "驾"), ("駿", "骏"), ("騁", "骋"), ("騙", "骗"),
+    ("騷", "骚"), ("騾", "骡"), ("驕", "骄"), ("驛", "驿"), ("驟", "骤"),
+    ("驢", "驴"), ("駱", "骆"), ("騰", "腾"), ("駭", "骇"), ("馮", "冯"),
+    ("魷", "鱿"), ("鮑", "鲍"), ("鯉", "鲤"), ("鯊", "鲨"), ("鯨", "鲸"),
+    ("鰓", "鳃"), ("鰭", "鳍"), ("鰻", "鳗"), ("鱷", "鳄"), ("鱉", "鳖"),
+    ("鱔", "鳝"), ("鱗", "鳞"),
+    ("鳩", "鸠"), ("鴉", "鸦"), ("鴨", "鸭"), ("鴛", "鸳"), ("鴦", "鸯"),
+    ("鴿", "鸽"), ("鵑", "鹃"), ("鵝", "鹅"), ("鵡", "鹉"), ("鶯", "莺"),
+    ("鶴", "鹤"), ("鷗", "鸥"), ("鷹", "鹰"), ("鸚", "鹦"), ("鵲", "鹊"),
+    ("鷺", "鹭"),
+    ("軋", "轧"), ("軒", "轩"), ("軟", "软"), ("軸", "轴"), ("較", "较"),
+    ("輔", "辅"), ("輛", "辆"), ("輝", "辉"), ("輩", "辈"), ("輻", "辐"),
+    ("輯", "辑"), ("轄", "辖"), ("輿", "舆"), ("轅", "辕"), ("轍", "辙"),
+    ("轎", "轿"), ("轟", "轰"), ("輟", "辍"),
+    ("喪", "丧"), ("嗎", "吗"), ("嘔", "呕"), ("嘆", "叹"), ("嘩", "哗"),
+    ("嘯", "啸"), ("嘰", "叽"), ("噴", "喷"), ("嚇", "吓"), ("囂", "嚣"),
+    ("囑", "嘱"), ("圍", "围"), ("圓", "圆"), ("圖", "图"), ("團", "团"),
+    ("壇", "坛"), ("壓", "压"), ("壘", "垒"), ("壞", "坏"), ("壟", "垄"),
+    ("壩", "坝"), ("壯", "壮"), ("壽", "寿"), ("奪", "夺"), ("奮", "奋"),
+    ("婦", "妇"), ("媽", "妈"), ("嬌", "娇"), ("嬰", "婴"), ("嬸", "婶"),
+    ("孫", "孙"), ("寧", "宁"), ("審", "审"), ("導", "导"), ("對", "对"),
+    ("將", "将"), ("尋", "寻"), ("屆", "届"), ("屜", "屉"), ("屬", "属"),
+    ("層", "层"), ("屢", "屡"), ("嶄", "崭"), ("嶼", "屿"), ("巒", "峦"),
+    ("帥", "帅"), ("師", "师"), ("帳", "帐"), ("帶", "带"), ("幣", "币"),
+    ("幫", "帮"), ("幾", "几"), ("庫", "库"), ("廁", "厕"), ("廂", "厢"),
+    ("廬", "庐"), ("彎", "弯"), ("彈", "弹"), ("彌", "弥"), ("彥", "彦"),
+    ("徑", "径"), ("徹", "彻"), ("恆", "恒"), ("恥", "耻"), ("悶", "闷"),
+    ("惡", "恶"), ("惱", "恼"), ("憊", "惫"), ("憐", "怜"), ("憑", "凭"),
+    ("憲", "宪"), ("憶", "忆"), ("懇", "恳"), ("懲", "惩"), ("懶", "懒"),
+    ("懷", "怀"), ("懸", "悬"), ("懼", "惧"), ("戀", "恋"), ("戰", "战"),
+    ("戲", "戏"), ("掃", "扫"), ("挾", "挟"), ("掙", "挣"), ("掛", "挂"),
+    ("揀", "拣"), ("揚", "扬"), ("搖", "摇"), ("搗", "捣"), ("摟", "搂"),
+    ("摯", "挚"), ("擁", "拥"), ("擋", "挡"), ("擇", "择"), ("擊", "击"),
+    ("擠", "挤"), ("擬", "拟"), ("擴", "扩"), ("擲", "掷"), ("擾", "扰"),
+    ("攏", "拢"), ("攔", "拦"), ("攜", "携"), ("攝", "摄"), ("攢", "攒"),
+    ("攤", "摊"), ("攪", "搅"), ("敵", "敌"), ("數", "数"), ("斂", "敛"),
+    ("斃", "毙"), ("斷", "断"), ("時", "时"), ("晉", "晋"), ("晝", "昼"),
+    ("暈", "晕"), ("暢", "畅"), ("曉", "晓"), ("曬", "晒"), ("棄", "弃"),
+    ("棧", "栈"), ("條", "条"), ("棗", "枣"), ("棟", "栋"), ("棲", "栖"),
+    ("樁", "桩"), ("標", "标"), ("樞", "枢"), ("樣", "样"), ("樸", "朴"),
+    ("樹", "树"), ("檔", "档"), ("檢", "检"), ("櫃", "柜"), ("櫥", "橱"),
+    ("櫻", "樱"), ("權", "权"), ("欄", "栏"), ("欖", "榄"), ("歡", "欢"),
+    ("歲", "岁"), ("歸", "归"), ("殘", "残"), ("殺", "杀"), ("殼", "壳"),
+    ("毀", "毁"), ("毆", "殴"), ("氈", "毡"), ("氫", "氢"), ("氬", "氩"),
+    ("溝", "沟"), ("況", "况"), ("淚", "泪"), ("淺", "浅"), ("渦", "涡"),
+    ("測", "测"), ("湊", "凑"), ("湯", "汤"), ("濕", "湿"), ("濟", "济"),
+    ("濤", "涛"), ("濫", "滥"), ("濱", "滨"), ("濾", "滤"), ("瀉", "泻"),
+    ("瀏", "浏"), ("瀕", "濒"), ("瀝", "沥"), ("瀟", "潇"), ("灑", "洒"),
+    ("災", "灾"), ("無", "无"), ("煙", "烟"), ("煥", "焕"), ("熱", "热"),
+    ("燈", "灯"), ("燒", "烧"), ("燙", "烫"), ("營", "营"), ("燦", "灿"),
+    ("燭", "烛"), ("爍", "烁"), ("爐", "炉"), ("爛", "烂"), ("爭", "争"),
+    ("爺", "爷"), ("爾", "尔"), ("牆", "墙"), ("犧", "牺"), ("狀", "状"),
+    ("獄", "狱"), ("獅", "狮"), ("獎", "奖"), ("獨", "独"), ("獲", "获"),
+    ("獸", "兽"), ("獻", "献"), ("瑪", "玛"), ("瓊", "琼"), ("畫", "画"),
+    ("疇", "畴"), ("療", "疗"), ("瘋", "疯"), ("瘡", "疮"), ("瘧", "疟"),
+    ("癢", "痒"), ("癱", "瘫"), ("皺", "皱"), ("盞", "盏"), ("鹽", "盐"),
+    ("蓋", "盖"), ("盧", "卢"), ("睜", "睁"), ("睞", "睐"), ("瞞", "瞒"),
+    ("矯", "矫"), ("磚", "砖"), ("礙", "碍"), ("礫", "砾"), ("祿", "禄"),
+    ("禪", "禅"), ("種", "种"), ("稱", "称"), ("積", "积"), ("穎", "颖"),
+    ("穩", "稳"), ("窩", "窝"), ("窪", "洼"), ("窮", "穷"), ("竅", "窍"),
+    ("竊", "窃"), ("豎", "竖"), ("競", "竞"), ("筆", "笔"), ("筍", "笋"),
+    ("節", "节"), ("築", "筑"), ("篤", "笃"), ("簍", "篓"), ("簡", "简"),
+    ("簽", "签"), ("籃", "篮"), ("籌", "筹"), ("籠", "笼"), ("糞", "粪"),
+    ("糧", "粮"), ("聾", "聋"), ("腸", "肠"), ("膽", "胆"), ("膠", "胶"),
+    ("臉", "脸"), ("膿", "脓"), ("臘", "腊"), ("舊", "旧"), ("艙", "舱"),
+    ("艱", "艰"), ("蘆", "芦"), ("蘿", "萝"), ("虛", "虚"), ("蝦", "虾"),
+    ("螞", "蚂"), ("螢", "萤"), ("蟬", "蝉"), ("蟻", "蚁"), ("蠅", "蝇"),
+    ("蠟", "蜡"), ("蠶", "蚕"), ("衛", "卫"), ("襖", "袄"), ("襯", "衬"),
+    ("貓", "猫"), ("踐", "践"), ("蹤", "踪"), ("軀", "躯"), ("辦", "办"),
+    ("辭", "辞"), ("辮", "辫"), ("辯", "辩"), ("邁", "迈"), ("遞", "递"),
+    ("遷", "迁"), ("遼", "辽"), ("邏", "逻"), ("鄧", "邓"), ("醬", "酱"),
+    ("釀", "酿"), ("陝", "陕"), ("隊", "队"), ("階", "阶"), ("隕", "陨"),
+    ("險", "险"), ("雛", "雏"), ("離", "离"), ("霧", "雾"), ("靂", "雳"),
+    ("鹼", "碱"), ("齋", "斋"), ("齦", "龈"), ("龐", "庞"), ("龔", "龚"),
+    ("嘗", "尝"), ("捨", "舍"), ("捲", "卷"), ("兇", "凶"), ("倖", "幸"),
+    ("僱", "雇"), ("託", "托"), ("嚥", "咽"), ("飆", "飙"), ("鬢", "鬓"),
+    ("鹵", "卤"), ("韻", "韵"),
+]
+
+# Traditional chars that safely simplify but whose SIMPLIFIED form must
+# NOT reverse-map at char level — the simplified char is itself a valid
+# (or ambiguous) traditional char, or several traditional chars collapse
+# onto it and the right reverse needs word context (the phrase tables
+# carry that). These feed ONLY the t2s alphabet.
+_T2S_ONLY_PAIRS = [
+    ("後", "后"), ("裡", "里"), ("裏", "里"), ("麵", "面"), ("髮", "发"),
+    ("幹", "干"), ("隻", "只"), ("鬆", "松"), ("徵", "征"), ("餘", "余"),
+    ("製", "制"), ("係", "系"), ("繫", "系"), ("週", "周"), ("鬥", "斗"),
+    ("誌", "志"), ("夥", "伙"), ("複", "复"), ("復", "复"), ("鍾", "钟"),
+    ("颱", "台"), ("檯", "台"), ("穀", "谷"), ("範", "范"), ("禦", "御"),
+    ("瞭", "了"), ("鬍", "胡"), ("鬚", "须"), ("髒", "脏"), ("衝", "冲"),
+    ("沖", "冲"), ("齣", "出"), ("鹹", "咸"), ("颳", "刮"), ("黴", "霉"),
+    ("嚐", "尝"), ("傢", "家"), ("閒", "闲"), ("銹", "锈"), ("鑑", "鉴"),
+    ("彙", "汇"), ("噁", "恶"), ("嘍", "喽"),
+]
+
+# Simplified chars whose DEFAULT traditional form is not the reverse of
+# any pair above (OpenCC STCharacters defaults). Feed ONLY s2t.
+_S2T_ONLY_PAIRS = [
+    ("復", "复"),  # 复 defaults to 復 (恢復/復習); 複 comes via phrases
 ]
 
 # Build 1:1 translate alphabets (dedup by source char; first occurrence wins).
@@ -125,7 +280,7 @@ _T2S_PAIRS = [
 def _build_alphabets() -> tuple[str, str, str, str]:
     t2s_from, t2s_to = [], []
     seen_t: set[str] = set()
-    for t, s in _T2S_PAIRS:
+    for t, s in _T2S_PAIRS + _T2S_ONLY_PAIRS:
         if t in seen_t or t == s:
             continue
         seen_t.add(t)
@@ -133,7 +288,7 @@ def _build_alphabets() -> tuple[str, str, str, str]:
         t2s_to.append(s)
     s2t_from, s2t_to = [], []
     seen_s: set[str] = set()
-    for t, s in _T2S_PAIRS:
+    for t, s in _S2T_ONLY_PAIRS + _T2S_PAIRS:
         if s in seen_s or t == s:
             continue
         seen_s.add(s)
@@ -157,23 +312,78 @@ T2S_FROM, T2S_TO, S2T_FROM, S2T_TO = _build_alphabets()
 # char-level answer.
 # ---------------------------------------------------------------------------
 
-# traditional word -> simplified word (t2s direction)
+# traditional word -> simplified word (t2s direction). Most t2s ambiguity
+# is handled char-level (the collapse direction is safe); these cover the
+# chars kept OUT of the t2s char table because even t2s needs context
+# (乾 qián in era names, 藉 jí in 狼藉).
 T2S_PHRASES: list[tuple[str, str]] = [
     ("乾燥", "干燥"), ("乾杯", "干杯"), ("乾淨", "干净"), ("餅乾", "饼干"),
-    ("乾旱", "干旱"), ("幹部", "干部"), ("幹活", "干活"), ("能幹", "能干"),
+    ("乾旱", "干旱"), ("乾脆", "干脆"), ("乾貨", "干货"), ("風乾", "风干"),
+    ("乾洗", "干洗"), ("乾燥", "干燥"), ("晒乾", "晒干"), ("曬乾", "晒干"),
+    ("幹部", "干部"), ("幹活", "干活"), ("能幹", "能干"),
     ("裡面", "里面"), ("裏面", "里面"), ("這裡", "这里"), ("那裡", "那里"),
     ("哪裡", "哪里"), ("後面", "后面"), ("以後", "以后"), ("之後", "之后"),
     ("最後", "最后"), ("後來", "后来"), ("麵條", "面条"), ("麵包", "面包"),
 ]
 
-# simplified word -> traditional word (s2t direction)
+# simplified word -> traditional word (s2t direction) — the direction
+# where one simplified char fans out to several traditional chars and
+# only the word decides (OpenCC STPhrases subset, high-frequency).
 S2T_PHRASES: list[tuple[str, str]] = [
+    # 发 -> 髮 (hair words; char default is 發)
     ("头发", "頭髮"), ("理发", "理髮"), ("假发", "假髮"), ("发型", "髮型"),
-    ("发廊", "髮廊"), ("干燥", "乾燥"), ("干杯", "乾杯"), ("干净", "乾淨"),
-    ("饼干", "餅乾"), ("干旱", "乾旱"), ("干部", "幹部"), ("干活", "幹活"),
-    ("能干", "能幹"), ("里面", "裡面"), ("这里", "這裡"), ("那里", "那裡"),
-    ("哪里", "哪裡"), ("后面", "後面"), ("以后", "以後"), ("之后", "之後"),
-    ("最后", "最後"), ("后来", "後來"), ("面条", "麵條"), ("面包", "麵包"),
+    ("发廊", "髮廊"), ("烫发", "燙髮"), ("染发", "染髮"), ("长发", "長髮"),
+    ("短发", "短髮"), ("金发", "金髮"), ("白发", "白髮"), ("脱发", "脫髮"),
+    ("毛发", "毛髮"), ("发夹", "髮夾"), ("发丝", "髮絲"),
+    # 干 -> 乾 / 幹 (char default: leave 干 alone)
+    ("干燥", "乾燥"), ("干杯", "乾杯"), ("干净", "乾淨"), ("饼干", "餅乾"),
+    ("干旱", "乾旱"), ("干脆", "乾脆"), ("干货", "乾貨"), ("风干", "風乾"),
+    ("干洗", "乾洗"), ("晒干", "曬乾"), ("干部", "幹部"), ("干活", "幹活"),
+    ("能干", "能幹"), ("干线", "幹線"), ("干劲", "幹勁"), ("骨干", "骨幹"),
+    ("干事", "幹事"), ("树干", "樹幹"), ("主干", "主幹"), ("苦干", "苦幹"),
+    ("实干", "實幹"),
+    # 里 -> 裡 (char default: leave 里 alone — 公里/千里 stay)
+    ("里面", "裡面"), ("这里", "這裡"), ("那里", "那裡"), ("哪里", "哪裡"),
+    ("心里", "心裡"), ("家里", "家裡"), ("夜里", "夜裡"), ("手里", "手裡"),
+    ("城里", "城裡"), ("里边", "裡邊"),
+    # 后 -> 後 (char default: leave 后 alone — 皇后/太后 stay)
+    ("后面", "後面"), ("以后", "以後"), ("之后", "之後"), ("最后", "最後"),
+    ("后来", "後來"), ("然后", "然後"), ("前后", "前後"), ("后天", "後天"),
+    ("后悔", "後悔"), ("落后", "落後"), ("后果", "後果"), ("后期", "後期"),
+    ("背后", "背後"), ("今后", "今後"), ("随后", "隨後"), ("后退", "後退"),
+    # 面 -> 麵 (char default: leave 面 alone)
+    ("面条", "麵條"), ("面包", "麵包"), ("面粉", "麵粉"), ("泡面", "泡麵"),
+    ("拉面", "拉麵"), ("炒面", "炒麵"),
+    # 只 -> 隻 (classifier; char default: leave 只 alone)
+    ("一只", "一隻"), ("几只", "幾隻"), ("两只", "兩隻"), ("三只", "三隻"),
+    ("船只", "船隻"),
+    # 松 -> 鬆 (char default: leave 松 alone — the tree)
+    ("轻松", "輕鬆"), ("放松", "放鬆"), ("蓬松", "蓬鬆"), ("宽松", "寬鬆"),
+    # 征 -> 徵 (char default: leave 征 alone — 征服/长征 stay)
+    ("特征", "特徵"), ("征求", "徵求"), ("象征", "象徵"), ("征收", "徵收"),
+    # 余 -> 餘 (char default: leave 余 alone — the surname stays)
+    ("多余", "多餘"), ("其余", "其餘"), ("剩余", "剩餘"), ("业余", "業餘"),
+    ("余额", "餘額"),
+    # 志 -> 誌 (char default: leave 志 alone — 志愿/同志 stay)
+    ("杂志", "雜誌"), ("标志", "標誌"), ("日志", "日誌"),
+    # 系 -> 係 / 繫 (char default: leave 系 alone — 系统/院系 stay)
+    ("关系", "關係"), ("联系", "聯繫"), ("维系", "維繫"),
+    # 周 -> 週 (char default: leave 周 alone — the surname/周围 stay)
+    ("周末", "週末"), ("周刊", "週刊"), ("周期", "週期"), ("周年", "週年"),
+    # 斗 -> 鬥 (char default: leave 斗 alone — 北斗/漏斗 stay)
+    ("战斗", "戰鬥"), ("斗争", "鬥爭"), ("奋斗", "奮鬥"), ("搏斗", "搏鬥"),
+    # 伙 -> 夥 (char default: leave 伙 alone — 伙食 stays)
+    ("伙伴", "夥伴"), ("大伙", "大夥"),
+    # 制 -> 製 (char default: leave 制 alone — 制度/体制 stay)
+    ("制造", "製造"), ("制作", "製作"), ("制品", "製品"), ("复制", "複製"),
+    # 复 -> 複 (char default is 復 — 恢复/复习 work char-level)
+    ("重复", "重複"), ("复杂", "複雜"), ("复印", "複印"), ("复数", "複數"),
+    # 冲 -> 衝 (char default: leave 冲 alone? no — no s2t char entry;
+    # 沖/衝 both need words)
+    ("冲突", "衝突"), ("冲动", "衝動"), ("缓冲", "緩衝"), ("冲击", "衝擊"),
+    ("冲洗", "沖洗"), ("冲泡", "沖泡"),
+    # 胡 -> 鬍, 表 -> 錶, 汇 via char (匯)
+    ("胡子", "鬍子"), ("胡须", "鬍鬚"), ("手表", "手錶"), ("钟表", "鐘錶"),
 ]
 
 

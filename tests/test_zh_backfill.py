@@ -214,9 +214,22 @@ _OPENCC_FIXTURE = [
     ("乾燥", "t2s", "干燥", "干燥"),    # 乾→干 needs word context
     ("后面", "s2t", "後面", "後面"),    # 后→後 needs word context
     ("里面", "s2t", "裡面", "裡面"),    # 里→裡 needs word context
+    ("烫发", "s2t", "燙髮", "燙髮"),    # round 3: now in-vocabulary
+    ("干线", "s2t", "幹線", "幹線"),    # round 3: now in-vocabulary
+    ("关系", "s2t", "關係", "關係"),    # 系→係 needs word context
+    ("周末", "s2t", "週末", "週末"),    # 周→週 needs word context
+    ("复杂", "s2t", "複雜", "複雜"),    # 复→複 over the 復 char default
+    ("恢复", "s2t", "恢復", "恢復"),    # 复→復 via the s2t char default
+    ("轻松", "s2t", "輕鬆", "輕鬆"),    # 松→鬆 needs word context
+    ("松树", "s2t", "松樹", "松樹"),    # 松 (the tree) must stay 松
+    # -- t2s collapse chars are safe CHAR-LEVEL (no phrase needed) ----------
+    ("後面", "t2s", "后面", "后面"),
+    ("裡面", "t2s", "里面", "里面"),
+    ("一隻", "t2s", "一只", "一只"),
+    ("關係", "t2s", "关系", "关系"),
     # -- residual divergences: words OUTSIDE the phrase vocabulary ----------
-    ("烫发", "s2t", "燙髮", "烫發"),    # OOV word: 发→發 fallback is wrong
-    ("干线", "s2t", "幹線", "干線"),    # OOV word: 干 stays unconverted
+    ("秀发", "s2t", "秀髮", "秀發"),    # OOV word: 发→發 fallback is wrong
+    ("干流", "s2t", "幹流", "干流"),    # OOV word: 干 stays unconverted
 ]
 
 
@@ -245,8 +258,8 @@ def test_opencc_divergence_envelope(spark):
             diverged.append(w)
     # the measured envelope: the phrase pre-pass resolves every
     # in-vocabulary word-level case; only out-of-vocabulary ambiguous
-    # words still diverge (2/14), each falling back to the char table
-    assert diverged == ["烫发", "干线"]
+    # words still diverge (2/25), each falling back to the char table
+    assert diverged == ["秀发", "干流"]
 
 
 def test_updates_frame_with_tags_consistent(spark, lattice_df):
