@@ -307,3 +307,78 @@ def run_backfill_jdbc(
             )
         )
     return report
+
+
+def stream_backfill_to_jdbc(
+    stream_df: DataFrame,
+    url: str,
+    table: str,
+    id_field: str,
+    driver: str,
+    compat_names_typo: bool = False,
+    staging_suffix: str = "_zh_staging",
+    properties: dict[str, str] | None = None,
+) -> int:
+    """The CDC-shaped deployment of the back-fill (SURVEY §2.1 S5 as a
+    stream): source rows arrive as a STREAMING frame (in production a
+    change feed of inserted/updated rows; the reference's batch program
+    re-scans instead, OMTZHModifier.java:120-140), and every micro-batch
+    runs the IDENTICAL staging-write + server-side ``UPDATE … FROM
+    staging`` path the batch program uses — ``foreachBatch`` hands each
+    micro-batch over as a batch DataFrame, so ``updates_frame_with_tags``
+    / ``map_to_hstore_text`` / ``_apply_update_sql`` are shared, not
+    reimplemented. The staging table is OVERWRITTEN per batch (it is a
+    transport buffer, not a log) and the keyed UPDATE is idempotent on
+    replay — re-deriving the same hans/hant writes the same tags — which
+    is exactly the at-least-once-to-effectively-once story foreachBatch
+    requires.
+
+    Returns the total server-reported update count across batches (the
+    reference's executeBatch tally, OMTZHModifier.java:169-176)."""
+    from pyspark.sql import functions as F
+
+    from openmaptiles_zh_modifier_spark.operators.zh_backfill import (
+        updates_frame_with_tags,
+    )
+    from openmaptiles_zh_modifier_spark.sources.io import (
+        execute_jdbc_update,
+        write_jdbc,
+    )
+
+    opts = dict(properties or {})
+    staging = f"{table}{staging_suffix}"
+    counts: list[int] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mapped = batch_df.withColumn(
+            "tags", hstore_text_to_map(batch_df["tags"])
+        )
+        staged = updates_frame_with_tags(
+            mapped, id_field, compat_names_typo
+        ).select(
+            id_field,
+            "hans",
+            "hant",
+            map_to_hstore_text(F.col("new_tags_map")).alias("new_tags"),
+        )
+        write_jdbc(staged, url, staging, mode="overwrite", driver=driver, **opts)
+        counts.append(
+            execute_jdbc_update(
+                batch_df.sparkSession,
+                url,
+                driver,
+                _apply_update_sql(table, staging, id_field, url),
+                properties=opts or None,
+            )
+        )
+
+    import tempfile
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="omt-jdbc-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    return sum(counts)

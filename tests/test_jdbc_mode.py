@@ -191,6 +191,63 @@ def test_run_backfill_jdbc_end_to_end(spark):
     assert all(t.n_updated == 0 for t in report2.tables)
 
 
+def test_stream_backfill_jdbc_matches_batch(spark, tmp_path):
+    """Streaming zh back-fill sink parity: the SAME source rows, streamed
+    through foreachBatch into the staging + server-side UPDATE path, must
+    leave the database in EXACTLY the state the batch program leaves a
+    twin database in — tags maps compared key-for-key."""
+    from openmaptiles_zh_modifier_spark.plans.pipeline import (
+        hstore_text_to_map,
+        run_backfill_jdbc,
+        stream_backfill_to_jdbc,
+    )
+
+    rows = [
+        (1, "臺灣鐵路", '"amenity"=>"station"'),
+        (2, "Berlin", '"amenity"=>"cafe"'),
+        (3, None, '"name:zh"=>"臺北車站"'),
+        (4, "頭髮", '"name:zh-Hans"=>"头发", "name:zh-Hant"=>"頭髮"'),
+        (5, "輕鬆廣場", '"leisure"=>"park"'),
+    ]
+    schema = "id long, name string, tags string"
+    poi = spark.createDataFrame(rows, schema)
+
+    # twin databases seeded identically; one gets the batch program, the
+    # other gets the stream (multiple micro-batches: one parquet file per
+    # row, maxFilesPerTrigger=2 forces at least 3 batches)
+    url_b, url_s = _url("parb"), _url("pars")
+    for url in (url_b, url_s):
+        write_jdbc(poi, url, "poi", mode="overwrite", driver=DRIVER)
+    report = run_backfill_jdbc(spark, url_b, DRIVER, schema_pattern="APP")
+    assert {t.table: t.n_updated for t in report.tables} == {"app.poi": 3}
+
+    src_dir = str(tmp_path / "cdc")
+    poi.repartition(5).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src_dir)
+    )
+    n = stream_backfill_to_jdbc(stream, url_s, "app.poi", "id", DRIVER)
+    assert n == 3  # same server-side update tally as the batch run
+
+    def final_tags(url):
+        df = (
+            spark.read.format("jdbc")
+            .option("url", url).option("dbtable", "app.poi")
+            .option("driver", DRIVER).load()
+        )
+        return {
+            r.id: r.m
+            for r in df.select("id", hstore_text_to_map(df["tags"]).alias("m")).collect()
+        }
+
+    batch_state, stream_state = final_tags(url_b), final_tags(url_s)
+    assert stream_state == batch_state
+    assert stream_state[5]["name:zh-Hans"] == "轻松广场"
+    assert stream_state[5]["name:zh-Hant"] == "輕鬆廣場"
+
+
 def test_hstore_text_parser_adversarial_values(spark):
     """The cases a naive str_to_map split corrupts: commas and arrows in
     values, unquoted NULL values, escaped quotes/backslashes, duplicate
