@@ -1,0 +1,164 @@
+"""Copy-on-write table format: ACID MERGE, partition-pruned rewrites,
+optimistic-concurrency conflicts, time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.operators.cow_table import (
+    CowConflictError,
+    _read_manifest,
+    cow_create,
+    cow_history,
+    cow_merge,
+    cow_read,
+    cow_vacuum,
+)
+
+
+def _base_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0, "US"), (2, "b", 20.0, "US"),
+         (3, "c", 30.0, "DE"), (4, "d", 40.0, "DE"),
+         (5, "e", 50.0, "JP")],
+        "id long, name string, bal double, region string",
+    )
+
+
+def _rows(df):
+    return {
+        r.id: (r.name, r.bal, r.region)
+        for r in df.collect()
+    }
+
+
+def test_cow_merge_three_clauses_and_pruning(spark, tmp_path):
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    m1 = _read_manifest(root, 1)
+    jp_files_v1 = {e["path"] for e in m1["files"] if e["partition"] == "JP"}
+    assert jp_files_v1  # partitioned layout materialized
+
+    source = spark.createDataFrame(
+        [(2, 99.0, "US"),   # matched -> update
+         (3, -1.0, "DE"),   # matched + delete condition
+         (6, 60.0, "US")],  # not matched -> insert
+        "id long, bal double, region string",
+    )
+    v = cow_merge(
+        spark, root, source, on="id",
+        matched_update={"bal": F.col("s.bal")},
+        matched_delete=F.col("s.bal") < 0,
+        not_matched_insert={
+            "id": F.col("s.id"), "name": F.lit("new"),
+            "bal": F.col("s.bal"), "region": F.col("s.region"),
+        },
+    )
+    assert v == 2
+    got = _rows(cow_read(spark, root))
+    assert got[2] == ("b", 99.0, "US")          # updated
+    assert 3 not in got                          # deleted
+    assert got[6] == ("new", 60.0, "US")        # inserted
+    assert got[1] == ("a", 10.0, "US") and got[4] == ("d", 40.0, "DE")
+
+    # copy-on-write proof: the untouched JP partition's files are the
+    # SAME entries in v2 — not rewritten, not even re-listed from disk
+    m2 = _read_manifest(root, 2)
+    jp_files_v2 = {e["path"] for e in m2["files"] if e["partition"] == "JP"}
+    assert jp_files_v2 == jp_files_v1
+
+
+def test_cow_time_travel_and_partition_scan(spark, tmp_path):
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    cow_merge(
+        spark, root,
+        spark.createDataFrame([(1, 11.0, "US")], "id long, bal double, region string"),
+        on="id", matched_update={"bal": F.col("s.bal")},
+    )
+    assert cow_history(root) == [1, 2]
+    assert _rows(cow_read(spark, root, version=1))[1][1] == 10.0  # old state
+    assert _rows(cow_read(spark, root))[1][1] == 11.0             # new state
+    # metadata-only file pruning: a partition-value scan reads 2 rows
+    de = cow_read(spark, root, partition_values=["DE"])
+    assert sorted(r.id for r in de.collect()) == [3, 4]
+
+
+def test_cow_conflict_detection(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+
+    # Interleave the race the way it actually happens: writer A reads v1
+    # and prepares its commit; writer B commits v2 BETWEEN A's read and
+    # A's manifest publish. Hook the data-file write (which sits exactly
+    # in that window) to inject B's winning commit.
+    import openmaptiles_zh_modifier_spark.operators.cow_table as cow
+
+    real_write = cow._write_commit
+    won = {}
+
+    def race_write(df, r, part_col):
+        out = real_write(df, r, part_col)
+        if not won:  # only for writer A's first merge
+            won["x"] = True
+            m = _read_manifest(root, 1)
+            m["version"] = 2
+            cow._commit_manifest(root, m)  # writer B publishes first
+        return out
+
+    monkeypatch.setattr(cow, "_write_commit", race_write)
+    src = spark.createDataFrame(
+        [(1, 0.0, "US")], "id long, bal double, region string"
+    )
+    with pytest.raises(CowConflictError):
+        cow_merge(spark, root, src, on="id", matched_update={"bal": F.col("s.bal")})
+
+    # the loser re-reads (now v2) and retries; succeeds as v3
+    v = cow_merge(
+        spark, root,
+        spark.createDataFrame([(1, 0.5, "US")], "id long, bal double, region string"),
+        on="id", matched_update={"bal": F.col("s.bal")},
+    )
+    assert v == 3
+    assert _rows(cow_read(spark, root))[1][1] == 0.5
+
+
+def test_cow_unpartitioned_and_vacuum(spark, tmp_path):
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark).select("id", "name", "bal"))
+    cow_merge(
+        spark, root,
+        spark.createDataFrame([(9, "z", 9.0)], "id long, name string, bal double"),
+        on="id",
+        not_matched_insert={
+            "id": F.col("s.id"), "name": F.col("s.name"), "bal": F.col("s.bal")
+        },
+    )
+    assert cow_read(spark, root).count() == 6
+    removed = cow_vacuum(root, keep_versions=1)
+    assert removed > 0                      # v1's files are dead post-rewrite
+    assert cow_history(root) == [2]
+    assert cow_read(spark, root).count() == 6  # latest still intact
+
+
+def test_cow_null_partition_rejected(spark, tmp_path):
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    bad = spark.createDataFrame(
+        [(1, 1.0, None)], "id long, bal double, region string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        cow_merge(spark, root, bad, on="id", matched_update={"bal": F.col("s.bal")})
+
+
+def test_cow_merge_source_dup_key_rejected(spark, tmp_path):
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    dup = spark.createDataFrame(
+        [(1, 1.0, "US"), (1, 2.0, "US")], "id long, bal double, region string"
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        cow_merge(spark, root, dup, on="id", matched_update={"bal": F.col("s.bal")})
