@@ -1,0 +1,469 @@
+"""Retrieval / linkage / semantic-dedup operators (round 3 surface).
+
+Five operators a 100 TB training-data pipeline needs beyond the round-2
+surface, each a (Spark plan, DuckDB oracle) pair:
+
+- ``q_variant_json``      — Spark 4 VariantType: ``parse_json`` +
+  ``variant_get`` typed extraction from semi-structured columns (the
+  open-schema path ``from_json`` with a declared schema cannot cover).
+- ``q_tfidf_topk``        — full-vocabulary TF-IDF scoring (explode →
+  two hash aggregations → join), the lexical twin of q_text_bm25's
+  fixed-term scoring.
+- ``q_rank_fusion_rrf``   — reciprocal-rank fusion of two retrieval
+  rankings (hybrid lexical+signal retrieval's merge step).
+- ``q_record_linkage``    — edit-distance entity resolution via
+  deletion-neighborhood blocking: all levenshtein<=1 pairs found with a
+  bounded equi-join, never an all-pairs scan; the oracle IS the naive
+  all-pairs program, so the hash match proves losslessness.
+- ``q_semdedup``          — SemDeDup-style semantic dedup: cluster by
+  nearest centroid, then greedy keep-lowest-id within each cluster among
+  cosine>=tau neighbors. Cluster-scoped pair join, never global.
+
+Float discipline follows queries_embeddings.py: cast float32 -> double
+first, sequential left-fold dot products (Spark ``F.aggregate`` ==
+DuckDB ``list_reduce``), ROUND before any rank/threshold decision, ids
+break ties. Reference parity note: the reference
+(OMTZHModifier.java:135-138) has no retrieval surface at all; these are
+engine extensions per SURVEY.md §2.9 north-star scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.functions.text import tokens
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+# ---------------------------------------------------------------- variant
+
+@register(
+    "q_variant_json",
+    oracle="""
+SELECT event_type,
+       CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+            AS INTEGER) AS k_decade,
+       COUNT(*) AS n,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from an OPEN-schema JSON column via Spark 4's
+    VariantType: ``try_parse_json`` once, then ``try_variant_get`` with a
+    target type — no declared struct schema, unlike q_events_from_json's
+    ``from_json`` (which needs the full schema up front and silently
+    nulls anything it doesn't name). Variant stores a parsed binary form,
+    so repeated path extraction doesn't re-tokenize the text.
+
+    Determinism: k is integer-typed, the decade bucket is integer
+    division, and the only double aggregate (avg_value) is rounded.
+
+    Scale shape: single scan, parse once per row, partial hash
+    aggregation on (event_type, decade) — 50 groups; no shuffle wider
+    than the group count. At 100 TB, parse-once-then-extract beats
+    N-extractions-reparse by the number of paths touched."""
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .withColumn("k_decade", F.floor(F.col("k") / 10).cast("int"))
+        .groupBy("event_type", "k_decade")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type", "k_decade")
+    )
+
+
+# ---------------------------------------------------------------- tf-idf
+
+TFIDF_TOP = 50
+
+
+@register(
+    "q_tfidf_topk",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         ROUND(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY tfidf DESC, doc_id, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rk FROM ranked
+WHERE rk <= {TFIDF_TOP}
+ORDER BY rk
+""",
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-vocabulary TF-IDF: the corpus-wide term-weighting primitive
+    (quality filtering, keyword extraction, sparse retrieval indexes).
+    Unlike q_text_bm25's fixed 4-term probe, every term is scored:
+    explode -> (doc, term) counts -> per-term document frequency -> join.
+
+    Determinism: tf/df/n_docs are exact integers; the single
+    transcendental (smoothed idf, sklearn's ln((1+n)/(1+df))+1) is
+    ROUNDed at 4 dp before ranking and (doc_id, term) break ties.
+
+    Scale shape: two partial-agg shuffles (doc,term) then (term) — both
+    map-side combinable; the tf⋈df join shuffles on term (at 100 TB the
+    df side is vocabulary-sized, orders smaller than the corpus, and
+    Zipf skew on hot terms is absorbed by AQE skew-join since tf rows
+    per term are already collapsed counts, not postings). Final top-k is
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf")
+        * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+        4,
+    )
+    w = Window.orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+        .limit(TFIDF_TOP)
+        .withColumn("rk", F.row_number().over(w))
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------- RRF
+
+RRF_K = 60
+RRF_LIST = 100  # depth of each input ranking
+RRF_TOP = 30
+
+
+@register(
+    "q_rank_fusion_rrf",
+    oracle=f"""
+WITH lex AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf
+  FROM documents
+),
+ra AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS ra
+  FROM lex QUALIFY ra <= {RRF_LIST}
+),
+rb AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rb
+  FROM documents QUALIFY rb <= {RRF_LIST}
+),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra.ra, rb.rb,
+         ROUND(COALESCE(1.0 / ({RRF_K} + ra.ra), 0)
+               + COALESCE(1.0 / ({RRF_K} + rb.rb), 0), 6) AS rrf
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused
+)
+SELECT doc_id, ra, rb, rrf, rk FROM ranked WHERE rk <= {RRF_TOP}
+ORDER BY rk
+""",
+)
+def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the standard hybrid-retrieval merge
+    (lexical + dense lists into one ranking without score calibration):
+    rrf(d) = sum over lists of 1/(k + rank_d). Two input rankings here:
+    term-frequency of 'spark' (lexical) and n_chars (a quality-ish
+    signal); each truncated to depth 100 like real retriever outputs.
+
+    Determinism: ranks are integers from ROUND-free integer sorts with
+    doc_id tie-breaks; rrf is a sum of two exactly-ordered double terms,
+    ROUNDed at 6 dp before the final rank.
+
+    Scale shape: each input list is top-N via TakeOrderedAndProject (no
+    global sort), the fusion join is over 2N<=200 rows — broadcastable
+    no matter the corpus size. Fusing R rankings is R-1 tiny joins; the
+    corpus is only ever scanned by the retrievers themselves."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    lex = docs.select(
+        "doc_id",
+        F.size(F.filter(tokens(F.col("text")), lambda x: x == F.lit("spark")))
+        .cast("long")
+        .alias("tf"),
+    )
+    wa = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+    ra = (
+        lex.orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(RRF_LIST)
+        .withColumn("ra", F.row_number().over(wa))
+        .select("doc_id", "ra")
+    )
+    wb = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    rb = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(RRF_LIST)
+        .withColumn("rb", F.row_number().over(wb))
+        .select("doc_id", "rb")
+    )
+    fused = (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "ra",
+            "rb",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("rb")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wr = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+        .withColumn("rk", F.row_number().over(wr))
+        .orderBy("rk")
+    )
+
+
+# ------------------------------------------------------- record linkage
+
+LINK_MAX_LEV = 1
+_NAME_DIGITS = 9  # c_name = 'Customer#' || 9 digits (FIXTURES.md §2)
+
+
+@register(
+    "q_record_linkage",
+    oracle=f"""
+WITH c AS (SELECT c_custkey, c_name FROM customer),
+p AS (
+  SELECT a.c_custkey AS k, b.c_custkey AS nb
+  FROM c a JOIN c b
+    ON a.c_custkey <> b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= {LINK_MAX_LEV}
+)
+SELECT k AS c_custkey, COUNT(*) AS n_nb,
+       MIN(nb) AS min_nb, MAX(nb) AS max_nb
+FROM p GROUP BY 1 ORDER BY 1
+""",
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance WITHOUT the all-pairs scan:
+    deletion-neighborhood blocking. For equal-length strings,
+    levenshtein(a,b)=1 is necessarily one substitution, so masking each
+    digit position in turn yields 9 blocking keys per record and every
+    lev<=1 pair collides on at least one (position, masked) key — the
+    equi-join over those keys finds ALL matches; exact levenshtein is
+    then verified only on candidates. The oracle is the naive O(n^2)
+    program, so the hash match is a losslessness proof (same structure
+    as q_dedup_prefix_filter's).
+
+    Scale shape: 9x row expansion then a hash join on (pos, masked) —
+    block sizes are bounded by the alphabet (<=10 rows share a masked
+    digit key), so candidates grow linearly with the table while the
+    naive oracle grows quadratically. This is the same candidates-only
+    discipline as MinHash banding, for edit distance."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    d = F.substring("c_name", len("Customer#") + 1, _NAME_DIGITS)
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("pos"),
+                F.concat(
+                    F.substring(d, 1, i - 1),
+                    F.lit("*"),
+                    F.substring(d, i + 1, _NAME_DIGITS - i),
+                ).alias("masked"),
+            )
+            for i in range(1, _NAME_DIGITS + 1)
+        ]
+    )
+    blocked = c.select(
+        "c_custkey", "c_name", F.explode(keys).alias("bk")
+    ).select("c_custkey", "c_name", "bk.pos", "bk.masked")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.masked") == F.col("b.masked"))
+            & (F.col("a.c_custkey") != F.col("b.c_custkey")),
+        )
+        .where(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= LINK_MAX_LEV
+        )
+        .select(
+            F.col("a.c_custkey").alias("k"), F.col("b.c_custkey").alias("nb")
+        )
+        # a pair matching at multiple masked positions would duplicate;
+        # with lev=1 the collision position is unique, but dedupe anyway
+        # so the plan is correct for any LINK_MAX_LEV-compatible blocking.
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.col("k").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nb"),
+            F.min("nb").alias("min_nb"),
+            F.max("nb").alias("max_nb"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ------------------------------------------------------------- semdedup
+
+SEMDEDUP_TAU = 0.40  # same corpus-calibrated threshold as q_embed_neardup
+SEMDEDUP_CENTROIDS = 8  # vec_id < 8 serve as fixed centroids (as IVF ops)
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), (acc, x) -> acc + x)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 4)"
+    )
+
+
+def _dot_fold(vec: Column, other: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(vec, other, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return F.round(
+        _dot_fold(a, b)
+        / (F.sqrt(_dot_fold(a, a)) * F.sqrt(_dot_fold(b, b))),
+        4,
+    )
+
+
+@register(
+    "q_semdedup",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {SEMDEDUP_CENTROIDS}),
+ad AS (
+  SELECT v.vec_id, v.e, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_dot_sql('v.e', 'v.e')} - 2 * {_dot_sql('v.e', 'c.ce')}
+                    + {_dot_sql('c.ce', 'c.ce')}, c.cid) AS rk
+  FROM v, c
+),
+assigned AS (SELECT vec_id, e, cid AS cluster FROM ad WHERE rk = 1),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE {_cos_sql('a.e', 'b.e')} >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cluster,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: (1) coarse-cluster every
+    vector to its nearest fixed centroid (squared-L2 argmin, same
+    quantizer as q_embed_centroid_assign), (2) WITHIN each cluster,
+    greedily keep the lowest vec_id among cosine>=tau neighbors — a
+    vector is dropped iff a lower-id same-cluster vector is within tau.
+    Emits every vector with its cluster and a kept flag (the curation
+    decision record, not just the survivor list).
+
+    Determinism: cosine ROUNDed at 4 dp before the threshold test;
+    cluster argmin ties break on centroid id; greedy order is vec_id.
+
+    Scale shape: the pair join is CLUSTER-SCOPED — repartition by
+    cluster, compare only within buckets (SemDeDup's published trick:
+    k-means first makes near-dup search tractable at web scale). The
+    per-pair fold kernel here swaps for q_embed_neardup's cogrouped
+    matmul at production dims; the plan shape (assign -> bucket join ->
+    anti semantics via left join) is the 100 TB design."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    c = v.where(F.col("vec_id") < SEMDEDUP_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    from pyspark.sql import Window
+
+    dist = (
+        _dot_fold(F.col("e"), F.col("e"))
+        - 2 * _dot_fold(F.col("e"), F.col("ce"))
+        + _dot_fold(F.col("ce"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        v.crossJoin(F.broadcast(c))
+        .select("vec_id", "e", "cid", dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "e", F.col("cid").alias("cluster"))
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .where(_cos(F.col("a.e"), F.col("b.e")) >= SEMDEDUP_TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    d = dropped.alias("d")
+    return (
+        assigned.alias("a")
+        .join(d, F.col("a.vec_id") == F.col("d.vec_id"), "left")
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.cluster").alias("cluster"),
+            F.when(F.col("d.vec_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -295,6 +295,7 @@ def _register_all() -> None:
     import openmaptiles_zh_modifier_spark.queries_merge  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_graph  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_scale  # noqa: F401
+    import openmaptiles_zh_modifier_spark.queries_retrieval  # noqa: F401
     import openmaptiles_zh_modifier_spark.streaming.events  # noqa: F401
 
 
