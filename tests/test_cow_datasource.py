@@ -1,0 +1,119 @@
+"""Tests for the Spark 4 Python DataSource over the COW table format:
+batch read parity with cow_read, time travel via option, partition
+pruning through pushFilters, and the streaming commit-log replay.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.operators.cow_table import (
+    cow_create,
+    cow_merge,
+    cow_read,
+)
+from openmaptiles_zh_modifier_spark.sources.cow_datasource import (
+    register_cow_datasource,
+)
+
+
+@pytest.fixture()
+def cow_root(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "cowtab")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cow_create(spark, root, nation, partition_by="n_regionkey")
+    register_cow_datasource(spark)
+    return root
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_batch_read_matches_cow_read(spark, cow_root):
+    via_ds = spark.read.format("cowtable").option("path", cow_root).load()
+    assert _rows(via_ds) == _rows(cow_read(spark, cow_root))
+    assert via_ds.schema == cow_read(spark, cow_root).schema
+
+
+def test_time_travel_option(spark, cow_root):
+    v1 = _rows(spark.read.format("cowtable").option("path", cow_root).load())
+    updates = spark.createDataFrame(
+        [(0, "RENAMED", 0)], "n_nationkey long, n_name string, n_regionkey int"
+    )
+    cow_merge(
+        spark, cow_root, updates, on="n_nationkey",
+        matched_update={"n_name": F.col("s.n_name")},
+    )
+    latest = spark.read.format("cowtable").option("path", cow_root).load()
+    pinned = (
+        spark.read.format("cowtable")
+        .option("path", cow_root)
+        .option("version", "1")
+        .load()
+    )
+    assert _rows(pinned) == v1
+    assert ("RENAMED",) in {
+        (r.n_name,) for r in latest.where(F.col("n_nationkey") == 0).collect()
+    }
+    assert _rows(latest) != v1
+
+
+def test_partition_pruning_reduces_files_scanned(spark, cow_root):
+    full = spark.read.format("cowtable").option("path", cow_root).load()
+    one = full.where(F.col("n_regionkey") == 2)
+    expect = _rows(
+        cow_read(spark, cow_root, partition_values=[2]).where(
+            F.col("n_regionkey") == 2
+        )
+    )
+    assert _rows(one) == expect
+    # pruning is observable at the reader: pushFilters keeps only files
+    # whose manifest partition == '2' (the DataFrame-level partition
+    # count is not a faithful probe for Python scans, so assert on the
+    # planning object itself)
+    from pyspark.sql.datasource import EqualTo
+
+    from openmaptiles_zh_modifier_spark.sources.cow_datasource import (
+        CowBatchReader,
+    )
+
+    rdr = CowBatchReader(cow_root, None)
+    n_full = len(rdr.partitions())
+    leftover = list(rdr.pushFilters([EqualTo(("n_regionkey",), 2)]))
+    n_pruned = len(rdr.partitions())
+    assert n_pruned < n_full, (n_pruned, n_full)
+    assert leftover  # filters stay row-level: pruning is file-granular
+
+
+def test_stream_replays_commit_log(spark, cow_root, tmp_path):
+    updates = spark.createDataFrame(
+        [(1, "STREAMED", 1)], "n_nationkey long, n_name string, n_regionkey int"
+    )
+    cow_merge(
+        spark, cow_root, updates, on="n_nationkey",
+        matched_update={"n_name": F.col("s.n_name")},
+    )
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("cowtable")
+        .option("path", cow_root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # commit-log replay of a COW table: v1's files plus v2's rewritten
+    # partition files => every CURRENT row appears at least once, and the
+    # post-merge image is present
+    assert ("STREAMED",) in {(r.n_name,) for r in got.collect()}
+    current = {tuple(r) for r in cow_read(spark, cow_root).collect()}
+    assert current <= {tuple(r) for r in got.collect()}
