@@ -253,6 +253,122 @@ def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- perplexity filter
+
+PPL_MAX_NLL = 3.39  # corpus-calibrated: the sf0.01 median avg-NLL (keeps ~half)
+
+
+@register(
+    "q_perplexity_filter",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tk AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+bg AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - 1)) AS pos,
+         -- NB: DuckDB list slices are INCLUSIVE of negative bounds
+         -- (t[:-1] is the WHOLE list), so spell the end explicitly
+         unnest(t[:len(t) - 1]) AS w1,
+         unnest(t[2:]) AS w2
+  FROM tk
+),
+cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+cu AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(t) AS u FROM tk)),
+lp AS (
+  SELECT bg.doc_id, bg.pos,
+         ROUND(ln((cb.cb + 1.0) / (cu.cu + v.v)), 6) AS logp
+  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         list_reduce(list_prepend(0.0::DOUBLE, list(logp ORDER BY pos)),
+                     (acc, x) -> acc + x) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, ROUND(-s / n_bigrams, 4) AS avg_nll,
+       CASE WHEN ROUND(-s / n_bigrams, 4) <= {PPL_MAX_NLL} THEN 1 ELSE 0
+       END AS kept
+FROM agg ORDER BY doc_id
+""",
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter with a corpus-trained bigram
+    LM: Laplace-smoothed P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V) from the
+    corpus itself, each doc scored by average negative log-likelihood
+    (nats) of its bigrams, kept iff below the calibrated cutoff. (CCNet
+    uses a pretrained KenLM; the train-on-corpus bigram model is the
+    same dataflow with the LM build inlined as two aggregations.)
+
+    Determinism: counts and V are exact integers; each bigram's single
+    ``ln`` is ROUNDed at 6 dp BEFORE summation, and the per-doc sum is a
+    position-ordered sorted fold (Spark ``F.aggregate(array_sort(...))``
+    == DuckDB ``list_reduce(list(... ORDER BY pos))``, the
+    q_pagerank_nations idiom) — float addition order cannot diverge. The
+    keep decision compares the 4-dp-ROUNDed score.
+
+    Scale shape: model build = two map-side-combinable aggregations
+    (bigram, unigram) + a 1-row distinct-vocab broadcast. Scoring joins
+    each bigram OCCURRENCE to its count rows — a postings-sized shuffle
+    keyed on (w1,w2) whose Zipf-hot heads are collapsed count rows (AQE
+    skew-split handles the occurrence side). The per-doc fold is bounded
+    by doc length. At 100 TB the LM tables are exactly the broadcastable
+    artifact a pretrained-KenLM deployment ships to executors."""
+    from pyspark.sql import Window  # noqa: F401  (parallel structure w/ peers)
+
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    tk = docs.select("doc_id", t.alias("t")).where(F.size("t") >= 2)
+    m = F.size("t") - 1
+    grams = F.zip_with(
+        F.slice("t", 1, m),
+        F.slice("t", 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = tk.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "g")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = tk.select(F.explode("t").alias("u")).agg(
+        F.countDistinct("u").alias("v")
+    )
+    lp = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "pos",
+            F.round(
+                F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))), 6
+            ).alias("logp"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["logp"],
+        ).alias("s"),
+    )
+    avg_nll = F.round(-F.col("s") / F.col("n_bigrams"), 4)
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        F.when(avg_nll <= PPL_MAX_NLL, F.lit(1)).otherwise(F.lit(0)).alias(
+            "kept"
+        ),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------- record linkage
 
 LINK_MAX_LEV = 1

@@ -75,6 +75,22 @@ def test_tfidf_topk_shape(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_perplexity_filter_invariants(spark, sf_dir):
+    from openmaptiles_zh_modifier_spark.queries_retrieval import PPL_MAX_NLL
+
+    rows = QUERIES["q_perplexity_filter"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.where(F.size(F.split("text", " ")) >= 2).count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.avg_nll > 0  # -log p of a proper distribution
+        assert r.kept == (1 if r.avg_nll <= PPL_MAX_NLL else 0)
+    # the filter must actually discriminate (not keep/drop everything)
+    kept = sum(r.kept for r in rows)
+    assert 0 < kept < len(rows)
+
+
 def test_variant_json_matches_from_json(spark, sf_dir):
     """Variant typed extraction must agree with the declared-schema
     from_json path on the same column."""
