@@ -86,7 +86,14 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # covered by clear_frame_cache().
     def build() -> DataFrame:
         docs = load(spark, sf_dir, "documents")
-        sh = docs.select(
+        # A small corpus arrives as ONE file split; without a spread the
+        # shingle HOF + explode (the expensive part of the build) and the
+        # cached frame itself would live on a single partition, and every
+        # downstream join would start from that skew. At 100 TB the scan
+        # has thousands of splits and this is a no-op-sized rebalance.
+        sh = docs.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        ).select(
             "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("s")
         )
         # DF cap as a broadcast anti-join against the (tiny) hot-shingle
