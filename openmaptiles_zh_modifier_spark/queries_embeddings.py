@@ -823,8 +823,13 @@ def q_embed_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (_norm(F.col("qe")) * _norm(F.col("e"))),
         6,
     )
+    # spread the corpus side: a single-file scan would otherwise leave
+    # the 40k-per-sf0.1 interpreted cosine folds on ONE task (broadcast
+    # joins preserve probe partitioning); at scale this is a no-op-sized
+    # rebalance against thousands of splits
     best = (
         v.where(F.col("doc") != 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc")
         .crossJoin(F.broadcast(q))
         .select("doc", "qv", cos.alias("cos"))
         .groupBy("doc", "qv")
