@@ -382,3 +382,58 @@ def stream_backfill_to_jdbc(
     )
     q.awaitTermination()
     return sum(counts)
+
+
+def run_backfill_cow(
+    spark: SparkSession,
+    root: str,
+    compat_names_typo: bool = False,
+) -> tuple[int, int]:
+    """Back-fill a COW table IN PLACE — the reference's batched keyed
+    ``UPDATE ... WHERE id = ?`` (OMTZHModifier.java:156-169) expressed as
+    a transactional lake MERGE: read the current committed version,
+    derive the changed rows in one projection over one snapshot
+    (``updates_frame_with_tags`` — no torn two-scan read), and publish
+    version N+1 atomically via the manifest commit protocol (a
+    concurrent writer loses with CowConflictError, mirroring Delta's
+    optimistic concurrency; the reference's per-batch commit had no such
+    guard). The schema classifier picks ``id``/``osm_id`` with B4
+    precedence, exactly like the parquet and JDBC paths.
+
+    Returns ``(committed_version, n_updated)``; when nothing qualifies
+    the table is untouched and the CURRENT version is returned (an empty
+    merge must not burn a version number — readers use version deltas as
+    a change signal, e.g. the cowtable streaming source).
+    """
+    from pyspark.sql import functions as F
+
+    from openmaptiles_zh_modifier_spark.catalog import classify_schema
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        _latest_version,
+        cow_merge,
+        cow_read,
+    )
+    from openmaptiles_zh_modifier_spark.operators.zh_backfill import (
+        updates_frame_with_tags,
+    )
+
+    df = cow_read(spark, root)
+    tc = classify_schema(df.schema, root)
+    if tc is None:
+        raise ValueError(
+            f"cow table at {root} does not qualify for zh back-fill "
+            "(needs name + tags and an id/osm_id column)"
+        )
+    updates = updates_frame_with_tags(df, tc.id_field, compat_names_typo)
+    src = updates.select(tc.id_field, "new_tags_map")
+    n_updated = src.count()
+    if n_updated == 0:
+        return _latest_version(root), 0
+    version = cow_merge(
+        spark,
+        root,
+        src,
+        on=tc.id_field,
+        matched_update={"tags": F.col("s.new_tags_map")},
+    )
+    return version, n_updated
