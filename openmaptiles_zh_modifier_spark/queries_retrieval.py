@@ -1,6 +1,6 @@
 """Retrieval / linkage / semantic-dedup operators (round 3 surface).
 
-Five operators a 100 TB training-data pipeline needs beyond the round-2
+Six operators a 100 TB training-data pipeline needs beyond the round-2
 surface, each a (Spark plan, DuckDB oracle) pair:
 
 - ``q_variant_json``      — Spark 4 VariantType: ``parse_json`` +
@@ -18,6 +18,9 @@ surface, each a (Spark plan, DuckDB oracle) pair:
 - ``q_semdedup``          — SemDeDup-style semantic dedup: cluster by
   nearest centroid, then greedy keep-lowest-id within each cluster among
   cosine>=tau neighbors. Cluster-scoped pair join, never global.
+- ``q_perplexity_filter`` — CCNet-style quality gate: corpus-trained
+  Laplace bigram LM, per-doc average negative log-likelihood, calibrated
+  keep cutoff; engine-invariant sorted-fold summation.
 
 Float discipline follows queries_embeddings.py: cast float32 -> double
 first, sequential left-fold dot products (Spark ``F.aggregate`` ==
