@@ -723,3 +723,102 @@ def q_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
         entries(busy).alias("busy_entries"),
         entries(tripled).alias("tripled_entries"),
     ).orderBy("user_id")
+
+
+# -------------------------------------------------------------------------
+# Time-weighted average (trapezoidal, per user) — hypertable analytics
+# -------------------------------------------------------------------------
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, value,
+         LAG(epoch_us(ts)) OVER w AS pt,
+         LAG(value)       OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+c AS (
+  SELECT user_id, t,
+         (value + pv) / 2.0 * (t - pt) AS contrib
+  FROM e WHERE pt IS NOT NULL
+),
+agg AS (
+  SELECT user_id,
+         COUNT(*) + 1 AS n_events,
+         list_reduce(list_prepend(0.0::DOUBLE,
+                                  list(contrib ORDER BY t, contrib)),
+                     (acc, x) -> acc + x) AS w_sum
+  FROM c GROUP BY user_id
+),
+span AS (
+  SELECT user_id, MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span
+  FROM events GROUP BY user_id
+)
+SELECT a.user_id, a.n_events,
+       ROUND(a.w_sum / s.span, 4) AS twa
+FROM agg a JOIN span s ON a.user_id = s.user_id
+WHERE s.span > 0
+ORDER BY a.user_id
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average of ``value`` per user — the
+    hypertable analytic (TimescaleDB ``time_weight('Linear', ...)``)
+    that plain AVG gets wrong on irregularly-sampled series: each
+    interval contributes its midpoint value weighted by its duration,
+    normalized by the user's observed span.
+
+    Determinism: interval contributions are pure double arithmetic on
+    integer epoch-micros deltas, identical per row on both engines; the
+    per-user sum folds in time order (sorted-fold idiom, see
+    q_pagerank_nations) so addition order cannot diverge; ties at the
+    same timestamp order by event_id in the LAG window. ROUND 4 dp after
+    the final division; single-event users (span 0) are excluded on
+    BOTH sides.
+
+    Scale shape: one shuffle on user_id shared by the LAG window and the
+    aggregation — the per-entity partitioning every time-series feature
+    uses; per-user state is bounded by that user's event count, and at
+    100 TB the fold is an in-group sort, not a global one."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(t, F.col("event_id"))
+    e = ev.select(
+        "user_id",
+        t.alias("t"),
+        "value",
+        F.lag(t).over(w).alias("pt"),
+        F.lag("value").over(w).alias("pv"),
+    )
+    c = e.where(F.col("pt").isNotNull()).select(
+        "user_id",
+        "t",
+        ((F.col("value") + F.col("pv")) / 2.0 * (F.col("t") - F.col("pt"))).alias(
+            "contrib"
+        ),
+    )
+    agg = c.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("w_sum"),
+    )
+    span = ev.groupBy("user_id").agg(
+        (F.max(t) - F.min(t)).alias("span")
+    )
+    return (
+        agg.join(span, "user_id")
+        .where(F.col("span") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("w_sum") / F.col("span"), 4).alias("twa"),
+        )
+        .orderBy("user_id")
+    )

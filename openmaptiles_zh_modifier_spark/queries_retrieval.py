@@ -596,3 +596,187 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------- exact-substring dup measure
+
+SUB_N = 8  # token n-gram length for the duplicated-substring probe
+
+
+@register(
+    "q_substring_dupfrac",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tk AS (SELECT doc_id, t FROM toks WHERE len(t) >= {SUB_N}),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - {SUB_N - 1})) AS pos,
+         unnest(list_transform(
+             generate_series(1, len(t) - {SUB_N - 1}),
+             j -> concat_ws(' ', {', '.join(f"t[j+{i}]" for i in range(SUB_N))})
+         )) AS s
+  FROM tk
+),
+df AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+           AS dup_frac
+FROM g JOIN df USING (s)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)
+def q_substring_dupfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication measure (the Lee-et-al. "Deduplicating
+    Training Data" family): per document, the fraction of token-8-gram
+    POSITIONS whose 8-gram also occurs in at least one OTHER document.
+    High dup_frac = boilerplate/mirrored content; the per-position (not
+    per-distinct-gram) accounting is what makes it a span-coverage
+    proxy rather than a set-overlap score.
+
+    Determinism: all counts are integers; the single division ROUNDs at
+    4 dp; output ordered by doc_id.
+
+    Scale shape: one explode pass (positions kept — multiplicity
+    matters), a doc-distinct aggregate for the gram document-frequency
+    (map-side combinable after the in-doc distinct), and one join of
+    occurrences to gram-df keyed on the gram — the same postings-shaped
+    shuffle as the decontamination probes, with Zipf-hot grams arriving
+    as collapsed count rows on the build side. A production suffix-array
+    pass replaces the fixed n with all maximal spans; the dataflow
+    (position explode -> global frequency -> join back) is identical."""
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    tk = docs.select("doc_id", t.alias("t")).where(F.size("t") >= SUB_N)
+    m = F.size("t") - (SUB_N - 1)
+    parts = [F.slice("t", i + 1, m) for i in range(SUB_N)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    # spread before the explode: single-split corpus (see SCALE.md round-3)
+    g = (
+        tk.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.posexplode(grams).alias("pos0", "s"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    )
+    df = (
+        g.select("doc_id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dup = (F.col("df") >= 2).cast("int")
+    return (
+        g.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).cast("bigint").alias("n_dup"),
+            F.round(F.sum(dup) * 1.0 / F.count(F.lit(1)), 4).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------ PMI co-occurrence
+
+PMI_MIN_COUNT = 20  # ignore rare bigrams (classic PMI noise guard)
+PMI_TOP = 20
+
+
+@register(
+    "q_pmi_cooccurrence",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+u AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+nt AS (SELECT COUNT(*) AS n_tokens FROM u),
+bg AS (
+  SELECT unnest(t[:len(t) - 1]) AS w1, unnest(t[2:]) AS w2 FROM toks
+  WHERE len(t) >= 2
+),
+cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+nb AS (SELECT COUNT(*) AS n_bigrams FROM bg),
+scored AS (
+  SELECT cb.w1, cb.w2, cb.cb,
+         ROUND(ln((cb.cb * 1.0 / nb.n_bigrams)
+                  / ((u1.c * 1.0 / nt.n_tokens)
+                     * (u2.c * 1.0 / nt.n_tokens))), 4) AS pmi
+  FROM cb
+  JOIN uc u1 ON u1.w = cb.w1
+  JOIN uc u2 ON u2.w = cb.w2
+  CROSS JOIN nt CROSS JOIN nb
+  WHERE cb.cb >= {PMI_MIN_COUNT}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM scored
+)
+SELECT w1, w2, cb, pmi, rk FROM ranked WHERE rk <= {PMI_TOP}
+ORDER BY rk
+""",
+)
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation/phrase-mining statistic (word2vec's phrase pass, NPMI
+    keyphrase extraction): pmi = ln(P(w1,w2) / (P(w1)P(w2))), computed
+    from exact corpus counts with a minimum-count guard against the
+    low-frequency PMI explosion.
+
+    Determinism: all counts exact integers; one ln per surviving bigram,
+    ROUNDed at 4 dp before ranking; (w1, w2) break ties; top-k via
+    TakeOrderedAndProject.
+
+    Scale shape: two map-side-combinable aggregations (unigram, bigram)
+    + two joins of the bigram-count table (already collapsed, vocab^2
+    bounded, in practice Zipf-sparse) against the unigram table; the
+    1-row totals broadcast. The corpus is scanned twice (token pass,
+    bigram pass) — at 100 TB fuse them by caching the token frame or
+    deriving unigram counts from the bigram table plus boundary
+    corrections; kept separate here for plan clarity."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    tk = docs.select(t.alias("t"))
+    u = tk.select(F.explode("t").alias("w"))
+    uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nt = u.agg(F.count(F.lit(1)).alias("n_tokens"))
+    m = F.size("t") - 1
+    bg = tk.where(F.size("t") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, m),
+                F.slice("t", 2, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    nb = bg.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("cb") * 1.0 / F.col("n_bigrams"))
+            / (
+                (F.col("c1") * 1.0 / F.col("n_tokens"))
+                * (F.col("c2") * 1.0 / F.col("n_tokens"))
+            )
+        ),
+        4,
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        cb.where(F.col("cb") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "cb", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP)
+        .withColumn("rk", F.row_number().over(w))
+        .orderBy("rk")
+    )

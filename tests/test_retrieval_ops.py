@@ -91,6 +91,29 @@ def test_perplexity_filter_invariants(spark, sf_dir):
     assert 0 < kept < len(rows)
 
 
+def test_substring_dupfrac_bounds(spark, sf_dir):
+    rows = QUERIES["q_substring_dupfrac"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_grams
+        assert 0.0 <= r.dup_frac <= 1.0
+
+
+def test_pmi_and_twa_shapes(spark, sf_dir):
+    pmi = QUERIES["q_pmi_cooccurrence"](spark, sf_dir).collect()
+    assert pmi, "min-count guard must not filter the whole fixture corpus"
+    scores = [r.pmi for r in pmi]
+    assert scores == sorted(scores, reverse=True)
+    twa = QUERIES["q_time_weighted_avg"](spark, sf_dir).collect()
+    assert twa
+    vals = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        F.min("value"), F.max("value")
+    ).collect()[0]
+    for r in twa:
+        # a weighted average must stay inside the value range
+        assert vals[0] - 1e-6 <= r.twa <= vals[1] + 1e-6
+
+
 def test_variant_json_matches_from_json(spark, sf_dir):
     """Variant typed extraction must agree with the declared-schema
     from_json path on the same column."""
