@@ -50,6 +50,7 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -57,10 +58,13 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     IsNotNull,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from openmaptiles_zh_modifier_spark.operators.cow_table import (
+    _PV,
+    _commit_manifest,
     _latest_version,
     _read_manifest,
 )
@@ -177,6 +181,139 @@ class CowStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class CowCommitMessage(WriterCommitMessage):
+    """Per-task file inventory, collected by the driver-side commit."""
+
+    entries: list  # [{"path": <rel>, "partition": <str|None>}, ...]
+
+
+class CowBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("cowtable")`` — the V2 writer protocol mapped
+    onto the manifest commit: tasks write immutable parquet files into a
+    fresh commit directory and return their file entries as commit
+    messages; the DRIVER-side ``commit`` publishes the next manifest
+    version atomically (append = old files + new; overwrite = new only).
+    A failed job calls ``abort``, which removes the written files — no
+    manifest was published, so readers never saw them (write atomicity
+    comes from the manifest protocol, not from cleanup).
+
+    Supported modes: ``append`` (default) and ``overwrite``. Partitioned
+    writes take ``.option("partition_by", col)`` — the DataFrameWriter's
+    own ``partitionBy`` does not reach Python data sources.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        overwrite: bool,
+        partition_by: str | None,
+    ) -> None:
+        import uuid
+
+        self._root = root
+        self._schema = schema
+        self._overwrite = overwrite
+        # one commit dir per write JOB, shared by all tasks via pickle
+        self._commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
+        # creating a new table? capture existing state at plan time for
+        # validation only — versioning reads the LATEST manifest in
+        # commit() so concurrent writers conflict correctly
+        try:
+            m = _read_manifest(root)
+            self._partition_by = m["partition_by"]
+            if partition_by is not None and partition_by != self._partition_by:
+                raise ValueError(
+                    f"cowtable at {root} is partitioned by "
+                    f"{self._partition_by!r}; cannot write partition_by="
+                    f"{partition_by!r}"
+                )
+            existing = StructType.fromJson(json.loads(m["schema"]))
+            if [f.name for f in existing] != [f.name for f in schema]:
+                raise ValueError(
+                    f"schema mismatch writing to {root}: table has "
+                    f"{existing.fieldNames()}, write has {schema.fieldNames()}"
+                )
+            self._exists = True
+        except FileNotFoundError:
+            self._partition_by = partition_by
+            self._exists = False
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.Table.from_batches(list(iterator), schema=None)
+        entries: list[dict] = []
+        if table.num_rows == 0:
+            return CowCommitMessage(entries=[])
+
+        def _emit(tbl, part: str | None) -> None:
+            sub = (
+                os.path.join(self._commit_dir, f"{_PV}={part}")
+                if part is not None
+                else self._commit_dir
+            )
+            os.makedirs(os.path.join(self._root, sub), exist_ok=True)
+            rel = os.path.join(sub, f"part-{uuid.uuid4().hex[:12]}.parquet")
+            pq.write_table(tbl, os.path.join(self._root, rel))
+            entries.append({"path": rel, "partition": part})
+
+        if self._partition_by is None:
+            _emit(table, None)
+        else:
+            import pyarrow.compute as pc
+
+            col = table.column(self._partition_by)
+            if col.null_count:
+                raise ValueError(
+                    f"cowtable write: NULL {self._partition_by!r} partition"
+                    " values cannot be routed; clean or default them"
+                )
+            for v in pc.unique(col).to_pylist():
+                _emit(
+                    table.filter(pc.equal(col, v)), str(v)
+                )
+        return CowCommitMessage(entries=entries)
+
+    def commit(self, messages):
+        new_entries = [e for m in messages if m for e in m.entries]
+        if self._exists:
+            m = _read_manifest(self._root)
+            version = m["version"] + 1
+            files = new_entries if self._overwrite else m["files"] + new_entries
+            schema_json = m["schema"]
+            part_col = m["partition_by"]
+        else:
+            os.makedirs(self._root, exist_ok=True)
+            version = 1
+            files = new_entries
+            schema_json = self._schema.json()
+            part_col = self._partition_by
+        _commit_manifest(
+            self._root,
+            {
+                "version": version,
+                "partition_by": part_col,
+                "files": files,
+                "schema": schema_json,
+            },
+        )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for e in m.entries:
+                try:
+                    os.unlink(os.path.join(self._root, e["path"]))
+                except OSError:
+                    pass
+
+
 class CowDataSource(DataSource):
     """``spark.dataSource.register(CowDataSource)`` then
     ``spark.read.format("cowtable").option("path", root).load()``."""
@@ -205,6 +342,14 @@ class CowDataSource(DataSource):
     def streamReader(self, schema: StructType) -> CowStreamReader:
         return CowStreamReader(
             self._root(), int(self.options.get("startingversion", 0))
+        )
+
+    def writer(self, schema: StructType, overwrite: bool) -> CowBatchWriter:
+        return CowBatchWriter(
+            self._root(),
+            schema,
+            overwrite,
+            self.options.get("partition_by"),
         )
 
 

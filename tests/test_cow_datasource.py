@@ -89,6 +89,61 @@ def test_partition_pruning_reduces_files_scanned(spark, cow_root):
     assert leftover  # filters stay row-level: pruning is file-granular
 
 
+def test_writer_creates_and_appends(spark, sf_dir, tmp_path):
+    register_cow_datasource(spark)
+    root = str(tmp_path / "written")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # create (append mode on a fresh path => version 1)
+    nation.write.format("cowtable").option("path", root).option(
+        "partition_by", "n_regionkey"
+    ).mode("append").save()
+    assert _rows(cow_read(spark, root)) == _rows(nation)
+    # append the same rows => doubled, version 2
+    nation.write.format("cowtable").option("path", root).mode("append").save()
+    assert cow_read(spark, root).count() == 2 * nation.count()
+    assert _rows(cow_read(spark, root, version=1)) == _rows(nation)
+    # MERGE through the existing cow path still works on written tables
+    upd = spark.createDataFrame(
+        [(0, "VIA_WRITER", 0)],
+        "n_nationkey long, n_name string, n_regionkey int",
+    )
+    cow_merge(
+        spark, root, upd, on="n_nationkey",
+        matched_update={"n_name": F.col("s.n_name")},
+    )
+    names = {
+        r.n_name
+        for r in cow_read(spark, root)
+        .where(F.col("n_nationkey") == 0)
+        .collect()
+    }
+    assert names == {"VIA_WRITER"}
+
+
+def test_writer_overwrite_and_pruning(spark, sf_dir, tmp_path):
+    register_cow_datasource(spark)
+    root = str(tmp_path / "overwritten")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.format("cowtable").option("path", root).option(
+        "partition_by", "n_regionkey"
+    ).mode("append").save()
+    small = nation.where(F.col("n_regionkey") == 1)
+    small.write.format("cowtable").option("path", root).mode(
+        "overwrite"
+    ).save()
+    assert _rows(cow_read(spark, root)) == _rows(small)
+    # written files carry manifest partition values => pruning works
+    assert _rows(cow_read(spark, root, partition_values=[1])) == _rows(small)
+    assert cow_read(spark, root, partition_values=[2]).count() == 0
+    # round-trip through the DataSource reader too
+    via_ds = spark.read.format("cowtable").option("path", root).load()
+    assert _rows(via_ds) == _rows(small)
+
+
 def test_stream_replays_commit_log(spark, cow_root, tmp_path):
     updates = spark.createDataFrame(
         [(1, "STREAMED", 1)], "n_nationkey long, n_name string, n_regionkey int"
