@@ -237,6 +237,11 @@ class CowBatchWriter(DataSourceArrowWriter):
                 )
             self._exists = True
         except FileNotFoundError:
+            if partition_by is not None and partition_by not in schema.fieldNames():
+                raise ValueError(
+                    f"partition_by={partition_by!r} is not a column of the"
+                    f" written frame ({schema.fieldNames()})"
+                ) from None
             self._partition_by = partition_by
             self._exists = False
 
@@ -246,8 +251,13 @@ class CowBatchWriter(DataSourceArrowWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pa.Table.from_batches(list(iterator), schema=None)
+        batches = list(iterator)
         entries: list[dict] = []
+        # empty task partitions produce NO batches — from_batches would
+        # raise without a schema, and a zero-row file is pure overhead
+        if not batches:
+            return CowCommitMessage(entries=[])
+        table = pa.Table.from_batches(batches)
         if table.num_rows == 0:
             return CowCommitMessage(entries=[])
 
