@@ -66,7 +66,7 @@ _R03_WINDOW = [
 # q_substring_dupfrac, q_pmi_cooccurrence, q_time_weighted_avg)
 # sit AFTER this 50-query window on purpose: the window is spent closing
 # the r01∪r02 coverage gap so every pre-existing query has a driver row
-# by end of round 3. The new six are verified by the local
+# by end of round 3. The new nine are verified by the local
 # driver-faithful gate (tools/check_oracle.py: 135/135) and head the
 # round-4 rotation.
 

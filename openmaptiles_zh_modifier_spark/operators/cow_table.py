@@ -182,6 +182,7 @@ def cow_merge(
     matched_update: dict | None = None,
     matched_delete=None,
     not_matched_insert: dict | None = None,
+    base_version: int | None = None,
 ) -> int:
     """Delta-style ``MERGE INTO`` the cow table: rewrite ONLY the
     partitions whose values appear in the source (plus, when an INSERT
@@ -191,10 +192,20 @@ def cow_merge(
     ``CowConflictError`` if a concurrent writer won the version race.
 
     Clause semantics are ``operators.merge.merge_into``'s (t/s aliases).
-    Returns the committed version."""
+    Returns the committed version.
+
+    ``base_version`` pins the snapshot the merge is computed FROM and
+    commits ``base_version + 1``: a caller that read version V, derived
+    its source frame from V, and passes ``base_version=V`` gets true
+    optimistic concurrency — if any other writer committed V+1 in the
+    meantime, the commit raises ``CowConflictError`` instead of silently
+    merging stale derivations onto a base the caller never saw (the
+    read-derive-merge TOCTOU). Default (None) merges onto the latest
+    version, which is only safe when the source was derived
+    independently of the table's current contents."""
     from openmaptiles_zh_modifier_spark.operators.merge import merge_into
 
-    m = _read_manifest(root)
+    m = _read_manifest(root, base_version)
     part_col = m["partition_by"]
     next_version = m["version"] + 1
 

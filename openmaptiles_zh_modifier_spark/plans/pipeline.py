@@ -410,6 +410,7 @@ def run_backfill_cow(
     from openmaptiles_zh_modifier_spark.catalog import classify_schema
     from openmaptiles_zh_modifier_spark.operators.cow_table import (
         _latest_version,
+        _read_manifest,
         cow_merge,
         cow_read,
     )
@@ -417,7 +418,14 @@ def run_backfill_cow(
         updates_frame_with_tags,
     )
 
-    df = cow_read(spark, root)
+    # Pin the snapshot ONCE: read version V, derive from V, merge with
+    # base_version=V. If anyone commits V+1 while we derive, the manifest
+    # publish of V+1 below raises CowConflictError instead of silently
+    # clobbering their write with tags derived from V (read-derive-merge
+    # TOCTOU). Caller retries from the new version, like Delta.
+    base = _latest_version(root)
+    part_col = _read_manifest(root, base)["partition_by"]
+    df = cow_read(spark, root, version=base)
     tc = classify_schema(df.schema, root)
     if tc is None:
         raise ValueError(
@@ -425,15 +433,33 @@ def run_backfill_cow(
             "(needs name + tags and an id/osm_id column)"
         )
     updates = updates_frame_with_tags(df, tc.id_field, compat_names_typo)
-    src = updates.select(tc.id_field, "new_tags_map")
-    n_updated = src.count()
-    if n_updated == 0:
-        return _latest_version(root), 0
-    version = cow_merge(
-        spark,
-        root,
-        src,
-        on=tc.id_field,
-        matched_update={"tags": F.col("s.new_tags_map")},
-    )
+    # partitioned tables: cow_merge routes the rewrite by the source's
+    # partition values, so the source must carry the partition column.
+    # The join-back is against the SAME pinned (immutable) snapshot, so
+    # it cannot tear, unlike the live-JDBC case updates_frame_with_tags
+    # exists to avoid.
+    if part_col and part_col != tc.id_field:
+        src = updates.join(
+            df.select(tc.id_field, part_col), tc.id_field
+        ).select(tc.id_field, "new_tags_map", part_col)
+    else:
+        src = updates.select(tc.id_field, "new_tags_map")
+    # one materialization serves the count, the uniqueness validation
+    # scan, and the merge write (three recomputes of the conversion
+    # projection otherwise)
+    src = src.persist()
+    try:
+        n_updated = src.count()
+        if n_updated == 0:
+            return base, 0
+        version = cow_merge(
+            spark,
+            root,
+            src,
+            on=tc.id_field,
+            matched_update={"tags": F.col("s.new_tags_map")},
+            base_version=base,
+        )
+    finally:
+        src.unpersist()
     return version, n_updated

@@ -473,28 +473,19 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.40  # same corpus-calibrated threshold as q_embed_neardup
 SEMDEDUP_CENTROIDS = 8  # vec_id < 8 serve as fixed centroids (as IVF ops)
 
-_DOT_SQL = (
-    "list_reduce(list_prepend(0.0::DOUBLE, "
-    "list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), (acc, x) -> acc + x)"
+# dot-product fold + its SQL twin are the ONE canonical pair defined in
+# queries_embeddings (sequential left-fold == DuckDB list_reduce); import
+# rather than duplicate so the float-determinism discipline cannot fork
+from openmaptiles_zh_modifier_spark.queries_embeddings import (  # noqa: E402
+    _dot_fold,
+    _dot_sql,
 )
-
-
-def _dot_sql(a: str, b: str) -> str:
-    return _DOT_SQL.format(a=a, b=b)
 
 
 def _cos_sql(a: str, b: str) -> str:
     return (
         f"ROUND({_dot_sql(a, b)} / "
         f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 4)"
-    )
-
-
-def _dot_fold(vec: Column, other: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(vec, other, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
 
 

@@ -136,7 +136,11 @@ class CowBatchReader(DataSourceReader):
             for e in files
         ]
 
-    def read(self, partition: CowFilePartition) -> Iterator:
+    def read(self, partition: CowFilePartition | None) -> Iterator:
+        # pruning (or an empty manifest) can leave ZERO partitions; the
+        # Spark worker then substitutes [None] and still calls read once
+        if partition is None:
+            return
         yield from _read_file_batches(partition.path, self._schema)
 
 
@@ -230,10 +234,14 @@ class CowBatchWriter(DataSourceArrowWriter):
                     f"{partition_by!r}"
                 )
             existing = StructType.fromJson(json.loads(m["schema"]))
-            if [f.name for f in existing] != [f.name for f in schema]:
+            if [(f.name, f.dataType) for f in existing] != [
+                (f.name, f.dataType) for f in schema
+            ]:
                 raise ValueError(
                     f"schema mismatch writing to {root}: table has "
-                    f"{existing.fieldNames()}, write has {schema.fieldNames()}"
+                    f"{[(f.name, f.dataType.simpleString()) for f in existing]},"
+                    f" write has "
+                    f"{[(f.name, f.dataType.simpleString()) for f in schema]}"
                 )
             self._exists = True
         except FileNotFoundError:
@@ -364,6 +372,15 @@ class CowDataSource(DataSource):
 
 
 def register_cow_datasource(spark) -> None:
-    # pushFilters is gated off by default; runtime conf, planning-time read
+    """Register the format and enable Python-DataSource filter pushdown.
+
+    NOTE the session-wide side effect: ``spark.sql.python.filterPushdown
+    .enabled`` is a global conf (Spark offers no per-source switch), so
+    after registration EVERY Python data source in the session receives
+    ``pushFilters`` planning calls. That is the conf's documented
+    contract — sources that don't override pushFilters inherit the
+    default pass-through — but callers embedding cowtable into an app
+    with other Python sources should flip it consciously, not via this
+    helper."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CowDataSource)

@@ -59,6 +59,65 @@ def test_cow_backfill_time_travel_and_idempotence(spark, lattice_cow):
     assert _canon(cow_read(spark, root)) == _canon(backfill_table(df))
 
 
+def test_cow_backfill_partitioned_table(spark, tmp_path):
+    """Partitioned COW tables route the rewrite by partition value; the
+    back-fill source must carry the partition column (review finding)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "zh_cow_part")
+    df = mk(
+        spark, [Row(id=i, name=n, tags=t) for i, n, t, *_ in LATTICE]
+    ).withColumn("region", (F.col("id") % 3).cast("int"))
+    cow_create(spark, root, df, partition_by="region")
+    version, n_updated = run_backfill_cow(spark, root)
+    assert version == 2 and n_updated > 0
+    got = cow_read(spark, root)
+    want = backfill_table(df)
+    def canon(frame):
+        return sorted(
+            (r.id, r.name, r.region,
+             None if r.tags is None else sorted(r.tags.items()))
+            for r in frame.collect()
+        )
+    assert canon(got) == canon(want)
+    # untouched partitions' files must survive from version 1 (COW
+    # granularity is the partition)
+    assert cow_read(spark, root, version=1).count() == df.count()
+
+
+def test_cow_backfill_conflict_on_concurrent_commit(spark, lattice_cow):
+    """The base_version pin: a commit that lands between the snapshot
+    read and the merge publish must surface as CowConflictError, not a
+    silent clobber (review finding)."""
+    from pyspark.sql import functions as F
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        CowConflictError,
+        cow_merge,
+    )
+
+    root, df = lattice_cow
+    real_merge = cow_merge
+
+    def racing_merge(spark_, root_, src_, **kw):
+        # interleave a competing writer AFTER the snapshot was pinned
+        upd = spark_.createDataFrame([(3, "競")], "id long, name string")
+        real_merge(
+            spark_, root_, upd, on="id",
+            matched_update={"name": F.col("s.name")},
+        )
+        return real_merge(spark_, root_, src_, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch(
+        "openmaptiles_zh_modifier_spark.operators.cow_table.cow_merge",
+        side_effect=racing_merge,
+    ):
+        with pytest.raises(CowConflictError):
+            run_backfill_cow(spark, root)
+
+
 def test_cow_backfill_rejects_unqualified_table(spark, tmp_path):
     root = str(tmp_path / "bad_cow")
     df = spark.createDataFrame([(1, "x")], "a long, b string")

@@ -89,6 +89,35 @@ def test_partition_pruning_reduces_files_scanned(spark, cow_root):
     assert leftover  # filters stay row-level: pruning is file-granular
 
 
+def test_filter_on_absent_partition_returns_empty(spark, cow_root):
+    """Pruning to ZERO files must yield an empty frame, not crash: the
+    worker substitutes [None] for an empty partition list and still
+    calls read (review finding)."""
+    df = (
+        spark.read.format("cowtable")
+        .option("path", cow_root)
+        .load()
+        .where(F.col("n_regionkey") == 99)
+    )
+    assert df.count() == 0
+
+
+def test_writer_rejects_type_changed_append(spark, sf_dir, tmp_path):
+    register_cow_datasource(spark)
+    root = str(tmp_path / "typed")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.format("cowtable").option("path", root).mode("append").save()
+    retyped = nation.withColumn(
+        "n_regionkey", F.col("n_regionkey").cast("string")
+    )
+    with pytest.raises(Exception, match="schema mismatch"):
+        retyped.write.format("cowtable").option("path", root).mode(
+            "append"
+        ).save()
+
+
 def test_writer_creates_and_appends(spark, sf_dir, tmp_path):
     register_cow_datasource(spark)
     root = str(tmp_path / "written")
@@ -164,7 +193,7 @@ def test_stream_replays_commit_log(spark, cow_root, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     got = spark.read.parquet(out)
     # commit-log replay of a COW table: v1's files plus v2's rewritten
     # partition files => every CURRENT row appears at least once, and the
