@@ -1,6 +1,6 @@
 """Retrieval / linkage / semantic-dedup operators (round 3 surface).
 
-Six operators a 100 TB training-data pipeline needs beyond the round-2
+Eight operators a 100 TB training-data pipeline needs beyond the round-2
 surface, each a (Spark plan, DuckDB oracle) pair:
 
 - ``q_variant_json``      — Spark 4 VariantType: ``parse_json`` +
@@ -21,6 +21,13 @@ surface, each a (Spark plan, DuckDB oracle) pair:
 - ``q_perplexity_filter`` — CCNet-style quality gate: corpus-trained
   Laplace bigram LM, per-doc average negative log-likelihood, calibrated
   keep cutoff; engine-invariant sorted-fold summation.
+- ``q_substring_dupfrac`` — Lee-et-al.-style exact-substring duplication
+  measure: per-position token-8-gram cross-document duplication
+  fraction.
+- ``q_pmi_cooccurrence`` — PMI collocation mining over adjacent token
+  pairs with a minimum-count guard.
+(The time-series sibling ``q_time_weighted_avg`` lives in
+queries_events.py with the other event-time operators.)
 
 Float discipline follows queries_embeddings.py: cast float32 -> double
 first, sequential left-fold dot products (Spark ``F.aggregate`` ==
