@@ -1,6 +1,6 @@
 """Retrieval / linkage / semantic-dedup operators (round 3 surface).
 
-Eight operators a 100 TB training-data pipeline needs beyond the round-2
+Nine operators a 100 TB training-data pipeline needs beyond the round-2
 surface, each a (Spark plan, DuckDB oracle) pair:
 
 - ``q_variant_json``      — Spark 4 VariantType: ``parse_json`` +
@@ -26,6 +26,8 @@ surface, each a (Spark plan, DuckDB oracle) pair:
   fraction.
 - ``q_pmi_cooccurrence`` — PMI collocation mining over adjacent token
   pairs with a minimum-count guard.
+- ``q_skyline_parts``     — skyline / Pareto-front via the sort-filter
+  sweep, proven against the naive O(n^2) dominance oracle.
 (The time-series sibling ``q_time_weighted_avg`` lives in
 queries_events.py with the other event-time operators.)
 
@@ -785,4 +787,68 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOP)
         .withColumn("rk", F.row_number().over(w))
         .orderBy("rk")
+    )
+
+
+# ----------------------------------------------------- skyline (Pareto)
+
+@register(
+    "q_skyline_parts",
+    oracle="""
+SELECT x.p_partkey, x.p_retailprice, x.p_size
+FROM part x
+WHERE NOT EXISTS (
+  SELECT 1 FROM part y
+  WHERE y.p_retailprice <= x.p_retailprice
+    AND y.p_size >= x.p_size
+    AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size)
+)
+ORDER BY x.p_partkey
+""",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query: parts not dominated on (minimize
+    price, maximize size) — the classic multi-criteria operator (cheap
+    AND large; dominance = no other part at most as expensive and at
+    least as big that is strictly better on one axis). The oracle is the
+    textbook O(n^2) NOT EXISTS program; the engine plan is the 2-D
+    sweep: within each price, only the max-size rows can survive; a
+    price group survives iff its max size strictly exceeds the running
+    max size over all STRICTLY cheaper groups. Equal (price, size)
+    twins don't dominate each other, so whole tie-groups survive —
+    matching the oracle's strict-on-one-axis semantics exactly.
+
+    Determinism: price/size compare exactly (2-dp money grid + int), no
+    transcendentals, output ordered by key.
+
+    Scale shape: one groupBy on price (distinct-price-sized, orders
+    smaller than the table), ONE window over that collapsed group table
+    (the only sort), then a broadcastable semi-join back to the full
+    table for the surviving (price, size) pairs. The O(n^2) pair scan
+    never happens — this is the sort-filter skyline algorithm expressed
+    declaratively; for d>2 dimensions the same pre-aggregation feeds a
+    block-local skyline + re-skyline union."""
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    g = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gs"))
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    surviving = (
+        g.withColumn("run_prev", F.max("gs").over(w))
+        .where(
+            F.col("run_prev").isNull() | (F.col("gs") > F.col("run_prev"))
+        )
+        .select("p_retailprice", F.col("gs").alias("p_size"))
+    )
+    return (
+        part.join(
+            F.broadcast(surviving), ["p_retailprice", "p_size"], "left_semi"
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
     )
