@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -332,6 +333,60 @@ class CowBatchWriter(DataSourceArrowWriter):
                     pass
 
 
+class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("cowtable")`` — each micro-batch appends
+    its files and publishes one manifest version stamped with the batch
+    id. Exactly-once across restarts: a replayed epoch (same batchId as
+    the latest manifest's ``last_stream_batch``) is skipped at commit,
+    so its re-written files never enter a manifest (vacuum reclaims the
+    orphans). Append-only: complete/truncate output modes are rejected.
+
+    Task-side write is inherited verbatim from the batch writer (same
+    commit-dir layout, same partition routing)."""
+
+    def __init__(
+        self, root: str, schema: StructType, partition_by: str | None
+    ) -> None:
+        CowBatchWriter.__init__(
+            self, root, schema, overwrite=False, partition_by=partition_by
+        )
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        new_entries = [e for m in messages if m for e in m.entries]
+        if self._exists:
+            m = _read_manifest(self._root)
+            if m.get("last_stream_batch") == batchId:
+                # epoch replay after a failure between commit and the
+                # engine recording progress — already published; the
+                # just-written duplicate files are manifest-orphans
+                self.abort(messages, batchId)
+                return
+            version = m["version"] + 1
+            files = m["files"] + new_entries
+            schema_json = m["schema"]
+            part_col = m["partition_by"]
+        else:
+            os.makedirs(self._root, exist_ok=True)
+            version = 1
+            files = new_entries
+            schema_json = self._schema.json()
+            part_col = self._partition_by
+        _commit_manifest(
+            self._root,
+            {
+                "version": version,
+                "partition_by": part_col,
+                "files": files,
+                "schema": schema_json,
+                "last_stream_batch": batchId,
+            },
+        )
+        self._exists = True
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        CowBatchWriter.abort(self, messages)
+
+
 class CowDataSource(DataSource):
     """``spark.dataSource.register(CowDataSource)`` then
     ``spark.read.format("cowtable").option("path", root).load()``."""
@@ -368,6 +423,18 @@ class CowDataSource(DataSource):
             schema,
             overwrite,
             self.options.get("partition_by"),
+        )
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> CowStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "cowtable streaming sink is append-only; complete/truncate"
+                " output modes are not supported"
+            )
+        return CowStreamWriter(
+            self._root(), schema, self.options.get("partition_by")
         )
 
 

@@ -173,6 +173,44 @@ def test_writer_overwrite_and_pruning(spark, sf_dir, tmp_path):
     assert _rows(via_ds) == _rows(small)
 
 
+def test_stream_writer_sink(spark, sf_dir, tmp_path):
+    """writeStream.format('cowtable'): micro-batches append manifest
+    versions; the result table equals the streamed source; batch ids are
+    stamped for exactly-once replay skipping."""
+    register_cow_datasource(spark)
+    src_dir = str(tmp_path / "src")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # three source files => up to three micro-batches with maxFilesPerTrigger
+    for i in range(3):
+        nation.where(F.col("n_nationkey") % 3 == i).write.mode(
+            "append"
+        ).parquet(src_dir)
+    root = str(tmp_path / "stream_sink")
+    q = (
+        spark.readStream.schema(nation.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.format("cowtable")
+        .option("path", root)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = cow_read(spark, root)
+    assert _rows(got) == _rows(nation)
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        _read_manifest,
+        cow_history,
+    )
+
+    versions = cow_history(root)
+    assert len(versions) >= 2  # one manifest per non-empty micro-batch
+    assert "last_stream_batch" in _read_manifest(root)
+
+
 def test_stream_replays_commit_log(spark, cow_root, tmp_path):
     updates = spark.createDataFrame(
         [(1, "STREAMED", 1)], "n_nationkey long, n_name string, n_regionkey int"
