@@ -245,3 +245,194 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_wedges = wedge.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
     n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return n_edges.crossJoin(n_wedges).crossJoin(n_tri)
+
+
+# -------------------------------------------------------------------------
+# Label propagation communities + multi-source BFS (co-purchase graph)
+# -------------------------------------------------------------------------
+
+LPA_ITERS = 3
+BFS_MAX_HOPS = 4
+BFS_SEED_MOD = 97  # seeds = graph nodes whose part id % 97 == 0 (19 at sf0.01)
+
+# Shared graph build: the same weight-pruned co-purchase edge set as
+# q_triangle_count (canonical pa<pb), expanded to an undirected adjacency.
+_COPURCHASE_SQL = f"""
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRI_MIN_W}
+),
+adj AS (
+  SELECT pa AS node, pb AS nbr FROM e
+  UNION ALL
+  SELECT pb AS node, pa AS nbr FROM e
+)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild (or reuse) the q_triangle_count edge set via its memo key."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice("ps", i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    return memo_frame(
+        spark,
+        f"tri_edges:{sf_dir}",
+        lambda: (
+            baskets.select(F.explode(pair_arrays).alias("p"))
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("w"))
+            .where(F.col("w") >= TRI_MIN_W)
+            .select("pa", "pb")
+        ),
+    )
+
+
+def _copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    return memo_frame(
+        spark,
+        f"copurchase_adj:{sf_dir}",
+        lambda: e.select(
+            F.col("pa").alias("node"), F.col("pb").alias("nbr")
+        ).unionByName(e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))),
+    )
+
+
+def _lpa_round_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+c{i} AS (
+  SELECT a.node, l.lbl, COUNT(*) AS c
+  FROM adj a JOIN {prev} l ON l.node = a.nbr
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "q_label_propagation",
+    oracle=f"""
+WITH {_COPURCHASE_SQL},
+l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+{', '.join(_lpa_round_sql(i) for i in range(1, LPA_ITERS + 1))}
+SELECT node, lbl AS community FROM l{LPA_ITERS}
+""",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection ({LPA_ITERS}
+    rounds) on the co-purchase graph: every node starts labeled with
+    itself; each round it adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label — a fully deterministic
+    LPA variant (classic LPA breaks ties randomly and is irreproducible;
+    cross-engine parity demands the explicit (count DESC, label ASC)
+    ordering, enforced by row_number on both sides).
+
+    Scale shape: one round = one equi-join of adjacency to labels (both
+    hash-partitioned on the node key, so AQE reuses the partitioning
+    across rounds) + a (node,label) count + a per-node top-1 window. The
+    window's in-group sort is bounded by the node's distinct neighbor
+    LABELS (<= degree). Fixed-round unrolled lineage stays linear in
+    rounds; for many rounds at 100 TB, localCheckpoint every few rounds
+    to truncate lineage (the connected_components idiom in
+    operators/graph.py:29)."""
+    from pyspark.sql import Window
+
+    adj = _copurchase_adj(spark, sf_dir)
+    labels = adj.select("node").distinct().withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(LPA_ITERS):
+        cnt = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+@register(
+    "q_bfs_reachability",
+    oracle=f"""
+WITH RECURSIVE {_COPURCHASE_SQL},
+seeds AS (
+  SELECT DISTINCT node FROM adj WHERE node % {BFS_SEED_MOD} = 0
+),
+bfs(node, hop) AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT a.nbr AS node, b.hop + 1 AS hop
+  FROM bfs b JOIN adj a ON a.node = b.node
+  WHERE b.hop < {BFS_MAX_HOPS}
+)
+SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node
+""",
+)
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (<= {BFS_MAX_HOPS}) from a
+    deterministic seed set (part id % {BFS_SEED_MOD} == 0) over the
+    co-purchase graph — the reachability primitive behind contamination
+    spread, fraud-ring expansion, and web-graph crawl frontiers.
+
+    The Spark plan is the Bellman-Ford formulation rather than a literal
+    frontier queue: round i computes min(neighbor hop)+1 and folds it
+    into the running distance table with a full-outer join + LEAST.
+    That keeps the lineage LINEAR in rounds (each round references only
+    the previous distance table — a frontier + anti-join formulation
+    would re-reference every prior round and blow up the plan tree),
+    costs one join + one min-aggregate per round on the node key, and
+    after k rounds provably equals min-hop <= k. The oracle is the
+    textbook WITH RECURSIVE BFS — two independent formulations agreeing
+    is the correctness argument. At 100 TB: same partitioning notes as
+    LPA; distances are monotone non-increasing so rounds can stop when a
+    round changes nothing (connected_components does exactly that)."""
+    adj = _copurchase_adj(spark, sf_dir)
+    dist = (
+        adj.select("node")
+        .where(F.col("node") % BFS_SEED_MOD == 0)
+        .distinct()
+        .withColumn("hop", F.lit(0))
+    )
+    for _ in range(BFS_MAX_HOPS):
+        nbr_min = (
+            adj.join(dist.select(F.col("node"), "hop"), "node")
+            .groupBy(F.col("nbr").alias("node"))
+            .agg((F.min("hop") + F.lit(1)).alias("nhop"))
+        )
+        dist = (
+            dist.join(nbr_min, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("hop", F.col("nhop")),
+                    F.coalesce("nhop", F.col("hop")),
+                ).alias("hop"),
+            )
+        )
+    return dist.select("node", F.col("hop").cast("long").alias("hop"))
