@@ -822,3 +822,67 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------- rolling med
+
+ROLL_MED_N = 10  # trailing window width (rows)
+
+
+@register(
+    "q_rolling_median",
+    oracle=f"""
+WITH w AS (
+  SELECT event_id, user_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {ROLL_MED_N - 1} PRECEDING AND CURRENT ROW
+         ) AS vs
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(len(vs) AS INTEGER) AS n_in_window,
+       list_sort(vs)[(len(vs) + 1) // 2] AS rolling_median
+FROM w
+ORDER BY event_id
+""",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-{ROLL_MED_N}-row median of ``value`` per user — the
+    robust-smoothing window (sensor despiking, metric baselining) that
+    mean-based rolling frames can't provide because one outlier drags the
+    whole window. Median here is the LOWER median (sorted[(n+1)//2],
+    1-indexed) so the result is always an ACTUAL observed value and no
+    midpoint averaging enters (midpoints would be exact too, but the
+    lower-median convention keeps the value attributable to a row).
+
+    Neither engine has a native rolling median, and both get the same
+    treatment: collect the frame into an array, sort, index — Spark
+    ``sort_array(collect_list() over w)``, DuckDB ``list_sort(list()
+    over w)``. Doubles are only MOVED (collected/sorted/picked), never
+    summed, so there is no float-order hazard and no rounding is needed.
+
+    Scale shape: one shuffle on user_id, one in-partition sort (the
+    window's ORDER BY), then per-row O(N log N) on the FIXED window width
+    — memory per row bounded by N, not by partition size. At 100 TB with
+    wide windows, swap the per-row re-sort for a two-heap / indexable
+    skiplist in an applyInPandas per key; the frame semantics (and this
+    oracle) stay the test."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_MED_N - 1), 0)
+    )
+    vs = F.sort_array(F.collect_list("value").over(w))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.size(vs).alias("n_in_window"),
+            F.element_at(
+                vs, ((F.size(vs) + 1) / 2).cast("int")
+            ).alias("rolling_median"),
+        )
+        .orderBy("event_id")
+    )

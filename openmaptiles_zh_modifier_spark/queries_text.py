@@ -957,3 +957,121 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------- source KL
+
+KL_MIN_COUNT = 10  # vocab = tokens seen >= this many times corpus-wide
+
+
+@register(
+    "q_source_kl",
+    oracle=f"""
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term, COUNT(*) AS ct FROM t GROUP BY 1
+  HAVING COUNT(*) >= {KL_MIN_COUNT}
+),
+tot AS (SELECT SUM(ct) AS n, COUNT(*) AS v FROM vocab),
+st AS (
+  SELECT t.source, t.term, COUNT(*) AS cst
+  FROM t JOIN vocab ON vocab.term = t.term
+  GROUP BY 1, 2
+),
+stot AS (SELECT source, SUM(cst) AS ns FROM st GROUP BY 1),
+grid AS (
+  SELECT stot.source, stot.ns, vocab.term, vocab.ct, COALESCE(st.cst, 0) AS cst
+  FROM stot CROSS JOIN vocab
+  LEFT JOIN st ON st.source = stot.source AND st.term = vocab.term
+),
+contrib AS (
+  SELECT g.source, g.ns, g.term,
+         ((g.cst + 1.0) / (g.ns + t.v))
+           * ROUND(ln(((g.cst + 1.0) / (g.ns + t.v))
+                      / ((g.ct + 1.0) / (t.n + t.v))), 6) AS c
+  FROM grid g CROSS JOIN tot t
+)
+SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+                         (acc, x) -> acc + x), 6) AS kl_nats
+FROM contrib GROUP BY source, ns
+ORDER BY source
+""",
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source || corpus) in nats over
+    the Laplace-smoothed token distributions — the mixture-monitoring
+    primitive behind "did crawl N shift vocabulary vs the corpus" checks
+    in training-data pipelines (domain drift, contamination by boilerplate,
+    language mix changes). Vocabulary is the corpus tokens with count >=
+    {KL_MIN_COUNT}; p_s(t) = (c_st+1)/(n_s+V), q(t) = (c_t+1)/(N+V),
+    KL = sum p_s ln(p_s/q) over the vocab (every source x vocab cell,
+    including zero-count cells — that's what the smoothing is for).
+
+    Determinism: counts are exact integers so every p is an exact double
+    ratio; the single transcendental (ln ratio) is ROUNDed at 6 dp
+    per-term BEFORE the product/sum, and the per-source sum is a sorted
+    fold in term order (F.aggregate == list_reduce) — bit-identical
+    cross-engine, final ROUND at 6 dp for presentation.
+
+    Scale shape: token explode -> two map-side-combinable count
+    aggregates; the scoring grid is sources x vocab, built by
+    broadcasting the vocab (bounded by the min-count cut — Zipf makes
+    frequent-token vocabularies small relative to the corpus) against the
+    per-source totals, LEFT-joined to observed (source, term) counts on a
+    hash key. The wide fact explode never re-shuffles: contributions
+    reduce per source. At 100 TB the only big shuffle is the (source,
+    term) count — partial-aggregated map-side first."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    vocab = (
+        t.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .where(F.col("ct") >= KL_MIN_COUNT)
+    )
+    tot = vocab.agg(
+        F.sum("ct").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    st = (
+        t.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cst"))
+    )
+    stot = st.groupBy("source").agg(F.sum("cst").alias("ns"))
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .join(st, ["source", "term"], "left")
+        .select(
+            "source", "ns", "term", "ct",
+            F.coalesce("cst", F.lit(0)).alias("cst"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    ps = (F.col("cst") + F.lit(1.0)) / (F.col("ns") + F.col("v"))
+    q = (F.col("ct") + F.lit(1.0)) / (F.col("n") + F.col("v"))
+    contrib = grid.select(
+        "source", "ns", "term", (ps * F.round(F.log(ps / q), 6)).alias("c")
+    )
+    return (
+        contrib.groupBy("source", "ns")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ),
+                6,
+            ).alias("kl_nats")
+        )
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            "kl_nats",
+        )
+        .orderBy("source")
+    )
