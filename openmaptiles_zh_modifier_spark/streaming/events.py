@@ -459,3 +459,113 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="complete").orderBy(
         "tier", "event_type"
     )
+
+
+@register(
+    "q_stream_stream_left",
+    oracle="""
+WITH bounds AS (
+  SELECT least(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 3 HOUR AS cutoff
+)
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       ROUND(p.value, 2) AS purchase_value,
+       CASE WHEN p.event_id IS NULL THEN 0 ELSE 1 END AS matched
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+CROSS JOIN bounds
+WHERE c.event_type = 'click' AND c.ts <= bounds.cutoff
+ORDER BY c.user_id, click_id, purchase_id
+""",
+)
+def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its within-the-hour
+    purchase if one exists — the abandonment/attribution shape (which
+    clicks converted, which didn't). Unlike the inner join, the NULL rows
+    can only be emitted once the watermark PROVES no matching purchase
+    can still arrive, so unmatched results trail the data by the state
+    horizon; matched rows stream out immediately.
+
+    Correctness subtlety this query pins down: at stream end the global
+    watermark rests at min(max click ts, max purchase ts) - 1h delay, and
+    clicks younger than (watermark - 1h join bound) are still in the
+    state store, their NULL verdict pending — a terminated availableNow
+    run therefore does NOT equal the batch left join on the final sliver
+    of event time. Rather than bake Spark's exact eviction strictness
+    (<= vs <) into the oracle, both sides restrict to clicks at least 3h
+    below the min-side max — provably finalized under any boundary
+    convention — making the equivalence exact and hash-checkable. The
+    filter sits AFTER the join (a pre-join filter would shift the click
+    watermark itself and move the finalization frontier).
+
+    Scale shape: identical to q_stream_stream_join (state bounded by the
+    1h bound + 1h delay per user-time bucket); the left-outer variant
+    additionally holds unmatched left rows until eviction, so left-state
+    size tracks the unconverted-click rate times the horizon, not the
+    stream length."""
+    from openmaptiles_zh_modifier_spark.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = (
+        ev.where(F.col("event_type") == "click")
+        .agg(F.max("ts").alias("mc"))
+        .crossJoin(
+            ev.where(F.col("event_type") == "purchase").agg(
+                F.max("ts").alias("mp")
+            )
+        )
+        .select(
+            (F.least("mc", "mp") - F.expr("INTERVAL 3 HOUR")).alias("cutoff")
+        )
+        .first()[0]
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .where(F.col("c_ts") <= F.lit(cutoff))
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.round("value", 2).alias("purchase_value"),
+            F.when(F.col("purchase_id").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("matched"),
+        )
+    )
+    return run_to_memory(joined, output_mode="append").orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
