@@ -886,3 +886,88 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------- debounce
+
+DEBOUNCE_GAP_S = 600  # bursts = same (user, type) events < 10 min apart
+
+
+@register(
+    "q_event_debounce",
+    oracle=f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         CASE WHEN date_diff('second',
+                 LAG(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id), ts)
+                 < {DEBOUNCE_GAP_S}
+              THEN 0 ELSE 1 END AS is_burst_start
+  FROM events
+),
+b AS (
+  SELECT *, SUM(is_burst_start) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS burst_id
+  FROM g
+),
+k AS (
+  SELECT user_id, event_type, burst_id,
+         MAX(event_id) FILTER (WHERE is_burst_start = 1) AS kept_event_id,
+         COUNT(*) AS burst_size,
+         MIN(ts) AS burst_start
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
+       kept_event_id, CAST(burst_size AS BIGINT) AS burst_size, burst_start
+FROM k
+ORDER BY user_id, event_type, burst_id
+""",
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / burst-collapse: same-(user, event_type) events closer
+    than {DEBOUNCE_GAP_S}s chain into one burst; only the burst's first
+    event is kept — the double-click / retry-storm / sensor-chatter
+    suppressor every telemetry pipeline needs before counting anything.
+    Formally: burst boundaries where the gap to the previous event >=
+    {DEBOUNCE_GAP_S}s, burst id = running count of boundaries (the same
+    lag+cumsum idiom as batch sessionization, applied to suppression).
+
+    Determinism: gaps are integer seconds, ids are integers; nothing
+    floating-point enters. The burst leader needs no argmin at all:
+    exactly one row per burst carries is_burst_start=1 (its first, by
+    the window's (ts, event_id) order), so a filtered MAX picks it.
+
+    Scale shape: one shuffle on (user_id, event_type), two in-partition
+    window passes over the same sort order (Catalyst runs both in a
+    single Window stage), then a map-side-combinable burst aggregate on
+    keys that share the window's partitioning — no second shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_s = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    )
+    g = ev.withColumn(
+        "is_burst_start",
+        F.when(gap_s < DEBOUNCE_GAP_S, F.lit(0)).otherwise(F.lit(1)),
+    )
+    b = g.withColumn(
+        "burst_id",
+        F.sum("is_burst_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        b.groupBy("user_id", "event_type", "burst_id")
+        .agg(
+            F.max(
+                F.when(F.col("is_burst_start") == 1, F.col("event_id"))
+            ).alias("kept_event_id"),
+            F.count(F.lit(1)).cast("bigint").alias("burst_size"),
+            F.min("ts").alias("burst_start"),
+        )
+        .select(
+            "user_id", "event_type",
+            F.col("burst_id").cast("bigint").alias("burst_id"),
+            "kept_event_id", "burst_size", "burst_start",
+        )
+        .orderBy("user_id", "event_type", "burst_id")
+    )

@@ -403,3 +403,71 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ------------------------------------------------------------ contiguous ids
+
+IDS_BUCKETS = 64  # logical buckets; P >> executor count at scale
+
+
+@register(
+    "q_assign_ids",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         {h32_sql('CAST(doc_id AS VARCHAR)')} AS h
+  FROM documents
+),
+b AS (SELECT doc_id, source, h, h % {IDS_BUCKETS} AS pid FROM keyed)
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (ORDER BY pid, h, doc_id) AS BIGINT) AS row_id
+FROM b
+ORDER BY row_id
+""",
+)
+def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids (1..N, no gaps) without a global sort —
+    the pretraining-shard / example-numbering primitive. A naive
+    ``row_number() OVER (ORDER BY ...)`` funnels every row through ONE
+    reducer; ``monotonically_increasing_id`` is gap-ridden and
+    partitioning-dependent; ``zipWithIndex`` is an RDD detour. This is
+    the two-phase design that scales: (1) bucket rows by a deterministic
+    uniform hash (pid = h32(key) % {IDS_BUCKETS}), (2) count rows per
+    bucket — a {IDS_BUCKETS}-row aggregate — and prefix-sum the counts
+    into bucket offsets, (3) row_number WITHIN each bucket (one shuffle,
+    in-bucket sort bounded by N/{IDS_BUCKETS}) plus the broadcast offset.
+    The resulting order is (bucket, hash, key) — a deterministic total
+    order that is intentionally NOT the natural key order, because
+    hash-order numbering has no hot range and doubles as a shuffle
+    (training wants example order decorrelated from source order anyway).
+
+    The whole thing is ONE lazy plan: offsets come from a window over the
+    {IDS_BUCKETS}-row count table (single-partition is fine at that
+    cardinality), broadcast-joined back on pid. The oracle states the
+    same total order as one global ROW_NUMBER — the gate proves the
+    distributed two-phase construction equals the single-reducer
+    semantics it replaces."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = docs.withColumn(
+        "h", h32(F.col("doc_id").cast("string"))
+    ).withColumn("pid", F.col("h") % IDS_BUCKETS)
+    counts = keyed.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("pid").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("off") + F.col("lrn")).cast("bigint").alias("row_id"),
+        )
+        .orderBy("row_id")
+    )
