@@ -298,3 +298,194 @@ def q_mad_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------------------------- chi-square
+
+@register(
+    "q_chisq_independence",
+    oracle="""
+WITH cells AS (
+  SELECT event_type, user_id % 3 AS tier, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, tier, o,
+         SUM(o) OVER (PARTITION BY event_type) AS r,
+         SUM(o) OVER (PARTITION BY tier) AS c,
+         SUM(o) OVER () AS n
+  FROM cells
+),
+scored AS (
+  SELECT event_type, tier, o,
+         ROUND(1.0 * r * c / n, 6) AS e,
+         ROUND((o - 1.0 * r * c / n) * (o - 1.0 * r * c / n)
+               / (1.0 * r * c / n), 6) AS contrib
+  FROM tot
+),
+chi AS (
+  SELECT list_reduce(
+           list_prepend(0.0::DOUBLE,
+                        list(contrib ORDER BY event_type, tier)),
+           (acc, x) -> acc + x) AS chi2,
+         (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT tier) - 1) AS dof
+  FROM scored
+)
+SELECT s.event_type, CAST(s.tier AS BIGINT) AS tier,
+       CAST(s.o AS BIGINT) AS o, s.e, s.contrib,
+       ROUND(chi.chi2, 6) AS chi2, CAST(chi.dof AS BIGINT) AS dof
+FROM scored s CROSS JOIN chi
+ORDER BY s.event_type, s.tier
+""",
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the (event_type x user-tier)
+    contingency table — the categorical-drift / A-B sanity primitive
+    (are event types distributed independently of the user segment?).
+    Emits every cell with its observed count, expected count under
+    independence (E = row x col / N), per-cell contribution, and the
+    global chi2 + degrees of freedom repeated per row.
+
+    Determinism: observed counts and margins are exact integers, E is a
+    single exact-double expression, per-cell contributions are ROUNDed
+    at 6 dp, and the chi2 total is a sorted fold over the (few) cells in
+    (event_type, tier) order — never an unordered double SUM.
+
+    Scale shape: one map-side-combinable count on the cell key; margins
+    come from windows over the CELL table (cardinality = types x tiers,
+    tiny regardless of fact size), so the fact table is scanned once and
+    everything after is metadata-sized. The chi2 fold collapses the cell
+    table to one row broadcast-joined back."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 3).alias("tier")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    from pyspark.sql import Window
+
+    r = F.sum("o").over(Window.partitionBy("event_type"))
+    c = F.sum("o").over(Window.partitionBy("tier"))
+    n = F.sum("o").over(Window.partitionBy())
+    e_expr = F.lit(1.0) * r * c / n
+    scored = cells.select(
+        "event_type", "tier", "o",
+        F.round(e_expr, 6).alias("e"),
+        F.round((F.col("o") - e_expr) * (F.col("o") - e_expr) / e_expr, 6).alias(
+            "contrib"
+        ),
+    )
+    chi = scored.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "tier", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("chi2_raw"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("tier") - 1)
+        ).alias("dof"),
+    ).select(F.round("chi2_raw", 6).alias("chi2"), F.col("dof").cast("bigint"))
+    return (
+        scored.crossJoin(F.broadcast(chi))
+        .select(
+            "event_type",
+            F.col("tier").cast("bigint").alias("tier"),
+            F.col("o").cast("bigint").alias("o"),
+            "e", "contrib", "chi2", "dof",
+        )
+        .orderBy("event_type", "tier")
+    )
+
+
+# ------------------------------------------------------------- OLS trend
+
+@register(
+    "q_ols_trend",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, value AS y,
+         epoch_us(ts) // 1000000
+           - MIN(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS xs
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         SUM(xs) AS sx,
+         SUM(xs * xs) AS sxx,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list(y ORDER BY xs, event_id)), (acc, v) -> acc + v) AS sy,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list(xs * y ORDER BY xs, event_id)), (acc, v) -> acc + v) AS sxy
+  FROM base GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+       END AS slope_per_s,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ROUND((sy - ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+                         * sx) / n, 6)
+       END AS intercept
+FROM agg
+ORDER BY user_id
+""",
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of ``value`` over time (slope per
+    second + intercept at the user's first event) — the closed-form OLS
+    over moment sums that metric-drift detectors and per-entity
+    forecasting features are built from. No iterative solver: slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) from five mergeable sums.
+
+    Determinism by construction: x is integer SECONDS relative to the
+    user's first event (bounded span => Sx and Sxx stay exact int64 —
+    this is why x is re-based and in seconds, not epoch micros, whose
+    squares overflow), so the denominator is exact integer arithmetic on
+    both engines. The two double sums (Sy, Sxy) are sorted folds in
+    (x, event_id) order; slope is ROUNDed before feeding the intercept
+    so the second division sees identical inputs. Degenerate users
+    (single distinct timestamp) yield NULL, not a division crash.
+
+    Scale shape: one shuffle on user_id (the window min and the
+    aggregate share it); everything per-user is one pass. With the
+    bit-exactness requirement relaxed, Sy/Sxy become plain SUMs and the
+    whole thing is a classic map-side-combinable moment aggregate."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    xs = sec - F.min(sec).over(Window.partitionBy("user_id"))
+    base = ev.select(
+        "user_id", "event_id", F.col("value").alias("y"), xs.alias("xs")
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xs").alias("sx"),
+        F.sum(F.col("xs") * F.col("xs")).alias("sxx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("xs", "event_id", "y"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["y"],
+        ).alias("sy"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("xs", "event_id", (F.col("xs") * F.col("y")).alias("xy"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["xy"],
+        ).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom, 9
+    )
+    return agg.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(denom == 0, F.lit(None)).otherwise(slope).alias("slope_per_s"),
+        F.when(denom == 0, F.lit(None))
+        .otherwise(F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6))
+        .alias("intercept"),
+    ).orderBy("user_id")
