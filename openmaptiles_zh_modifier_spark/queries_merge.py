@@ -93,3 +93,100 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("c_acctbal"),
         "c_mktsegment",
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------- delta-join IVM
+
+IVM_SPLIT_DATE = "1996-01-01"  # orders on/after this date are the "delta"
+IVM_NEW_CUST_MOD = 50          # customers with key % 50 == 0 are the "delta"
+
+
+@register(
+    "q_delta_join_ivm",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       SUM(CASE WHEN o.o_orderdate <  TIMESTAMP '{IVM_SPLIT_DATE}'
+                 AND c.c_custkey % {IVM_NEW_CUST_MOD} <> 0
+                THEN 1 ELSE 0 END) AS n_old_old,
+       SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{IVM_SPLIT_DATE}'
+                 AND c.c_custkey % {IVM_NEW_CUST_MOD} <> 0
+                THEN 1 ELSE 0 END) AS n_dr_s,
+       SUM(CASE WHEN o.o_orderdate <  TIMESTAMP '{IVM_SPLIT_DATE}'
+                 AND c.c_custkey % {IVM_NEW_CUST_MOD} = 0
+                THEN 1 ELSE 0 END) AS n_r_ds,
+       SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{IVM_SPLIT_DATE}'
+                 AND c.c_custkey % {IVM_NEW_CUST_MOD} = 0
+                THEN 1 ELSE 0 END) AS n_dr_ds
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def q_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the CDC-pipeline
+    algebra: with R split into (R_old, dR) and S into (S_old, dS), the
+    refreshed view (R_old+dR) |><| (S_old+dS) is maintained as
+    R_old|><|S_old  UNION ALL  dR|><|S_old  UNION ALL  R_old|><|dS
+    UNION ALL  dR|><|dS — three DELTA-sized joins instead of one full
+    recompute (the companion to q_incremental_agg, which maintains
+    aggregation states the same way). The Spark plan genuinely executes
+    the four-branch union (orders split by date, customers split by a
+    key mod); the oracle is the monolithic full join — the gate proves
+    the incremental algebra loses and fabricates nothing, including the
+    per-branch counts that certify the four branches are disjoint and
+    exhaustive.
+
+    Determinism: money folds as exact integer cents (the q_decimal_exact
+    discipline) so no float-order slack; everything else is counts.
+
+    Scale shape: in production R_old|><|S_old is the stored view (not
+    recomputed); the three maintenance joins are delta x full — the dR
+    side is a day's partition (partition-pruned scan), and dS is
+    CDC-sized, broadcast when small. Here all four branches run to
+    prove equality; the branches share the two scans (Spark reuses the
+    exchange under AQE)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    split = F.lit(IVM_SPLIT_DATE).cast("timestamp")
+    r_old = orders.where(F.col("o_orderdate") < split)
+    d_r = orders.where(F.col("o_orderdate") >= split)
+    s_old = cust.where(F.col("c_custkey") % IVM_NEW_CUST_MOD != 0)
+    d_s = cust.where(F.col("c_custkey") % IVM_NEW_CUST_MOD == 0)
+
+    def branch(o: DataFrame, c: DataFrame, tag: str) -> DataFrame:
+        return o.join(c, o.o_custkey == c.c_custkey).select(
+            "c_mktsegment", "cents", F.lit(tag).alias("branch")
+        )
+
+    unioned = (
+        branch(r_old, s_old, "old_old")
+        .unionByName(branch(d_r, s_old, "dr_s"))
+        .unionByName(branch(r_old, d_s, "r_ds"))
+        .unionByName(branch(d_r, d_s, "dr_ds"))
+    )
+    return (
+        unioned.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum(F.when(F.col("branch") == "old_old", 1).otherwise(0)).alias(
+                "n_old_old"
+            ),
+            F.sum(F.when(F.col("branch") == "dr_s", 1).otherwise(0)).alias(
+                "n_dr_s"
+            ),
+            F.sum(F.when(F.col("branch") == "r_ds", 1).otherwise(0)).alias(
+                "n_r_ds"
+            ),
+            F.sum(F.when(F.col("branch") == "dr_ds", 1).otherwise(0)).alias(
+                "n_dr_ds"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -404,3 +404,129 @@ def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------------- quantile sketch
+
+QSK_BINW = 131072           # bin width in integer cents (2^17 ~ $1310)
+QSK_PCTS = [25, 50, 75, 90, 99]
+
+
+@register(
+    "q_quantile_sketch",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+),
+bins AS (
+  SELECT c // {QSK_BINW} AS bin, COUNT(*) AS cnt FROM cents GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT COUNT(*) FROM cents) AS n
+  FROM bins
+),
+pcts(p) AS (VALUES {', '.join(f'({p})' for p in QSK_PCTS)}),
+targets AS (
+  SELECT p, (p * n + 99) // 100 AS tgt, n
+  FROM pcts CROSS JOIN (SELECT COUNT(*) AS n FROM cents) t
+),
+est AS (
+  SELECT t.p, t.n, c.bin,
+         ROUND(c.bin * {QSK_BINW}
+               + {QSK_BINW} * 1.0 * (t.tgt - (c.cum - c.cnt)) / c.cnt,
+               4) AS est_cents
+  FROM targets t JOIN cum c
+    ON c.cum >= t.tgt AND c.cum - c.cnt < t.tgt
+),
+exact AS (
+  SELECT unnest([{', '.join(str(p) for p in QSK_PCTS)}]) AS p,
+         unnest(qs) AS ex
+  FROM (
+    SELECT quantile_cont(
+             c, [{', '.join(str(p / 100.0) for p in QSK_PCTS)}]) AS qs
+    FROM cents
+  )
+)
+SELECT e.p, CAST(e.n AS BIGINT) AS n, CAST(e.bin AS BIGINT) AS bin,
+       e.est_cents,
+       CASE WHEN ABS(e.est_cents - x.ex) <= {QSK_BINW} THEN 1 ELSE 0
+       END AS within_bound
+FROM est e JOIN exact x USING (p)
+ORDER BY e.p
+""",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable fixed-bin quantile sketch (the HLL/CMS/KMV sibling for
+    percentiles): one map-side-combinable pass counts integer-cent
+    prices into equi-width bins of {QSK_BINW} cents; any quantile is
+    then answered from the (tiny, mergeable) bin table by cumulative
+    walk + in-bin linear interpolation, with rated error = one bin
+    width. Like the other portable sketches, the ESTIMATES themselves
+    hash-match DuckDB (every input to the interpolation is an exact
+    integer — bin id, target rank, cumulative counts — and the single
+    division is ROUNDed), while each engine checks the rated-error
+    contract against its own exact quantile and exports only the 0/1
+    verdict (exact interpolated percentiles are definition-sensitive;
+    the +-{QSK_BINW} slack is orders wider than any definitional gap).
+
+    Scale shape: the sketch build is a hash aggregate on the bin id —
+    O(bins) state per partition, single shuffle of bin partials; the
+    quantile extraction runs on the bin table (metadata-sized) no
+    matter how big the fact is. Equi-width-on-cents is the honest
+    trade: rated absolute error, no data-dependent bin boundaries to
+    re-sample (production alternatives — t-digest/KLL — buy relative
+    error with mergeable data-dependent centroids; the engine's
+    percentile_approx path in q_approx_sketches covers that family)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    bins = li.groupBy(F.expr(f"c div {QSK_BINW}").alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w))
+    n_exact = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(
+            "c", F.array(*[F.lit(p / 100.0) for p in QSK_PCTS])
+        ).alias("ex"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in QSK_PCTS])).alias("p")
+    )
+    targets = pcts.crossJoin(F.broadcast(n_exact)).select(
+        "p",
+        "n",
+        F.expr("(p * n + 99) div 100").alias("tgt"),
+        F.element_at(
+            F.col("ex"),
+            F.array_position(
+                F.array(*[F.lit(p) for p in QSK_PCTS]), F.col("p")
+            ).cast("int"),
+        ).alias("ex_p"),
+    )
+    est = targets.join(
+        F.broadcast(cum),
+        (F.col("cum") >= F.col("tgt")) & (F.col("cum") - F.col("cnt") < F.col("tgt")),
+    ).select(
+        "p",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("bin").cast("bigint").alias("bin"),
+        F.round(
+            F.col("bin") * QSK_BINW
+            + QSK_BINW * 1.0 * (F.col("tgt") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt"),
+            4,
+        ).alias("est_cents"),
+        "ex_p",
+    )
+    return est.select(
+        "p", "n", "bin", "est_cents",
+        F.when(
+            F.abs(F.col("est_cents") - F.col("ex_p")) <= QSK_BINW, F.lit(1)
+        ).otherwise(F.lit(0)).alias("within_bound"),
+    ).orderBy("p")
