@@ -283,3 +283,49 @@ def cow_vacuum(root: str, keep_versions: int = 1) -> int:
                 removed += 1
         os.unlink(_manifest_path(root, v))
     return removed
+
+
+def cow_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two versions: every row inserted or
+    deleted going from ``from_version`` to ``to_version`` (default
+    latest), tagged with ``_change_type`` ('insert' | 'delete'). An
+    update surfaces as its delete+insert pair (Delta CDF's
+    pre/post-image, recoverable by joining the two tags on the key).
+
+    The crucial property is what is NOT read: the manifest diff first
+    narrows to files ADDED or REMOVED between the versions — untouched
+    partitions' files are never opened, so the scan cost tracks the
+    churn, not the table. Because a copy-on-write MERGE rewrites whole
+    partitions, rewritten-but-unchanged rows appear in both the added
+    and removed file sets; ``exceptAll`` (multiset difference, exact
+    row-content semantics) cancels them so only true changes emerge.
+    At very large row widths, production would compare on a content
+    hash instead of full rows — same plan shape, narrower shuffle."""
+    m_from = _read_manifest(root, from_version)
+    m_to = _read_manifest(root, to_version)
+    paths_from = {e["path"] for e in m_from["files"]}
+    paths_to = {e["path"] for e in m_to["files"]}
+
+    def read_paths(paths: set[str]) -> DataFrame:
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m_to["schema"]))
+            )
+        return spark.read.parquet(*[os.path.join(root, p) for p in sorted(paths)])
+
+    added = read_paths(paths_to - paths_from)
+    removed = read_paths(paths_from - paths_to)
+    inserts = added.exceptAll(removed).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = removed.exceptAll(added).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return inserts.unionByName(deletes)

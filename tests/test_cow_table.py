@@ -162,3 +162,38 @@ def test_cow_merge_source_dup_key_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="multiple"):
         cow_merge(spark, root, dup, on="id", matched_update={"bal": F.col("s.bal")})
+
+
+def test_cow_changes_cdf(spark, tmp_path):
+    """Change data feed: file-diff narrowed, rewritten-unchanged rows
+    cancel, updates surface as delete+insert pairs."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_changes
+
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    source = spark.createDataFrame(
+        [(2, 99.0, "US"),   # update in partition US
+         (6, 60.0, "US")],  # insert into partition US
+        "id long, bal double, region string",
+    )
+    cow_merge(
+        spark, root, source, on="id",
+        matched_update={"bal": F.col("s.bal")},
+        not_matched_insert={
+            "id": F.col("s.id"), "name": F.lit("new"),
+            "bal": F.col("s.bal"), "region": F.col("s.region"),
+        },
+    )
+    ch = cow_changes(spark, root, 1, 2)
+    by_type = {}
+    for r in ch.collect():
+        by_type.setdefault(r._change_type, set()).add((r.id, r.bal))
+    # row 1 (US, unchanged but rewritten) cancelled out entirely;
+    # DE/JP partitions untouched and never part of the diff
+    assert by_type["insert"] == {(2, 99.0), (6, 60.0)}
+    assert by_type["delete"] == {(2, 20.0)}
+
+    # net diff across a version span composes (v1 -> v2 here is total)
+    assert cow_changes(spark, root, 1).count() == 3
+    # identity span is empty
+    assert cow_changes(spark, root, 2, 2).count() == 0
