@@ -162,16 +162,21 @@ def cow_read(
     ``partition_values`` is given, only manifest entries whose partition
     matches are scanned — file pruning decided from metadata alone, no
     directory listing, no footer reads of dead files."""
+    from pyspark.sql.types import StructType
+
     m = _read_manifest(root, version)
+    schema = StructType.fromJson(json.loads(m["schema"]))
     files = m["files"]
     if partition_values is not None:
         wanted = {str(v) for v in partition_values}
         files = [e for e in files if e["partition"] in wanted]
     if not files:
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(*[os.path.join(root, e["path"]) for e in files])
+        return spark.createDataFrame([], schema)
+    # the MANIFEST schema is authoritative: files written before a schema
+    # evolution lack the later columns and project them as NULL
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(root, e["path"]) for e in files]
+    )
 
 
 def cow_merge(
@@ -329,3 +334,64 @@ def cow_changes(
         "_change_type", F.lit("delete")
     )
     return inserts.unionByName(deletes)
+
+
+def cow_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    evolve_schema: bool = False,
+) -> int:
+    """Append ``df`` as a new version (no rewrite of existing files).
+
+    Schema contract: the incoming frame must carry every table column
+    with matching types (missing or retyped columns are rejected — an
+    append must never silently narrow the table). With
+    ``evolve_schema=True`` the frame may ADD new nullable columns: the
+    manifest schema evolves to the union, and because readers project
+    every file through the MANIFEST schema, all pre-evolution files
+    serve NULL for the new columns — schema evolution is metadata-only,
+    no data file is touched (the Delta/Iceberg add-column semantics).
+    On a partitioned table the partition column must be present and
+    non-NULL as usual."""
+    from pyspark.sql.types import StructType
+
+    m = _read_manifest(root)
+    table_schema = StructType.fromJson(json.loads(m["schema"]))
+    table_types = {f.name: f.dataType for f in table_schema.fields}
+    df_types = {f.name: f.dataType for f in df.schema.fields}
+
+    missing = [n for n in table_types if n not in df_types]
+    if missing:
+        raise ValueError(f"cow_append: frame lacks table columns {missing}")
+    retyped = [
+        n for n in table_types if n in df_types and df_types[n] != table_types[n]
+    ]
+    if retyped:
+        raise ValueError(
+            f"cow_append: column type mismatch for {retyped} "
+            f"(table {[str(table_types[n]) for n in retyped]}, "
+            f"frame {[str(df_types[n]) for n in retyped]})"
+        )
+    extra = [f for f in df.schema.fields if f.name not in table_types]
+    if extra and not evolve_schema:
+        raise ValueError(
+            f"cow_append: frame adds columns {[f.name for f in extra]}; "
+            "pass evolve_schema=True to evolve the table schema"
+        )
+    new_schema = StructType(table_schema.fields + extra)
+    part_col = m["partition_by"]
+    if part_col is not None and df.where(F.col(part_col).isNull()).limit(1).count():
+        raise ValueError(f"cow_append: NULL {part_col!r} partition values")
+
+    # column order normalized to the evolved schema so the files are uniform
+    ordered = df.select(*[f.name for f in new_schema.fields])
+    new_files = _write_commit(ordered, root, part_col)
+    manifest = {
+        "version": m["version"] + 1,
+        "partition_by": part_col,
+        "files": m["files"] + new_files,
+        "schema": new_schema.json(),
+    }
+    _commit_manifest(root, manifest)
+    return manifest["version"]

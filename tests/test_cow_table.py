@@ -197,3 +197,47 @@ def test_cow_changes_cdf(spark, tmp_path):
     assert cow_changes(spark, root, 1).count() == 3
     # identity span is empty
     assert cow_changes(spark, root, 2, 2).count() == 0
+
+
+def test_cow_append_schema_evolution(spark, tmp_path):
+    """Append-only versions + metadata-only add-column evolution: old
+    files are never rewritten yet serve NULL for the new column."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_append
+
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    n_files_v1 = len(_read_manifest(root, 1)["files"])
+
+    extra = spark.createDataFrame(
+        [(6, "f", 60.0, "US", "gold")],
+        "id long, name string, bal double, region string, tier string",
+    )
+    # evolution must be explicit
+    with pytest.raises(ValueError, match="evolve_schema"):
+        cow_append(spark, root, extra)
+    v = cow_append(spark, root, extra, evolve_schema=True)
+    assert v == 2
+    # old files untouched (append-only)
+    m2 = _read_manifest(root, 2)
+    assert {e["path"] for e in _read_manifest(root, 1)["files"]} <= {
+        e["path"] for e in m2["files"]
+    }
+    assert len(m2["files"]) > n_files_v1
+
+    latest = cow_read(spark, root)
+    tiers = {r.id: r.tier for r in latest.collect()}
+    assert tiers[6] == "gold" and all(
+        tiers[i] is None for i in (1, 2, 3, 4, 5)
+    )
+    # time travel: v1 still reads with the OLD schema
+    assert "tier" not in cow_read(spark, root, version=1).columns
+
+    # appends that drop or retype table columns are rejected
+    with pytest.raises(ValueError, match="lacks table columns"):
+        cow_append(spark, root, extra.drop("tier", "bal"))
+    retyped = spark.createDataFrame(
+        [(7, "g", "70", "US", "x")],
+        "id long, name string, bal string, region string, tier string",
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        cow_append(spark, root, retyped)
