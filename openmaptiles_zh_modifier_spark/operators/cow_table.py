@@ -395,3 +395,49 @@ def cow_append(
     }
     _commit_manifest(root, manifest)
     return manifest["version"]
+
+
+def cow_compact(
+    spark: SparkSession,
+    root: str,
+    min_files_per_partition: int = 2,
+) -> int:
+    """OPTIMIZE: bin-pack each partition's small files into one file,
+    published as a new version (old versions still time-travel; vacuum
+    reclaims the superseded files). Only partitions holding at least
+    ``min_files_per_partition`` files are rewritten — everything else is
+    carried by reference, so the rewrite cost tracks fragmentation, not
+    table size. Runs under the same optimistic commit protocol as MERGE:
+    a concurrent writer winning the version race raises CowConflictError
+    and the compaction (pure maintenance, no semantic content) can simply
+    be retried against the new snapshot.
+
+    Semantic no-op by construction: each rewritten partition is read
+    fully and written back unchanged (one coalesced file), so
+    ``cow_changes`` across a compaction cancels to empty — asserted in
+    the test, and the property that distinguishes OPTIMIZE from MERGE."""
+    m = _read_manifest(root)
+    part_col = m["partition_by"]
+    by_part: dict = {}
+    for e in m["files"]:
+        by_part.setdefault(e["partition"], []).append(e)
+    rewrite = {
+        p: es for p, es in by_part.items() if len(es) >= min_files_per_partition
+    }
+    if not rewrite:
+        return m["version"]  # nothing fragmented; no version burned
+    keep = [e for p, es in by_part.items() if p not in rewrite for e in es]
+    new_files: list[dict] = []
+    for p, es in sorted(rewrite.items(), key=lambda kv: str(kv[0])):
+        part_df = spark.read.schema(
+            cow_read(spark, root, version=m["version"]).schema
+        ).parquet(*[os.path.join(root, e["path"]) for e in es])
+        new_files += _write_commit(part_df.coalesce(1), root, part_col)
+    manifest = {
+        "version": m["version"] + 1,
+        "partition_by": part_col,
+        "files": keep + new_files,
+        "schema": m["schema"],
+    }
+    _commit_manifest(root, manifest)
+    return manifest["version"]

@@ -241,3 +241,38 @@ def test_cow_append_schema_evolution(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="type mismatch"):
         cow_append(spark, root, retyped)
+
+
+def test_cow_compact_is_a_semantic_noop(spark, tmp_path):
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_append,
+        cow_changes,
+        cow_compact,
+    )
+
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    # fragment the US partition with two appends
+    for i in (6, 7):
+        cow_append(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(i, chr(96 + i), i * 10.0, "US")],
+                "id long, name string, bal double, region string",
+            ),
+        )
+    m3 = _read_manifest(root, 3)
+    us_before = [e for e in m3["files"] if e["partition"] == "US"]
+    assert len(us_before) >= 3
+    before = _rows(cow_read(spark, root))
+
+    v = cow_compact(spark, root, min_files_per_partition=2)
+    assert v == 4
+    m4 = _read_manifest(root, 4)
+    us_after = [e for e in m4["files"] if e["partition"] == "US"]
+    assert len(us_after) == 1                      # bin-packed
+    assert _rows(cow_read(spark, root)) == before  # content identical
+    assert cow_changes(spark, root, 3, 4).count() == 0  # CDF-empty
+    # fully-compacted table: another compact burns no version
+    assert cow_compact(spark, root, min_files_per_partition=2) in (4, 5)
