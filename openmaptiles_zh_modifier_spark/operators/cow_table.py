@@ -119,6 +119,8 @@ def _write_commit(
         df.withColumn(_PV, F.col(partition_by)).write.partitionBy(_PV).parquet(
             out
         )
+    from urllib.parse import unquote
+
     entries = []
     for dirpath, _dirs, files in os.walk(out):
         for fn in files:
@@ -128,7 +130,11 @@ def _write_commit(
             part = None
             for seg in rel.split(os.sep):
                 if seg.startswith(_PV + "="):
-                    part = seg.split("=", 1)[1]
+                    # Spark escapePathName percent-encodes special chars
+                    # in the directory token; the manifest stores the RAW
+                    # value so merge routing / pruning compare str(v)
+                    # against str(v), never against an escaped token
+                    part = unquote(seg.split("=", 1)[1])
             entries.append({"path": rel, "partition": part})
     return entries
 
@@ -231,19 +237,21 @@ def cow_merge(
                 " a NULL partition cannot be pruned or routed; clean or"
                 " default them upstream"
             )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
         touched = {str(v) for v in vals}
         affected = [e for e in m["files"] if e["partition"] in touched]
         keep = [e for e in m["files"] if e["partition"] not in touched]
         if affected:
-            base = spark.read.parquet(
+            # manifest schema is authoritative (not a sampled footer):
+            # pre-evolution files must project their missing columns as
+            # NULL, or a rewrite would silently drop evolved columns
+            base = spark.read.schema(schema).parquet(
                 *[os.path.join(root, e["path"]) for e in affected]
             )
         else:
-            from pyspark.sql.types import StructType
-
-            base = spark.createDataFrame(
-                [], StructType.fromJson(json.loads(m["schema"]))
-            )
+            base = spark.createDataFrame([], schema)
         merged = merge_into(
             base, source, on, matched_update, matched_delete, not_matched_insert
         )
@@ -271,9 +279,13 @@ def cow_history(root: str) -> list[int]:
 
 def cow_vacuum(root: str, keep_versions: int = 1) -> int:
     """Drop manifests older than the newest ``keep_versions`` and delete
-    data files no surviving manifest references. Returns files deleted.
-    (Production would gate this on a retention window for in-flight
-    readers; the protocol is the point here.)"""
+    every data file no surviving manifest references — including
+    manifest-ORPHANS that never belonged to any version (files written by
+    a streaming-sink epoch replay that was skipped at commit, or by a
+    writer that crashed between task writes and manifest publish).
+    Returns files deleted. (Production would gate deletion on a file-age
+    retention window so an IN-FLIGHT writer's freshly written files
+    survive until its commit/abort; the protocol is the point here.)"""
     versions = cow_history(root)
     kept_vs = versions[-keep_versions:]
     live: set[str] = set()
@@ -281,12 +293,20 @@ def cow_vacuum(root: str, keep_versions: int = 1) -> int:
         live |= {e["path"] for e in _read_manifest(root, v)["files"]}
     removed = 0
     for v in versions[:-keep_versions]:
-        for e in _read_manifest(root, v)["files"]:
-            p = os.path.join(root, e["path"])
-            if e["path"] not in live and os.path.exists(p):
-                os.unlink(p)
-                removed += 1
         os.unlink(_manifest_path(root, v))
+    # sweep the data directories: anything not referenced by a kept
+    # manifest is dead, whether it came from a dropped version or from
+    # a commit that never published
+    for dirpath, _dirs, files in os.walk(root):
+        if _MANIFEST_DIR in dirpath.split(os.sep):
+            continue
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, fn), root)
+            if rel not in live:
+                os.unlink(os.path.join(dirpath, fn))
+                removed += 1
     return removed
 
 
@@ -311,19 +331,23 @@ def cow_changes(
     row-content semantics) cancels them so only true changes emerge.
     At very large row widths, production would compare on a content
     hash instead of full rows — same plan shape, narrower shuffle."""
+    from pyspark.sql.types import StructType
+
     m_from = _read_manifest(root, from_version)
     m_to = _read_manifest(root, to_version)
     paths_from = {e["path"] for e in m_from["files"]}
     paths_to = {e["path"] for e in m_to["files"]}
+    # compare in the TO-version's schema space: pre-evolution files on
+    # either side project missing columns as NULL, keeping exceptAll's
+    # arity aligned across a schema evolution inside the span
+    to_schema = StructType.fromJson(json.loads(m_to["schema"]))
 
     def read_paths(paths: set[str]) -> DataFrame:
         if not paths:
-            from pyspark.sql.types import StructType
-
-            return spark.createDataFrame(
-                [], StructType.fromJson(json.loads(m_to["schema"]))
-            )
-        return spark.read.parquet(*[os.path.join(root, p) for p in sorted(paths)])
+            return spark.createDataFrame([], to_schema)
+        return spark.read.schema(to_schema).parquet(
+            *[os.path.join(root, p) for p in sorted(paths)]
+        )
 
     added = read_paths(paths_to - paths_from)
     removed = read_paths(paths_from - paths_to)
@@ -426,12 +450,15 @@ def cow_compact(
     }
     if not rewrite:
         return m["version"]  # nothing fragmented; no version burned
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(m["schema"]))
     keep = [e for p, es in by_part.items() if p not in rewrite for e in es]
     new_files: list[dict] = []
     for p, es in sorted(rewrite.items(), key=lambda kv: str(kv[0])):
-        part_df = spark.read.schema(
-            cow_read(spark, root, version=m["version"]).schema
-        ).parquet(*[os.path.join(root, e["path"]) for e in es])
+        part_df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, e["path"]) for e in es]
+        )
         new_files += _write_commit(part_df.coalesce(1), root, part_col)
     manifest = {
         "version": m["version"] + 1,

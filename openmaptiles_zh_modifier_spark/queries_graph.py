@@ -191,39 +191,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (production also caps max degree, the standard guard). Orientation
     by id is the degeneracy trick's cheap cousin: every join key is the
     middle vertex, hash-uniform after the weight cut."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Pair generation WITHOUT a self-join: one shuffle collects each
-    # order's (distinct, sorted) basket, pairs explode in-array — a
-    # measured 4x win over joining the fact table to itself (which
-    # shuffles the 600k-row table twice and aggregates 1.2M raw pairs).
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    pair_arrays = F.flatten(
-        F.transform(
-            "ps",
-            lambda x, i: F.transform(
-                F.slice("ps", i + 2, F.size("ps")), lambda y: F.struct(
-                    x.alias("pa"), y.alias("pb")
-                )
-            ),
-        )
-    )
-    def build_e() -> DataFrame:
-        return (
-            baskets.select(F.explode(pair_arrays).alias("p"))
-            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-            .agg(F.count(F.lit(1)).alias("w"))
-            .where(F.col("w") >= TRI_MIN_W)
-            .select("pa", "pb")
-        )
-
     # memoized once per (session, sf_dir) — e feeds three plan branches
     # (edge count, wedge join x2) and wedge feeds two; without the shared
     # cache each branch would rebuild the basket explode from the fact
     # table. The returned plan is LAZY: one action computes all three
-    # counts from the cached intermediates in a single job.
-    e = memo_frame(spark, f"tri_edges:{sf_dir}", build_e)
+    # counts from the cached intermediates in a single job. The edge
+    # build itself (basket explode, no self-join — a measured 4x win) is
+    # the SHARED _copurchase_edges helper, also used by LPA and BFS.
+    e = _copurchase_edges(spark, sf_dir)
     wedge = memo_frame(
         spark,
         f"tri_wedges:{sf_dir}",
@@ -275,7 +250,12 @@ adj AS (
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rebuild (or reuse) the q_triangle_count edge set via its memo key."""
+    """The weight-pruned co-purchase edge set (canonical pa<pb), memoized
+    per (session, sf_dir) and shared by triangle count, LPA, and BFS.
+    Pair generation WITHOUT a self-join: one shuffle collects each
+    order's (distinct, sorted) basket, pairs explode in-array — a
+    measured 4x win over joining the fact table to itself (which
+    shuffles the 600k-row table twice and aggregates 1.2M raw pairs)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")

@@ -1026,7 +1026,7 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     term) count — partial-aggregated map-side first."""
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
-        "source", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+        "source", F.explode(tokens(F.col("text"))).alias("term")
     )
     vocab = (
         t.groupBy("term")

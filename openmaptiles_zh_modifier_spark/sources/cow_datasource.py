@@ -68,6 +68,7 @@ from openmaptiles_zh_modifier_spark.operators.cow_table import (
     _commit_manifest,
     _latest_version,
     _read_manifest,
+    cow_history,
 )
 
 FORMAT_NAME = "cowtable"
@@ -88,11 +89,27 @@ def _schema_of(manifest: dict) -> StructType:
 def _read_file_batches(path: str, schema: StructType) -> Iterator:
     """Yield Arrow RecordBatches for one parquet file, column-aligned to
     the table schema (parquet writers may reorder; Spark maps by
-    position for Arrow results)."""
+    position for Arrow results). The MANIFEST schema is authoritative:
+    files written before an add-column schema evolution lack the newer
+    columns and must serve them as NULL — requesting an absent column
+    from pq.read_table would raise instead, so read the intersection and
+    null-pad the rest."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    table = pq.read_table(path, columns=schema.fieldNames())
-    for batch in table.to_batches():
+    target = to_arrow_schema(schema)
+    present = set(pq.ParquetFile(path).schema_arrow.names)
+    table = pq.read_table(
+        path, columns=[n for n in schema.fieldNames() if n in present]
+    )
+    cols = [
+        table.column(f.name).cast(f.type)
+        if f.name in table.column_names
+        else pa.nulls(table.num_rows, type=f.type)
+        for f in target
+    ]
+    for batch in pa.table(cols, schema=target).to_batches():
         yield batch
 
 
@@ -271,6 +288,14 @@ class CowBatchWriter(DataSourceArrowWriter):
             return CowCommitMessage(entries=[])
 
         def _emit(tbl, part: str | None) -> None:
+            # the manifest stores the RAW partition value (matching
+            # cow_table._write_commit's unescaped entries); the directory
+            # token embeds it verbatim, so path separators can't be routed
+            if part is not None and (os.sep in part or part in (".", "..")):
+                raise ValueError(
+                    f"cowtable write: partition value {part!r} is not a"
+                    " valid path segment"
+                )
             sub = (
                 os.path.join(self._commit_dir, f"{_PV}={part}")
                 if part is not None
@@ -336,10 +361,13 @@ class CowBatchWriter(DataSourceArrowWriter):
 class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
     """``df.writeStream.format("cowtable")`` — each micro-batch appends
     its files and publishes one manifest version stamped with the batch
-    id. Exactly-once across restarts: a replayed epoch (same batchId as
-    the latest manifest's ``last_stream_batch``) is skipped at commit,
-    so its re-written files never enter a manifest (vacuum reclaims the
-    orphans). Append-only: complete/truncate output modes are rejected.
+    id. Exactly-once across restarts: a replayed epoch (batchId at or
+    below the MAXIMUM ``last_stream_batch`` stamped on ANY manifest —
+    batch ids are monotone per query, and checking only the latest
+    manifest would re-commit a replay whenever a batch write or MERGE
+    interleaved) is skipped at commit, so its re-written files never
+    enter a manifest (vacuum reclaims the orphans). Append-only:
+    complete/truncate output modes are rejected.
 
     Task-side write is inherited verbatim from the batch writer (same
     commit-dir layout, same partition routing)."""
@@ -355,10 +383,16 @@ class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
         new_entries = [e for m in messages if m for e in m.entries]
         if self._exists:
             m = _read_manifest(self._root)
-            if m.get("last_stream_batch") == batchId:
+            stamps = [
+                _read_manifest(self._root, v).get("last_stream_batch")
+                for v in cow_history(self._root)
+            ]
+            stamped = [s for s in stamps if s is not None]
+            if stamped and batchId <= max(stamped):
                 # epoch replay after a failure between commit and the
-                # engine recording progress — already published; the
-                # just-written duplicate files are manifest-orphans
+                # engine recording progress — already published (possibly
+                # several versions back, if other writers interleaved);
+                # the just-written duplicate files are manifest-orphans
                 self.abort(messages, batchId)
                 return
             version = m["version"] + 1

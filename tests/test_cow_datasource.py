@@ -239,3 +239,33 @@ def test_stream_replays_commit_log(spark, cow_root, tmp_path):
     assert ("STREAMED",) in {(r.n_name,) for r in got.collect()}
     current = {tuple(r) for r in cow_read(spark, cow_root).collect()}
     assert current <= {tuple(r) for r in got.collect()}
+
+
+def test_datasource_reads_schema_evolved_table(spark, tmp_path):
+    """Review regression: pre-evolution files must null-pad evolved
+    columns in the Arrow read path instead of raising ArrowInvalid."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_append,
+        cow_create,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", "US"), (2, "b", "DE")],
+        "id long, name string, region string",
+    )
+    cow_create(spark, root, base, partition_by="region")
+    cow_append(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(3, "c", "US", "gold")],
+            "id long, name string, region string, tier string",
+        ),
+        evolve_schema=True,
+    )
+    got = {
+        r.id: r.tier
+        for r in spark.read.format("cowtable").option("path", root).load().collect()
+    }
+    assert got == {1: None, 2: None, 3: "gold"}

@@ -276,3 +276,59 @@ def test_cow_compact_is_a_semantic_noop(spark, tmp_path):
     assert cow_changes(spark, root, 3, 4).count() == 0  # CDF-empty
     # fully-compacted table: another compact burns no version
     assert cow_compact(spark, root, min_files_per_partition=2) in (4, 5)
+
+
+def test_cow_merge_preserves_evolved_columns(spark, tmp_path):
+    """Review regression: a partition rewrite must project pre-evolution
+    files through the manifest schema, not a sampled footer — otherwise
+    evolved column values are silently dropped."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_append,
+        cow_changes,
+    )
+
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    cow_append(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(6, "f", 60.0, "US", "gold")],
+            "id long, name string, bal double, region string, tier string",
+        ),
+        evolve_schema=True,
+    )
+    # merge touches US (which holds pre- AND post-evolution files)
+    v = cow_merge(
+        spark, root,
+        spark.createDataFrame([(1, 11.0, "US")],
+                              "id long, bal double, region string"),
+        on="id",
+        matched_update={"bal": F.col("s.bal")},
+    )
+    assert v == 3
+    rows = {r.id: (r.bal, r.tier) for r in cow_read(spark, root).collect()}
+    assert rows[1] == (11.0, None)      # update applied
+    assert rows[6] == (60.0, "gold")    # evolved value SURVIVES the rewrite
+    # CDF across the evolution span compares in the evolved schema space
+    ch = cow_changes(spark, root, 1, 3)
+    assert "tier" in ch.columns
+    types = sorted((r._change_type, r.id) for r in ch.collect())
+    assert ("insert", 1) in types and ("delete", 1) in types
+    assert ("insert", 6) in types
+
+
+def test_cow_vacuum_reclaims_manifest_orphans(spark, tmp_path):
+    """Review regression: files never referenced by ANY manifest (crashed
+    or replayed writers) are swept too."""
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark).select("id", "name", "bal"))
+    orphan_dir = os.path.join(root, "commit-deadbeef0000")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    removed = cow_vacuum(root, keep_versions=1)
+    assert removed == 1 and not os.path.exists(orphan)
+    # the live table is untouched
+    assert cow_read(spark, root).count() == 5
