@@ -98,3 +98,108 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}"))
         cols.append(F.coalesce(F.col(f"{t}_sum"), F.lit(0.0)).alias(f"sum_{t}"))
     return pivoted.select(*cols).orderBy("user_id")
+
+
+@register(
+    "q_pit_feature_join",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+cum AS (
+  SELECT user_id, ts, event_id,
+         COUNT(*) OVER w AS cum_n,
+         SUM(cents) OVER w AS cum_cents
+  FROM purchases
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+-- one feature-state row per (user, ts): the LAST update at that instant
+state AS (
+  SELECT user_id, ts, cum_n, cum_cents FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM cum
+  ) WHERE rn = 1
+),
+clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.event_id,
+       CAST(COALESCE(s.cum_n, 0) AS BIGINT) AS n_prior_purchases,
+       CAST(COALESCE(s.cum_cents, 0) AS BIGINT) AS prior_spend_cents
+FROM clicks c
+ASOF LEFT JOIN state s ON c.user_id = s.user_id AND c.ts >= s.ts
+ORDER BY c.user_id, c.event_id
+""",
+)
+def q_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store primitive
+    that keeps training data leakage-free: every click is enriched with
+    the user's purchase-derived features (lifetime purchase count and
+    spend) EXACTLY as they stood at the click's timestamp, never a
+    byte from the future. Mechanically: the purchase stream becomes a
+    feature CHANGE LOG (running aggregates per update, collapsed to one
+    state row per (user, instant)), and the as-of machinery
+    (operators/asof_join.py — union + tag + running-last, one shuffle
+    on the key) picks each click's latest state at-or-before it. The
+    oracle is DuckDB's native ASOF JOIN over the same state log, so the
+    gate proves backward-inclusive PIT semantics exactly.
+
+    Determinism: features fold as exact integer cents in a ROWS frame
+    (running accumulation, not an unordered SUM) and ties at one
+    instant collapse by event_id before the join.
+
+    Scale shape: the change log is a window over purchases (one shuffle
+    on user_id) and the PIT join is the same single-shuffle as-of sort
+    — this is precisely the plan a feature platform runs nightly at
+    fact-table scale; clicks with no history stay NULL-side and
+    COALESCE to zero-state instead of being dropped (left semantics)."""
+    from pyspark.sql import Window
+
+    from openmaptiles_zh_modifier_spark.operators.asof_join import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = purchases.select(
+        "user_id", "ts", "event_id",
+        F.count(F.lit(1)).over(w).alias("cum_n"),
+        F.sum("cents").over(w).alias("cum_cents"),
+    )
+    w_last = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    state = (
+        cum.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "cum_n", "cum_cents")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        clicks,
+        state,
+        on="user_id",
+        ts="ts",
+        payload_cols=["cum_n", "cum_cents"],
+        tiebreak="cum_n",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.coalesce("asof_cum_n", F.lit(0)).cast("bigint").alias(
+            "n_prior_purchases"
+        ),
+        F.coalesce("asof_cum_cents", F.lit(0)).cast("bigint").alias(
+            "prior_spend_cents"
+        ),
+    ).orderBy("user_id", "event_id")

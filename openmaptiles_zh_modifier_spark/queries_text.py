@@ -1075,3 +1075,64 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------- balanced sample
+
+@register(
+    "q_balanced_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, {h32_sql('CAST(doc_id AS VARCHAR)')} AS h
+  FROM documents
+),
+m AS (
+  SELECT MIN(cnt) AS m FROM (
+    SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+  )
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM ranked CROSS JOIN m
+WHERE rk <= m.m
+ORDER BY lang, rk
+""",
+)
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents — the imbalance equalizer run before
+    training a classifier (or balancing a language mix) when
+    upweighting isn't an option. Selection within each class is by
+    ascending content hash, which makes the sample (a) uniform within
+    the class, (b) rerun-stable (no rand(): stage retries and
+    re-executions pick the identical set — the q_stratified_sample
+    discipline), and (c) incremental-friendly: adding documents only
+    evicts the highest-hash survivors.
+
+    Scale shape: class counts are a map-side-combinable aggregate
+    (#classes rows) collapsed to a one-row broadcast min; ranking is
+    one shuffle on the class key with the per-class sort bounded by
+    class size. The hash order means no secondary scan for
+    randomization — the same trick that makes the hash-bucket sampler
+    deterministic."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = docs.withColumn("h", h32(F.col("doc_id").cast("string")))
+    m = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(m))
+        .where(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
