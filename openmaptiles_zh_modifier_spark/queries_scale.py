@@ -471,3 +471,75 @@ def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_id")
     )
+
+
+# ------------------------------------------------------------ column stats
+
+_STATS_COLS = [  # (name, SQL expression producing a STRING min/max safely)
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d')"),
+]
+
+
+@register(
+    "q_column_stats",
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+{' UNION ALL '.join(
+    f'''SELECT '{c}' AS column_name, n.n_rows,
+        COUNT(*) - COUNT({c}) AS n_null,
+        COUNT(DISTINCT {c}) AS n_distinct,
+        MIN({e}) AS min_val, MAX({e}) AS max_val
+    FROM orders CROSS JOIN n GROUP BY n.n_rows'''
+    for c, e in _STATS_COLS)}
+ORDER BY column_name
+""",
+)
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics over ``orders`` — row count, null
+    count, exact distinct count, and min/max per column: the stats a
+    cost-based optimizer feeds on (join-order decisions, broadcast
+    thresholds) and the first report any data-quality dashboard shows.
+    Values are surfaced as strings via SAFE casts only (integers, dates
+    as ISO, strings verbatim) — float-to-string formatting differs
+    across engines and is deliberately excluded.
+
+    Scale shape: ONE scan computes every column's aggregates
+    side-by-side (count/count-distinct/min/max are all mergeable; Spark
+    plans a single aggregate with distinct-expand, not one scan per
+    column), then the per-column rows are a compile-time unpivot of that
+    single row. The oracle spells it as a UNION ALL of per-column
+    aggregates — same result, the one-scan version is the point of
+    doing it in the engine. Exact distinct at 100 TB would downgrade to
+    approx_count_distinct (the HLL path q_approx_sketches rates)."""
+    orders = load(spark, sf_dir, "orders")
+    min_max_exprs = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, _e in _STATS_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(min_max_exprs[c]).alias(f"{c}__min"),
+            F.max(min_max_exprs[c]).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c, _e in _STATS_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_STATS_COLS)}, {stack_args}) AS "
+        "(column_name, n_null, n_distinct, min_val, max_val)",
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
+    ).orderBy("column_name")
