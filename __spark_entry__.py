@@ -61,14 +61,15 @@ _R03_WINDOW = [
     # behavior changed since their last green row — re-verify
     "zh_backfill", "q_dedup_minhash_lsh",
 ]
-# The nine round-3-new queries (q_variant_json, q_tfidf_topk,
-# q_rank_fusion_rrf, q_record_linkage, q_semdedup, q_perplexity_filter,
-# q_substring_dupfrac, q_pmi_cooccurrence, q_time_weighted_avg)
-# sit AFTER this 50-query window on purpose: the window is spent closing
-# the r01∪r02 coverage gap so every pre-existing query has a driver row
-# by end of round 3. The new nine are verified by the local
-# driver-faithful gate (tools/check_oracle.py: 135/135) and head the
-# round-4 rotation.
+# Every round-3-new query (the retrieval/linkage/quality nine plus the
+# session-3 additions: graph LPA/BFS, source KL, rolling median,
+# stream-stream left, contiguous ids, debounce, chi-square, OLS trend,
+# delta-join IVM, quantile sketch, PIT feature join, balanced sample,
+# column stats) sits AFTER this 50-query window on purpose: the window
+# is spent closing the r01∪r02 coverage gap so every pre-existing query
+# has a driver row by end of round 3. The new ones are verified by the
+# local driver-faithful gate (tools/check_oracle.py: 150/150) and head
+# the round-4 rotation.
 
 
 def _gate_order(names) -> list[str]:
