@@ -446,31 +446,17 @@ def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality), broadcast-joined back on pid. The oracle states the
     same total order as one global ROW_NUMBER — the gate proves the
     distributed two-phase construction equals the single-reducer
-    semantics it replaces."""
-    from pyspark.sql import Window
+    semantics it replaces. Implementation: the reusable
+    ``operators.ids.assign_contiguous_ids`` (property-tested on seeded
+    random frames beyond this oracle pairing)."""
+    from openmaptiles_zh_modifier_spark.operators.ids import (
+        assign_contiguous_ids,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    keyed = docs.withColumn(
-        "h", h32(F.col("doc_id").cast("string"))
-    ).withColumn("pid", F.col("h") % IDS_BUCKETS)
-    counts = keyed.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    w_off = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
-    )
-    w_local = Window.partitionBy("pid").orderBy("h", "doc_id")
-    return (
-        keyed.withColumn("lrn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "pid")
-        .select(
-            "doc_id",
-            "source",
-            (F.col("off") + F.col("lrn")).cast("bigint").alias("row_id"),
-        )
-        .orderBy("row_id")
-    )
+    return assign_contiguous_ids(
+        docs, "doc_id", n_buckets=IDS_BUCKETS
+    ).select("doc_id", "source", "row_id").orderBy("row_id")
 
 
 # ------------------------------------------------------------ column stats

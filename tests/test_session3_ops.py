@@ -57,3 +57,45 @@ def test_debounce_bursts_cover_all_events(spark, sf_dir):
     n_events = load(spark, sf_dir, "events").count()
     assert sum(r.burst_size for r in bursts) == n_events
     assert all(r.kept_event_id is not None for r in bursts)
+
+
+def test_assign_ids_property_random_frames(spark):
+    """Property: for seeded random key sets (with gaps, negatives, and
+    string-sortable collision patterns), assign_contiguous_ids is a
+    bijection onto 1..N whose order matches the declared
+    (h32%B, h32, key) total order computed independently in Python."""
+    import hashlib
+    import random
+
+    from openmaptiles_zh_modifier_spark.operators.ids import (
+        assign_contiguous_ids,
+    )
+
+    def h32_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rng = random.Random(20260814)
+    cases = [
+        [],                       # empty frame
+        [7],                      # singleton
+        list(range(100)),         # dense
+        rng.sample(range(10**9), 257),  # sparse, crosses buckets
+    ]
+    for n_buckets in (1, 8):
+        for keys in cases:
+            df = spark.createDataFrame(
+                [(k,) for k in keys], "k long"
+            )
+            got = {
+                r.k: r.row_id
+                for r in assign_contiguous_ids(
+                    df, "k", n_buckets=n_buckets
+                ).collect()
+            }
+            expect_order = sorted(
+                keys,
+                key=lambda k: (
+                    h32_py(str(k)) % n_buckets, h32_py(str(k)), k
+                ),
+            )
+            assert got == {k: i + 1 for i, k in enumerate(expect_order)}
