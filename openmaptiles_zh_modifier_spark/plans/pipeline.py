@@ -463,3 +463,79 @@ def run_backfill_cow(
     finally:
         src.unpersist()
     return version, n_updated
+
+
+def stream_upsert_to_cow(
+    stream_df: DataFrame,
+    root: str,
+    on: str,
+    order_by: str,
+    update_cols: list[str],
+) -> list[int]:
+    """Streaming CDC apply: every micro-batch MERGEs into the cow table —
+    the upsert twin of the cowtable streaming APPEND sink (which can only
+    add rows). The batch is first collapsed latest-wins per key (max
+    ``order_by`` breaks intra-batch races, so one batch carrying several
+    versions of a key applies only the newest), then fed through the
+    transactional ``cow_merge`` (matched -> update ``update_cols``,
+    unmatched -> insert). Each batch lands as one atomic version.
+
+    Out-of-order safety: the matched-update is CONDITIONAL on
+    ``s.order_by > t.order_by`` — a stale change arriving after a newer
+    one (reordered batches, replays, late partitions) leaves the row
+    untouched, so the table converges to the per-key MAXIMUM order_by
+    regardless of arrival order. That also makes replay idempotent
+    twice over: re-applying a batch either rewrites identical values or
+    loses the version check. A concurrent non-stream writer can steal a
+    version; cow_merge then raises CowConflictError and the batch is
+    retried by the caller/engine rather than applied on a stale base.
+
+    Returns the committed version per micro-batch."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_merge
+
+    versions: list[int] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(on).orderBy(
+            F.desc(order_by), F.desc(on)
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not latest.limit(1).count():
+            return  # empty batch: no version burned
+        spark = batch_df.sparkSession
+        newer = F.col(f"s.{order_by}") > F.col(f"t.{order_by}")
+        versions.append(
+            cow_merge(
+                spark,
+                root,
+                latest,
+                on=on,
+                matched_update={
+                    c: F.when(newer, F.col(f"s.{c}")).otherwise(
+                        F.col(f"t.{c}")
+                    )
+                    for c in update_cols
+                },
+                not_matched_insert={
+                    c: F.col(f"s.{c}") for c in latest.columns
+                },
+            )
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="omt-cow-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    return versions

@@ -124,3 +124,62 @@ def test_cow_backfill_rejects_unqualified_table(spark, tmp_path):
     cow_create(spark, root, df)
     with pytest.raises(ValueError, match="does not qualify"):
         run_backfill_cow(spark, root)
+
+
+def test_stream_upsert_to_cow_equals_batch_latest_state(spark, sf_dir, tmp_path):
+    """CDC apply: streaming per-batch MERGEs converge to exactly the
+    batch latest-per-key state, one atomic version per micro-batch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_create,
+        cow_history,
+        cow_read,
+    )
+    from openmaptiles_zh_modifier_spark.plans.pipeline import (
+        stream_upsert_to_cow,
+    )
+
+    root = str(tmp_path / "state")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    changes = ev.select(
+        "user_id", "event_id", "event_type",
+        # ntz -> ltz (session TZ is UTC) -> epoch seconds
+        F.col("ts").cast("timestamp").cast("long").alias("seq"),
+    )
+    # seed the table with an empty-but-typed state
+    cow_create(spark, root, changes.limit(0))
+
+    # stream the change feed in several micro-batches
+    src_dir = str(tmp_path / "feed")
+    changes.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    versions = stream_upsert_to_cow(
+        stream, root, on="user_id", order_by="seq",
+        update_cols=["event_id", "event_type", "seq"],
+    )
+    assert versions and versions == sorted(versions)
+    assert cow_history(root)[-1] == versions[-1]
+
+    # batch truth: latest change per user (same (seq, user) tie-break)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("seq"), F.desc("user_id")
+    )
+    # the conditional (s.seq > t.seq) update makes the GLOBAL max-seq row
+    # win regardless of which micro-batch carried it; the events fixture
+    # has unique (user, ts) pairs, making truth unique
+    truth = {
+        r.user_id: r.seq
+        for r in changes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    got = {r.user_id: r.seq for r in cow_read(spark, root).collect()}
+    assert got == truth
