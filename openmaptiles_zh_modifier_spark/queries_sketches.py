@@ -530,3 +530,90 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_cents") - F.col("ex_p")) <= QSK_BINW, F.lit(1)
         ).otherwise(F.lit(0)).alias("within_bound"),
     ).orderBy("p")
+
+
+# ------------------------------------------------- native DataSketches
+
+@register(
+    "q_native_sketches",
+    oracle="""
+WITH freq AS (
+  SELECT l_returnflag, l_suppkey, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+mx AS (SELECT l_returnflag, MAX(c) AS maxfreq FROM freq GROUP BY 1)
+SELECT l.l_returnflag,
+       COUNT(*) AS n,
+       COUNT(DISTINCT l.l_partkey) AS nd,
+       CAST(m.maxfreq AS BIGINT) AS maxfreq,
+       1 AS hll_ok, 1 AS theta_ok, 1 AS topk_ok
+FROM lineitem l JOIN mx m USING (l_returnflag)
+GROUP BY l.l_returnflag, m.maxfreq
+ORDER BY l.l_returnflag
+""",
+)
+def q_native_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE Apache DataSketches surface (the industrial twin
+    of the from-scratch portable sketches above): per return flag, an
+    HLL sketch (lgK=12) and a Theta sketch estimate the distinct part
+    count, and approx_top_k (tracking far more items than exist, so its
+    counts are exact by the sketch's own contract) recovers the hottest
+    supplier's frequency. The exact columns (n, distinct, max
+    frequency) hash-check; each sketch estimate is asserted within its
+    RATED bound as an integer-only 0/1 flag — HLL relative error
+    1.04/sqrt(2^12), Theta 1/sqrt(4096 nominal entries), both at 3
+    sigma, checked as abs(est-nd)*1000 <= bound*nd so no float enters
+    the gate. The oracle states the exact values and flags=1: any
+    out-of-contract estimate hash-mismatches the gate.
+
+    Scale shape: sketches are mergeable aggregate states (that is their
+    point) — partial sketches per partition, one shuffle of
+    kilobyte-sized states per group; the binary sketch columns also
+    union/intersect across datasets (theta_union etc.) without
+    re-scanning — the HLL/KMV algebra the portable queries build by
+    hand, JVM-native here."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey"
+    )
+    freq = li.groupBy("l_returnflag", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mx = freq.groupBy("l_returnflag").agg(F.max("c").alias("maxfreq"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("l_partkey").alias("nd"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").alias(
+            "hll_est"
+        ),
+        F.expr("theta_sketch_estimate(theta_sketch_agg(l_partkey))").alias(
+            "theta_est"
+        ),
+        F.expr("approx_top_k(l_suppkey, 1, 100000)")[0]["count"].alias(
+            "top1_count"
+        ),
+    )
+    return (
+        agg.join(F.broadcast(mx), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "nd",
+            F.col("maxfreq").cast("bigint").alias("maxfreq"),
+            # 3-sigma rated bounds, integer arithmetic only:
+            # HLL lgK=12: 3*1.04/64 = 4.875% -> 49/1000
+            F.when(
+                F.abs(F.col("hll_est") - F.col("nd")) * 1000
+                <= 49 * F.col("nd"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("hll_ok"),
+            # Theta nominal 4096: 3/64 = 4.7% -> 47/1000
+            F.when(
+                F.abs(F.col("theta_est") - F.col("nd")) * 1000
+                <= 47 * F.col("nd"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("theta_ok"),
+            F.when(F.col("top1_count") == F.col("maxfreq"), F.lit(1))
+            .otherwise(F.lit(0)).alias("topk_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
