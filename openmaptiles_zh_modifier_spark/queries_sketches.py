@@ -617,3 +617,175 @@ def q_native_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ------------------------------------------- sliding distinct via HLL merge
+
+@register(
+    "q_sliding_distinct_hll",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+contrib AS (
+  SELECT du.day + CAST(k.k AS INTEGER) AS target_day, du.user_id
+  FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) k
+),
+exact AS (
+  SELECT d.day, COUNT(DISTINCT c.user_id) AS exact_users
+  FROM days d JOIN contrib c ON c.target_day = d.day
+  GROUP BY d.day
+)
+SELECT day, exact_users, 1 AS hll_ok
+FROM exact ORDER BY day
+""",
+)
+def q_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT USERS per day — the classic "you cannot
+    pre-aggregate a distinct" problem, solved the way streaming
+    analytics platforms do: ONE daily HLL sketch per day (a mergeable
+    kilobyte state), any window answered by UNIONING the daily sketches
+    — here a RANGE window over day number, so the fact table is scanned
+    once regardless of how many window shapes are asked. The exact
+    column is computed the expensive way (each day-user pair exploded
+    into the 7 windows it serves — a 7x blowup the sketch path avoids)
+    and hash-checked; the sketch estimate is asserted within the
+    lgK=14 rated bound (3 * 1.04/sqrt(2^14) < 2.5%) as an
+    integer-arithmetic 0/1 flag.
+
+    Scale: daily sketch build is a map-side-combinable aggregate
+    (kilobytes per day-partition); window merges touch only the
+    day-grain sketch table. This is the continuous-aggregate pattern
+    for distinct counts: store sketches at the finest grain, merge to
+    any coarser window without rescanning facts."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    daily = du.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("hs")
+    ).withColumn("dnum", F.datediff("day", F.lit("1970-01-01")))
+    w = Window.orderBy("dnum").rangeBetween(-6, 0)
+    est = daily.select(
+        "day", F.expr("hll_union_agg(hs)").over(w).alias("ms")
+    ).select("day", F.expr("hll_sketch_estimate(ms)").alias("est"))
+    contrib = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "day", "user_id"
+    ).select(F.date_add("day", F.col("k")).alias("day"), "user_id")
+    exact = (
+        daily.select("day")
+        .join(contrib, "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(est, "day")
+        .select(
+            "day",
+            "exact_users",
+            F.when(
+                F.abs(F.col("est") - F.col("exact_users")) * 1000
+                <= 25 * F.col("exact_users"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("hll_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+# ------------------------------------------------ theta sketch set algebra
+
+THETA_SPLIT = "1995-06-01"  # early/late shipment halves
+
+
+@register(
+    "q_theta_set_algebra",
+    oracle=f"""
+WITH a AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '{THETA_SPLIT}'
+),
+b AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{THETA_SPLIT}'
+)
+SELECT (SELECT COUNT(*) FROM a) AS n_a,
+       (SELECT COUNT(*) FROM b) AS n_b,
+       (SELECT COUNT(*) FROM a WHERE l_partkey IN (SELECT l_partkey FROM b))
+         AS n_inter,
+       (SELECT COUNT(*) FROM a WHERE l_partkey NOT IN (SELECT l_partkey FROM b))
+         AS n_only_a,
+       1 AS union_ok, 1 AS inter_ok, 1 AS diff_ok
+""",
+)
+def q_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset set algebra WITHOUT co-shuffling the datasets: Theta
+    sketches (unlike HLL) support union AND intersection AND difference
+    on their compact states, so "how many part keys do the early and
+    late halves share" is answered from two kilobyte sketches built in
+    independent scans — the dedup-planning / audience-overlap primitive
+    (the portable KMV query builds the same algebra by hand; this is
+    the JVM DataSketches-native form). Exact set sizes (computed the
+    expensive way: distinct + semi/anti joins) hash-check; the union /
+    intersection / A-minus-B estimates are asserted within a 10%%
+    flag — generous because intersection error compounds with the
+    inverse overlap fraction (rated: ~1/sqrt(4096)/J at 3 sigma) —
+    verified to hold at both sf0.01 (exact mode: sketches below nominal
+    entries are EXACT) and sf0.1 (estimation mode).
+
+    Scale: each side is one scan + one sketch aggregate; the algebra is
+    a driver-sized cross of two 1-row frames. Adding a third dataset is
+    another scan, not another join."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    split = F.lit(THETA_SPLIT).cast("timestamp")
+    a = li.where(F.col("l_shipdate") < split)
+    b = li.where(F.col("l_shipdate") >= split)
+    sa = a.agg(F.expr("theta_sketch_agg(l_partkey)").alias("ta"))
+    sb = b.agg(F.expr("theta_sketch_agg(l_partkey)").alias("tb"))
+    est = sa.crossJoin(sb).select(
+        F.expr("theta_sketch_estimate(theta_union(ta, tb))").alias("e_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(ta, tb))").alias(
+            "e_inter"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(ta, tb))").alias(
+            "e_diff"
+        ),
+    )
+    da = a.select("l_partkey").distinct()
+    db = b.select("l_partkey").distinct()
+    exact = (
+        da.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(db.agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(
+            da.join(db, "l_partkey", "left_semi").agg(
+                F.count(F.lit(1)).alias("n_inter")
+            )
+        )
+        .crossJoin(
+            da.join(db, "l_partkey", "left_anti").agg(
+                F.count(F.lit(1)).alias("n_only_a")
+            )
+        )
+    )
+
+    def ok(est_col: str, exact_col) -> Column:
+        return (
+            F.when(
+                F.abs(F.col(est_col) - exact_col) * 100 <= 10 * exact_col,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+        )
+
+    return exact.crossJoin(est).select(
+        "n_a", "n_b", "n_inter", "n_only_a",
+        ok("e_union", F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias(
+            "union_ok"
+        ),
+        ok("e_inter", F.col("n_inter")).alias("inter_ok"),
+        ok("e_diff", F.col("n_only_a")).alias("diff_ok"),
+    )
