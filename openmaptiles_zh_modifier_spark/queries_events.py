@@ -971,3 +971,101 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "burst_id")
     )
+
+
+# ---------------------------------------------------------------- attribution
+
+ATTR_LOOKBACK_H = 72  # clicks within 3 days before the purchase get credit
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+touch AS (
+  SELECT p.purchase_id, p.user_id, p.cents, c.click_id, c.cts,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.cts ASC, c.click_id ASC) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.cts DESC, c.click_id DESC) AS rn_last
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.cts <= p.pts
+   AND c.cts > p.pts - INTERVAL {ATTR_LOOKBACK_H} HOUR
+)
+SELECT purchase_id, user_id, cents,
+       COUNT(*) AS n_touchpoints,
+       MAX(CASE WHEN rn_first = 1 THEN click_id END) AS first_click_id,
+       MAX(CASE WHEN rn_last = 1 THEN click_id END) AS last_click_id
+FROM touch
+GROUP BY purchase_id, user_id, cents
+ORDER BY purchase_id
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution over a {ATTR_LOOKBACK_H}-hour lookback:
+    every purchase joined to the user's clicks in the window, reporting
+    the touchpoint count plus the FIRST- and LAST-touch click — the
+    marketing-analytics primitive (first/last/multi-touch models all
+    read off this touch table; linear credit = cents/n_touchpoints is a
+    projection away). Purchases with no preceding click are intentionally
+    absent (unattributable — the standard convention).
+
+    Determinism: the first/last election reuses the debounce trick —
+    exactly one row per purchase carries rn=1 under each (ts, id) window
+    order, so a filtered MAX picks it; no argmin/struct-compare needed
+    cross-engine. Money is integer cents.
+
+    Scale shape: the touch join is the watermarked stream-stream
+    interval join's batch twin (q_stream_stream_join) — one shuffle on
+    user_id with the time bound as a residual; both window passes and
+    the final aggregate share the purchase_id partitioning (one more
+    shuffle). Lookback bounds the per-user join fan-out exactly like
+    the streaming state horizon."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_H} HOUR")),
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy(
+        F.asc("cts"), F.asc("click_id")
+    )
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.desc("cts"), F.desc("click_id")
+    )
+    return (
+        touch.withColumn("rn_first", F.row_number().over(w_first))
+        .withColumn("rn_last", F.row_number().over(w_last))
+        .groupBy("purchase_id", "user_id", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_touchpoints"),
+            F.max(
+                F.when(F.col("rn_first") == 1, F.col("click_id"))
+            ).alias("first_click_id"),
+            F.max(
+                F.when(F.col("rn_last") == 1, F.col("click_id"))
+            ).alias("last_click_id"),
+        )
+        .orderBy("purchase_id")
+    )
