@@ -489,3 +489,104 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6))
         .alias("intercept"),
     ).orderBy("user_id")
+
+
+# ------------------------------------------------------------- KS drift
+
+@register(
+    "q_ks_drift",
+    oracle="""
+WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+b AS (SELECT value FROM events WHERE event_type = 'purchase'),
+pooled AS (
+  SELECT value, COUNT(*) FILTER (tag = 'a') AS ca,
+         COUNT(*) FILTER (tag = 'b') AS cb
+  FROM (
+    SELECT value, 'a' AS tag FROM a
+    UNION ALL
+    SELECT value, 'b' AS tag FROM b
+  ) GROUP BY value
+),
+cum AS (
+  SELECT value,
+         SUM(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cuma,
+         SUM(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cumb,
+         (SELECT SUM(ca) FROM pooled) AS na,
+         (SELECT SUM(cb) FROM pooled) AS nb
+  FROM pooled
+),
+scored AS (
+  SELECT value,
+         ROUND(ABS(1.0 * cuma / na - 1.0 * cumb / nb), 6) AS d,
+         na, nb
+  FROM cum
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       MAX(d) AS ks_stat,
+       MIN(value) FILTER (d = (SELECT MAX(d) FROM scored)) AS at_value
+FROM scored GROUP BY na, nb
+""",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    purchase value distributions — the numeric-distribution drift test
+    (the continuous sibling of q_source_kl's token-distribution drift):
+    KS = max over observed values of |ECDF_a - ECDF_b|, with the
+    smallest value attaining the max reported as the drift location.
+
+    Determinism: per-value counts and cumulative sums are exact
+    integers; the ECDF difference is one exact-double expression ROUNDed
+    at 6 dp BEFORE the max/argmin, so ties and the argmin location are
+    decided on identical values cross-engine.
+
+    Scale shape: one shuffle to the per-value count table (map-side
+    combinable; cardinality = distinct values, not rows), one window
+    over that table for both cumulative sums, one max-aggregate. The
+    single ORDER BY window is over the DISTINCT-value table — if that
+    itself were huge, production would bucket values first (the
+    equi-depth histogram operator) and bound KS by bucket width."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    pooled = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    tot = pooled.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    scored = (
+        pooled.withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "value", "na", "nb",
+            F.round(
+                F.abs(
+                    F.lit(1.0) * F.col("cuma") / F.col("na")
+                    - F.lit(1.0) * F.col("cumb") / F.col("nb")
+                ),
+                6,
+            ).alias("d"),
+        )
+    )
+    return scored.groupBy("na", "nb").agg(
+        F.max("d").alias("ks_stat"),
+        F.min_by("value", F.struct(F.negate(F.col("d")), F.col("value"))).alias(
+            "at_value"
+        ),
+    ).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        "ks_stat",
+        "at_value",
+    )
