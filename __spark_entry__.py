@@ -65,11 +65,12 @@ _R03_WINDOW = [
 # session-3 additions: graph LPA/BFS, source KL, rolling median,
 # stream-stream left, contiguous ids, debounce, chi-square, OLS trend,
 # delta-join IVM, quantile sketch, PIT feature join, balanced sample,
-# column stats) sits AFTER this 50-query window on purpose: the window
-# is spent closing the r01∪r02 coverage gap so every pre-existing query
-# has a driver row by end of round 3. The new ones are verified by the
-# local driver-faithful gate (tools/check_oracle.py: 150/150) and head
-# the round-4 rotation.
+# column stats, native sketches, sliding-distinct HLL, theta set
+# algebra, attribution, KS drift) sits AFTER this 50-query window on
+# purpose: the window is spent closing the r01∪r02 coverage gap so
+# every pre-existing query has a driver row by end of round 3. The new
+# ones are verified by the local driver-faithful gate
+# (tools/check_oracle.py: 155/155) and head the round-4 rotation.
 
 
 def _gate_order(names) -> list[str]:

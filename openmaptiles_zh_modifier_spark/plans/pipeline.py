@@ -471,20 +471,26 @@ def stream_upsert_to_cow(
     on: str,
     order_by: str,
     update_cols: list[str],
+    tiebreak: str | None = None,
 ) -> list[int]:
     """Streaming CDC apply: every micro-batch MERGEs into the cow table —
     the upsert twin of the cowtable streaming APPEND sink (which can only
     add rows). The batch is first collapsed latest-wins per key (max
-    ``order_by`` breaks intra-batch races, so one batch carrying several
-    versions of a key applies only the newest), then fed through the
-    transactional ``cow_merge`` (matched -> update ``update_cols``,
-    unmatched -> insert). Each batch lands as one atomic version.
+    ``order_by``; equal-``order_by`` races inside one batch break on
+    ``tiebreak`` when given, else on a content hash of the whole row —
+    DETERMINISTIC either way, so task retries re-elect the same winner),
+    then fed through the transactional ``cow_merge`` (matched -> update
+    ``update_cols`` plus ``order_by``, unmatched -> insert). Each batch
+    lands as one atomic version.
 
     Out-of-order safety: the matched-update is CONDITIONAL on
     ``s.order_by > t.order_by`` — a stale change arriving after a newer
     one (reordered batches, replays, late partitions) leaves the row
     untouched, so the table converges to the per-key MAXIMUM order_by
-    regardless of arrival order. That also makes replay idempotent
+    regardless of arrival order. ``order_by`` is force-included in the
+    updated columns for exactly this reason: if the stored row's
+    order_by never advanced, a stale change could pass the version
+    check and clobber newer data. That also makes replay idempotent
     twice over: re-applying a batch either rewrites identical values or
     loses the version check. A concurrent non-stream writer can steal a
     version; cow_merge then raises CowConflictError and the batch is
@@ -499,17 +505,23 @@ def stream_upsert_to_cow(
     from openmaptiles_zh_modifier_spark.operators.cow_table import cow_merge
 
     versions: list[int] = []
+    # the stored order_by must advance with every applied change, or the
+    # s.order_by > t.order_by guard stops guarding (see docstring)
+    effective_update_cols = list(dict.fromkeys([*update_cols, order_by]))
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy(on).orderBy(
-            F.desc(order_by), F.desc(on)
+        tb = (
+            F.desc(tiebreak)
+            if tiebreak is not None
+            else F.desc(F.xxhash64(*batch_df.columns))
         )
+        w = Window.partitionBy(on).orderBy(F.desc(order_by), tb)
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if not latest.limit(1).count():
+        if batch_df.isEmpty():
             return  # empty batch: no version burned
         spark = batch_df.sparkSession
         newer = F.col(f"s.{order_by}") > F.col(f"t.{order_by}")
@@ -523,7 +535,7 @@ def stream_upsert_to_cow(
                     c: F.when(newer, F.col(f"s.{c}")).otherwise(
                         F.col(f"t.{c}")
                     )
-                    for c in update_cols
+                    for c in effective_update_cols
                 },
                 not_matched_insert={
                     c: F.col(f"s.{c}") for c in latest.columns

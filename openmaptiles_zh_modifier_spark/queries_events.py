@@ -1011,7 +1011,7 @@ ORDER BY purchase_id
 """,
 )
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversion attribution over a {ATTR_LOOKBACK_H}-hour lookback:
+    """Conversion attribution over a 72-hour lookback (ATTR_LOOKBACK_H):
     every purchase joined to the user's clicks in the window, reporting
     the touchpoint count plus the FIRST- and LAST-touch click — the
     marketing-analytics primitive (first/last/multi-touch models all

@@ -731,11 +731,12 @@ def q_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the portable KMV query builds the same algebra by hand; this is
     the JVM DataSketches-native form). Exact set sizes (computed the
     expensive way: distinct + semi/anti joins) hash-check; the union /
-    intersection / A-minus-B estimates are asserted within a 10%%
-    flag — generous because intersection error compounds with the
-    inverse overlap fraction (rated: ~1/sqrt(4096)/J at 3 sigma) —
-    verified to hold at both sf0.01 (exact mode: sketches below nominal
-    entries are EXACT) and sf0.1 (estimation mode).
+    intersection / A-minus-B estimates are asserted within 10% OF THE
+    UNION SIZE — set-operation sketch error is rated against the input
+    cardinalities (~1/sqrt(4096) of the union at 1 sigma), never the
+    result size, which can be arbitrarily small or zero — verified to
+    hold at both sf0.01 (exact mode: sketches below nominal entries are
+    EXACT) and sf0.1 (estimation mode).
 
     Scale: each side is one scan + one sketch aggregate; the algebra is
     a driver-sized cross of two 1-row frames. Adding a third dataset is
@@ -772,10 +773,18 @@ def q_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # The rated error of an intersection/difference estimate scales with
+    # the INPUT set sizes, not the (possibly tiny or zero) result size —
+    # a result-relative bound would demand an exactly-zero estimate of an
+    # empty difference, a latent data-dependent gate failure. All three
+    # flags are therefore bounded at 10% of the UNION cardinality
+    # (integer arithmetic only; generous vs the ~4.7% 3-sigma rate).
+    union_exact = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+
     def ok(est_col: str, exact_col) -> Column:
         return (
             F.when(
-                F.abs(F.col(est_col) - exact_col) * 100 <= 10 * exact_col,
+                F.abs(F.col(est_col) - exact_col) * 100 <= 10 * union_exact,
                 F.lit(1),
             )
             .otherwise(F.lit(0))
@@ -783,9 +792,7 @@ def q_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return exact.crossJoin(est).select(
         "n_a", "n_b", "n_inter", "n_only_a",
-        ok("e_union", F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias(
-            "union_ok"
-        ),
+        ok("e_union", union_exact).alias("union_ok"),
         ok("e_inter", F.col("n_inter")).alias("inter_ok"),
         ok("e_diff", F.col("n_only_a")).alias("diff_ok"),
     )

@@ -164,6 +164,7 @@ def test_stream_upsert_to_cow_equals_batch_latest_state(spark, sf_dir, tmp_path)
     versions = stream_upsert_to_cow(
         stream, root, on="user_id", order_by="seq",
         update_cols=["event_id", "event_type", "seq"],
+        tiebreak="event_id",
     )
     assert versions and versions == sorted(versions)
     assert cow_history(root)[-1] == versions[-1]

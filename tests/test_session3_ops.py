@@ -80,6 +80,7 @@ def test_assign_ids_property_random_frames(spark):
         [7],                      # singleton
         list(range(100)),         # dense
         rng.sample(range(10**9), 257),  # sparse, crosses buckets
+        [-5, -1, 0, 3, -(10**12), 10**12],  # negatives + extremes
     ]
     for n_buckets in (1, 8):
         for keys in cases:
