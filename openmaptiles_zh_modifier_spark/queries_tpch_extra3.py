@@ -331,3 +331,77 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_name")
     )
+
+
+# ------------------------------------------------------------------- RFM
+
+@register(
+    "q_rfm_segmentation",
+    oracle="""
+WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+base AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', MAX(o_orderdate), mx.maxd) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders CROSS JOIN mx
+  GROUP BY o_custkey, mx.maxd
+)
+SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       NTILE(4) OVER (ORDER BY recency_days ASC, custkey) AS r_score,
+       NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+       NTILE(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+FROM base
+ORDER BY custkey
+""",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic lifecycle-marketing
+    primitive: per customer, Recency (days since last order, vs the
+    corpus max date), Frequency (order count), Monetary (lifetime spend
+    in exact integer cents), each quartiled with NTILE(4). Quartile 1 is
+    the best on every axis (most recent / most frequent / highest
+    spend); downstream segments (champions = 111, at-risk = 4xx, ...)
+    are string concatenation away.
+
+    Determinism: recency/frequency/monetary are exact integers; NTILE
+    assigns by row position, so each window's ORDER BY carries custkey
+    as the tie-break — identical quartile boundaries cross-engine even
+    when many customers share a metric value.
+
+    Scale shape: one map-side-combinable aggregate per customer, then
+    three global NTILE windows. Global NTILE is a single-reducer sort
+    at the extreme; at 100 TB you'd replace it with percentile
+    boundaries from the quantile sketch (q_quantile_sketch) and a
+    broadcast range join — same output contract, no global sort."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"), "maxd")
+        .agg(
+            F.datediff(F.col("maxd"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    return base.select(
+        "custkey", "recency_days", "frequency", "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("custkey")))
+        .alias("m_score"),
+    ).orderBy("custkey")
