@@ -405,3 +405,85 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("monetary_cents"), F.asc("custkey")))
         .alias("m_score"),
     ).orderBy("custkey")
+
+
+# ----------------------------------------------------------------- Benford
+
+import math as _math
+
+_BENFORD = {d: repr(_math.log10(1 + 1 / d)) for d in range(1, 10)}
+
+
+@register(
+    "q_benford_audit",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM cents
+),
+counts AS (
+  SELECT digit, COUNT(*) AS n_obs,
+         (SELECT COUNT(*) FROM digits) AS n
+  FROM digits GROUP BY digit
+),
+expected(digit, p_benford) AS (
+  VALUES {', '.join(f'({d}, {p})' for d, p in _BENFORD.items())}
+)
+SELECT e.digit, COALESCE(c.n_obs, 0) AS n_obs,
+       (SELECT COUNT(*) FROM digits) AS n,
+       ROUND(CAST(e.p_benford AS DOUBLE), 6) AS p_benford,
+       ROUND(COALESCE(c.n_obs, 0) * 1.0
+             / (SELECT COUNT(*) FROM digits) - CAST(e.p_benford AS DOUBLE), 6) AS deviation
+FROM expected e LEFT JOIN counts c USING (digit)
+ORDER BY e.digit
+""",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic
+    data-quality screen (fabricated or systematically clipped monetary
+    data drifts off the log-uniform first-digit curve). Reports every
+    digit 1-9 with its observed count, the Benford expectation
+    P(d) = log10(1 + 1/d), and the share deviation. (The TPC-H-ish
+    uniform price fixture deliberately does NOT follow Benford — the
+    operator's job is to measure the deviation, not to assert zero.)
+
+    Determinism: the first digit comes from string truncation of exact
+    integer cents (no float log); each expected share is injected as
+    the SAME Python repr literal into both plans (the PR_INIT pattern —
+    a hand-typed decimal would be a DIFFERENT double); the one division
+    is exact and ROUNDed identically.
+
+    Scale shape: one scan -> 9-group count; the expected table is a
+    9-row literal joined driver-side. As cheap as an audit gets."""
+    orders = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    n_total = digits.agg(F.count(F.lit(1)).alias("n"))
+    expected = spark.createDataFrame(
+        [(d, float(p)) for d, p in _BENFORD.items()],
+        "digit int, p_benford double",
+    )
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "n",
+            F.round("p_benford", 6).alias("p_benford"),
+            F.round(
+                F.coalesce("n_obs", F.lit(0)) * F.lit(1.0) / F.col("n")
+                - F.col("p_benford"),
+                6,
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
