@@ -1069,3 +1069,75 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------- SES
+
+SES_ALPHA = repr(0.3)  # same double literal injected into both engines
+
+
+@register(
+    "q_ses_forecast",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+folded AS (
+  SELECT user_id, COUNT(*) AS n_days,
+         list_reduce(
+           list(x ORDER BY day),
+           (s, x) -> {SES_ALPHA} * x + (1.0 - {SES_ALPHA}) * s
+         ) AS level
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       ROUND(level, 4) AS level_cents,
+       ROUND(level, 4) AS forecast_next_cents
+FROM folded ORDER BY user_id
+""",
+)
+def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing per user over daily spend — the
+    baseline time-series forecaster (level_t = a*x_t + (1-a)*level_(t-1),
+    seeded with the first observation; the 1-step-ahead forecast IS the
+    final level). The iterative recurrence is exactly a sequential fold
+    over the day-ordered series, which both engines express natively
+    (F.aggregate == list_reduce) — no UDF, no driver loop.
+
+    Determinism: daily inputs are exact integer cents cast to double;
+    the smoothing constant is the SAME repr literal in both plans (the
+    PR_INIT pattern); the fold performs identical IEEE multiply-adds in
+    identical order on both engines, so values match bit-for-bit before
+    the presentation ROUND.
+
+    Scale shape: one map-side-combinable daily aggregate, one shuffle
+    on user_id, per-user fold bounded by the day count. SES (unlike a
+    plain mean) cannot be computed by a commutative aggregate — the
+    fold-over-sorted-frame idiom is THE way to run recurrences
+    (EMA, Kalman-lite, drawdown) distributed-per-key."""
+    alpha = float(SES_ALPHA)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("double")
+        .alias("x")
+    )
+    folded = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            F.lit(None).cast("double"),
+            lambda s, r: F.when(s.isNull(), r["x"]).otherwise(
+                F.lit(alpha) * r["x"] + (F.lit(1.0) - F.lit(alpha)) * s
+            ),
+        ).alias("level"),
+    )
+    return folded.select(
+        "user_id", "n_days",
+        F.round("level", 4).alias("level_cents"),
+        F.round("level", 4).alias("forecast_next_cents"),
+    ).orderBy("user_id")

@@ -416,3 +416,50 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return dist.select("node", F.col("hop").cast("long").alias("hop"))
+
+
+@register(
+    "q_degree_distribution",
+    oracle=f"""
+WITH {_COPURCHASE_SQL},
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM adj GROUP BY node
+),
+hist AS (
+  SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+)
+SELECT degree, n_nodes,
+       CAST(SUM(n_nodes) OVER (ORDER BY degree DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_nodes_at_least
+FROM hist
+ORDER BY degree
+""",
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first plot of
+    any graph analysis (is it power-law? where does the hot-key tail
+    start?) and the operational input to the degree caps that triangle
+    counting and LPA need on skewed graphs. Emits the histogram plus
+    the complementary cumulative count (nodes with degree >= d), i.e.
+    the CCDF numerator read straight off one descending window.
+
+    Determinism: counts all the way down. Scale shape: degree = one
+    count per node on the already-memoized adjacency, histogram = one
+    count on the (tiny) degree domain, CCDF = one window over the
+    histogram — each stage's cardinality collapses by orders of
+    magnitude, the ideal aggregation ladder."""
+    from pyspark.sql import Window
+
+    adj = _copurchase_adj(spark, sf_dir)
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn(
+            "n_nodes_at_least", F.sum("n_nodes").over(w).cast("bigint")
+        )
+        .orderBy("degree")
+    )
