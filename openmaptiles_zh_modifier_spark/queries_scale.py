@@ -496,11 +496,16 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE scan computes every column's aggregates
     side-by-side (count/count-distinct/min/max are all mergeable; Spark
     plans a single aggregate with distinct-expand, not one scan per
-    column), then the per-column rows are a compile-time unpivot of that
-    single row. The oracle spells it as a UNION ALL of per-column
-    aggregates — same result, the one-scan version is the point of
-    doing it in the engine. Exact distinct at 100 TB would downgrade to
-    approx_count_distinct (the HLL path q_approx_sketches rates)."""
+    column), then the per-column rows are five trivial projections of
+    that single row unioned — NOT a stack() generator: putting Generate
+    on top of the wide multi-distinct aggregate measured 10x slower
+    (2.1 s vs 0.2 s warm at sf0.1; the generator blocks the aggregate's
+    codegen path), while the union's five references to the one-row
+    aggregate are exchange-reused. The oracle spells it as a UNION ALL
+    of per-column aggregates — same result, the one-scan version is the
+    point of doing it in the engine. Exact distinct at 100 TB would
+    downgrade to approx_count_distinct (the HLL path q_approx_sketches
+    rates)."""
     orders = load(spark, sf_dir, "orders")
     min_max_exprs = {
         "o_orderkey": F.col("o_orderkey").cast("string"),
@@ -518,14 +523,15 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(min_max_exprs[c]).alias(f"{c}__max"),
         ]
     one = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max"
-        for c, _e in _STATS_COLS
-    )
-    return one.selectExpr(
-        "n_rows",
-        f"stack({len(_STATS_COLS)}, {stack_args}) AS "
-        "(column_name, n_null, n_distinct, min_val, max_val)",
-    ).select(
-        "column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
-    ).orderBy("column_name")
+    rows = None
+    for c, _e in _STATS_COLS:
+        br = one.select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        rows = br if rows is None else rows.unionByName(br)
+    return rows.orderBy("column_name")
