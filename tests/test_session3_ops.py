@@ -100,3 +100,81 @@ def test_assign_ids_property_random_frames(spark):
                 ),
             )
             assert got == {k: i + 1 for i, k in enumerate(expect_order)}
+
+
+def test_ses_fold_matches_python_reference(spark, sf_dir):
+    """The SES recurrence computed by the Spark fold must equal a plain
+    Python loop over the same day-ordered integer-cent series (identical
+    seed-with-first semantics, same alpha literal)."""
+    from openmaptiles_zh_modifier_spark.queries_events import (
+        SES_ALPHA,
+        q_ses_forecast,
+    )
+    from openmaptiles_zh_modifier_spark.registry import load
+    from pyspark.sql import functions as F
+
+    alpha = float(SES_ALPHA)
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("double")
+            .alias("x")
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.user_id, []).append((r.day, r.x))
+    expect = {}
+    for u, pts in series.items():
+        level = None
+        for _, x in sorted(pts):
+            level = x if level is None else alpha * x + (1.0 - alpha) * level
+        expect[u] = round(level, 4)
+    got = {r.user_id: r.level_cents for r in q_ses_forecast(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_debounce_matches_python_reference(spark, tmp_path):
+    """Burst segmentation on a crafted series with exact-threshold gaps,
+    chains, and multi-user interleaving, checked against a Python fold."""
+    import datetime as dt
+
+    from openmaptiles_zh_modifier_spark.queries_events import (
+        DEBOUNCE_GAP_S,
+        q_event_debounce,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    g = DEBOUNCE_GAP_S
+    # user 1: chain where each gap < g but total span > g (one burst);
+    # user 2: gap EXACTLY g (boundary -> new burst); user 3: singleton
+    rows = [
+        (1, 1, "click", base, 0.0, None),
+        (2, 1, "click", base + dt.timedelta(seconds=g - 1), 0.0, None),
+        (3, 1, "click", base + dt.timedelta(seconds=2 * (g - 1)), 0.0, None),
+        (4, 2, "click", base, 0.0, None),
+        (5, 2, "click", base + dt.timedelta(seconds=g), 0.0, None),
+        (6, 3, "view", base, 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    )
+    out = str(tmp_path / "ev")
+    df.write.parquet(f"{out}/events.parquet")
+    bursts = {
+        (r.user_id, r.burst_id): (r.kept_event_id, r.burst_size)
+        for r in q_event_debounce(spark, out).collect()
+    }
+    assert bursts == {
+        (1, 1): (1, 3),  # sub-threshold chain collapses into ONE burst
+        (2, 1): (4, 1),  # gap == threshold starts a new burst...
+        (2, 2): (5, 1),
+        (3, 1): (6, 1),
+    }
