@@ -1141,3 +1141,106 @@ def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("level", 4).alias("level_cents"),
         F.round("level", 4).alias("forecast_next_cents"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------- windowed funnel
+
+FUNNEL_STEP_US = 6 * 3600 * 1_000_000  # each step within 6h of the previous
+
+
+@register(
+    "q_funnel_windowed",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         list(epoch_us(ts) ORDER BY ts, event_id)
+           FILTER (event_type = 'view') AS views,
+         list(epoch_us(ts) ORDER BY ts, event_id)
+           FILTER (event_type = 'click') AS clicks,
+         list(epoch_us(ts) ORDER BY ts, event_id)
+           FILTER (event_type = 'purchase') AS purchases
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT user_id,
+         views[1] AS v,
+         list_min(list_filter(clicks,
+           t -> t >= views[1] AND t <= views[1] + {FUNNEL_STEP_US})) AS c
+  FROM per_user
+),
+staged2 AS (
+  SELECT s.user_id, s.v, s.c,
+         list_min(list_filter(p.purchases,
+           t -> t >= s.c AND t <= s.c + {FUNNEL_STEP_US})) AS p
+  FROM staged s JOIN per_user p USING (user_id)
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(v) AS n_viewed,
+       COUNT(c) AS n_clicked_in_window,
+       COUNT(p) AS n_purchased_in_window
+FROM staged2
+""",
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: first view -> first click within 6h of THAT
+    view -> first purchase within 6h of THAT click — the conversion
+    funnel as products actually define it (q_funnel_analysis is the
+    order-only variant; real funnels expire). The sequential dependency
+    (each stage anchors on the previous stage's chosen event) is
+    resolved per user with array HOFs over the collected per-type
+    timestamp lists: list_filter to the allowed window, list_min to
+    elect — no per-stage self-joins, one shuffle on user_id total.
+
+    Determinism: timestamps fold as integer epoch-micros; list order is
+    pinned by (ts, event_id); empty windows yield NULL and COUNT(col)
+    skips them identically on both engines.
+
+    Scale shape: one groupBy(user) collecting three bounded per-user
+    lists (event counts per user, not corpus-sized), then pure in-row
+    array logic — the funnel depth adds projections, never joins. At
+    pathological per-user event counts, cap the lists (slice) the same
+    way production funnel engines bound lookback."""
+    ev = load(spark, sf_dir, "events")
+
+    def ts_list(tp: str):
+        return F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("event_type") == tp,
+                    F.struct(F.unix_micros("ts").alias("t"), "event_id"),
+                )
+            )
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(ts_list("view"), lambda s: s["t"]).alias("views"),
+        F.transform(ts_list("click"), lambda s: s["t"]).alias("clicks"),
+        F.transform(ts_list("purchase"), lambda s: s["t"]).alias("purchases"),
+    )
+    v = F.element_at("views", 1)
+    staged = per_user.select(
+        "user_id", "purchases",
+        v.alias("v"),
+        F.array_min(
+            F.filter(
+                "clicks",
+                lambda t: (t >= v) & (t <= v + F.lit(FUNNEL_STEP_US)),
+            )
+        ).alias("c"),
+    )
+    c = F.col("c")
+    staged2 = staged.select(
+        "user_id", "v", "c",
+        F.array_min(
+            F.filter(
+                "purchases",
+                lambda t: (t >= c) & (t <= c + F.lit(FUNNEL_STEP_US)),
+            )
+        ).alias("p"),
+    )
+    return staged2.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v").alias("n_viewed"),
+        F.count("c").alias("n_clicked_in_window"),
+        F.count("p").alias("n_purchased_in_window"),
+    )
