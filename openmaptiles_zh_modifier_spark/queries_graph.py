@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openmaptiles_zh_modifier_spark.registry import load, memo_frame, register
+from openmaptiles_zh_modifier_spark.registry import (
+    load,
+    memo_frame,
+    memo_frame_lazy,
+    register,
+)
 
 PR_ITERS = 5
 PR_DAMP = 0.85
@@ -399,21 +404,33 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hop", F.lit(0))
     )
-    for _ in range(BFS_MAX_HOPS):
+    # Each relax reads the PREVIOUS distance table twice (join probe +
+    # outer-merge left side); without a cache boundary every round would
+    # embed two copies of the prior round's plan — 2^rounds duplicated
+    # subtrees that all EXECUTE (measured: 549 exchanges / 15 sort-merge
+    # joins in the 4-round plan, ~3.1 s warm). A LAZY per-round cache
+    # (memo_frame_lazy: no construction-time action, populated by the
+    # query's own single action) collapses each round to one InMemory
+    # reference — plan and execution both linear in rounds.
+    for i in range(BFS_MAX_HOPS):
+        prev = dist
         nbr_min = (
-            adj.join(dist.select(F.col("node"), "hop"), "node")
+            adj.join(prev.select(F.col("node"), "hop"), "node")
             .groupBy(F.col("nbr").alias("node"))
             .agg((F.min("hop") + F.lit(1)).alias("nhop"))
         )
-        dist = (
-            dist.join(nbr_min, "node", "full_outer")
-            .select(
-                "node",
-                F.least(
-                    F.coalesce("hop", F.col("nhop")),
-                    F.coalesce("nhop", F.col("hop")),
-                ).alias("hop"),
-            )
+        dist = memo_frame_lazy(
+            spark,
+            f"bfs_dist_{i}:{sf_dir}",
+            lambda prev=prev, nbr_min=nbr_min: (
+                prev.join(nbr_min, "node", "full_outer").select(
+                    "node",
+                    F.least(
+                        F.coalesce("hop", F.col("nhop")),
+                        F.coalesce("nhop", F.col("hop")),
+                    ).alias("hop"),
+                )
+            ),
         )
     return dist.select("node", F.col("hop").cast("long").alias("hop"))
 

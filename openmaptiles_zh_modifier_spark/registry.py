@@ -67,6 +67,23 @@ def memo_frame(spark: SparkSession, key: str, builder) -> DataFrame:
     return df
 
 
+def memo_frame_lazy(spark: SparkSession, key: str, builder) -> DataFrame:
+    """Like memo_frame but WITHOUT eager materialization: the frame is
+    .cache()d and registered, populated by whichever action runs first.
+    Use inside registered queries whose contract is a LAZY plan but whose
+    construction references an intermediate more than once per round
+    (e.g. BFS's relax step reads the previous distance table twice):
+    the cache substitution collapses what would otherwise be an
+    exponentially duplicated plan subtree, without breaking laziness."""
+    k = (id(spark), key)
+    hit = _FRAME_CACHE.get(k)
+    if hit is not None:
+        return hit
+    df = builder().cache()
+    _FRAME_CACHE[k] = df
+    return df
+
+
 def clear_frame_cache() -> None:
     """Drop memoized base tables and intermediate frames (use after
     rewriting parquet under a cached path — the cached file listing would
