@@ -1244,3 +1244,78 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c").alias("n_clicked_in_window"),
         F.count("p").alias("n_purchased_in_window"),
     )
+
+
+# ---------------------------------------------------------------- bounce
+
+@register(
+    "q_session_bounce",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+sessions AS (
+  SELECT user_id,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS bounce_ppm
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per user: the share of 30-min-gap sessions containing
+    exactly ONE event — the engagement-quality metric every web/product
+    dashboard leads with. Reuses the lag+cumsum sessionization idiom
+    (q_events_sessionize) and reports the rate as floor parts-per-million
+    so the division stays exact integer arithmetic (the q_event_transitions
+    discipline — no float share to round).
+
+    Scale shape: one shuffle on user_id feeding both window passes, the
+    per-session count, and the per-user rollup — the grouping keys are
+    prefixes of the window partitioning, so Catalyst chains them without
+    a second exchange."""
+    ev = load(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(
+        w_seq
+    )
+    sessions = ev.select("user_id", "ts", "event_id").withColumn(
+        "session_id",
+        F.sum(
+            F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+        ).over(w_cum),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounces.alias("n_bounces"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("bounce_ppm"),
+        )
+        .orderBy("user_id")
+    )
