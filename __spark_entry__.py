@@ -30,51 +30,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
-# dict ordering decides what gets externally verified. Round-3 window:
-# the two round-2-red fixes first, then the 46 queries no round has ever
-# sampled (r01 ∪ r02 coverage gap), then two spot repeats whose behavior
-# changed since their green row (zh_backfill: new phrase pre-pass;
-# q_dedup_minhash_lsh: stop-shingle cap) — exactly 50. After round 3 every
-# registered query has a driver row in r01 ∪ r02 ∪ r03. Names are stable —
-# only the dict ordering changes.
-_R03_WINDOW = [
-    # round-2-red, fixed this round
-    "q_map_hofs", "q_approx_sketches",
-    # never driver-sampled (r01 ∪ r02 gap), registry order
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_predicate", "q22_global_sales_opportunity",
-    "q_percentiles", "q_grouping_sets", "q_window_frames",
-    "q_explode_tokens", "q_interval_join", "q_incremental_agg",
-    "q_decimal_exact", "q_lateral_topn", "q7_nation_volume",
-    "q8_market_share", "q10_returned_items", "q14_promo_share",
-    "q16_part_supplier_counts", "q21_waiting_supplier",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
-    "q12_late_shipments", "q15_top_supplier", "q20_part_suppliers",
-    "q_udaf_mode", "q_udtf_sentences", "q_salted_skew_join",
-    "q_histogram_price", "q_stat_aggregates", "q_histogram_equidepth",
-    "q_outliers_iqr", "q_mad_dispersion", "q_merge_upsert",
-    "q_pagerank_nations", "q_triangle_count", "q_bloom_join_prune",
-    "q_tablediff_checksum", "q_gdpr_cascade", "q_zorder_layout",
-    "q_stream_tumbling", "q_stream_dedup", "q_stream_session",
-    "q_stream_zh_backfill", "q_stream_sliding", "q_stream_stream_join",
-    "q_stream_static_join",
-    # behavior changed since their last green row — re-verify
-    "zh_backfill", "q_dedup_minhash_lsh",
+# dict ordering decides what gets externally verified. Round-4 window
+# (per VERDICT.md round-3 item #1): the 35 round-3-new queries that have
+# never had a driver row (judge-verified in round 3, now driven through
+# the external gate), plus the 15 r01-only greens whose code paths most
+# plausibly drifted under round-3 refactors (graph/dedup/embeddings
+# shared helpers, plus the r01 TPC-H spot block) — exactly 50. After
+# round 4 every registry entry has a driver row in r01 ∪ … ∪ r04.
+# Names are stable — only the dict ordering changes.
+_R04_WINDOW = [
+    # never driver-sampled (round-3-new), registry order
+    "q_time_weighted_avg", "q_rolling_median", "q_event_debounce",
+    "q_attribution", "q_ses_forecast", "q_funnel_windowed",
+    "q_session_bounce", "q_pit_feature_join", "q_quantile_sketch",
+    "q_native_sketches", "q_sliding_distinct_hll", "q_theta_set_algebra",
+    "q_source_kl", "q_balanced_sample", "q_rfm_segmentation",
+    "q_benford_audit", "q_chisq_independence", "q_ols_trend",
+    "q_ks_drift", "q_delta_join_ivm", "q_label_propagation",
+    "q_bfs_reachability", "q_degree_distribution", "q_assign_ids",
+    "q_column_stats", "q_variant_json", "q_tfidf_topk",
+    "q_rank_fusion_rrf", "q_perplexity_filter", "q_record_linkage",
+    "q_semdedup", "q_substring_dupfrac", "q_pmi_cooccurrence",
+    "q_skyline_parts", "q_stream_stream_left",
+    # stalest greens (r01-only driver row) most exposed to round-3
+    # refactors: graph, dedup, the whole embeddings block, and the
+    # oldest TPC-H/relational spot checks
+    "q_connected_components", "q_dedup_ngram_jaccard",
+    "q_dedup_prefix_filter", "q_embed_topk_cosine", "q_embed_lsh_topk",
+    "q_embed_lsh_buckets", "q_embed_centroid_assign", "q_embed_ivf_topk",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q4_order_priority",
+    "q_top3_parts_per_brand", "q_setops_nations", "q_advanced_aggregates",
 ]
-# Every round-3-new query (the retrieval/linkage/quality nine plus the
-# session-3 additions: graph LPA/BFS, source KL, rolling median,
-# stream-stream left, contiguous ids, debounce, chi-square, OLS trend,
-# delta-join IVM, quantile sketch, PIT feature join, balanced sample,
-# column stats, native sketches, sliding-distinct HLL, theta set
-# algebra, attribution, KS drift) sits AFTER this 50-query window on
-# purpose: the window is spent closing the r01∪r02 coverage gap so
-# every pre-existing query has a driver row by end of round 3. The new
-# ones are verified by the local driver-faithful gate
-# (tools/check_oracle.py: 155/155) and head the round-4 rotation.
 
 
 def _gate_order(names) -> list[str]:
-    head = [n for n in _R03_WINDOW if n in names]
+    head = [n for n in _R04_WINDOW if n in names]
     return head + [n for n in names if n not in set(head)]
 
 
