@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _PV = "__cow_pv"  # duplicated partition column: directory AND data
+_ANON_TXN = "__anon__"  # stream commits without a caller-supplied txn id
 
 
 class CowConflictError(RuntimeError):
@@ -77,6 +78,34 @@ def _read_manifest(root: str, version: int | None = None) -> dict:
     return m
 
 
+def _merged_stream_txns(root: str, manifest: dict) -> dict:
+    """Cumulative streaming-sink idempotency stamps for ``manifest``:
+    the predecessor's ``stream_txns`` map merged (max batch id per txn
+    key) with any stamps this commit itself carries. Carried forward on
+    EVERY commit — batch, MERGE, or stream — so the latest manifest
+    always holds the running max and (a) replay detection reads ONE
+    manifest instead of the whole history, (b) vacuum dropping old
+    manifests cannot erase a stamp and let a real epoch replay
+    re-commit duplicates (Delta stores txn (appId, version) in each
+    snapshot for the same reason)."""
+    merged: dict[str, int] = {}
+    if manifest["version"] > 1:
+        try:
+            prev = _read_manifest(root, manifest["version"] - 1)
+        except (FileNotFoundError, json.JSONDecodeError):
+            prev = {}  # predecessor vacuumed concurrently — best effort
+        merged.update(prev.get("stream_txns") or {})
+        # legacy single-stamp format (pre-txn-key tables): fold into the
+        # anonymous key so old stamps keep guarding after an upgrade
+        legacy = prev.get("last_stream_batch")
+        if legacy is not None:
+            k = _ANON_TXN
+            merged[k] = max(merged.get(k, -1), legacy)
+    for k, v in (manifest.get("stream_txns") or {}).items():
+        merged[k] = max(merged.get(k, -1), v)
+    return merged
+
+
 def _commit_manifest(root: str, manifest: dict) -> None:
     """Atomically publish ``manifest`` as its version, or raise
     CowConflictError if that version was committed concurrently.
@@ -87,6 +116,9 @@ def _commit_manifest(root: str, manifest: dict) -> None:
     silently replaces — so exactly one concurrent writer can win."""
     mdir = os.path.join(root, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
+    txns = _merged_stream_txns(root, manifest)
+    if txns:
+        manifest = {**manifest, "stream_txns": txns}
     final = _manifest_path(root, manifest["version"])
     fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
     try:
@@ -277,15 +309,25 @@ def cow_history(root: str) -> list[int]:
     )
 
 
-def cow_vacuum(root: str, keep_versions: int = 1) -> int:
+def cow_vacuum(
+    root: str, keep_versions: int = 1, orphan_grace_seconds: float = 600.0
+) -> int:
     """Drop manifests older than the newest ``keep_versions`` and delete
     every data file no surviving manifest references — including
     manifest-ORPHANS that never belonged to any version (files written by
     a streaming-sink epoch replay that was skipped at commit, or by a
     writer that crashed between task writes and manifest publish).
-    Returns files deleted. (Production would gate deletion on a file-age
-    retention window so an IN-FLIGHT writer's freshly written files
-    survive until its commit/abort; the protocol is the point here.)"""
+    Returns files deleted.
+
+    Unreferenced files younger (by mtime) than ``orphan_grace_seconds``
+    are SKIPPED: a concurrent writer's staged-but-unpublished commit-dir
+    files look identical to orphans, and deleting them loses its commit.
+    The grace window (Delta's retention-check analog) keeps in-flight
+    commits safe; genuinely dead files are reclaimed by the next vacuum
+    after the window passes. Pass ``0`` to force-sweep when no writer
+    can be live (tests, offline maintenance)."""
+    import time
+
     versions = cow_history(root)
     kept_vs = versions[-keep_versions:]
     live: set[str] = set()
@@ -294,19 +336,28 @@ def cow_vacuum(root: str, keep_versions: int = 1) -> int:
     removed = 0
     for v in versions[:-keep_versions]:
         os.unlink(_manifest_path(root, v))
+    cutoff = time.time() - orphan_grace_seconds
     # sweep the data directories: anything not referenced by a kept
     # manifest is dead, whether it came from a dropped version or from
-    # a commit that never published
+    # a commit that never published — unless it is young enough to be
+    # an in-flight writer's staged file
     for dirpath, _dirs, files in os.walk(root):
         if _MANIFEST_DIR in dirpath.split(os.sep):
             continue
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(dirpath, fn), root)
-            if rel not in live:
-                os.unlink(os.path.join(dirpath, fn))
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, root)
+            if rel in live:
+                continue
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # possibly an in-flight commit — keep
+                os.unlink(full)
                 removed += 1
+            except OSError:
+                pass  # raced with the writer's own abort/cleanup
     return removed
 
 

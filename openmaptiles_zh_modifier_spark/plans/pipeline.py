@@ -472,6 +472,7 @@ def stream_upsert_to_cow(
     order_by: str,
     update_cols: list[str],
     tiebreak: str | None = None,
+    checkpoint_location: str | None = None,
 ) -> list[int]:
     """Streaming CDC apply: every micro-batch MERGEs into the cow table —
     the upsert twin of the cowtable streaming APPEND sink (which can only
@@ -496,8 +497,15 @@ def stream_upsert_to_cow(
     version; cow_merge then raises CowConflictError and the batch is
     retried by the caller/engine rather than applied on a stale base.
 
+    ``checkpoint_location`` defaults to ``<root>/_upsert_checkpoint``:
+    re-invocations RESUME from the recorded source offsets instead of
+    re-reading the whole source through the (idempotent but wasteful)
+    order_by guard, and nothing leaks outside the table directory. Pass
+    an explicit path to run several independent upsert streams against
+    one table.
+
     Returns the committed version per micro-batch."""
-    import tempfile
+    import os
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -543,10 +551,12 @@ def stream_upsert_to_cow(
             )
         )
 
+    if checkpoint_location is None:
+        checkpoint_location = os.path.join(root, "_upsert_checkpoint")
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="omt-cow-ckpt-"))
+        .option("checkpointLocation", checkpoint_location)
         .start()
     )
     q.awaitTermination()

@@ -1271,7 +1271,7 @@ per_session AS (
 )
 SELECT user_id,
        COUNT(*) AS n_sessions,
-       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
        CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
             // COUNT(*) AS BIGINT) AS bounce_ppm
 FROM per_session

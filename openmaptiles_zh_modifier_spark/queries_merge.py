@@ -73,6 +73,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer,
         src,
         on={"c_custkey": "key"},
+        # the source is a groupBy on the merge key — unique by
+        # construction, so skip the eager multiple-matches probe and
+        # keep query construction action-free (lazy-plan contract)
+        validate_source_unique=False,
         matched_update={
             "c_acctbal": F.round(
                 F.col("t.c_acctbal") + F.floor(F.col("s.spent") / 1000), 2
@@ -108,18 +112,18 @@ SELECT c.c_mktsegment,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
          AS total_cents,
-       SUM(CASE WHEN o.o_orderdate <  TIMESTAMP '{IVM_SPLIT_DATE}'
+       CAST(SUM(CASE WHEN o.o_orderdate <  TIMESTAMP '{IVM_SPLIT_DATE}'
                  AND c.c_custkey % {IVM_NEW_CUST_MOD} <> 0
-                THEN 1 ELSE 0 END) AS n_old_old,
-       SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{IVM_SPLIT_DATE}'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_old_old,
+       CAST(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{IVM_SPLIT_DATE}'
                  AND c.c_custkey % {IVM_NEW_CUST_MOD} <> 0
-                THEN 1 ELSE 0 END) AS n_dr_s,
-       SUM(CASE WHEN o.o_orderdate <  TIMESTAMP '{IVM_SPLIT_DATE}'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dr_s,
+       CAST(SUM(CASE WHEN o.o_orderdate <  TIMESTAMP '{IVM_SPLIT_DATE}'
                  AND c.c_custkey % {IVM_NEW_CUST_MOD} = 0
-                THEN 1 ELSE 0 END) AS n_r_ds,
-       SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{IVM_SPLIT_DATE}'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_r_ds,
+       CAST(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{IVM_SPLIT_DATE}'
                  AND c.c_custkey % {IVM_NEW_CUST_MOD} = 0
-                THEN 1 ELSE 0 END) AS n_dr_ds
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dr_ds
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openmaptiles_zh_modifier_spark.functions.text import h32, h32_sql
-from openmaptiles_zh_modifier_spark.registry import load, register
+from openmaptiles_zh_modifier_spark.registry import load, memo_frame_lazy, register
 
 # ---------------------------------------------------------------- bloom ----
 
@@ -280,38 +280,62 @@ def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     The deepest child (lineitem) semi-joins the *derived* order-key set,
     which stays broadcastable because deletions are a sliver of the
     keyspace; were it not, the cascade becomes a shuffle semi-join and
-    still never materializes the deleted rows."""
+    still never materializes the deleted rows.
+
+    Lazy single plan: the six counts are one-row aggregates cross-joined
+    into one row (each cross join is against a broadcast singleton), then
+    unpivoted into the three-row manifest by exploding an array of
+    structs over that one row — nothing executes at construction, one
+    action runs everything. The two frames referenced by more than one
+    subtree (victims, del_orders) sit under ``memo_frame_lazy`` so the
+    duplicated subtrees collapse onto one cached intermediate instead of
+    re-scanning their inputs per consumer."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    # tiny frames consumed by several counts below — cache, then release
-    # before returning (the manifest is literals, nothing stays lazy)
-    victims = (
-        cust.where(F.col("c_custkey") % ERASE_MOD == 0).select("c_custkey").cache()
+    victims = memo_frame_lazy(
+        spark,
+        f"gdpr_victims:{sf_dir}",
+        lambda: cust.where(F.col("c_custkey") % ERASE_MOD == 0).select("c_custkey"),
     )
-    del_orders = orders.join(
-        F.broadcast(victims), orders.o_custkey == victims.c_custkey, "left_semi"
-    ).select("o_orderkey").cache()
+    del_orders = memo_frame_lazy(
+        spark,
+        f"gdpr_del_orders:{sf_dir}",
+        lambda: orders.join(
+            F.broadcast(victims), orders.o_custkey == victims.c_custkey, "left_semi"
+        ).select("o_orderkey"),
+    )
     del_li = li.join(
         F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_semi"
     )
 
-    def manifest(tbl: str, deleted, total) -> DataFrame:
-        return spark.range(1).select(
+    counts = (
+        victims.agg(F.count("*").alias("n_v"))
+        .crossJoin(cust.agg(F.count("*").alias("n_c")))
+        .crossJoin(del_orders.agg(F.count("*").alias("n_do")))
+        .crossJoin(orders.agg(F.count("*").alias("n_o")))
+        .crossJoin(del_li.agg(F.count("*").alias("n_dl")))
+        .crossJoin(li.agg(F.count("*").alias("n_l")))
+    )
+
+    def entry(tbl: str, deleted: str, total: str) -> Column:
+        return F.struct(
             F.lit(tbl).alias("tbl"),
-            F.lit(deleted).cast("long").alias("n_deleted"),
-            F.lit(total - deleted).cast("long").alias("n_retained"),
+            F.col(deleted).alias("n_deleted"),
+            (F.col(total) - F.col(deleted)).alias("n_retained"),
         )
 
-    n_v, n_c = victims.count(), cust.count()
-    n_do, n_o = del_orders.count(), orders.count()
-    n_dl, n_l = del_li.count(), li.count()
-    victims.unpersist()
-    del_orders.unpersist()
     return (
-        manifest("customer", n_v, n_c)
-        .unionByName(manifest("lineitem", n_dl, n_l))
-        .unionByName(manifest("orders", n_do, n_o))
+        counts.select(
+            F.explode(
+                F.array(
+                    entry("customer", "n_v", "n_c"),
+                    entry("lineitem", "n_dl", "n_l"),
+                    entry("orders", "n_do", "n_o"),
+                )
+            ).alias("m")
+        )
+        .select("m.*")
         .orderBy("tbl")
     )
 

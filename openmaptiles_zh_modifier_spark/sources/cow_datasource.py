@@ -64,6 +64,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from openmaptiles_zh_modifier_spark.operators.cow_table import (
+    _ANON_TXN,
     _PV,
     _commit_manifest,
     _latest_version,
@@ -361,34 +362,58 @@ class CowBatchWriter(DataSourceArrowWriter):
 class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
     """``df.writeStream.format("cowtable")`` — each micro-batch appends
     its files and publishes one manifest version stamped with the batch
-    id. Exactly-once across restarts: a replayed epoch (batchId at or
-    below the MAXIMUM ``last_stream_batch`` stamped on ANY manifest —
-    batch ids are monotone per query, and checking only the latest
-    manifest would re-commit a replay whenever a batch write or MERGE
-    interleaved) is skipped at commit, so its re-written files never
-    enter a manifest (vacuum reclaims the orphans). Append-only:
-    complete/truncate output modes are rejected.
+    id. Exactly-once across restarts: a replayed epoch is skipped at
+    commit, so its re-written files never enter a manifest (vacuum
+    reclaims the orphans). Append-only: complete/truncate output modes
+    are rejected.
+
+    Idempotency identity (Delta keys this on txn (appId, version), not
+    batch id alone): callers pass ``.option("txnappid", <stable id>)``
+    and replay detection compares ``(txnAppId, batchId)`` — a DIFFERENT
+    query writing to the same table with a fresh checkpoint (batch ids
+    restarting at 0) is not mistaken for a replay. Without the option,
+    stamps fall under one anonymous key, which is single-writer-correct
+    only (documented fallback). Stamps live in a cumulative
+    ``stream_txns`` map that every commit carries forward onto the
+    latest manifest (``_merged_stream_txns``), so (a) commit reads ONE
+    manifest, not O(versions), and (b) vacuum cannot erase a stamp.
 
     Task-side write is inherited verbatim from the batch writer (same
     commit-dir layout, same partition routing)."""
 
     def __init__(
-        self, root: str, schema: StructType, partition_by: str | None
+        self,
+        root: str,
+        schema: StructType,
+        partition_by: str | None,
+        txn_app_id: str | None = None,
     ) -> None:
         CowBatchWriter.__init__(
             self, root, schema, overwrite=False, partition_by=partition_by
         )
+        self._txn_key = txn_app_id or _ANON_TXN
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         new_entries = [e for m in messages if m for e in m.entries]
         if self._exists:
             m = _read_manifest(self._root)
-            stamps = [
-                _read_manifest(self._root, v).get("last_stream_batch")
-                for v in cow_history(self._root)
-            ]
-            stamped = [s for s in stamps if s is not None]
-            if stamped and batchId <= max(stamped):
+            stamps = m.get("stream_txns")
+            if stamps is None:
+                # legacy table (pre-carry-forward manifests): the latest
+                # manifest may lack stamps some older one carries — scan
+                # the history ONCE; the commit below writes the merged
+                # map so every later commit is O(1) again
+                stamps = {}
+                for v in cow_history(self._root):
+                    old = _read_manifest(self._root, v)
+                    legacy = old.get("last_stream_batch")
+                    if legacy is not None:
+                        stamps[_ANON_TXN] = max(
+                            stamps.get(_ANON_TXN, -1), legacy
+                        )
+                    for k, s in (old.get("stream_txns") or {}).items():
+                        stamps[k] = max(stamps.get(k, -1), s)
+            if batchId <= stamps.get(self._txn_key, -1):
                 # epoch replay after a failure between commit and the
                 # engine recording progress — already published (possibly
                 # several versions back, if other writers interleaved);
@@ -401,6 +426,7 @@ class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
             part_col = m["partition_by"]
         else:
             os.makedirs(self._root, exist_ok=True)
+            stamps = {}
             version = 1
             files = new_entries
             schema_json = self._schema.json()
@@ -412,7 +438,7 @@ class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
                 "partition_by": part_col,
                 "files": files,
                 "schema": schema_json,
-                "last_stream_batch": batchId,
+                "stream_txns": {**stamps, self._txn_key: batchId},
             },
         )
         self._exists = True
@@ -468,7 +494,10 @@ class CowDataSource(DataSource):
                 " output modes are not supported"
             )
         return CowStreamWriter(
-            self._root(), schema, self.options.get("partition_by")
+            self._root(),
+            schema,
+            self.options.get("partition_by"),
+            self.options.get("txnappid"),
         )
 
 

@@ -508,27 +508,37 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter sits AFTER the join (a pre-join filter would shift the click
     watermark itself and move the finalization frontier).
 
+    The cutoff is applied as a stream-static broadcast cross join
+    against the ONE-ROW cutoff aggregate (not an eager ``.first()``
+    probe baked in as a literal): construction stays lazy, and the
+    cutoff subplan executes inside the streaming query itself. The
+    one-row frame sits under ``memo_frame_lazy`` so per-micro-batch
+    static-side re-planning reuses the cached row instead of
+    re-scanning events.
+
     Scale shape: identical to q_stream_stream_join (state bounded by the
     1h bound + 1h delay per user-time bucket); the left-outer variant
     additionally holds unmatched left rows until eviction, so left-state
     size tracks the unconverted-click rate times the horizon, not the
     stream length."""
-    from openmaptiles_zh_modifier_spark.registry import load
+    from openmaptiles_zh_modifier_spark.registry import load, memo_frame_lazy
 
-    ev = load(spark, sf_dir, "events")
-    cutoff = (
-        ev.where(F.col("event_type") == "click")
-        .agg(F.max("ts").alias("mc"))
-        .crossJoin(
-            ev.where(F.col("event_type") == "purchase").agg(
-                F.max("ts").alias("mp")
+    def build_cutoff() -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        return (
+            ev.where(F.col("event_type") == "click")
+            .agg(F.max("ts").alias("mc"))
+            .crossJoin(
+                ev.where(F.col("event_type") == "purchase").agg(
+                    F.max("ts").alias("mp")
+                )
+            )
+            .select(
+                (F.least("mc", "mp") - F.expr("INTERVAL 3 HOUR")).alias("cutoff")
             )
         )
-        .select(
-            (F.least("mc", "mp") - F.expr("INTERVAL 3 HOUR")).alias("cutoff")
-        )
-        .first()[0]
-    )
+
+    cutoff_row = memo_frame_lazy(spark, f"ssleft_cutoff:{sf_dir}", build_cutoff)
     clicks = (
         read_events_stream(spark, sf_dir)
         .where(F.col("event_type") == "click")
@@ -558,7 +568,8 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
             "left_outer",
         )
-        .where(F.col("c_ts") <= F.lit(cutoff))
+        .crossJoin(F.broadcast(cutoff_row))
+        .where(F.col("c_ts") <= F.col("cutoff"))
         .select(
             F.col("c_user").alias("user_id"),
             "click_id",

@@ -208,7 +208,78 @@ def test_stream_writer_sink(spark, sf_dir, tmp_path):
 
     versions = cow_history(root)
     assert len(versions) >= 2  # one manifest per non-empty micro-batch
-    assert "last_stream_batch" in _read_manifest(root)
+    # stamps live in the cumulative stream_txns map (anonymous key when
+    # no txnappid option was passed) carried on the latest manifest
+    stamps = _read_manifest(root)["stream_txns"]
+    assert max(stamps.values()) >= 1
+
+
+def test_stream_writer_txn_identity(spark, sf_dir, tmp_path):
+    """Replay detection keys on (txnAppId, batchId): a NEW streaming
+    query with a fresh checkpoint (batch ids restarting at 0) must NOT
+    be dropped as a replay of a previous query's batches, while a replay
+    of the SAME query's committed epoch must be skipped. Also proves the
+    stamp survives an interleaved batch commit + vacuum (carry-forward:
+    the latest manifest always holds the running max per txn)."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        _read_manifest,
+        cow_append,
+        cow_vacuum,
+    )
+    from openmaptiles_zh_modifier_spark.sources.cow_datasource import (
+        CowStreamWriter,
+    )
+
+    register_cow_datasource(spark)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "t")
+
+    def run_stream(src_rows, ckpt_name, txn_id):
+        src_dir = str(tmp_path / ckpt_name) + "-src"
+        src_rows.write.mode("overwrite").parquet(src_dir)
+        q = (
+            spark.readStream.schema(src_rows.schema)
+            .parquet(src_dir)
+            .writeStream.format("cowtable")
+            .option("path", root)
+            .option("txnappid", txn_id)
+            .option("checkpointLocation", str(tmp_path / ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    first = nation.where(F.col("n_nationkey") < 5)
+    second = nation.where(
+        (F.col("n_nationkey") >= 5) & (F.col("n_nationkey") < 10)
+    )
+    run_stream(first, "ckptA", "queryA")
+    n_after_a = cow_read(spark, root).count()
+    assert n_after_a == first.count()
+    # a DIFFERENT query, fresh checkpoint, batchId restarts at 0 — with
+    # batchId-only stamping this would be silently dropped as a replay
+    run_stream(second, "ckptB", "queryB")
+    assert cow_read(spark, root).count() == n_after_a + second.count()
+    stamps = _read_manifest(root)["stream_txns"]
+    assert stamps["queryA"] == 0 and stamps["queryB"] == 0
+
+    # interleave a batch commit and vacuum away the stream manifests:
+    # the carry-forward keeps both stamps on the latest manifest
+    cow_append(spark, root, nation.where(F.col("n_nationkey") == 20))
+    cow_vacuum(root, keep_versions=1, orphan_grace_seconds=0)
+    stamps = _read_manifest(root)["stream_txns"]
+    assert stamps["queryA"] == 0 and stamps["queryB"] == 0
+
+    # a true epoch replay of queryA's batch 0 is still skipped
+    n_before = cow_read(spark, root).count()
+    w = CowStreamWriter(root, nation.schema, None, txn_app_id="queryA")
+    w.commit([], batchId=0)  # replayed epoch: must be dropped
+    assert cow_read(spark, root).count() == n_before
+    # and its NEXT epoch (batchId 1) commits normally
+    w.commit([], batchId=1)
+    assert _read_manifest(root)["stream_txns"]["queryA"] == 1
 
 
 def test_stream_replays_commit_log(spark, cow_root, tmp_path):

@@ -138,7 +138,9 @@ def test_cow_unpartitioned_and_vacuum(spark, tmp_path):
         },
     )
     assert cow_read(spark, root).count() == 6
-    removed = cow_vacuum(root, keep_versions=1)
+    # dropped-version files are referenced by a DROPPED manifest — dead
+    # regardless of age, but the sweep is mtime-gated, so force it
+    removed = cow_vacuum(root, keep_versions=1, orphan_grace_seconds=0)
     assert removed > 0                      # v1's files are dead post-rewrite
     assert cow_history(root) == [2]
     assert cow_read(spark, root).count() == 6  # latest still intact
@@ -328,7 +330,12 @@ def test_cow_vacuum_reclaims_manifest_orphans(spark, tmp_path):
     orphan = os.path.join(orphan_dir, "part-orphan.parquet")
     with open(orphan, "wb") as f:
         f.write(b"not really parquet")
+    # a FRESH unreferenced file is indistinguishable from a concurrent
+    # writer's staged-but-unpublished commit: the grace window keeps it
     removed = cow_vacuum(root, keep_versions=1)
+    assert removed == 0 and os.path.exists(orphan)
+    # past the window (forced here) it is reclaimed
+    removed = cow_vacuum(root, keep_versions=1, orphan_grace_seconds=0)
     assert removed == 1 and not os.path.exists(orphan)
     # the live table is untouched
     assert cow_read(spark, root).count() == 5
