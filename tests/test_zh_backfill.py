@@ -227,9 +227,58 @@ _OPENCC_FIXTURE = [
     ("裡面", "t2s", "里面", "里面"),
     ("一隻", "t2s", "一只", "一只"),
     ("關係", "t2s", "关系", "关系"),
+    # -- round-4 expansion: previously-divergent words now in-vocabulary ----
+    ("秀发", "s2t", "秀髮", "秀髮"),    # round 4: now in-vocabulary
+    ("干流", "s2t", "幹流", "幹流"),    # round 4: now in-vocabulary
+    # -- round-4 cases: new char-table entries (both directions) ------------
+    ("夢想", "t2s", "梦想", "梦想"),
+    ("梦想", "s2t", "夢想", "夢想"),
+    ("韩国", "s2t", "韓國", "韓國"),
+    ("猪肉", "s2t", "豬肉", "豬肉"),
+    ("军阵", "s2t", "軍陣", "軍陣"),
+    # -- round-4 cases: s2t char-DEFAULT correctness (word must NOT map) ----
+    ("游泳", "s2t", "游泳", "游泳"),    # 游 stays 游 (fixed: 遊 is t2s-only)
+    ("上游", "s2t", "上游", "上游"),
+    ("木板", "s2t", "木板", "木板"),    # 板 stays (闆 only in 老板)
+    ("占卜", "s2t", "占卜", "占卜"),    # divination keeps both chars
+    ("布料", "s2t", "布料", "布料"),    # cloth stays 布
+    ("风采", "s2t", "風采", "風采"),    # 采 (grace) stays
+    ("批准", "s2t", "批准", "批准"),    # 准 (permit) stays
+    ("尽力", "s2t", "盡力", "盡力"),    # 尽→盡 char default
+    ("获得", "s2t", "獲得", "獲得"),    # 获→獲 char default
+    ("汇款", "s2t", "匯款", "匯款"),    # 汇→匯 char default
+    ("历史", "s2t", "歷史", "歷史"),    # 历→歷 char default
+    ("时钟", "s2t", "時鐘", "時鐘"),    # 钟→鐘 char default
+    ("心脏", "s2t", "心臟", "心臟"),    # 脏→臟 char default
+    ("吃了", "s2t", "吃了", "吃了"),    # the particle 了 stays
+    ("宿舍", "s2t", "宿舍", "宿舍"),    # 舍 (dwelling) stays
+    ("小丑", "s2t", "小丑", "小丑"),    # opera-role 丑 stays
+    ("松树", "s2t", "松樹", "松樹"),    # (kept from round 3)
+    # -- round-4 cases: new phrase-resolved words ---------------------------
+    ("旅游", "s2t", "旅遊", "旅遊"),
+    ("游戏", "s2t", "遊戲", "遊戲"),
+    ("老板", "s2t", "老闆", "老闆"),
+    ("萝卜", "s2t", "蘿蔔", "蘿蔔"),
+    ("宣布", "s2t", "宣佈", "宣佈"),
+    ("采访", "s2t", "採訪", "採訪"),
+    ("标准", "s2t", "標準", "標準"),
+    ("尽量", "s2t", "儘量", "儘量"),
+    ("收获", "s2t", "收穫", "收穫"),
+    ("词汇", "s2t", "詞彙", "詞彙"),
+    ("台风", "s2t", "颱風", "颱風"),
+    ("柜台", "s2t", "櫃檯", "櫃檯"),
+    ("日历", "s2t", "日曆", "日曆"),
+    ("了解", "s2t", "瞭解", "瞭解"),
+    ("肮脏", "s2t", "骯髒", "骯髒"),
+    ("昆仑", "s2t", "崑崙", "崑崙"),
+    ("老闆", "t2s", "老板", "老板"),
+    ("颱風", "t2s", "台风", "台风"),
+    ("鞦韆", "t2s", "秋千", "秋千"),
+    ("藉口", "t2s", "借口", "借口"),
+    ("慰藉", "t2s", "慰藉", "慰藉"),  # 慰藉 keeps 藉 in simplified
     # -- residual divergences: words OUTSIDE the phrase vocabulary ----------
-    ("秀发", "s2t", "秀髮", "秀發"),    # OOV word: 发→發 fallback is wrong
-    ("干流", "s2t", "幹流", "干流"),    # OOV word: 干 stays unconverted
+    ("干吗", "s2t", "幹嗎", "干嗎"),    # OOV word: 干 stays unconverted
+    ("理了发", "s2t", "理了髮", "理了發"),  # OOV split word: 发→發 fallback
 ]
 
 
@@ -258,8 +307,9 @@ def test_opencc_divergence_envelope(spark):
             diverged.append(w)
     # the measured envelope: the phrase pre-pass resolves every
     # in-vocabulary word-level case; only out-of-vocabulary ambiguous
-    # words still diverge (2/25), each falling back to the char table
-    assert diverged == ["秀发", "干流"]
+    # words still diverge (2/53), each falling back to the char table
+    assert len(_OPENCC_FIXTURE) >= 50
+    assert diverged == ["干吗", "理了发"]
 
 
 def test_updates_frame_with_tags_consistent(spark, lattice_df):
