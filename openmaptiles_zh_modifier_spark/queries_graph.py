@@ -228,6 +228,146 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------------------------------------
+# Degree-capped triangle counting (the skew guard, made explicit)
+# -------------------------------------------------------------------------
+
+DEG_CAP = 8  # keep at most this many neighbors per node
+
+
+@register(
+    "q_degree_capped_triangles",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRI_MIN_W}
+),
+adj AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+rk AS (
+  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS r
+  FROM adj
+),
+kept_half AS (SELECT u, v FROM rk WHERE r <= {DEG_CAP}),
+kept AS (
+  SELECT a.u AS pa, a.v AS pb
+  FROM kept_half a JOIN kept_half b ON a.u = b.v AND a.v = b.u
+  WHERE a.u < a.v
+),
+wedge AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM kept e1 JOIN kept e2 ON e2.pa = e1.pb
+),
+tri AS (
+  SELECT w.a FROM wedge w JOIN kept e3 ON e3.pa = w.a AND e3.pb = w.c
+),
+deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN d > {DEG_CAP} THEN 1 ELSE 0 END), 0)
+          AS BIGINT) FROM deg) AS n_nodes_capped,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM kept) AS n_edges_kept,
+       (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM kept)
+         AS n_edges_dropped,
+       (SELECT COUNT(*) FROM tri) AS n_triangles_capped
+""",
+)
+def q_degree_capped_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting behind a PER-NODE DEGREE CAP — the production
+    guard the plain triangle/LPA docstrings invoke against degree skew,
+    implemented as an operator instead of folklore. Each node keeps only
+    its {DEG_CAP} smallest-id neighbors (deterministic rank, so task
+    retries and both engines elect identical survivors); an edge
+    survives only if it is within the cap on BOTH endpoints; wedges and
+    closures then run on the sparsified graph.
+
+    No-silent-caps rule: the manifest row reports exactly what the cap
+    cost — nodes truncated, edges dropped vs the uncapped graph — so a
+    consumer sees "{DEG_CAP}-capped count" with its truncation bill, not
+    a number that silently undercounts.
+
+    Scale shape: the cap bounds the wedge join's per-key fan-out at
+    CAP^2 regardless of real-world degree skew (a celebrity node with
+    10^6 neighbors otherwise contributes 10^12 wedges and stalls its
+    partition). Ranking costs one window over the adjacency — a single
+    shuffle on node id, the same key the wedge join needs next, so AQE
+    reuses the exchange. The both-endpoints rule makes the sparsified
+    graph symmetric WITHOUT a second window: the self-join on
+    (u,v)=(v,u) is key-local. Lazy single plan: six count-aggregates
+    cross-joined; the sparsified edge set is memoized for the wedge and
+    closure branches."""
+    from pyspark.sql import Window
+
+    e = _copurchase_edges(spark, sf_dir)
+    adj = memo_frame_lazy(
+        spark,
+        f"degcap_adj:{sf_dir}",
+        lambda: e.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionByName(e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))),
+    )
+    w = Window.partitionBy("u").orderBy("v")
+    kept_half = adj.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= DEG_CAP
+    ).select("u", "v")
+    kept = memo_frame_lazy(
+        spark,
+        f"degcap_kept:{sf_dir}",
+        lambda: kept_half.alias("a")
+        .join(
+            kept_half.alias("b"),
+            (F.col("a.u") == F.col("b.v")) & (F.col("a.v") == F.col("b.u")),
+        )
+        .where(F.col("a.u") < F.col("a.v"))
+        .select(F.col("a.u").alias("pa"), F.col("a.v").alias("pb")),
+    )
+    wedge = (
+        kept.alias("e1")
+        .join(kept.alias("e2"), F.col("e2.pa") == F.col("e1.pb"))
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    tri = wedge.alias("w").join(
+        kept.alias("e3"),
+        (F.col("e3.pa") == F.col("w.a")) & (F.col("e3.pb") == F.col("w.c")),
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_capped = deg.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("d") > DEG_CAP, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_nodes_capped")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_kept = kept.agg(F.count(F.lit(1)).cast("long").alias("n_edges_kept"))
+    n_tri = tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles_capped")
+    )
+    return (
+        n_nodes.crossJoin(n_capped)
+        .crossJoin(n_edges)
+        .crossJoin(n_kept)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_nodes_capped",
+            "n_edges",
+            "n_edges_kept",
+            (F.col("n_edges") - F.col("n_edges_kept")).alias(
+                "n_edges_dropped"
+            ),
+            "n_triangles_capped",
+        )
+    )
+
+
+# -------------------------------------------------------------------------
 # Label propagation communities + multi-source BFS (co-purchase graph)
 # -------------------------------------------------------------------------
 

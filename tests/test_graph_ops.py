@@ -53,3 +53,55 @@ def test_bfs_seeds_at_hop_zero_and_edges_relax(spark, sf_dir):
     for e in adj.collect():
         if e.node in rows and e.nbr in rows:
             assert abs(rows[e.node] - rows[e.nbr]) <= 1
+
+
+def test_degree_cap_guard_properties(spark, sf_dir):
+    """The degree-cap guard's contract: (1) post-cap degree really is
+    <= DEG_CAP for every node, (2) the sparsified edge set is a subset
+    of the uncapped edges, (3) the capped triangle count never exceeds
+    the uncapped one, and (4) the truncation manifest adds up."""
+    from openmaptiles_zh_modifier_spark.queries_graph import (
+        DEG_CAP,
+        _copurchase_edges,
+        q_degree_capped_triangles,
+        q_triangle_count,
+    )
+
+    row = q_degree_capped_triangles(spark, sf_dir).collect()[0]
+    uncapped = q_triangle_count(spark, sf_dir).collect()[0]
+    assert row.n_triangles_capped <= uncapped.n_triangles
+    assert row.n_edges == uncapped.n_edges
+    assert row.n_edges_kept + row.n_edges_dropped == row.n_edges
+    assert 0 < row.n_edges_kept <= row.n_edges
+    assert row.n_nodes_capped > 0  # the fixture graph actually truncates
+
+    # reconstruct the sparsified edges exactly as the query does and
+    # check subset + per-node degree bound
+    from pyspark.sql import Window
+
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    w = Window.partitionBy("u").orderBy("v")
+    half = (
+        adj.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= DEG_CAP)
+        .select("u", "v")
+    )
+    kept = (
+        half.alias("a")
+        .join(
+            half.alias("b"),
+            (F.col("a.u") == F.col("b.v")) & (F.col("a.v") == F.col("b.u")),
+        )
+        .where(F.col("a.u") < F.col("a.v"))
+        .select(F.col("a.u").alias("pa"), F.col("a.v").alias("pb"))
+    )
+    assert kept.count() == row.n_edges_kept
+    assert kept.join(e, ["pa", "pb"], "left_anti").count() == 0  # subset
+    kept_adj = kept.select(F.col("pa").alias("u")).unionByName(
+        kept.select(F.col("pb").alias("u"))
+    )
+    max_deg = kept_adj.groupBy("u").count().agg(F.max("count")).collect()[0][0]
+    assert max_deg <= DEG_CAP
