@@ -371,3 +371,35 @@ def test_stream_foreachbatch_sink(spark, sf_dir, tmp_path):
     assert got.count() == src.count()
     assert got.agg(F.sum("event_id")).collect()[0][0] == \
         src.agg(F.sum("event_id")).collect()[0][0]
+
+
+def test_ppm_codec_roundtrip_and_parser_edges():
+    """The real PPM codec: roundtrip equals ground truth, the parser
+    skips comment lines, and malformed payloads raise instead of
+    returning garbage."""
+    import numpy as np
+    import pytest
+
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        real_decode_image,
+    )
+
+    # seed 5 embeds a '# synthetic' comment line in the header
+    for seed in (0, 5, 123, 300):
+        w, h = seed % 16 + 4, seed * 3 % 16 + 4
+        f = decode_ppm(encode_ppm(w, h, seed))
+        assert (f["width"], f["height"]) == (w, h)
+        n = 3 * w * h
+        ramp = (np.arange(n, dtype=np.int64) + seed) % 256
+        assert f["n_pixel_bytes"] == n
+        assert f["pixel_sum"] == int(ramp.sum())
+        assert f["checksum64"] == int(ramp[:64].sum())
+
+    # dispatch hook: P6 decodes, anything else still raises the stub
+    assert real_decode_image(encode_ppm(4, 4, 1))["width"] == 4
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n4 4\n255\n")  # ASCII PPM is not P6
