@@ -52,14 +52,16 @@ _R04_WINDOW = [
     "q_rank_fusion_rrf", "q_perplexity_filter", "q_record_linkage",
     "q_semdedup", "q_substring_dupfrac", "q_pmi_cooccurrence",
     "q_skyline_parts", "q_stream_stream_left",
+    # round-4-NEW queries (no earlier round could have sampled them)
+    "q_degree_capped_triangles", "q_multimodal_ppm_decode",
+    "q_stream_minhash_buckets", "q_mixture_weights",
     # stalest greens (r01-only driver row) most exposed to round-3
     # refactors: graph, dedup, the whole embeddings block, and the
-    # oldest TPC-H/relational spot checks
+    # oldest relational spot checks (the plain TPC-H q1-q5 block stays
+    # out — those plans are untouched since r01 and the window is full)
     "q_connected_components", "q_dedup_ngram_jaccard",
     "q_dedup_prefix_filter", "q_embed_topk_cosine", "q_embed_lsh_topk",
     "q_embed_lsh_buckets", "q_embed_centroid_assign", "q_embed_ivf_topk",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q4_order_priority",
     "q_top3_parts_per_brand", "q_setops_nations", "q_advanced_aggregates",
 ]
 

@@ -1136,3 +1136,95 @@ def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "rk")
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture weights (temperature sampling over sources)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA_IS_SQRT = True  # alpha = 0.5: sqrt is IEEE-exact on both engines
+
+
+@register(
+    "q_mixture_weights",
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_src),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens * 1.0 / total_tokens AS share,
+         sqrt(n_tokens * 1.0 / total_tokens) AS w_un
+  FROM per_src CROSS JOIN tot
+),
+norm AS (
+  SELECT list_reduce(
+           list_prepend(0.0::DOUBLE, list(w_un ORDER BY source)),
+           (acc, x) -> acc + x) AS z
+  FROM w
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(share, 6) AS share,
+       ROUND(w_un / z, 6) AS weight,
+       ROUND((w_un / z) / share, 4) AS upsample
+FROM w CROSS JOIN norm
+ORDER BY source
+""",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture weights by temperature sampling: each
+    source's sampling weight is its token share raised to alpha = 0.5
+    (sqrt), renormalized — the standard recipe for up-weighting small
+    high-quality sources in an LLM pre-training mix (a uniform mix is
+    alpha = 0, natural proportions alpha = 1). Output reports, per
+    source, the raw share, the temperature-adjusted weight, and the
+    implied upsample factor a data loader would apply.
+
+    Determinism: token counts are exact integers; sqrt is
+    correctly-rounded IEEE on both engines; the only order-sensitive
+    float is the weight NORMALIZER, which both sides compute as an
+    explicit ascending-source fold (the q_pagerank_nations pattern), so
+    the division is bit-identical before the presentation round.
+
+    Scale shape: one map-side-combinable aggregate over the corpus, one
+    20-row broadcast of the per-source frame, one fold over 20 values —
+    the whole query is scan-bound, exactly what you want for a 100 TB
+    corpus-composition pass."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    w = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total_tokens")).alias("share"),
+        F.sqrt(F.col("n_tokens") / F.col("total_tokens")).alias("w_un"),
+    )
+    norm = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w_un"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w_un"],
+        ).alias("z")
+    )
+    return (
+        w.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("share", 6).alias("share"),
+            F.round(F.col("w_un") / F.col("z"), 6).alias("weight"),
+            F.round((F.col("w_un") / F.col("z")) / F.col("share"), 4).alias(
+                "upsample"
+            ),
+        )
+        .orderBy("source")
+    )

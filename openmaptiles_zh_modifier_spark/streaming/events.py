@@ -583,3 +583,139 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append").orderBy(
         "user_id", "click_id", "purchase_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingestion: MinHash/LSH bucket registry maintenance
+# ---------------------------------------------------------------------------
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents.parquet`` as an unbounded source (file stream; in
+    production the ingestion Kafka topic with the same downstream plan)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _stream_minhash_oracle() -> str:
+    from openmaptiles_zh_modifier_spark.functions.text import (
+        LSH_BANDS,
+        NUM_PERM,
+        h32_sql,
+        minhash_sql,
+    )
+
+    rpb = NUM_PERM // LSH_BANDS
+    sig_cols = ", ".join(
+        f"min({minhash_sql(h32_sql('s'), i)}) AS m{i}" for i in range(NUM_PERM)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"m{i}" for i in range(b * rpb, (b + 1) * rpb)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - 2),
+             j -> concat_ws(' ', t[j], t[j+1], t[j+2])))) AS s
+  FROM ok
+),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS (
+  {band_selects}
+)
+SELECT band, COUNT(DISTINCT bkey) AS n_buckets
+FROM bands GROUP BY band ORDER BY band
+"""
+
+
+@register("q_stream_minhash_buckets", oracle=_stream_minhash_oracle())
+def q_stream_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fuzzy-dedup front half: as documents arrive, each doc's
+    MinHash signature is computed STATELESSLY per row (array_min over the
+    hashed shingle array — no corpus statistics needed), exploded into
+    its LSH band keys, and ``dropDuplicates`` maintains the bucket
+    registry: the first doc to claim a (band, key) bucket passes, later
+    claimants are the near-dup candidates an ingestion pipeline routes
+    to verification. State = one row per DISTINCT bucket (kilobytes per
+    million docs), not per doc; production bounds it further with
+    ``dropDuplicatesWithinWatermark`` when buckets may expire.
+
+    Which doc wins a bucket is arrival-order-dependent (any batch engine
+    ties differently), so the oracle-checked output is the
+    order-independent part: DISTINCT bucket count per band, aggregated
+    AFTER the stream completes (the memory-sink result is a batch frame).
+    Stream == batch equivalence therefore proves signature + banding +
+    dedup state, without pinning racy arrival order."""
+    from openmaptiles_zh_modifier_spark.functions.text import (
+        LSH_BANDS,
+        NUM_PERM,
+        h32,
+        minhash_col,
+        shingles,
+        tokens,
+    )
+
+    rows_per_band = NUM_PERM // LSH_BANDS
+    docs = read_documents_stream(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    hs = F.transform(shingles(toks), h32)
+    def sig_col(i: int):
+        return F.array_min(F.transform(hs, lambda h: minhash_col(h, i)))
+
+    sigs = [sig_col(i) for i in range(NUM_PERM)]
+    band_keys = [
+        F.concat_ws(
+            "_",
+            *[
+                sigs[i].cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
+        for b in range(LSH_BANDS)
+    ]
+    banded = (
+        docs.where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), band_keys[b].alias("bkey")
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bkey")
+        .dropDuplicates(["band", "bkey"])
+    )
+    registry = run_to_memory(banded, output_mode="append")
+    return (
+        registry.groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+        .orderBy("band")
+    )

@@ -1,0 +1,187 @@
+"""Second bench anchor: a seeded ~3x-of-sf0.1 SKEWED dataset + a timing
+run over the most expensive registry queries, validating that the
+skew/AQE claims measured at sf0.1 still hold when the data grows and a
+hot key appears (VERDICT round-3 item #7).
+
+The dataset is DERIVED from the driver's immutable sf0.1 parquet (never
+synthesized from scratch, so schemas and value distributions stay
+faithful) by replicating the fact tables REPS times with shifted keys
+and then skewing a slice of the foreign keys onto one hot value:
+
+- lineitem/orders: 3 copies, orderkey shifted per copy (join integrity
+  preserved within each copy); SKEW_PCT% of o_custkey rewired to one
+  hot customer — the celebrity-key shape that breaks unsalted joins.
+- events: 3 copies, event ids shifted; SKEW_PCT% of user_id onto one
+  hot user (stresses streaming state + session windows).
+- documents: 3 copies, doc_id shifted (near-dup structure triples).
+- dimension tables: copied as-is (key spaces unchanged by design — the
+  replicas reuse them, which also grows join fan-in per dim key 3x).
+
+Everything is deterministic (key arithmetic + pmod hashing, no RNG), so
+two runs produce byte-identical inputs. Output parquet lands under
+.benchdata/sf03skew (gitignored: the GENERATOR is committed, the data
+is not). Usage:
+
+    python tools/gen_skew_bench.py            # generate (if absent) + bench
+    python tools/gen_skew_bench.py --regen    # force regeneration
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT = str(Path(__file__).resolve().parent.parent / ".benchdata" / "sf03skew")
+REPS = 3
+SKEW_PCT = 20  # percent of fact rows rewired onto the hot key
+HOT_CUST = 1
+HOT_USER = 1
+KEY_SHIFT = 10_000_000  # > max orderkey at sf0.1 (6e6), keeps copies disjoint
+
+# the round-3 driver bench tail: most expensive non-trivial queries,
+# spanning iterative graph, skewed join, dedup, text, window, streaming
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q_window_frames",
+    "q_salted_skew_join",
+    "q_pagerank_nations",
+    "q_label_propagation",
+    "q_triangle_count",
+    "q_degree_capped_triangles",
+    "q_substring_dupfrac",
+    "q_dedup_minhash_lsh",
+    "q_stream_tumbling",
+    "q_stream_stream_join",
+]
+
+
+def _write_single_file(df, dest: str) -> None:
+    """Write as ONE parquet FILE named exactly like the driver testdata
+    (streaming readers pathGlobFilter on the file name, and parquet is
+    row-group-splittable so single files don't cost scan parallelism)."""
+    import glob
+
+    tmp = dest + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")
+    assert len(part) == 1, part
+    os.replace(part[0], dest)
+    shutil.rmtree(tmp)
+
+
+def generate(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+
+    def copies(df, shift_cols: dict[str, int]):
+        parts = []
+        for i in range(REPS):
+            c = df
+            for col, base in shift_cols.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * base))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # dims: straight copies
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+    cust_keys = spark.read.parquet(f"{SRC}/customer.parquet").agg(
+        F.max("c_custkey")
+    ).collect()[0][0]
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    orders3 = copies(orders, {"o_orderkey": KEY_SHIFT})
+    # deterministic skew: pmod(hash) < pct -> hot customer. xxhash64 is
+    # seed-stable across runs; the hot key keeps ~REPS*PCT% of all orders
+    skewed = orders3.withColumn(
+        "o_custkey",
+        F.when(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(100)) < SKEW_PCT,
+            F.lit(HOT_CUST).cast("long"),
+        ).otherwise(
+            # keep within the (unreplicated) customer key space
+            F.pmod(F.col("o_custkey") - 1, F.lit(cust_keys)) + 1
+        ),
+    )
+    _write_single_file(skewed, f"{OUT}/orders.parquet")
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    _write_single_file(copies(li, {"l_orderkey": KEY_SHIFT}), f"{OUT}/lineitem.parquet")
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    ev3 = copies(ev, {"event_id": KEY_SHIFT})
+    ev_skewed = ev3.withColumn(
+        "user_id",
+        F.when(
+            F.pmod(F.xxhash64("event_id"), F.lit(100)) < SKEW_PCT,
+            F.lit(HOT_USER).cast(ev3.schema["user_id"].dataType.simpleString()),
+        ).otherwise(F.col("user_id")),
+)
+    _write_single_file(ev_skewed, f"{OUT}/events.parquet")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    _write_single_file(copies(docs, {"doc_id": KEY_SHIFT}), f"{OUT}/documents.parquet")
+
+    shutil.copy(f"{SRC}/embeddings.parquet", f"{OUT}/embeddings.parquet")
+
+
+def main() -> None:
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
+    from openmaptiles_zh_modifier_spark.session import get_spark
+
+    spark = get_spark(app_name="skew-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--regen" in sys.argv and os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    if not os.path.isdir(OUT):
+        t0 = time.monotonic()
+        generate(spark)
+        print(f"# generated {OUT} in {time.monotonic() - t0:.1f}s")
+
+    # warm codegen/shuffle/Arrow pools like bench.py does — BOTH dirs, so
+    # neither anchor pays first-touch page-cache/footer costs in its rows
+    for d in (SRC, OUT):
+        spark.read.parquet(f"{d}/lineitem.parquet").groupBy(
+            "l_returnflag"
+        ).count().count()
+        spark.read.parquet(f"{d}/events.parquet").groupBy(
+            "event_type"
+        ).count().count()
+    spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
+
+    results: dict[str, dict[str, float]] = {}
+    for sf_label, sf_dir in (("sf0.1", SRC), ("sf0.3skew", OUT)):
+        for name in BENCH_QUERIES:
+            best = None
+            for _ in range(2):  # min-of-2: co-tenant variance guard
+                t0 = time.monotonic()
+                n = QUERIES[name](spark, sf_dir).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[sf_label] = round(best, 3)
+            print(f"# {sf_label} {name}: {best:.3f}s ({n} rows)")
+
+    print("| query | sf0.1 s | sf0.3skew s | ratio |")
+    print("|---|---|---|---|")
+    for name in BENCH_QUERIES:
+        a = results[name]["sf0.1"]
+        b = results[name]["sf0.3skew"]
+        print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.2f}x |")
+    print(json.dumps({"results": results, "reps": REPS, "skew_pct": SKEW_PCT}))
+
+
+if __name__ == "__main__":
+    main()
