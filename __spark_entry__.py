@@ -55,6 +55,7 @@ _R04_WINDOW = [
     # round-4-NEW queries (no earlier round could have sampled them)
     "q_degree_capped_triangles", "q_multimodal_ppm_decode",
     "q_stream_minhash_buckets", "q_mixture_weights",
+    "q_stream_running_totals",
     # stalest greens (r01-only driver row) most exposed to round-3
     # refactors: graph, dedup, the whole embeddings block, and the
     # oldest relational spot checks (the plain TPC-H q1-q5 block stays
@@ -62,7 +63,7 @@ _R04_WINDOW = [
     "q_connected_components", "q_dedup_ngram_jaccard",
     "q_dedup_prefix_filter", "q_embed_topk_cosine", "q_embed_lsh_topk",
     "q_embed_lsh_buckets", "q_embed_centroid_assign", "q_embed_ivf_topk",
-    "q_top3_parts_per_brand", "q_setops_nations", "q_advanced_aggregates",
+    "q_top3_parts_per_brand", "q_setops_nations",
 ]
 
 

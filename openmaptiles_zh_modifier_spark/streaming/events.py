@@ -382,7 +382,25 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark can expire click state one hour past the watermark instead of
     buffering either stream forever — THE prerequisite for running a
     two-stream join continuously. availableNow drains the backlog and
-    must reproduce exactly the batch interval join the oracle states."""
+    must reproduce exactly the batch interval join the oracle states.
+
+    Hot-key guard (round 4, measured on the skewed anchor): the state
+    key is (user, HOUR-BUCKET of click time), not user alone. Spark's
+    symmetric hash join scans ALL buffered rows under the probe's
+    equality key, so a celebrity user with n buffered clicks costs O(n)
+    per arriving purchase — O(n*m) per hot key (measured: 20% of 300k
+    events on one user made the drain 43 s for 203k output rows). Each
+    purchase instead probes the exactly-two buckets its 1h look-back
+    can reach (exploded), and each (click, purchase) pair agrees on
+    precisely ONE bucket — trunc(c_ts) ∈ {trunc(p_ts),
+    trunc(p_ts) - 1h} when c_ts ∈ [p_ts - 1h, p_ts] — so the output is
+    duplicate-free and identical to the unbucketed join (same oracle
+    hash). Cost: purchase state is doubled (two bucket probes per row);
+    state scanned per probe drops from all-of-user to one user-hour.
+    Measured: 43.7 s -> 3.7 s on the skewed anchor (12x) at identical
+    output (203,158 rows); sf0.1 stays in its 2-3 s state-store-init
+    band. The range condition stays in the join, preserving the
+    watermark-based state eviction bound."""
     clicks = (
         read_events_stream(spark, sf_dir)
         .where(F.col("event_type") == "click")
@@ -392,6 +410,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("c_ts"),
         )
         .withWatermark("c_ts", "1 hour")
+        .withColumn("c_bucket", F.date_trunc("hour", F.col("c_ts")))
     )
     purchases = (
         read_events_stream(spark, sf_dir)
@@ -403,10 +422,21 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .withWatermark("p_ts", "1 hour")
+        .withColumn(
+            "p_bucket",
+            F.explode(
+                F.array(
+                    F.date_trunc("hour", F.col("p_ts")),
+                    F.date_trunc("hour", F.col("p_ts"))
+                    - F.expr("INTERVAL 1 HOUR"),
+                )
+            ),
+        )
     )
     joined = clicks.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bucket") == F.col("p_bucket"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select(
@@ -548,6 +578,12 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("c_ts"),
         )
         .withWatermark("c_ts", "1 hour")
+        # hot-key guard: (user, click-hour) state key — see the inner
+        # join's docstring. Left-outer semantics are unchanged: a
+        # (click, purchase) pair agrees on exactly one bucket, and a
+        # click with no in-bucket purchase still emits its NULL row
+        # once the watermark finalizes it.
+        .withColumn("c_bucket", F.date_trunc("hour", F.col("c_ts")))
     )
     purchases = (
         read_events_stream(spark, sf_dir)
@@ -559,11 +595,22 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .withWatermark("p_ts", "1 hour")
+        .withColumn(
+            "p_bucket",
+            F.explode(
+                F.array(
+                    F.date_trunc("hour", F.col("p_ts")),
+                    F.date_trunc("hour", F.col("p_ts"))
+                    - F.expr("INTERVAL 1 HOUR"),
+                )
+            ),
+        )
     )
     joined = (
         clicks.join(
             purchases,
             (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_bucket") == F.col("p_bucket"))
             & (F.col("p_ts") >= F.col("c_ts"))
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
             "left_outer",
@@ -718,4 +765,46 @@ def q_stream_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         registry.groupBy("band")
         .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
         .orderBy("band")
+    )
+
+
+@register(
+    "q_stream_running_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator under the oracle gate:
+    ``running_user_totals`` maintains per-user (count, sum) in the state
+    store via ``applyInPandasWithState`` — the hand-rolled-state escape
+    hatch for logic built-in aggregations can't express — emitting the
+    updated totals per user per micro-batch (update mode).
+
+    Equivalence argument: with availableNow over the single-file source
+    the backlog lands in ONE micro-batch, so each user emits exactly one
+    row carrying their final totals — the batch GROUP BY. A multi-batch
+    replay emits intermediate rows too; then the LAST row per user (max
+    n_events) is the comparable one — the test suite covers the
+    incremental path, this gate row pins the state arithmetic itself.
+    State is one (long, double) pair per user: bounded by key
+    cardinality, the right shape at any scale."""
+    ev = read_events_stream(spark, sf_dir)
+    totals = running_user_totals(ev)
+    out = run_to_memory(totals, output_mode="update")
+    # collapse to final state per user (no-op in the single-batch case,
+    # correct under multi-batch replays)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
     )
