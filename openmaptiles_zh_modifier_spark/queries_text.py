@@ -1194,10 +1194,22 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-row broadcast of the per-source frame, one fold over 20 values —
     the whole query is scan-bound, exactly what you want for a 100 TB
     corpus-composition pass."""
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
     docs = load(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    # one corpus scan: every downstream branch (total, weights, norm,
+    # output) descends from this 20-row aggregate — without the cache
+    # boundary each branch re-scans documents (4 scans, measured in the
+    # plan audit)
+    per_src = memo_frame_lazy(
+        spark,
+        f"mixture_per_src:{sf_dir}",
+        lambda: docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
     )
     tot = per_src.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
     w = per_src.crossJoin(F.broadcast(tot)).select(
