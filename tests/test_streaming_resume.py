@@ -122,3 +122,67 @@ def test_transform_with_state_v2_running_totals(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_time_bucketed_join_equals_interval_join(spark, sf_dir):
+    """The stream-stream joins' hot-key guard rests on one claim: adding
+    (c_bucket == p_bucket) with purchases exploded into their two
+    reachable hour buckets changes NOTHING about the join result —
+    every qualifying (click, purchase) pair agrees on exactly one
+    bucket, so no pair is lost and none duplicates. Pin that with the
+    BATCH twin of both plans over real event times (including pairs
+    that straddle an hour boundary)."""
+    from pyspark.sql import functions as F
+
+    from openmaptiles_zh_modifier_spark.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    interval = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    plain = clicks.join(purchases, interval).select("click_id", "purchase_id")
+
+    b_clicks = clicks.withColumn("c_bucket", F.date_trunc("hour", "c_ts"))
+    b_purch = purchases.withColumn(
+        "p_bucket",
+        F.explode(
+            F.array(
+                F.date_trunc("hour", "p_ts"),
+                F.date_trunc("hour", "p_ts") - F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    bucketed = b_clicks.join(
+        b_purch, interval & (F.col("c_bucket") == F.col("p_bucket"))
+    ).select("click_id", "purchase_id")
+
+    # exact multiset equality both ways (exceptAll catches dup pairs too)
+    assert bucketed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bucketed).count() == 0
+    n = plain.count()
+    assert n > 0 and bucketed.count() == n
+    # and the straddling case really occurs in the fixture (a pair whose
+    # click and purchase fall in different hours), so the second probe
+    # bucket is exercised
+    straddle = (
+        b_clicks.join(
+            b_purch, interval & (F.col("c_bucket") == F.col("p_bucket"))
+        )
+        .where(
+            F.date_trunc("hour", "c_ts") != F.date_trunc("hour", "p_ts")
+        )
+        .count()
+    )
+    assert straddle > 0
