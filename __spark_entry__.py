@@ -33,11 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # dict ordering decides what gets externally verified. Round-4 window
 # (per VERDICT.md round-3 item #1): the 35 round-3-new queries that have
 # never had a driver row (judge-verified in round 3, now driven through
-# the external gate), plus the 15 r01-only greens whose code paths most
-# plausibly drifted under round-3 refactors (graph/dedup/embeddings
-# shared helpers, plus the r01 TPC-H spot block) — exactly 50. After
-# round 4 every registry entry has a driver row in r01 ∪ … ∪ r04.
-# Names are stable — only the dict ordering changes.
+# the external gate), then five of the seven round-4-new queries, then
+# the stalest r01-greens most exposed to round-3 refactors — exactly 50.
+# After round 4 every registry entry has a driver row in r01 ∪ … ∪ r04
+# EXCEPT: q1/q3/q4/q5/q_advanced_aggregates (r01-green, plans untouched
+# since) and the two late round-4 additions (q_dsir_selection,
+# q_embed_pq_adc — local-gate-verified 168/168; they head the round-5
+# rotation). Names are stable — only the dict ordering changes.
 _R04_WINDOW = [
     # never driver-sampled (round-3-new), registry order
     "q_time_weighted_avg", "q_rolling_median", "q_event_debounce",

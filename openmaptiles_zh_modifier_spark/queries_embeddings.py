@@ -852,3 +852,164 @@ def q_embed_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .orderBy("rk")
     )
+
+
+# -------------------------------------------------------------------------
+# Product quantization + asymmetric distance computation (PQ-ADC)
+# -------------------------------------------------------------------------
+
+PQ_M = 4               # subspaces (64 dims -> 4 x 16)
+PQ_DS = DIM // PQ_M    # dims per subspace
+PQ_K = 16              # codebook entries per subspace
+
+
+@register(
+    "q_embed_pq_adc",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+ms AS (SELECT unnest([{', '.join(str(m) for m in range(PQ_M))}]) AS m),
+subs AS (
+  SELECT vec_id, label, m,
+         e[m * {PQ_DS} + 1 : (m + 1) * {PQ_DS}] AS sv
+  FROM v CROSS JOIN ms
+),
+cb AS (SELECT m, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < {PQ_K}),
+dists AS (
+  SELECT s.vec_id, s.label, s.m, cb.cid,
+         {_dot_sql('s.sv', 's.sv')} - 2 * {_dot_sql('s.sv', 'cb.cv')}
+           + {_dot_sql('cb.cv', 'cb.cv')} AS d
+  FROM subs s JOIN cb ON cb.m = s.m
+),
+codes AS (
+  SELECT vec_id, label, m, cid AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, m ORDER BY d, cid) AS rk
+    FROM dists
+  ) WHERE rk = 1
+),
+qt AS (
+  SELECT vec_id AS qid, m, cid, d AS qd FROM dists WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT qt.qid, c.vec_id AS nn_id, c.label AS nn_label, c.m, qt.qd
+  FROM codes c JOIN qt ON qt.m = c.m AND qt.cid = c.code
+  WHERE c.vec_id <> qt.qid
+),
+adist AS (
+  SELECT qid, nn_id, nn_label,
+         list_reduce(list_prepend(0.0::DOUBLE, list(qd ORDER BY m)),
+                     (acc, x) -> acc + x) AS ad
+  FROM cand GROUP BY 1, 2, 3
+)
+SELECT qid, nn_id, nn_label, ROUND(ad, 4) AS approx_dist, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY ad, nn_id) AS rk
+  FROM adist
+) WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
+def q_embed_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with asymmetric distance computation
+    (Jégou et al.'s PQ): split the {DIM}-dim space into {PQ_M} x
+    {PQ_DS}-dim subspaces, encode every corpus vector as {PQ_M} codebook
+    ids (nearest sub-centroid per subspace, squared L2, ties on cid),
+    and answer queries by table lookup — each query precomputes its
+    distance to every sub-centroid ({PQ_M} x {PQ_K} cells) and a
+    candidate's approximate distance is the SUM of the {PQ_M} looked-up
+    cells. Memory per vector drops from {DIM} floats to {PQ_M} bytes —
+    the compression that makes billion-vector indexes fit in RAM.
+
+    Codebooks here are the oracle-checkable deterministic seed (the
+    first {PQ_K} vectors' sub-vectors, the same convention the IVF
+    queries use for coarse centroids); a production fit runs
+    ``operators.ivf.kmeans_fit`` once per subspace on a sample and
+    broadcasts the {PQ_M} x {PQ_K} x {PQ_DS} table — the query plan
+    below is unchanged by better codebooks.
+
+    Determinism: every distance is a fixed-order fold of exact double
+    products (_dot_fold == list_reduce); the {PQ_M}-term ADC sum folds
+    in subspace order; argmins tie-break on id. Bit-identical
+    cross-engine before the presentation ROUND.
+
+    Scale shape: encoding is one corpus pass against the broadcast
+    codebook with a map-side argmin per (vector, subspace); the code
+    table ({PQ_M} small ints per vector) REPLACES the embeddings for
+    search — the scan that serves queries reads {PQ_M} bytes/vector,
+    not {DIM * 4}. The query distance table is queries x {PQ_M} x
+    {PQ_K} rows (broadcast); candidate scoring is an equi-join on
+    (subspace, code) followed by a {PQ_M}-row fold per candidate — no
+    full-width vector math anywhere in the hot path."""
+    from pyspark.sql import Window
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e"), "label"
+    )
+    subs = v.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("e", m * PQ_DS + 1, PQ_DS).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = subs.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    d = (
+        _dot_fold(F.col("sv"), F.col("sv"))
+        - 2 * _dot_fold(F.col("sv"), F.col("cv"))
+        + _dot_fold(F.col("cv"), F.col("cv"))
+    )
+    dists = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "label", "m", "cid", d.alias("d")
+    )
+    codes = (
+        dists.groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct("d", "cid")).alias("am"),
+            F.first("label").alias("label"),
+        )
+        .select("vec_id", "label", "m", F.col("am.cid").alias("code"))
+    )
+    qt = dists.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("m").alias("qm"),
+        F.col("cid").alias("qcid"),
+        F.col("d").alias("qd"),
+    )
+    cand = (
+        codes.join(
+            F.broadcast(qt),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nn_id"),
+                F.col("label").alias("nn_label"), F.col("m").alias("sm"),
+                "qd")
+    )
+    adist = cand.groupBy("qid", "nn_id", "nn_label").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("sm"), F.col("qd")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["qd"],
+        ).alias("ad")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("nn_id"))
+    return (
+        adist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "qid", "nn_id", "nn_label",
+            F.round("ad", 4).alias("approx_dist"), "rk",
+        )
+        .orderBy("qid", "rk")
+    )

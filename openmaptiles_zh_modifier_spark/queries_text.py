@@ -1240,3 +1240,164 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection via importance resampling (hashed n-grams)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 128   # hashed n-gram feature buckets
+DSIR_TARGET_LANG = "en"  # the "target domain" the selection steers toward
+DSIR_TOP_K = 50
+
+
+@register(
+    "q_dsir_selection",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               j -> t[j] || ' ' || t[j+1])) AS g
+  FROM toks
+),
+fb AS (
+  SELECT doc_id, lang, {h32_sql('g')} % {DSIR_BUCKETS} AS b, COUNT(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+rawb AS (SELECT b, SUM(c) AS cq FROM fb GROUP BY b),
+tgtb AS (
+  SELECT b, SUM(c) AS ct FROM fb
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+),
+tots AS (
+  SELECT (SELECT SUM(cq) FROM rawb) AS q,
+         (SELECT COALESCE(SUM(ct), 0) FROM tgtb) AS t
+),
+r AS (
+  SELECT rawb.b,
+         ROUND(ln(((COALESCE(tgtb.ct, 0) + 1.0) / (tots.t + {DSIR_BUCKETS}))
+                  / ((rawb.cq + 1.0) / (tots.q + {DSIR_BUCKETS}))), 6) AS lr
+  FROM rawb LEFT JOIN tgtb ON tgtb.b = rawb.b CROSS JOIN tots
+),
+scored AS (
+  SELECT fb.doc_id,
+         ROUND(list_reduce(
+             list_prepend(0.0::DOUBLE, list(fb.c * r.lr ORDER BY fb.b)),
+             (acc, x) -> acc + x), 4) AS score
+  FROM fb JOIN r ON r.b = fb.b
+  GROUP BY fb.doc_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS rk,
+       s.doc_id, d.lang, d.source, s.score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY rk
+LIMIT {DSIR_TOP_K}
+""",
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    its importance log-weight under two hashed-n-gram bag models — the
+    TARGET domain (here: lang = '{DSIR_TARGET_LANG}' docs) vs the RAW
+    corpus — and keep the top-{DSIR_TOP_K}. Features are unigram+bigram
+    counts hashed into {DSIR_BUCKETS} buckets (the paper's trick: fixed
+    feature space regardless of vocabulary); both bucket LMs are
+    Laplace-smoothed; a doc's weight is sum_b count_doc[b] *
+    ln(p_target[b]/p_raw[b]). The deterministic top-k variant stands in
+    for the paper's Gumbel resampling (an RNG-free engine has no seeded
+    sampler both engines share; the WEIGHTS are what the method is).
+
+    Determinism (the q_source_kl pattern): counts are exact integers, so
+    every probability is an exact double ratio; the single
+    transcendental per bucket is ROUNDed at 6 dp BEFORE use; the per-doc
+    sum folds in bucket order (F.aggregate == list_reduce) — the score
+    is bit-identical cross-engine before the presentation ROUND.
+
+    Scale shape: one gram explode -> one (doc, bucket) map-side-
+    combinable count; the two LMs are {DSIR_BUCKETS}-row aggregates that
+    BROADCAST; scoring is a per-doc fold over <= {DSIR_BUCKETS} joined
+    rows; top-k is TakeOrderedAndProject. At 100 TB the only corpus-
+    sized shuffle is the (doc, bucket) count — exactly the paper's
+    one-pass featurization, and the selection itself never materializes
+    more than k rows per partition."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = docs.select(
+        "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("g")
+    )
+    fb = (
+        grams.withColumn("b", F.pmod(h32(F.col("g")), F.lit(DSIR_BUCKETS)))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    fb = memo_frame_lazy(spark, f"dsir_fb:{sf_dir}", lambda: fb)
+    rawb = fb.groupBy("b").agg(F.sum("c").alias("cq"))
+    tgtb = (
+        fb.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    tots = rawb.agg(F.sum("cq").alias("q")).crossJoin(
+        tgtb.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t"))
+    )
+    r = (
+        rawb.join(tgtb, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                     / (F.col("t") + F.lit(DSIR_BUCKETS)))
+                    / ((F.col("cq") + F.lit(1.0))
+                       / (F.col("q") + F.lit(DSIR_BUCKETS)))
+                ),
+                6,
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        fb.join(F.broadcast(r), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("b", (F.col("c") * F.col("lr")).alias("x"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            F.row_number().over(w).alias("rk"),
+            "doc_id",
+            "lang",
+            "source",
+            "score",
+        )
+        .where(F.col("rk") <= DSIR_TOP_K)
+        .orderBy("rk")
+    )
