@@ -281,6 +281,12 @@ _T2S_PAIRS = [
     ("釃", "酾"), ("鉸", "铰"), ("鍘", "铡"), ("鏌", "镆"), ("闈", "闱"),
     ("隉", "陧"), ("靦", "腼"), ("頎", "颀"), ("颼", "飕"), ("骼", "骼"),
     ("鱭", "鲚"), ("鷥", "鸶"), ("黽", "黾"),
+    # round-4 closure sweep: chars used by s2t phrase OUTPUTS whose t2s
+    # reverse was missing (found by the whole-domain cycle property in
+    # tests/test_parity_properties.py)
+    ("涼", "凉"), ("則", "则"), ("備", "备"), ("夾", "夹"), ("報", "报"),
+    ("勁", "劲"), ("強", "强"), ("搶", "抢"), ("蕩", "荡"), ("亂", "乱"),
+    ("脫", "脱"), ("蔥", "葱"),
 ]
 
 # Traditional chars that safely simplify but whose SIMPLIFIED form must
@@ -316,7 +322,7 @@ _T2S_ONLY_PAIRS = [
     # char's s2t default is ITSELF — 宿舍/试卷/幸福/雇主/托儿所/咽喉/凶 —
     # and the traditional form comes only via phrases)
     ("捨", "舍"), ("捲", "卷"), ("兇", "凶"), ("倖", "幸"),
-    ("僱", "雇"), ("託", "托"), ("嚥", "咽"),
+    ("僱", "雇"), ("託", "托"), ("嚥", "咽"), ("迴", "回"),
 ]
 
 # Simplified chars whose DEFAULT traditional form is not the reverse of

@@ -109,8 +109,22 @@ def test_shingle_and_minhash_parity(spark, corpus):
 def test_zh_translate_roundtrip_properties(spark):
     """Char-level conversion invariants: t2s is idempotent; s2t(t2s(x))
     re-simplifies to the same simplified form (surjective canonicalization,
-    not involutive — 發/髮 both map to 发)."""
+    not involutive — 發/髮 both map to 发). Round 4: asserted over the
+    ENTIRE table domain — every char in both translate alphabets and
+    every phrase source word in both directions — so any future table
+    entry whose reverse path is inconsistent fails here, not in an OOV
+    corner a fixture missed."""
+    from openmaptiles_zh_modifier_spark.functions.zh import (
+        S2T_FROM,
+        S2T_PHRASES,
+        T2S_PHRASES,
+    )
+
     samples = ["臺灣鐵路", "頭髮廣場", "国语", "Berlin", "發髮", ""]
+    samples += [c for c in T2S_FROM] + [c for c in S2T_FROM]
+    samples += [src for src, _ in T2S_PHRASES]
+    samples += [src for src, _ in S2T_PHRASES]
+    samples = sorted(set(samples))
     df = spark.createDataFrame([(s,) for s in samples], "s string").select(
         "s",
         to_simplified(F.col("s")).alias("simp"),
