@@ -1453,16 +1453,24 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable distinct-splits-per-content aggregate (content
     hash is the shuffle key); the audit join is content-key equi. At
     100 TB both shuffles carry only hashes."""
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
     docs = load(spark, sf_dir, "documents")
     h = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(100))
-    s = docs.select(
-        "doc_id",
-        "source",
-        F.md5(F.col("text")).alias("ck"),
-        F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+    # both consumers (the per-content split census and the audit join)
+    # read this narrow frame — memoized so the corpus md5 pass runs once
+    s = memo_frame_lazy(
+        spark,
+        f"split_assign:{sf_dir}",
+        lambda: docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text")).alias("ck"),
+            F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
+            .when(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        ),
     )
     cs = s.groupBy("ck").agg(
         F.countDistinct("split").alias("nsplits")
