@@ -37,10 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the stalest r01-greens most exposed to round-3 refactors — exactly 50.
 # After round 4 every registry entry has a driver row in r01 ∪ … ∪ r04
 # EXCEPT: q1/q3/q4/q5/q_advanced_aggregates (r01-green, plans untouched
-# since) and the four late round-4 additions (q_dsir_selection,
-# q_embed_pq_adc, q_pq_recall, q_split_leakage — local-gate-verified
-# 170/170 at sf0.01 AND sf0.1; they head the round-5 rotation). Names
-# are stable — only the dict ordering changes.
+# since) and the five late round-4 additions (q_dsir_selection,
+# q_embed_pq_adc, q_pq_recall, q_split_leakage, q_boilerplate_segments
+# — local-gate-verified 171/171 at sf0.01 AND sf0.1; they head the
+# round-5 rotation, see tools/gate_coverage.py). Names are stable —
+# only the dict ordering changes.
 _R04_WINDOW = [
     # never driver-sampled (round-3-new), registry order
     "q_time_weighted_avg", "q_rolling_median", "q_event_debounce",
