@@ -356,6 +356,44 @@ def _build_alphabets() -> tuple[str, str, str, str]:
 
 T2S_FROM, T2S_TO, S2T_FROM, S2T_TO = _build_alphabets()
 
+# Simplified chars with SEVERAL traditional candidates in the char table,
+# where first-wins ordering deliberately picks the default (發 for 发,
+# 歷 for 历; the minority senses 髮/曆 are recovered by S2T_PHRASES).
+# Any other conflicting duplicate is a table bug — caught at import below.
+_INTENTIONAL_S2T_FANOUT = {"发", "历"}
+
+
+def _audit_tables() -> None:
+    """Fail fast at import if a duplicated table source maps to
+    conflicting targets: first-wins dedup would silently shadow the later
+    entry, so a conflicting duplicate is always an authoring mistake
+    (except the explicit default-override chars above)."""
+    from collections import defaultdict
+
+    def check(pairs, label, exceptions=frozenset()):
+        targets = defaultdict(set)
+        for src, dst in pairs:
+            targets[src].add(dst)
+        bad = {
+            s: ts
+            for s, ts in targets.items()
+            if len(ts) > 1 and s not in exceptions
+        }
+        if bad:
+            raise AssertionError(
+                f"{label}: duplicated sources with conflicting targets "
+                f"(first-wins would shadow): {bad}"
+            )
+
+    check(_T2S_PAIRS + _T2S_ONLY_PAIRS, "t2s char table")
+    check(
+        [(s, t) for t, s in _S2T_ONLY_PAIRS + _T2S_PAIRS if t != s],
+        "s2t char table",
+        exceptions=_INTENTIONAL_S2T_FANOUT,
+    )
+    check(T2S_PHRASES, "T2S_PHRASES")
+    check(S2T_PHRASES, "S2T_PHRASES")
+
 # ---------------------------------------------------------------------------
 # Word-level disambiguation pre-pass (a subset of the public OpenCC
 # TSPhrases/STPhrases idea): multi-char words whose conversion the char
@@ -587,6 +625,8 @@ S2T_PHRASES: list[tuple[str, str]] = [
     # 仑 -> 崙
     ("昆仑", "崑崙"),
 ]
+
+_audit_tables()
 
 
 def _phrase_order(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:

@@ -319,13 +319,17 @@ def cow_vacuum(
     writer that crashed between task writes and manifest publish).
     Returns files deleted.
 
-    Unreferenced files younger (by mtime) than ``orphan_grace_seconds``
-    are SKIPPED: a concurrent writer's staged-but-unpublished commit-dir
-    files look identical to orphans, and deleting them loses its commit.
-    The grace window (Delta's retention-check analog) keeps in-flight
-    commits safe; genuinely dead files are reclaimed by the next vacuum
-    after the window passes. Pass ``0`` to force-sweep when no writer
-    can be live (tests, offline maintenance)."""
+    The mtime grace applies ONLY to true manifest-orphans — files no
+    manifest (kept or dropped) ever referenced: a concurrent writer's
+    staged-but-unpublished commit-dir files look identical to orphans,
+    and deleting them loses its commit. The grace window (Delta's
+    retention-check analog) keeps in-flight commits safe; genuinely dead
+    orphans are reclaimed by the next vacuum after the window passes.
+    Files referenced ONLY by manifests this call deletes are provably
+    dead (a dropped version is not an in-flight writer) and are removed
+    unconditionally, so one vacuum reclaims recently-rewritten versions.
+    Pass ``0`` to force-sweep orphans too when no writer can be live
+    (tests, offline maintenance)."""
     import time
 
     versions = cow_history(root)
@@ -333,14 +337,21 @@ def cow_vacuum(
     live: set[str] = set()
     for v in kept_vs:
         live |= {e["path"] for e in _read_manifest(root, v)["files"]}
+    # files referenced by the manifests we are about to delete: once
+    # those manifests are gone these are provably dead (not orphans of
+    # an in-flight writer), so no mtime grace applies to them
+    dropped_refs: set[str] = set()
+    for v in versions[:-keep_versions]:
+        dropped_refs |= {e["path"] for e in _read_manifest(root, v)["files"]}
+    dropped_refs -= live
     removed = 0
     for v in versions[:-keep_versions]:
         os.unlink(_manifest_path(root, v))
     cutoff = time.time() - orphan_grace_seconds
     # sweep the data directories: anything not referenced by a kept
     # manifest is dead, whether it came from a dropped version or from
-    # a commit that never published — unless it is young enough to be
-    # an in-flight writer's staged file
+    # a commit that never published — but a TRUE orphan young enough to
+    # be an in-flight writer's staged file gets the grace window
     for dirpath, _dirs, files in os.walk(root):
         if _MANIFEST_DIR in dirpath.split(os.sep):
             continue
@@ -352,7 +363,7 @@ def cow_vacuum(
             if rel in live:
                 continue
             try:
-                if os.path.getmtime(full) > cutoff:
+                if rel not in dropped_refs and os.path.getmtime(full) > cutoff:
                     continue  # possibly an in-flight commit — keep
                 os.unlink(full)
                 removed += 1

@@ -145,8 +145,12 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        # emit UNROUNDED: Python round() is banker's half-even, which
+        # diverges from F.round/DuckDB ROUND (half away from zero) on
+        # exact .xx5 doubles — rounding happens JVM-side below, matching
+        # the convention used by every other query.
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
     return (
@@ -159,6 +163,7 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+        .withColumn("total_value", F.round("total_value", 2))
     )
 
 
@@ -361,6 +366,58 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg).orderBy("window_start", "event_type")
 
 
+def bucketed_click_purchase_join(
+    spark: SparkSession, sf_dir: str, how: str = "inner"
+) -> DataFrame:
+    """The shared clicks⋈purchases streaming join with the hot-key guard:
+    state keyed on (user, click-hour bucket), purchases exploded into the
+    exactly-two buckets their 1h look-back can reach. Used by both the
+    inner and left-outer registered queries; tests/test_plan_quality.py
+    asserts on THIS plan (the Join condition carries both bucket
+    columns), so the guard is checked structurally, not by source-string
+    match."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+        .withColumn("c_bucket", F.date_trunc("hour", F.col("c_ts")))
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+        .withColumn(
+            "p_bucket",
+            F.explode(
+                F.array(
+                    F.date_trunc("hour", F.col("p_ts")),
+                    F.date_trunc("hour", F.col("p_ts"))
+                    - F.expr("INTERVAL 1 HOUR"),
+                )
+            ),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bucket") == F.col("p_bucket"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        how,
+    )
+
+
 @register(
     "q_stream_stream_join",
     oracle="""
@@ -401,45 +458,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     output (203,158 rows); sf0.1 stays in its 2-3 s state-store-init
     band. The range condition stays in the join, preserving the
     watermark-based state eviction bound."""
-    clicks = (
-        read_events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-        .withColumn("c_bucket", F.date_trunc("hour", F.col("c_ts")))
-    )
-    purchases = (
-        read_events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-            "value",
-        )
-        .withWatermark("p_ts", "1 hour")
-        .withColumn(
-            "p_bucket",
-            F.explode(
-                F.array(
-                    F.date_trunc("hour", F.col("p_ts")),
-                    F.date_trunc("hour", F.col("p_ts"))
-                    - F.expr("INTERVAL 1 HOUR"),
-                )
-            ),
-        )
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("c_bucket") == F.col("p_bucket"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-    ).select(
+    joined = bucketed_click_purchase_join(spark, sf_dir).select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
@@ -569,52 +588,13 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cutoff_row = memo_frame_lazy(spark, f"ssleft_cutoff:{sf_dir}", build_cutoff)
-    clicks = (
-        read_events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-        # hot-key guard: (user, click-hour) state key — see the inner
-        # join's docstring. Left-outer semantics are unchanged: a
-        # (click, purchase) pair agrees on exactly one bucket, and a
-        # click with no in-bucket purchase still emits its NULL row
-        # once the watermark finalizes it.
-        .withColumn("c_bucket", F.date_trunc("hour", F.col("c_ts")))
-    )
-    purchases = (
-        read_events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-            "value",
-        )
-        .withWatermark("p_ts", "1 hour")
-        .withColumn(
-            "p_bucket",
-            F.explode(
-                F.array(
-                    F.date_trunc("hour", F.col("p_ts")),
-                    F.date_trunc("hour", F.col("p_ts"))
-                    - F.expr("INTERVAL 1 HOUR"),
-                )
-            ),
-        )
-    )
+    # hot-key guard: (user, click-hour) state key via the shared bucketed
+    # join builder — see its and the inner join's docstrings. Left-outer
+    # semantics are unchanged: a (click, purchase) pair agrees on exactly
+    # one bucket, and a click with no in-bucket purchase still emits its
+    # NULL row once the watermark finalizes it.
     joined = (
-        clicks.join(
-            purchases,
-            (F.col("c_user") == F.col("p_user"))
-            & (F.col("c_bucket") == F.col("p_bucket"))
-            & (F.col("p_ts") >= F.col("c_ts"))
-            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-            "left_outer",
-        )
+        bucketed_click_purchase_join(spark, sf_dir, "left_outer")
         .crossJoin(F.broadcast(cutoff_row))
         .where(F.col("c_ts") <= F.col("cutoff"))
         .select(

@@ -70,29 +70,21 @@ def test_gdpr_cascade_single_lazy_plan(spark, sf_dir):
 def test_stream_join_state_key_carries_time_bucket(spark, sf_dir):
     """The stream-stream joins' hot-key guard: the join's equality keys
     must include the hour-bucket columns, so state probes scan one
-    user-hour, not all of a user's history. Checked on the logical plan
-    of the streaming join (before execution)."""
-    from pyspark.sql import functions as F
-
+    user-hour, not all of a user's history. Asserted on the ANALYZED
+    plan of the shared join builder both registered queries use — the
+    Join node's condition must reference both bucket columns — so any
+    refactor that drops the bucketing fails this test regardless of how
+    the condition is spelled in source."""
     from openmaptiles_zh_modifier_spark.streaming.events import (
-        read_events_stream,
+        bucketed_click_purchase_join,
     )
 
-    clicks = (
-        read_events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-        .withColumn("c_bucket", F.date_trunc("hour", F.col("c_ts")))
-    )
-    # the registered query builds this same shape; assert the condition
-    # construction is still bucket-keyed by reading the source
-    import inspect
-
-    from openmaptiles_zh_modifier_spark.streaming import events as ev_mod
-
-    src = inspect.getsource(ev_mod.q_stream_stream_join)
-    assert 'F.col("c_bucket") == F.col("p_bucket")' in src
-    src_left = inspect.getsource(ev_mod.q_stream_stream_left)
-    assert 'F.col("c_bucket") == F.col("p_bucket")' in src_left
-    assert clicks.schema["c_bucket"] is not None
+    for how in ("inner", "left_outer"):
+        joined = bucketed_click_purchase_join(spark, sf_dir, how)
+        plan = joined._jdf.queryExecution().analyzed().toString()
+        join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+        assert join_lines, f"no Join node in analyzed plan ({how})"
+        cond = join_lines[0]
+        assert "c_bucket#" in cond and "p_bucket#" in cond, (
+            f"{how} join condition lost the hour-bucket state key: {cond}"
+        )
