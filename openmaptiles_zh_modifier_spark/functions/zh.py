@@ -641,28 +641,44 @@ def _phrase_order(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
 # ``aggregate`` (reduce) higher-order function over an array literal of
 # separator-joined pairs — expression depth O(1), width O(n). The DuckDB
 # twin is ``list_reduce`` with ``list_prepend`` seeding the accumulator.
-# Cost: the HOF is interpreted rather than whole-stage-codegen'd; at
-# ~350 short replaces per row that is linear work either way, and only
-# rows that reach the conversion (post-filter Han names) pay it.
+# Round-5 cost control (measured at sf0.1 on local[32]): a phrase can
+# only match if one of the ~100 distinct source FIRST chars occurs in
+# the value, and ``length(translate(x, first_chars, '')) < length(x)``
+# detects that in one codegen'd pass (an rlike char-class gate costs
+# ~1 s by itself at this scale), so rows with no candidate char skip the
+# interpreted HOF entirely: 3.10 -> 0.35 s folding S2T_PHRASES over the
+# 5k sf0.1 document texts; the all-Chinese zh_backfill name path is
+# unchanged (~0.85 s, every row passes the gate). The input is bound
+# ONCE through a single-element ``transform`` lambda so a complex input
+# expression (the back-fill's coalesce/is_han chain, inlined by
+# projection collapse) is evaluated once, not once per gate reference.
+# (An array-of-structs pair literal that removes the per-pair
+# split_parts benched 2.9x FASTER standalone but 3x SLOWER inside the
+# back-fill plan — kept the split_part form, which is flat in both.)
 _PAIR_SEP = "\x01"
 
 
 def _phrase_fold(c: Column, pairs: list[tuple[str, str]]) -> Column:
+    ordered = _phrase_order(pairs)
     arr = F.array(
-        *[
-            F.lit(f"{src}{_PAIR_SEP}{dst}")
-            for src, dst in _phrase_order(pairs)
-        ]
+        *[F.lit(f"{src}{_PAIR_SEP}{dst}") for src, dst in ordered]
     )
-    return F.aggregate(
-        arr,
-        c,
-        lambda acc, p: F.replace(
-            acc,
-            F.split_part(p, F.lit(_PAIR_SEP), F.lit(1)),
-            F.split_part(p, F.lit(_PAIR_SEP), F.lit(2)),
-        ),
-    )
+    first_chars = "".join(sorted({src[0] for src, _ in ordered}))
+
+    def convert(x: Column) -> Column:
+        folded = F.aggregate(
+            arr,
+            x,
+            lambda acc, p: F.replace(
+                acc,
+                F.split_part(p, F.lit(_PAIR_SEP), F.lit(1)),
+                F.split_part(p, F.lit(_PAIR_SEP), F.lit(2)),
+            ),
+        )
+        may_match = F.length(F.translate(x, first_chars, "")) < F.length(x)
+        return F.when(may_match, folded).otherwise(x)
+
+    return F.transform(F.array(c), convert)[0]
 
 
 def _phrase_fold_sql(expr: str, pairs: list[tuple[str, str]]) -> str:
