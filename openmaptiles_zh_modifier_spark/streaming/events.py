@@ -695,19 +695,33 @@ def q_stream_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER the stream completes (the memory-sink result is a batch frame).
     Stream == batch equivalence therefore proves signature + banding +
     dedup state, without pinning racy arrival order."""
+    docs = read_documents_stream(spark, sf_dir)
+    registry = run_to_memory(
+        minhash_bucket_registry(docs), output_mode="append"
+    )
+    return (
+        registry.groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+        .orderBy("band")
+    )
+
+
+def minhash_bucket_registry(docs: DataFrame) -> DataFrame:
+    """Per-row MinHash signature -> LSH band keys -> ``dropDuplicates``
+    bucket registry, as a reusable transform over any documents frame
+    (streaming or batch — the multi-batch replay test drives it over a
+    split file source with maxFilesPerTrigger=1)."""
     from openmaptiles_zh_modifier_spark.functions.text import (
         LSH_BANDS,
         NUM_PERM,
+        P31,
         h32,
         minhash_col,
         shingles,
         tokens,
     )
 
-    from openmaptiles_zh_modifier_spark.functions.text import P31
-
     rows_per_band = NUM_PERM // LSH_BANDS
-    docs = read_documents_stream(spark, sf_dir)
     toks = tokens(F.col("text"))
     # ONE md5 per shingle, then ONE fold maintaining all 16 per-perm
     # minima at once: sixteen separate array_min(transform(hs, perm_i))
@@ -733,7 +747,7 @@ def q_stream_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(LSH_BANDS)
     ]
-    banded = (
+    return (
         docs.where(F.size(toks) >= 3)
         .select("doc_id", sig_arr.alias("sig"))
         .select(
@@ -751,12 +765,6 @@ def q_stream_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "bb.band", "bb.bkey")
         .dropDuplicates(["band", "bkey"])
-    )
-    registry = run_to_memory(banded, output_mode="append")
-    return (
-        registry.groupBy("band")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
-        .orderBy("band")
     )
 
 

@@ -1,0 +1,119 @@
+"""Multi-batch streaming state proofs (VERDICT r4 #4): the
+availableNow gate queries drain their single-file sources in ONE
+micro-batch, so the state path (carry state across batches, update,
+re-emit) is barely exercised there. These tests split the source into
+four files and replay with maxFilesPerTrigger=1, forcing >=3 non-empty
+micro-batches, then assert the stream's final answer still equals the
+batch twin:
+
+- running_user_totals: per-user (count, sum) carried in
+  applyInPandasWithState across batches; the LAST emitted row per user
+  (max n_events) must equal the batch GROUP BY.
+- minhash_bucket_registry: dropDuplicates bucket state across batches;
+  the distinct (band, bkey) set must equal the batch computation's.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def _run_stream(df, output_mode: str):
+    """Execute a streaming frame with availableNow to a memory sink and
+    return (result_batch_df, n_nonempty_batches)."""
+    spark = df.sparkSession
+    name = "mb" + uuid.uuid4().hex[:10]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="omt-mb-"))
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return spark.table(name), n_batches
+
+
+def _split_source(spark, sf_dir: str, table: str, ts_fix: bool, tmp_path):
+    """Write the fixture table as 4 parquet files and return
+    (split_dir, batch_df) where batch_df reads the SAME split copy."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if ts_fix and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = str(tmp_path / f"{table}_split")
+    df.repartition(4).write.mode("overwrite").parquet(out)
+    return out, spark.read.parquet(out)
+
+
+def test_running_totals_multibatch_matches_batch(spark, sf_dir, tmp_path):
+    from openmaptiles_zh_modifier_spark.streaming.events import (
+        running_user_totals,
+    )
+
+    src, batch = _split_source(spark, sf_dir, "events", True, tmp_path)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        # session TZ is UTC so ntz->ltz is value-identical; watermarks
+        # require the TZ-aware type (same note as read_events_stream)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out, n_batches = _run_stream(running_user_totals(stream), "update")
+    assert n_batches >= 3, f"only {n_batches} micro-batches — not a replay"
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    expected = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    diff = final.exceptAll(expected).union(expected.exceptAll(final))
+    assert diff.count() == 0
+    # intermediate rows DID flow: users spanning several files emit
+    # once per batch they appear in, so update-mode output exceeds the
+    # per-user final row count
+    assert out.count() > final.count()
+
+
+def test_minhash_buckets_multibatch_matches_batch(spark, sf_dir, tmp_path):
+    from openmaptiles_zh_modifier_spark.streaming.events import (
+        minhash_bucket_registry,
+    )
+
+    src, batch = _split_source(spark, sf_dir, "documents", False, tmp_path)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out, n_batches = _run_stream(minhash_bucket_registry(stream), "append")
+    assert n_batches >= 3, f"only {n_batches} micro-batches — not a replay"
+
+    got = set(
+        (r["band"], r["bkey"])
+        for r in out.select("band", "bkey").distinct().collect()
+    )
+    want = set(
+        (r["band"], r["bkey"])
+        for r in minhash_bucket_registry(batch)
+        .select("band", "bkey")
+        .distinct()
+        .collect()
+    )
+    assert got == want
+    # bucket state held across batches: every (band, bkey) appears once
+    assert out.count() == len(got)
