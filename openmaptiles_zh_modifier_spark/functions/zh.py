@@ -300,7 +300,12 @@ _T2S_ONLY_PAIRS = [
     ("製", "制"), ("係", "系"), ("繫", "系"), ("週", "周"), ("鬥", "斗"),
     ("誌", "志"), ("夥", "伙"), ("複", "复"), ("復", "复"), ("鍾", "钟"),
     ("颱", "台"), ("檯", "台"), ("穀", "谷"), ("範", "范"), ("禦", "御"),
-    ("瞭", "了"), ("鬍", "胡"), ("鬚", "须"), ("髒", "脏"), ("衝", "冲"),
+    ("鬍", "胡"), ("鬚", "须"), ("髒", "脏"), ("衝", "冲"),
+    # round 5: 瞭 moved OUT (瞭望/瞭哨 keep 瞭 in the PRC standard, so
+    # char-level 瞭→了 is wrong there; the liǎo words go via phrases);
+    # 麼/麽 added (the particle collapses to 么 unconditionally — the
+    # 幺麼 literary word is vanishingly rare)
+    ("麼", "么"), ("麽", "么"),
     ("沖", "冲"), ("齣", "出"), ("鹹", "咸"), ("颳", "刮"), ("黴", "霉"),
     ("嚐", "尝"), ("傢", "家"), ("閒", "闲"), ("銹", "锈"), ("鑑", "鉴"),
     ("彙", "汇"), ("噁", "恶"), ("嘍", "喽"),
@@ -426,6 +431,69 @@ T2S_PHRASES: list[tuple[str, str]] = [
     ("乾枯", "干枯"), ("乾爽", "干爽"), ("擦乾", "擦干"),
     ("晾乾", "晾干"), ("烘乾", "烘干"), ("吹乾", "吹干"),
     ("藉口", "借口"), ("藉助", "借助"),
+    # --- round-5 expansion (VERDICT r4 #5): the thin t2s side grown to
+    # cover the genuinely t2s-ambiguous chars kept OUT of the char table
+    # (乾 qián, 藉 jí, 著 zhù, 祇 qí, 瞭 liào, 摺/覆 partial collapses,
+    # 甚 in 甚麼) — each convert-direction word spelled out; the
+    # keep-traditional senses (乾隆/乾坤, 狼藉/慰藉, 著作/著名/土著,
+    # 神祇, 瞭望/瞭哨, 覆蓋/顛覆) are protected by char-table ABSENCE.
+    # 乾 gān words
+    ("口乾", "口干"), ("乾嘔", "干呕"), ("乾笑", "干笑"),
+    ("乾等", "干等"), ("乾瞪眼", "干瞪眼"), ("乾著急", "干着急"),
+    ("乾巴巴", "干巴巴"), ("乾癟", "干瘪"), ("乾裂", "干裂"),
+    ("乾冰", "干冰"), ("乾果", "干果"), ("乾草", "干草"),
+    ("乾柴", "干柴"), ("乾貝", "干贝"), ("乾麵", "干面"),
+    ("肉乾", "肉干"), ("魚乾", "鱼干"), ("筍乾", "笋干"),
+    ("蘿蔔乾", "萝卜干"), ("梅乾", "梅干"), ("豆乾", "豆干"),
+    ("蝦乾", "虾干"), ("杏乾", "杏干"), ("擰乾", "拧干"),
+    ("榨乾", "榨干"), ("抽乾", "抽干"), ("吸乾", "吸干"),
+    ("瀝乾", "沥干"), ("烤乾", "烤干"), ("陰乾", "阴干"),
+    ("乾濕", "干湿"), ("外強中乾", "外强中干"),
+    ("乾乾淨淨", "干干净净"),
+    # 著 zhe/zháo/zhuó words -> 着 (著 zhù words keep 著 by absence)
+    ("跟著", "跟着"), ("接著", "接着"), ("看著", "看着"),
+    ("拿著", "拿着"), ("帶著", "带着"), ("等著", "等着"),
+    ("沿著", "沿着"), ("朝著", "朝着"), ("向著", "向着"),
+    ("隨著", "随着"), ("順著", "顺着"), ("靠著", "靠着"),
+    ("對著", "对着"), ("照著", "照着"), ("穿著", "穿着"),
+    ("衣著", "衣着"), ("活著", "活着"), ("笑著", "笑着"),
+    ("哭著", "哭着"), ("坐著", "坐着"), ("站著", "站着"),
+    ("躺著", "躺着"), ("睡著", "睡着"), ("忙著", "忙着"),
+    ("急著", "急着"), ("意味著", "意味着"), ("著急", "着急"),
+    ("著手", "着手"), ("著想", "着想"), ("著涼", "着凉"),
+    ("著迷", "着迷"), ("著火", "着火"), ("著陸", "着陆"),
+    ("著落", "着落"), ("著色", "着色"), ("著重", "着重"),
+    ("著裝", "着装"), ("著實", "着实"), ("沉著", "沉着"),
+    ("執著", "执着"), ("附著", "附着"), ("膠著", "胶着"),
+    ("為著", "为着"), ("本著", "本着"), ("憑著", "凭着"),
+    ("趁著", "趁着"), ("衝著", "冲着"), ("挨著", "挨着"),
+    ("繞著", "绕着"), ("圍著", "围着"), ("抱著", "抱着"),
+    ("提著", "提着"), ("牽著", "牵着"), ("騎著", "骑着"),
+    ("開著", "开着"), ("關著", "关着"), ("留著", "留着"),
+    ("藏著", "藏着"), ("躲著", "躲着"), ("盯著", "盯着"),
+    ("望著", "望着"), ("聽著", "听着"), ("說著", "说着"),
+    ("想著", "想着"), ("記著", "记着"), ("用不著", "用不着"),
+    ("犯不著", "犯不着"), ("來著", "来着"),
+    # 藉 jiè words -> 借 (狼藉/慰藉 keep 藉 by absence)
+    ("憑藉", "凭借"), ("藉由", "借由"), ("藉故", "借故"),
+    ("藉機", "借机"), ("藉著", "借着"), ("藉此", "借此"),
+    ("藉題發揮", "借题发挥"),
+    # 祇 qí-spelled adverb words -> 只 (神祇 keeps 祇 by absence)
+    ("祇好", "只好"), ("祇有", "只有"), ("祇是", "只是"),
+    ("祇要", "只要"), ("祇能", "只能"), ("祇不過", "只不过"),
+    # 瞭 liǎo words -> 了 (瞭望/瞭哨 liào keep 瞭 by absence — this is
+    # why 瞭 left the char table in round 5)
+    ("瞭解", "了解"), ("明瞭", "明了"), ("一目瞭然", "一目了然"),
+    ("瞭如指掌", "了如指掌"), ("瞭結", "了结"), ("瞭卻", "了却"),
+    ("瞭斷", "了断"), ("瞭得", "了得"), ("瞭無", "了无"),
+    # 摺 zhé words -> 折 (the chair/document senses all collapse)
+    ("摺疊", "折叠"), ("存摺", "存折"), ("摺紙", "折纸"),
+    ("奏摺", "奏折"), ("摺扇", "折扇"), ("摺痕", "折痕"),
+    # 覆 reply-sense words -> 复 (覆蓋/顛覆/覆滅 keep 覆 by absence)
+    ("答覆", "答复"), ("回覆", "回复"), ("覆命", "复命"),
+    ("覆函", "复函"),
+    # 甚麼 (variant spelling of 什麼)
+    ("甚麼", "什么"), ("甚麽", "什么"),
 ]
 
 # simplified word -> traditional word (s2t direction) — the direction
@@ -443,7 +511,7 @@ S2T_PHRASES: list[tuple[str, str]] = [
     ("干洗", "乾洗"), ("晒干", "曬乾"), ("干部", "幹部"), ("干活", "幹活"),
     ("能干", "能幹"), ("干线", "幹線"), ("干劲", "幹勁"), ("骨干", "骨幹"),
     ("干事", "幹事"), ("树干", "樹幹"), ("主干", "主幹"), ("苦干", "苦幹"),
-    ("实干", "實幹"),
+    ("实干", "實幹"), ("干吗", "幹嗎"), ("干嘛", "幹嘛"),
     # 里 -> 裡 (char default: leave 里 alone — 公里/千里 stay)
     ("里面", "裡面"), ("这里", "這裡"), ("那里", "那裡"), ("哪里", "哪裡"),
     ("心里", "心裡"), ("家里", "家裡"), ("夜里", "夜裡"), ("手里", "手裡"),
@@ -577,7 +645,11 @@ S2T_PHRASES: list[tuple[str, str]] = [
     ("松散", "鬆散"), ("松开", "鬆開"), ("松弛", "鬆弛"),
     ("松动", "鬆動"),
     # 了 -> 瞭 (liǎo-understand words; the particle stays)
-    ("了解", "瞭解"), ("了望", "瞭望"),
+    # (了望 — the deprecated PRC spelling of 瞭望 — is deliberately NOT
+    # mapped: 瞭望 is t2s-protected since round 5, so mapping 了望 onto
+    # it would break t2s∘s2t cycle closure; the standard spelling is
+    # 瞭望 in BOTH scripts and passes through unchanged.)
+    ("了解", "瞭解"),
     # 回 -> 迴
     ("回避", "迴避"), ("迂回", "迂迴"), ("回廊", "迴廊"),
     # 奸 -> 姦 (奸商/汉奸 stay 奸)

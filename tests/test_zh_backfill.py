@@ -276,9 +276,35 @@ _OPENCC_FIXTURE = [
     ("鞦韆", "t2s", "秋千", "秋千"),
     ("藉口", "t2s", "借口", "借口"),
     ("慰藉", "t2s", "慰藉", "慰藉"),  # 慰藉 keeps 藉 in simplified
+    # -- round-5 expansion: the grown t2s side (著/藉/祇/瞭/摺/覆/麼) -------
+    ("隨著", "t2s", "随着", "随着"),    # 著 zhe -> 着 via phrase
+    ("睡著", "t2s", "睡着", "睡着"),    # 著 zháo -> 着 via phrase
+    ("執著", "t2s", "执着", "执着"),    # PRC standard prefers 执着
+    ("著名", "t2s", "著名", "著名"),    # 著 zhù keeps 著 (char absent)
+    ("土著", "t2s", "土著", "土著"),    # 土著 keeps 著
+    ("憑藉", "t2s", "凭借", "凭借"),    # 藉 jiè -> 借 via phrase
+    ("狼藉", "t2s", "狼藉", "狼藉"),    # 藉 jí keeps 藉
+    ("瞭解", "t2s", "了解", "了解"),    # 瞭 liǎo -> 了 via phrase
+    ("瞭望", "t2s", "瞭望", "瞭望"),    # 瞭 liào keeps 瞭 (round 5: char
+                                        # pair removed — was wrongly 了望)
+    ("一目瞭然", "t2s", "一目了然", "一目了然"),
+    ("什麼", "t2s", "什么", "什么"),    # 麼 -> 么 (round-5 char pair)
+    ("怎麼", "t2s", "怎么", "怎么"),
+    ("甚麼", "t2s", "什么", "什么"),    # variant spelling via phrase
+    ("祇有", "t2s", "只有", "只有"),    # 祇 adverb -> 只 via phrase
+    ("神祇", "t2s", "神祇", "神祇"),    # 神祇 keeps 祇
+    ("存摺", "t2s", "存折", "存折"),
+    ("答覆", "t2s", "答复", "答复"),
+    ("覆蓋", "t2s", "覆盖", "覆盖"),    # 覆 keeps 覆 outside reply words
+    ("乾乾淨淨", "t2s", "干干净净", "干干净净"),  # needs the 4-char entry
+    ("乾坤", "t2s", "乾坤", "乾坤"),    # classical 乾 qián stays
+    ("口乾", "t2s", "口干", "口干"),
+    ("麵粉", "t2s", "面粉", "面粉"),    # 麵 char pair
+    ("干吗", "s2t", "幹嗎", "幹嗎"),    # round 5: now in-vocabulary
+    ("干嘛", "s2t", "幹嘛", "幹嘛"),    # round 5: now in-vocabulary
     # -- residual divergences: words OUTSIDE the phrase vocabulary ----------
-    ("干吗", "s2t", "幹嗎", "干嗎"),    # OOV word: 干 stays unconverted
     ("理了发", "s2t", "理了髮", "理了發"),  # OOV split word: 发→發 fallback
+    ("瞭然", "t2s", "了然", "瞭然"),    # OOV 瞭-word: stays (char absent)
 ]
 
 
@@ -307,9 +333,10 @@ def test_opencc_divergence_envelope(spark):
             diverged.append(w)
     # the measured envelope: the phrase pre-pass resolves every
     # in-vocabulary word-level case; only out-of-vocabulary ambiguous
-    # words still diverge (2/53), each falling back to the char table
-    assert len(_OPENCC_FIXTURE) >= 50
-    assert diverged == ["干吗", "理了发"]
+    # words still diverge, each falling back to the char table (or to
+    # identity where the ambiguous char is deliberately absent from it)
+    assert len(_OPENCC_FIXTURE) >= 80
+    assert diverged == ["理了发", "瞭然"]
 
 
 def test_updates_frame_with_tags_consistent(spark, lattice_df):
