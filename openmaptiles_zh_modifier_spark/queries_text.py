@@ -1585,3 +1585,107 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def boilerplate_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact the next pipeline stage consumes: each document with
+    its boilerplate segments REMOVED and the kept segments reassembled
+    in original order (``posexplode`` carries position through the
+    corpus-wide DF join; ``array_sort(collect_list(struct(pos, seg)))``
+    restores it — collect_list order is otherwise nondeterministic under
+    shuffles). Documents whose every segment is boilerplate (or that had
+    no tokens) come back with clean_text = ''.
+
+    Scale shape: identical to q_boilerplate_segments (one explode, one
+    hash-keyed combinable DF aggregate, one segment-key equi-join) plus
+    a per-doc collect_list whose state is bounded by document length —
+    the same bound the source row already occupies."""
+    docs = load(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n_seg = F.ceil(F.size(tk) / SEG_TOKENS).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda j: F.concat_ws(
+            " ", F.slice(tk, j * SEG_TOKENS + 1, SEG_TOKENS)
+        ),
+    )
+    segs = docs.select(
+        "doc_id", "source", F.posexplode(seg_arr).alias("pos", "seg")
+    )
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    segs = memo_frame_lazy(spark, f"boiler_psegs:{sf_dir}", lambda: segs)
+    df = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("d"))
+    kept = (
+        segs.join(df, "seg")
+        .where(F.col("d") <= SEG_DF_MAX)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "q_boilerplate_cleaned",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+segs AS (
+  -- array_to_string, NOT concat_ws: concat_ws on a LIST argument
+  -- renders the list literal ("[a, b]"), which only works in the
+  -- segments manifest because the mangling is a bijection — here the
+  -- string itself is the output
+  SELECT doc_id, source, j,
+         array_to_string(
+              tk[j * {SEG_TOKENS} + 1 :
+                 LEAST((j + 1) * {SEG_TOKENS}, len(tk))], ' ') AS seg
+  FROM t, LATERAL unnest(generate_series(0,
+           (len(tk) + {SEG_TOKENS - 1}) // {SEG_TOKENS} - 1)) AS u(j)
+),
+df AS (SELECT seg, COUNT(DISTINCT doc_id) AS d FROM segs GROUP BY seg),
+kept AS (
+  SELECT s.doc_id,
+         string_agg(s.seg, ' ' ORDER BY s.j) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM segs s JOIN df ON df.seg = s.seg
+  WHERE df.d <= {SEG_DF_MAX}
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id, t.source,
+       md5(COALESCE(kept.clean_text, '')) AS clean_md5,
+       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def q_boilerplate_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for ``boilerplate_cleaned_docs``: the reassembled
+    cleaned text, md5-projected because the driver gate compares
+    scalars — the hash pins the full string byte-for-byte cross-engine
+    (tests additionally compare the raw strings at fixture scale)."""
+    out = boilerplate_cleaned_docs(spark, sf_dir)
+    return out.select(
+        "doc_id",
+        "source",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_kept",
+    ).orderBy("doc_id")
