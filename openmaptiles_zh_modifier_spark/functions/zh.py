@@ -681,6 +681,10 @@ S2T_PHRASES: list[tuple[str, str]] = [
     ("上周", "上週"), ("每周", "每週"), ("周一", "週一"),
     ("周二", "週二"), ("周三", "週三"), ("周四", "週四"),
     ("周五", "週五"), ("周六", "週六"), ("周日", "週日"),
+    # round-5 probe-found gaps (tests/test_zh_backfill.py envelope)
+    ("一周", "一週"), ("两周", "兩週"), ("本周", "本週"),
+    ("周转", "週轉"), ("往后", "往後"), ("后代", "後代"),
+    ("汤面", "湯麵"), ("凉面", "涼麵"), ("方便面", "方便麵"),
     # 志 more
     ("墓志铭", "墓誌銘"),
     # 余 more

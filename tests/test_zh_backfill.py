@@ -302,9 +302,20 @@ _OPENCC_FIXTURE = [
     ("麵粉", "t2s", "面粉", "面粉"),    # 麵 char pair
     ("干吗", "s2t", "幹嗎", "幹嗎"),    # round 5: now in-vocabulary
     ("干嘛", "s2t", "幹嘛", "幹嘛"),    # round 5: now in-vocabulary
+    # -- round-5 probe-found additions ---------------------------------------
+    ("一周", "s2t", "一週", "一週"),
+    ("往后", "s2t", "往後", "往後"),
+    ("汤面", "s2t", "湯麵", "湯麵"),
+    ("周围", "s2t", "周圍", "周圍"),    # 周 stays — only week-words take 週
+    ("几个", "s2t", "幾個", "幾個"),    # 几→幾 char default
     # -- residual divergences: words OUTSIDE the phrase vocabulary ----------
     ("理了发", "s2t", "理了髮", "理了發"),  # OOV split word: 发→發 fallback
     ("瞭然", "t2s", "了然", "瞭然"),    # OOV 瞭-word: stays (char absent)
+    ("茶几", "s2t", "茶几", "茶幾"),    # 几→幾 char default wins on
+                                        # frequency (几个/几乎/几何…);
+                                        # the rare furniture word loses —
+                                        # same trade OpenCC's char table
+                                        # makes before its exception list
 ]
 
 
@@ -336,7 +347,7 @@ def test_opencc_divergence_envelope(spark):
     # words still diverge, each falling back to the char table (or to
     # identity where the ambiguous char is deliberately absent from it)
     assert len(_OPENCC_FIXTURE) >= 80
-    assert diverged == ["理了发", "瞭然"]
+    assert diverged == ["理了发", "瞭然", "茶几"]
 
 
 def test_updates_frame_with_tags_consistent(spark, lattice_df):
