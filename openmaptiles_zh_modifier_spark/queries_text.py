@@ -1765,35 +1765,34 @@ def substring_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_df = base.select(
         "doc_id", F.posexplode("tk").alias("pos", "tok")
     )
-    kept = toks_df.join(
+    # one left join + ONE aggregate produces every output column: total
+    # token count, covered count, and the ordered reassembly of the
+    # uncovered tokens (collect_list skips the NULLed-out covered ones)
+    # — no anti-join, no second documents scan for per-doc totals
+    marked = toks_df.join(
         covered,
         (toks_df.doc_id == covered.doc_id) & (toks_df.pos == covered.tpos),
-        "left_anti",
-    )
-    clean = kept.groupBy("doc_id").agg(
+        "left",
+    ).select(toks_df.doc_id.alias("doc_id"), "pos", "tok", "tpos")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tpos").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
         F.concat_ws(
             " ",
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    F.collect_list(
+                        F.when(
+                            F.col("tpos").isNull(),
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
                 ),
                 lambda x: x["tok"],
             ),
-        ).alias("clean_text")
-    )
-    n_removed = covered.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_removed")
-    )
-    return (
-        base.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
-        .join(clean, "doc_id", "left")
-        .join(n_removed, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        )
+        ).alias("clean_text"),
     )
 
 

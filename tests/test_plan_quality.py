@@ -88,3 +88,24 @@ def test_stream_join_state_key_carries_time_bucket(spark, sf_dir):
         assert "c_bucket#" in cond and "p_bucket#" in cond, (
             f"{how} join condition lost the hour-bucket state key: {cond}"
         )
+
+
+def test_span_clean_memoizes_window_explode(spark, sf_dir):
+    """q_substring_span_clean derives the span DF AND the coverage join
+    from one memoized span frame — the K-per-token window explode must
+    not be recomputed per consumer, and the coverage join must be an
+    equi-join (never a cartesian)."""
+    plan = _plan(QUERIES["q_substring_span_clean"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # the memoized span frame
+    # only the token posexplode re-reads documents; the span explode
+    # branches come from cache (2 scans would mean the memo regressed)
+    assert plan.count("documents.parquet") <= 2
+
+
+def test_boilerplate_cleaned_no_cartesian_and_partial_agg(spark, sf_dir):
+    """The cleaned-text reassembly joins segments on their key and
+    aggregates per doc with a partial (map-side) aggregate."""
+    plan = _plan(QUERIES["q_boilerplate_cleaned"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
