@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "q_dedup_minhash_lsh",
     "q_stream_tumbling",
     "q_stream_stream_join",
+    # round-5 additions: the cleaned-text passes (token-explode-bound;
+    # the 3x replica set makes every doc an exact triple, so the span
+    # pass marks ~everything — the worst-case coverage-explode shape)
+    "q_boilerplate_cleaned",
+    "q_substring_span_clean",
 ]
 
 
