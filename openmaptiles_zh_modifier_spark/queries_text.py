@@ -1718,10 +1718,23 @@ def substring_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle portable) — the suffix-array construction in the
     paper is the single-machine shape; banded hashing is the cluster one.
     """
+    docs = load(spark, sf_dir, "documents")
+    return substring_clean_frame(
+        docs, k=SPAN_TOKENS, memo_key=f"xsubstr_spans:{sf_dir}"
+    )
+
+
+def substring_clean_frame(
+    docs: DataFrame, k: int = SPAN_TOKENS, memo_key: str | None = None
+) -> DataFrame:
+    """The span-removal plan over an arbitrary (doc_id, text) frame —
+    the registered query binds it to the fixture; the hypothesis
+    property test drives it over generated corpora against a
+    pure-Python reference."""
     from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
 
-    K = SPAN_TOKENS
-    docs = load(spark, sf_dir, "documents")
+    spark = docs.sparkSession
+    K = k
     tk = tokens(F.col("text"))
     base = docs.select("doc_id", tk.alias("tk"))
 
@@ -1745,7 +1758,10 @@ def substring_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh")
         )
 
-    spans = memo_frame_lazy(spark, f"xsubstr_spans:{sf_dir}", build_spans)
+    if memo_key is not None:
+        spans = memo_frame_lazy(spark, memo_key, build_spans)
+    else:
+        spans = build_spans()
     dup = (
         spans.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("d"))
