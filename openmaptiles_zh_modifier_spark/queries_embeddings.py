@@ -1215,3 +1215,111 @@ def pq_recall_vs_exact(
         )
         .orderBy("qid")
     )
+
+
+# -------------------------------------------------------------------------
+# Embedding drift / class-separation monitor: centroid cosine matrix
+# -------------------------------------------------------------------------
+
+CENT_Q = 10_000  # centroid quantization scale (4 decimals per component)
+
+
+@register(
+    "q_embed_class_drift",
+    oracle=f"""
+WITH v AS (
+  SELECT label, u.j AS dim,
+         CAST(ROUND(embedding[u.j + 1]::DOUBLE * {CENT_Q}) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(generate_series(0, {DIM - 1})) AS u(j)
+),
+s AS (SELECT label, dim, SUM(q) AS s, COUNT(*) AS n FROM v GROUP BY 1, 2),
+norms AS (SELECT label, SUM(s * s) AS n2, MAX(n) AS n_vecs FROM s GROUP BY 1),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.s * b.s) AS dot
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b,
+       CAST(na.n_vecs AS BIGINT) AS n_a,
+       CAST(nb.n_vecs AS BIGINT) AS n_b,
+       ROUND(d.dot / sqrt(na.n2 * nb.n2), 4) AS centroid_cos
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+ORDER BY d.label_a, d.label_b
+""",
+)
+def q_embed_class_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift / class-separation monitor: the pairwise cosine
+    between per-class CENTROIDS — the matrix an embedding pipeline
+    watches across snapshots (drifting classes converge, corrupted
+    encoders collapse everything toward one direction). Cosine of means
+    is scale-invariant, so it is computed directly on per-class
+    component SUMS — and those sums are made ORDER-INDEPENDENT by
+    quantizing each component to {CENT_Q} (4 decimals) first: integer
+    addition commutes, so a distributed shuffle-order change can never
+    flip the gate hash, while double summation would be
+    non-associative. The only floating point is the final dot/sqrt on
+    one pair of exact integers, rounded once.
+
+    Scale shape: one posexplode pass (64 rows per vector) into a
+    map-side-combinable (label, dim) integer-sum aggregate — the state
+    is classes x dims longs regardless of corpus size; the pair join is
+    over that tiny aggregate, never the corpus."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(_dvec("embedding")).alias("dim", "x")
+    )
+    s = v.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("x") * CENT_Q).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    s = memo_frame_lazy(spark, f"class_drift_s:{sf_dir}", lambda: s)
+    norms = s.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("n2"),
+        F.max("n").alias("n_vecs"),
+    )
+    a = s.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = s.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"),
+        F.col("n2").alias("na2"),
+        F.col("n_vecs").alias("n_a"),
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"),
+        F.col("n2").alias("nb2"),
+        F.col("n_vecs").alias("n_b"),
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            # cast BEFORE the product: na2*nb2 overflows long (~1e29);
+            # each factor is < 2^53 so the doubles are exact and the
+            # product rounds identically to DuckDB's HUGEINT->double
+            F.round(
+                F.col("dot")
+                / F.sqrt(
+                    F.col("na2").cast("double") * F.col("nb2").cast("double")
+                ),
+                4,
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )
