@@ -1319,3 +1319,109 @@ def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index between experiment arms
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_BIN_W = 50  # value-units per bin (events.value spans ~0-490)
+
+
+@register(
+    "q_psi_arms",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         user_id % 2 AS arm,
+         LEAST(CAST(FLOOR(value / {PSI_BIN_W}) AS BIGINT), {PSI_BINS - 1})
+           AS bin
+  FROM events
+),
+bc AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cb
+  FROM e GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb
+  FROM bc GROUP BY 1
+),
+contrib AS (
+  SELECT bc.event_type, bc.bin, tot.na, tot.nb,
+         (((bc.ca + 1.0) / (tot.na + {PSI_BINS}))
+            - ((bc.cb + 1.0) / (tot.nb + {PSI_BINS})))
+           * ROUND(ln(((bc.ca + 1.0) / (tot.na + {PSI_BINS}))
+                      / ((bc.cb + 1.0) / (tot.nb + {PSI_BINS}))), 6) AS c
+  FROM bc JOIN tot ON tot.event_type = bc.event_type
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_arm_a,
+       CAST(nb AS BIGINT) AS n_arm_b,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY bin)),
+                         (acc, x) -> acc + x), 6) AS psi
+FROM contrib GROUP BY event_type, na, nb
+ORDER BY event_type
+""",
+)
+def q_psi_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between experiment arms — the standard
+    ML-monitoring drift statistic (PSI = sum (p_a - p_b) ln(p_a/p_b)
+    over value bins; rule of thumb: <0.1 stable, >0.25 shifted), here
+    comparing the metric distribution across a deterministic
+    user-parity assignment per event type — the A/B guardrail that
+    catches assignment bias or metric-pipeline divergence between arms.
+    Laplace-smoothed so empty bins are defined.
+
+    Determinism (the q_source_kl pattern): bin counts are exact
+    integers so every p is an exact double ratio; the single
+    transcendental per bin is ROUNDed at 6 dp BEFORE the product; the
+    per-type sum folds in bin order (F.aggregate == list_reduce).
+
+    Scale shape: one scan into a (type, bin) map-side-combinable count
+    with conditional-sum arm pivoting (no second pass per arm), a tiny
+    per-type totals join, and a fold over <= {PSI_BINS} rows per type.
+    The only corpus-sized shuffle is the (type, bin) count."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_W).cast("long"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    bc = e.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = bc.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + F.lit(1.0)) / (F.col("na") + F.lit(PSI_BINS))
+    pb = (F.col("cb") + F.lit(1.0)) / (F.col("nb") + F.lit(PSI_BINS))
+    contrib = bc.join(F.broadcast(tot), "event_type").select(
+        "event_type", "bin", "na", "nb",
+        ((pa - pb) * F.round(F.log(pa / pb), 6)).alias("c"),
+    )
+    return (
+        contrib.groupBy("event_type", "na", "nb")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("bin", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ),
+                6,
+            ).alias("psi")
+        )
+        .select(
+            "event_type",
+            F.col("na").cast("long").alias("n_arm_a"),
+            F.col("nb").cast("long").alias("n_arm_b"),
+            "psi",
+        )
+        .orderBy("event_type")
+    )
