@@ -1425,3 +1425,107 @@ def q_psi_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_welch_ttest",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         user_id % 2 AS arm,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+         SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS sa,
+         SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS sb,
+         SUM(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS qa,
+         SUM(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS qb
+  FROM e GROUP BY 1
+),
+v AS (
+  SELECT event_type, na, nb,
+         (sa / CAST(na AS DOUBLE)) AS ma,
+         (sb / CAST(nb AS DOUBLE)) AS mb,
+         ((qa - (sa / CAST(na AS DOUBLE)) * sa) / (na - 1)) / na AS va_n,
+         ((qb - (sb / CAST(nb AS DOUBLE)) * sb) / (nb - 1)) / nb AS vb_n
+  FROM s
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       ROUND((ma - mb) / 100, 4) AS mean_diff,
+       ROUND((ma - mb) / sqrt(va_n + vb_n), 4) AS t_stat,
+       ROUND((va_n + vb_n) * (va_n + vb_n)
+             / (va_n * va_n / (na - 1) + vb_n * vb_n / (nb - 1)), 2)
+         AS welch_df
+FROM v
+ORDER BY event_type
+""",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between experiment arms per event
+    type — the companion to q_psi_arms (PSI says the DISTRIBUTION moved;
+    the t-test says whether the MEAN difference clears sampling noise),
+    with the Welch-Satterthwaite effective degrees of freedom.
+
+    Determinism: values quantized to exact integer cents; per-arm n,
+    sum, and sum-of-squares are integer aggregates (order-independent,
+    < 2^53 so exact as doubles); mean/variance/t/df are then one fixed
+    expression tree over exact inputs, mirrored token-for-token in the
+    oracle — bit-identical before the presentation ROUND. Variance uses
+    (q - m*s)/(n-1) (the one-pass sufficient-statistics form), never a
+    second centered pass.
+
+    Scale shape: ONE scan, one map-side-combinable conditional-sum
+    aggregate per event type (6 longs of state per type); everything
+    after operates on a handful of rows."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0)).alias("sb"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("qa"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("qb"),
+    )
+    ma = F.col("sa") / F.col("na").cast("double")
+    mb = F.col("sb") / F.col("nb").cast("double")
+    va_n = ((F.col("qa") - ma * F.col("sa")) / (F.col("na") - 1)) / F.col("na")
+    vb_n = ((F.col("qb") - mb * F.col("sb")) / (F.col("nb") - 1)) / F.col("nb")
+    v = s.select(
+        "event_type", "na", "nb",
+        ma.alias("ma"), mb.alias("mb"),
+        va_n.alias("va_n"), vb_n.alias("vb_n"),
+    )
+    return v.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round((F.col("ma") - F.col("mb")) / 100, 4).alias("mean_diff"),
+        F.round(
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.col("va_n") + F.col("vb_n")),
+            4,
+        ).alias("t_stat"),
+        F.round(
+            (F.col("va_n") + F.col("vb_n"))
+            * (F.col("va_n") + F.col("vb_n"))
+            / (
+                F.col("va_n") * F.col("va_n") / (F.col("na") - 1)
+                + F.col("vb_n") * F.col("vb_n") / (F.col("nb") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    ).orderBy("event_type")
