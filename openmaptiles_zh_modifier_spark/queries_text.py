@@ -1280,15 +1280,14 @@ tots AS (
 ),
 r AS (
   SELECT rawb.b,
-         ROUND(ln(((COALESCE(tgtb.ct, 0) + 1.0) / (tots.t + {DSIR_BUCKETS}))
-                  / ((rawb.cq + 1.0) / (tots.q + {DSIR_BUCKETS}))), 6) AS lr
+         CAST(ROUND(ln(((COALESCE(tgtb.ct, 0) + 1.0) / (tots.t + {DSIR_BUCKETS}))
+                       / ((rawb.cq + 1.0) / (tots.q + {DSIR_BUCKETS})))
+                    * 1000000) AS BIGINT) AS lr_micro
   FROM rawb LEFT JOIN tgtb ON tgtb.b = rawb.b CROSS JOIN tots
 ),
 scored AS (
   SELECT fb.doc_id,
-         ROUND(list_reduce(
-             list_prepend(0.0::DOUBLE, list(fb.c * r.lr ORDER BY fb.b)),
-             (acc, x) -> acc + x), 4) AS score
+         ROUND(SUM(fb.c * r.lr_micro) / 1000000.0, 4) AS score
   FROM fb JOIN r ON r.b = fb.b
   GROUP BY fb.doc_id
 )
@@ -1312,11 +1311,14 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the paper's Gumbel resampling (an RNG-free engine has no seeded
     sampler both engines share; the WEIGHTS are what the method is).
 
-    Determinism (the q_source_kl pattern): counts are exact integers, so
-    every probability is an exact double ratio; the single
-    transcendental per bucket is ROUNDed at 6 dp BEFORE use; the per-doc
-    sum folds in bucket order (F.aggregate == list_reduce) — the score
-    is bit-identical cross-engine before the presentation ROUND.
+    Determinism: counts are exact integers, so every probability is an
+    exact double ratio; the single transcendental per bucket is scaled
+    to MICRO-units and rounded to a LONG (lr_micro) — the per-doc score
+    is then an exact INTEGER sum c*lr_micro (order-independent,
+    map-side-combinable, whole-stage codegen), divided once at the end.
+    Round 5: this replaced a per-doc collect_list + sorted interpreted
+    fold (the determinism held but cost ~1.9 s of the query's 2.8 s at
+    sf0.1; the integer sum needs no ordering to be deterministic).
 
     Scale shape: one gram explode -> one (doc, bucket) map-side-
     combinable count; the two LMs are {DSIR_BUCKETS}-row aggregates that
@@ -1343,29 +1345,42 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
 
     fb = memo_frame_lazy(spark, f"dsir_fb:{sf_dir}", lambda: fb)
-    rawb = fb.groupBy("b").agg(F.sum("c").alias("cq"))
-    tgtb = (
-        fb.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.sum("c").alias("ct"))
+    # BOTH bucket LMs (raw corpus + target slice) in ONE pass over fb
+    # via a conditional sum, memoized as a {DSIR_BUCKETS}-row frame:
+    # round 5 — the previous rawb/tgtb/tots/r subtrees each re-scanned
+    # the cached corpus-sized fb (5 scans ≈ 1.5 s at sf0.1); everything
+    # below now derives from these 128 cached rows, leaving exactly one
+    # fb scan in the scoring join.
+    bstats = memo_frame_lazy(
+        spark,
+        f"dsir_bstats:{sf_dir}",
+        lambda: fb.groupBy("b").agg(
+            F.sum("c").alias("cq"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c"))
+                .otherwise(0)
+            ).alias("ct"),
+        ),
     )
-    tots = rawb.agg(F.sum("cq").alias("q")).crossJoin(
-        tgtb.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t"))
+    tots = bstats.agg(
+        F.sum("cq").alias("q"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("t"),
     )
     r = (
-        rawb.join(tgtb, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        bstats.crossJoin(F.broadcast(tots))
         .select(
             "b",
             F.round(
                 F.log(
-                    ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    ((F.col("ct") + F.lit(1.0))
                      / (F.col("t") + F.lit(DSIR_BUCKETS)))
                     / ((F.col("cq") + F.lit(1.0))
                        / (F.col("q") + F.lit(DSIR_BUCKETS)))
-                ),
-                6,
-            ).alias("lr"),
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_micro"),
         )
     )
     scored = (
@@ -1373,16 +1388,7 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("b", (F.col("c") * F.col("lr")).alias("x"))
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["x"],
-                ),
-                4,
+                F.sum(F.col("c") * F.col("lr_micro")) / 1_000_000.0, 4
             ).alias("score")
         )
     )
