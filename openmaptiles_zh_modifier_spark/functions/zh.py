@@ -287,6 +287,9 @@ _T2S_PAIRS = [
     ("涼", "凉"), ("則", "则"), ("備", "备"), ("夾", "夹"), ("報", "报"),
     ("勁", "劲"), ("強", "强"), ("搶", "抢"), ("蕩", "荡"), ("亂", "乱"),
     ("脫", "脱"), ("蔥", "葱"),
+    # round-5 map-domain probe: unambiguous 1:1 chars the table missed
+    # (码头/山脉/温泉 diverged)
+    ("碼", "码"), ("脈", "脉"), ("溫", "温"),
 ]
 
 # Traditional chars that safely simplify but whose SIMPLIFIED form must
@@ -328,6 +331,7 @@ _T2S_ONLY_PAIRS = [
     # and the traditional form comes only via phrases)
     ("捨", "舍"), ("捲", "卷"), ("兇", "凶"), ("倖", "幸"),
     ("僱", "雇"), ("託", "托"), ("嚥", "咽"), ("迴", "回"),
+    ("樑", "梁"),  # surname/place 梁 stays 梁 in s2t; 橋樑 via phrases
 ]
 
 # Simplified chars whose DEFAULT traditional form is not the reverse of
@@ -685,6 +689,9 @@ S2T_PHRASES: list[tuple[str, str]] = [
     ("一周", "一週"), ("两周", "兩週"), ("本周", "本週"),
     ("周转", "週轉"), ("往后", "往後"), ("后代", "後代"),
     ("汤面", "湯麵"), ("凉面", "涼麵"), ("方便面", "方便麵"),
+    # 梁 -> 樑 (structural-beam words; the surname/place name stays 梁)
+    ("桥梁", "橋樑"), ("栋梁", "棟樑"), ("房梁", "房樑"),
+    ("顶梁柱", "頂樑柱"), ("梁柱", "樑柱"),
     # 志 more
     ("墓志铭", "墓誌銘"),
     # 余 more
