@@ -288,8 +288,8 @@ _T2S_PAIRS = [
     ("勁", "劲"), ("強", "强"), ("搶", "抢"), ("蕩", "荡"), ("亂", "乱"),
     ("脫", "脱"), ("蔥", "葱"),
     # round-5 map-domain probe: unambiguous 1:1 chars the table missed
-    # (码头/山脉/温泉 diverged)
-    ("碼", "码"), ("脈", "脉"), ("溫", "温"),
+    # (码头/山脉/温泉/殡仪馆 diverged)
+    ("碼", "码"), ("脈", "脉"), ("溫", "温"), ("殯", "殡"),
 ]
 
 # Traditional chars that safely simplify but whose SIMPLIFIED form must
@@ -692,6 +692,12 @@ S2T_PHRASES: list[tuple[str, str]] = [
     # 梁 -> 樑 (structural-beam words; the surname/place name stays 梁)
     ("桥梁", "橋樑"), ("栋梁", "棟樑"), ("房梁", "房樑"),
     ("顶梁柱", "頂樑柱"), ("梁柱", "樑柱"),
+    # 迹 -> 蹟 / 跡 (word decides; the char is t2s-only for this reason)
+    ("古迹", "古蹟"), ("奇迹", "奇蹟"), ("事迹", "事蹟"),
+    ("遗迹", "遺蹟"), ("痕迹", "痕跡"), ("足迹", "足跡"),
+    ("踪迹", "蹤跡"), ("轨迹", "軌跡"), ("迹象", "跡象"),
+    ("笔迹", "筆跡"), ("血迹", "血跡"), ("绝迹", "絕跡"),
+    ("销声匿迹", "銷聲匿跡"),
     # 志 more
     ("墓志铭", "墓誌銘"),
     # 余 more

@@ -303,6 +303,13 @@ _OPENCC_FIXTURE = [
     ("干吗", "s2t", "幹嗎", "幹嗎"),    # round 5: now in-vocabulary
     ("干嘛", "s2t", "幹嘛", "幹嘛"),    # round 5: now in-vocabulary
     # -- round-5 probe-found additions ---------------------------------------
+    ("码头", "s2t", "碼頭", "碼頭"),    # 碼 char pair was missing entirely
+    ("温泉", "s2t", "溫泉", "溫泉"),
+    ("桥梁", "s2t", "橋樑", "橋樑"),    # beam words take 樑
+    ("梁山", "s2t", "梁山", "梁山"),    # surname/place 梁 stays
+    ("奇迹", "s2t", "奇蹟", "奇蹟"),    # 迹 fans out 蹟/跡 by word
+    ("痕迹", "s2t", "痕跡", "痕跡"),
+    ("殡仪馆", "s2t", "殯儀館", "殯儀館"),
     ("一周", "s2t", "一週", "一週"),
     ("往后", "s2t", "往後", "往後"),
     ("汤面", "s2t", "湯麵", "湯麵"),
