@@ -1607,6 +1607,26 @@ def boilerplate_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-doc collect_list whose state is bounded by document length —
     the same bound the source row already occupies."""
     docs = load(spark, sf_dir, "documents")
+    return boilerplate_clean_frame(
+        docs, memo_key=f"boiler_psegs:{sf_dir}"
+    )
+
+
+def boilerplate_clean_frame(
+    docs: DataFrame,
+    seg_tokens: int = SEG_TOKENS,
+    df_max: int = SEG_DF_MAX,
+    memo_key: str | None = None,
+) -> DataFrame:
+    """The segment-removal plan over an arbitrary (doc_id, source, text)
+    frame — the registered query binds it to the fixture; the hypothesis
+    property test drives it over generated corpora against a pure-Python
+    reference."""
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    spark = docs.sparkSession
+    SEG_TOKENS = seg_tokens
+    SEG_DF_MAX = df_max
     tk = tokens(F.col("text"))
     n_seg = F.ceil(F.size(tk) / SEG_TOKENS).cast("int")
     seg_arr = F.transform(
@@ -1618,9 +1638,8 @@ def boilerplate_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = docs.select(
         "doc_id", "source", F.posexplode(seg_arr).alias("pos", "seg")
     )
-    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
-
-    segs = memo_frame_lazy(spark, f"boiler_psegs:{sf_dir}", lambda: segs)
+    if memo_key is not None:
+        segs = memo_frame_lazy(spark, memo_key, lambda: segs)
     df = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("d"))
     kept = (
         segs.join(df, "seg")

@@ -51,3 +51,42 @@ def test_span_clean_matches_reference(spark, docs):
         for r in substring_clean_frame(frame, k=K).collect()
     }
     assert got == _ref_clean(docs, K)
+
+
+def _ref_boiler(docs: list[list[str]], seg: int, df_max: int):
+    segments: dict[int, list[str]] = {}
+    for did, toks in enumerate(docs):
+        n = -(-len(toks) // seg)
+        segments[did] = [
+            " ".join(toks[j * seg : (j + 1) * seg]) for j in range(n)
+        ]
+    dfreq: dict[str, set[int]] = {}
+    for did, ss in segments.items():
+        for s in ss:
+            dfreq.setdefault(s, set()).add(did)
+    out = {}
+    for did, ss in segments.items():
+        kept = [s for s in ss if len(dfreq[s]) <= df_max]
+        out[did] = (" ".join(kept), len(kept))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(corpus)
+def test_boilerplate_clean_matches_reference(spark, docs):
+    from openmaptiles_zh_modifier_spark.queries_text import (
+        boilerplate_clean_frame,
+    )
+
+    SEG, DF_MAX = 3, 1
+    frame = spark.createDataFrame(
+        [(i, "s", " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in boilerplate_clean_frame(
+            frame, seg_tokens=SEG, df_max=DF_MAX
+        ).collect()
+    }
+    assert got == _ref_boiler(docs, SEG, DF_MAX)
