@@ -818,3 +818,127 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: per-window PSI vs the corpus baseline
+# ---------------------------------------------------------------------------
+
+PSI_STREAM_BINS = 10
+PSI_STREAM_BIN_W = 50
+
+
+def windowed_bin_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked per-hour (window, value-bin) counts — the streaming
+    half of the PSI monitor: state is windows x bins longs, emitted on
+    window finalization (append mode)."""
+    b = F.least(
+        F.floor(F.col("value") / PSI_STREAM_BIN_W).cast("long"),
+        F.lit(PSI_STREAM_BINS - 1),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("bin", b)
+        .groupBy(F.window("ts", "1 hour"), "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("window.start").alias("wstart"), "bin", "c")
+    )
+
+
+@register(
+    "q_stream_psi",
+    oracle=f"""
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS wstart,
+         LEAST(CAST(FLOOR(value / {PSI_STREAM_BIN_W}) AS BIGINT),
+               {PSI_STREAM_BINS - 1}) AS bin
+  FROM events
+),
+wc AS (SELECT wstart, bin, COUNT(*) AS c FROM e GROUP BY 1, 2),
+wt AS (SELECT wstart, SUM(c) AS nw FROM wc GROUP BY 1),
+gb AS (SELECT bin, SUM(c) AS cg FROM wc GROUP BY 1),
+gt AS (SELECT SUM(cg) AS ng FROM gb),
+contrib AS (
+  SELECT wc.wstart, wc.bin, wt.nw,
+         (((wc.c + 1.0) / (wt.nw + {PSI_STREAM_BINS}))
+            - ((gb.cg + 1.0) / (gt.ng + {PSI_STREAM_BINS})))
+           * ROUND(ln(((wc.c + 1.0) / (wt.nw + {PSI_STREAM_BINS}))
+                      / ((gb.cg + 1.0) / (gt.ng + {PSI_STREAM_BINS}))), 6)
+           AS x
+  FROM wc
+  JOIN wt ON wt.wstart = wc.wstart
+  JOIN gb ON gb.bin = wc.bin
+  CROSS JOIN gt
+)
+SELECT wstart,
+       CAST(nw AS BIGINT) AS n_events,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY bin)),
+                         (acc, v) -> acc + v), 6) AS psi
+FROM contrib GROUP BY wstart, nw
+ORDER BY wstart
+""",
+)
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: every finalized hour window's value
+    distribution scored with PSI against the whole-corpus baseline —
+    the per-window alarm a production metrics pipeline raises when an
+    hour's traffic stops looking like the historical mix. The STREAMING
+    stage maintains only (window x bin) counts in state (tiny, bounded
+    by the watermark horizon); the PSI arithmetic runs batch-side on
+    the drained counts exactly as it would on a counts table fed by a
+    continuous sink. availableNow over the finite fixture makes the
+    baseline equal the full-corpus distribution, so the batch oracle
+    states the same computation directly over events.
+
+    Determinism: the q_psi_arms pattern — integer counts, exact
+    ratios, rounded-ln pre-product, bin-ordered fold per window."""
+    # complete mode: append would hold back the final watermark-horizon
+    # windows forever on a drained finite source (q_stream_tumbling's
+    # convention)
+    counts = run_to_memory(
+        windowed_bin_counts(read_events_stream(spark, sf_dir))
+    )
+    # rename the aggregate-side keys: the memory-sink table self-joined
+    # against its own aggregates trips Spark's conflicting-reference
+    # check, and distinct key names sidestep the ambiguity outright
+    wt = (
+        counts.select(F.col("wstart").alias("w_key"), "c")
+        .groupBy("w_key")
+        .agg(F.sum("c").alias("nw"))
+    )
+    gb = (
+        counts.select(F.col("bin").alias("b_key"), "c")
+        .groupBy("b_key")
+        .agg(F.sum("c").alias("cg"))
+    )
+    gt = gb.agg(F.sum("cg").alias("ng"))
+    pw = (F.col("c") + F.lit(1.0)) / (F.col("nw") + F.lit(PSI_STREAM_BINS))
+    pg = (F.col("cg") + F.lit(1.0)) / (F.col("ng") + F.lit(PSI_STREAM_BINS))
+    contrib = (
+        counts.join(wt, F.col("wstart") == F.col("w_key"))
+        .join(gb, F.col("bin") == F.col("b_key"))
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "wstart", "bin", "nw",
+            ((pw - pg) * F.round(F.log(pw / pg), 6)).alias("x"),
+        )
+    )
+    return (
+        contrib.groupBy("wstart", "nw")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("bin", "x"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                ),
+                6,
+            ).alias("psi")
+        )
+        .select(
+            "wstart",
+            F.col("nw").cast("long").alias("n_events"),
+            "psi",
+        )
+        .orderBy("wstart")
+    )
