@@ -290,6 +290,7 @@ _T2S_PAIRS = [
     # round-5 map-domain probe: unambiguous 1:1 chars the table missed
     # (码头/山脉/温泉/殡仪馆 diverged)
     ("碼", "码"), ("脈", "脉"), ("溫", "温"), ("殯", "殡"),
+    ("興", "兴"),  # place-name probe: 大兴安岭/高兴 were not converting
 ]
 
 # Traditional chars that safely simplify but whose SIMPLIFIED form must
@@ -332,6 +333,8 @@ _T2S_ONLY_PAIRS = [
     ("捨", "舍"), ("捲", "卷"), ("兇", "凶"), ("倖", "幸"),
     ("僱", "雇"), ("託", "托"), ("嚥", "咽"), ("迴", "回"),
     ("樑", "梁"),  # surname/place 梁 stays 梁 in s2t; 橋樑 via phrases
+    ("瀋", "沈"),  # 瀋陽 -> 沈阳; s2t default keeps surname 沈 (phrase
+                   # recovers 沈阳 -> 瀋陽)
 ]
 
 # Simplified chars whose DEFAULT traditional form is not the reverse of
@@ -692,6 +695,8 @@ S2T_PHRASES: list[tuple[str, str]] = [
     # 梁 -> 樑 (structural-beam words; the surname/place name stays 梁)
     ("桥梁", "橋樑"), ("栋梁", "棟樑"), ("房梁", "房樑"),
     ("顶梁柱", "頂樑柱"), ("梁柱", "樑柱"),
+    # 沈 -> 瀋 only in the city name (the surname stays 沈)
+    ("沈阳", "瀋陽"),
     # 迹 -> 蹟 / 跡 (word decides; the char is t2s-only for this reason)
     ("古迹", "古蹟"), ("奇迹", "奇蹟"), ("事迹", "事蹟"),
     ("遗迹", "遺蹟"), ("痕迹", "痕跡"), ("足迹", "足跡"),
