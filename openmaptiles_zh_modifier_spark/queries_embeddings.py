@@ -1323,3 +1323,132 @@ def q_embed_class_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance / second-moment matrix (whitening & PCA input)
+# ---------------------------------------------------------------------------
+
+COV_Q = 10000  # 4-decimal component quantization (the q_embed_class_drift unit)
+
+
+@register(
+    "q_embed_covariance",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * {COV_Q}) AS BIGINT)) AS e
+  FROM embeddings
+),
+dim AS (SELECT MAX(len(e)) AS d FROM q),
+idx AS (SELECT unnest(generate_series(0, (SELECT d FROM dim) - 1)) AS i),
+pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
+prods AS (
+  SELECT p.i, p.j, SUM(q.e[p.i + 1] * q.e[p.j + 1]) AS s
+  FROM q, pairs p GROUP BY 1, 2
+),
+comp AS (SELECT idx.i AS i, SUM(q.e[idx.i + 1]) AS m FROM q, idx GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM q)
+SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+       CAST(nn.n * p.s - ca.m * cb.m AS BIGINT) AS cov_num,
+       CAST(nn.n AS BIGINT) AS n
+FROM prods p, nn
+JOIN comp ca ON ca.i = p.i
+JOIN comp cb ON cb.i = p.j
+ORDER BY 1, 2
+""",
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix over the embedding corpus — the
+    input every whitening / PCA / Mahalanobis / ZCA step needs. Emits
+    the upper triangle as (i, j, cov_num, n) where
+    cov_num = n*S_ij - S_i*S_j (so cov = cov_num / n^2, sample cov =
+    cov_num / (n*(n-1))) — kept as the EXACT integer numerator so the
+    gate compares integers, not float reductions.
+
+    Execution: components quantize to 4-decimal integer units; each
+    Arrow batch computes its d x d partial Gram matrix with one int64
+    BLAS-shaped matmul (X^T X) inside mapInPandas and emits only the
+    d*(d+1)/2 + d + 1 partial sums (products, component sums, count) —
+    per-batch output is ~2 k rows regardless of batch row count. A
+    single map-side-combinable groupBy(i, j) SUM folds the partials;
+    the d-row component-sum frame joins back to center.
+
+    Determinism: quantization is round-half-away (floor(|x|*1e4+0.5)
+    with the sign restored — matches DuckDB ROUND on the same widened
+    double); everything after is exact BIGINT arithmetic, fully
+    order-independent. Overflow headroom: |q| <= 1e4 per component, so
+    S_ij <= 1e8 * n and n*S_ij fits int64 for n < ~3e5 at unit-scale
+    embeddings — at larger corpora switch COV_Q to 1e3 or accumulate
+    per-partition in float128/Python int (documented, not needed at
+    these SFs).
+
+    Scale shape: ONE corpus scan, no shuffle of any vector — the only
+    shuffled rows are the O(d^2) partial sums per batch. This is the
+    canonical dense-linear-algebra-over-DataFrame pattern: per-batch
+    BLAS, additive sufficient statistics, driver-sized result (the
+    64 x 64 matrix then feeds numpy eigh for PCA/whitening)."""
+    import numpy as np
+    import pandas as pd
+
+    def gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Q = (
+                np.floor(np.abs(X) * COV_Q + 0.5) * np.sign(X)
+            ).astype(np.int64)
+            d = Q.shape[1]
+            S = Q.T @ Q
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(d), [-1]]),
+                    "j": np.concatenate(
+                        [ju, np.full(d, -1), [-1]]
+                    ).astype(np.int64),
+                    "s": np.concatenate(
+                        [S[iu, ju], Q.sum(axis=0), [len(pdf)]]
+                    ),
+                }
+            )
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    parts = emb.mapInPandas(gram, schema="i int, j int, s long")
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    g = memo_frame_lazy(
+        spark,
+        f"cov_partials:{sf_dir}",
+        lambda: parts.groupBy("i", "j").agg(F.sum("s").alias("s")),
+    )
+    nrow = g.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    comp = g.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("k"), F.col("s").alias("m")
+    )
+    prod = g.where(F.col("j") >= 0)
+    return (
+        prod.join(
+            F.broadcast(comp.select(F.col("k").alias("i"), F.col("m").alias("m_i"))),
+            "i",
+        )
+        .join(
+            F.broadcast(comp.select(F.col("k").alias("j"), F.col("m").alias("m_j"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s") - F.col("m_i") * F.col("m_j"))
+            .cast("long")
+            .alias("cov_num"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("i", "j")
+    )

@@ -1529,3 +1529,116 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------- Holt linear
+
+HOLT_ALPHA = repr(0.4)   # level smoothing — same double literal both engines
+HOLT_BETA = repr(0.2)    # trend smoothing
+_HOLT_OMA = repr(1.0 - 0.4)
+_HOLT_OMB = repr(1.0 - 0.2)
+
+
+@register(
+    "q_holt_linear",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+d2 AS (
+  SELECT user_id, x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_days
+  FROM daily
+),
+rec AS (
+  -- DuckDB 1.0 list_reduce with a STRUCT accumulator evaluates struct
+  -- fields against a partially-updated state (verified: later fields
+  -- see earlier fields' NEW values at some steps), so the recurrence
+  -- is expressed as a recursive CTE instead — one row per (user, day),
+  -- each level joining the next day's observation.
+  SELECT user_id, rn, n_days, x AS lv, CAST(0 AS DOUBLE) AS tr
+  FROM d2 WHERE rn = 1
+  UNION ALL
+  SELECT d.user_id, d.rn, d.n_days,
+         {HOLT_ALPHA} * d.x + {_HOLT_OMA} * (r.lv + r.tr) AS lv,
+         {HOLT_BETA} * (({HOLT_ALPHA} * d.x + {_HOLT_OMA} * (r.lv + r.tr))
+                        - r.lv) + {_HOLT_OMB} * r.tr AS tr
+  FROM rec r JOIN d2 d ON d.user_id = r.user_id AND d.rn = r.rn + 1
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       ROUND(lv, 4) AS level_cents,
+       ROUND(tr, 4) AS trend_cents,
+       ROUND(lv + tr, 4) AS forecast_h1,
+       ROUND(lv + 3.0 * tr, 4) AS forecast_h3
+FROM rec WHERE rn = n_days ORDER BY user_id
+""",
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user over daily spend —
+    q_ses_forecast's level recursion plus a trend component, the
+    workhorse short-horizon forecaster for trending series (SES lags
+    any trend by design). State is (level, trend); seed lv=x1, tr=0;
+    then lv' = a*x + (1-a)*(lv+tr), tr' = b*(lv'-lv) + (1-b)*tr; the
+    h-step forecast is lv + h*tr.
+
+    Determinism: the recurrence is a sequential fold over the
+    day-ordered series with a STRUCT accumulator on the Spark side
+    (F.aggregate over array_sort(collect_list(struct)); the null-seed
+    branch performs zero arithmetic). The oracle expresses the SAME
+    IEEE multiply-add sequence as a recursive CTE, because DuckDB
+    1.0's list_reduce with a struct accumulator evaluates later struct
+    fields against partially-updated state (measured: {'a': s.a+e.a,
+    'b': s.b*2+s.a} over [10,20,40] yields b=94, not the sequential
+    54) — struct-state folds are NOT portable to it. Smoothing
+    constants are shared repr'd double literals.
+
+    Scale shape: identical to SES — one map-side-combinable daily
+    aggregate, one shuffle on user_id, a per-user fold bounded by the
+    day count. The struct-state fold is THE distributed idiom for any
+    2nd-order recurrence (Holt, damped-trend, Kalman-lite)."""
+    a, oma = float(HOLT_ALPHA), float(_HOLT_OMA)
+    b, omb = float(HOLT_BETA), float(_HOLT_OMB)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("double")
+        .alias("x")
+    )
+
+    def step(s, r):
+        lv_new = F.lit(a) * r["x"] + F.lit(oma) * (s["lv"] + s["tr"])
+        return F.when(
+            s.isNull(),
+            F.struct(r["x"].alias("lv"), F.lit(0.0).alias("tr")),
+        ).otherwise(
+            F.struct(
+                lv_new.alias("lv"),
+                (
+                    F.lit(b) * (lv_new - s["lv"]) + F.lit(omb) * s["tr"]
+                ).alias("tr"),
+            )
+        )
+
+    folded = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            F.lit(None).cast("struct<lv:double,tr:double>"),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_days",
+        F.round(F.col("st.lv"), 4).alias("level_cents"),
+        F.round(F.col("st.tr"), 4).alias("trend_cents"),
+        F.round(F.col("st.lv") + F.col("st.tr"), 4).alias("forecast_h1"),
+        F.round(F.col("st.lv") + 3.0 * F.col("st.tr"), 4).alias(
+            "forecast_h3"
+        ),
+    ).orderBy("user_id")

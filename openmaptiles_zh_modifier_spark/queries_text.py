@@ -24,6 +24,7 @@ from openmaptiles_zh_modifier_spark.functions.text import (
     h32,
     h32_sql,
     rolling_fingerprint,
+    shingles,
     tokens,
 )
 from openmaptiles_zh_modifier_spark.registry import load, register
@@ -1886,3 +1887,172 @@ def q_substring_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5("clean_text").alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy (degenerate-text detector)
+# ---------------------------------------------------------------------------
+
+_LN2 = repr(__import__("math").log(2.0))  # same double literal, both engines
+
+
+@register(
+    "q_char_entropy",
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id, substr(text, u.i, 1) AS ch
+  FROM documents, LATERAL unnest(generate_series(1, length(text))) AS u(i)
+),
+cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) AS s_micro
+  FROM cc GROUP BY 1
+)
+SELECT doc_id,
+       n AS n_chars,
+       n_distinct AS n_distinct_chars,
+       ROUND((ln(n) - (s_micro / 1000000.0) / n) / {_LN2}, 4) AS entropy_bits
+FROM agg
+ORDER BY doc_id
+""",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram Shannon entropy per document (bits/char) — the
+    cheapest degenerate-text detector: binary junk, single-char floods,
+    and base64/hex blobs all sit far from natural text's ~4 bits/char
+    band, and the filter needs no tokenizer or LM. Complements the
+    token-level axes (q_text_stats TTR, q_quality_repetition) with the
+    sub-token one.
+
+    Determinism: H = (ln n - (1/n)*sum(c*ln c)) / ln 2. Each distinct
+    char contributes ROUND(c*ln(c)*1e6) as an exact BIGINT, so the
+    per-doc sum is order-independent integer math (the q_psi_arms
+    rounded-ln idiom); ln(n) is a single libm call on an integer and
+    the ln(2) divisor is the same repr'd double literal in both plans.
+
+    Scale shape: the char explode is 1 row per character, but the
+    (doc_id, char) aggregate is map-side combinable, so the shuffle
+    carries at most |alphabet| rows per doc (~100), not the text; the
+    second aggregate folds those to one row per doc. No strings wider
+    than one char ever shuffle. 100 TB cost = one combiner-friendly
+    pass, same shape as a token count."""
+    docs = load(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    cc = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")) * 1000000).cast("long")
+        ).alias("s_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        F.col("n_distinct").alias("n_distinct_chars"),
+        F.round(
+            (F.log(F.col("n")) - (F.col("s_micro") / 1000000.0) / F.col("n"))
+            / F.lit(float(_LN2)),
+            4,
+        ).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle contamination matrix
+# ---------------------------------------------------------------------------
+
+XSRC_NGRAM = 4  # shingle width for the source-overlap audit
+
+
+@register(
+    "q_cross_source_overlap",
+    oracle=f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT DISTINCT source, {h32_sql("gram")} AS gh FROM (
+    SELECT source,
+           unnest(list_distinct(list_transform(
+             generate_series(1, len(tk) - {XSRC_NGRAM - 1}),
+             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3])))) AS gram
+    FROM t WHERE len(tk) >= {XSRC_NGRAM})
+),
+ns AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       ROUND(p.n_shared * 1.0 / LEAST(na.n, nb.n), 4) AS containment
+FROM p
+JOIN ns na ON na.source = p.src_a
+JOIN ns nb ON nb.source = p.src_b
+ORDER BY 1, 2
+""",
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: for every pair of corpus
+    sources, the count of distinct {XSRC_NGRAM}-token shingles they
+    share and the containment ratio (shared / smaller side). This is
+    the corpus-curation view of contamination — q_decontamination asks
+    "does my corpus leak MY benchmark", this asks "which ingest feeds
+    are recycling each other's content" (mirror sites, scraper overlap,
+    syndication) so whole sources can be down-weighted before training.
+
+    Determinism: shingles reduce to 32-bit md5 hashes (h32, identical
+    in both engines); counts and the 4-dp containment are exact.
+
+    Scale shape: per-source distinct shingle sets are one combinable
+    aggregate (the DISTINCT collapses inside the shuffle on gh); the
+    pair join keys on the 8-byte hash with fan-out bounded by
+    |sources| per shingle — worst case |sources|^2 rows per hot
+    shingle, and a DF cap on shingles present in nearly all sources
+    (the q_dedup_minhash_lsh guard) applies unchanged if |sources|
+    grows. No raw text shuffles anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    g = (
+        docs.where(F.size(tk) >= XSRC_NGRAM)
+        .select(
+            "source",
+            F.explode(shingles(tk, XSRC_NGRAM)).alias("gram"),
+        )
+        .select("source", h32(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    g = memo_frame_lazy(spark, f"xsrc_shingles:{sf_dir}", lambda: g)
+    ns = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("source").alias("src_a"), "gh")
+    b = g.select(F.col("source").alias("src_b"), "gh")
+    p = (
+        a.join(b, "gh")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        p.join(ns.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")), "src_a")
+        .join(ns.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_shared") * 1.0 / F.least("n_a", "n_b"), 4
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
