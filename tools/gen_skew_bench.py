@@ -66,6 +66,14 @@ BENCH_QUERIES = [
     # pass marks ~everything — the worst-case coverage-explode shape)
     "q_boilerplate_cleaned",
     "q_substring_span_clean",
+    # late round-5 additions: char explode (3x docs), shingle pair join
+    # (3x docs = every shingle's source set triples), hot-user Holt fold
+    # (20% of all events collapse onto one user's daily series), and the
+    # Gram-matmul covariance pass (3x embeddings, output size constant)
+    "q_char_entropy",
+    "q_cross_source_overlap",
+    "q_holt_linear",
+    "q_embed_covariance",
 ]
 
 
@@ -139,7 +147,10 @@ def generate(spark) -> None:
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     _write_single_file(copies(docs, {"doc_id": KEY_SHIFT}), f"{OUT}/documents.parquet")
 
-    shutil.copy(f"{SRC}/embeddings.parquet", f"{OUT}/embeddings.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    _write_single_file(
+        copies(emb, {"vec_id": KEY_SHIFT}), f"{OUT}/embeddings.parquet"
+    )
 
 
 def main() -> None:
