@@ -357,3 +357,120 @@ def ppm_resize_features(df: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------- WAV (PCM)
+
+def encode_wav(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """Encode a REAL RIFF/WAVE file: PCM, mono, 16-bit little-endian.
+    Sample ``k`` is ``((seed % 4096) + k) % 4096 - 2048`` — a ramp whose
+    aggregate statistics have closed forms the DuckDB oracle recomputes.
+    Every 5th seed also carries a junk LIST chunk (odd-sized, so the
+    word-alignment pad byte is exercised) between fmt and data,
+    exercising the parser's unknown-chunk skipping."""
+    import struct
+
+    import numpy as np
+
+    d = seed % 4096
+    k = np.arange(n_samples, dtype=np.int64)
+    samples = (((d + k) % 4096) - 2048).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if seed % 5 == 0:
+        junk = b"synthetic"  # 9 bytes: odd, forces the pad byte
+        chunks += (
+            b"LIST" + struct.pack("<I", len(junk)) + junk
+            + (b"\x00" if len(junk) % 2 else b"")
+        )
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> dict:
+    """A real, pure-stdlib+numpy RIFF/WAVE decoder: container magic,
+    chunk walk with word-alignment padding, fmt validation (PCM mono
+    16-bit), and sample materialization from the data chunk. Statistics
+    are computed FROM THE DECODED ARRAY, so the oracle's closed-form
+    recomputation verifies the byte→samples path end to end."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, sr, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (audio_format, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV layout: fmt={audio_format} "
+                    f"ch={channels} bits={bits} (PCM mono 16-bit only)"
+                )
+            rate = sr
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").astype(np.int64)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return {
+        "sample_rate": rate,
+        "n_samples": int(samples.size),
+        "sum_samples": int(samples.sum()),
+        "checksum64": int(samples[:64].sum()),
+        "min_sample": int(samples.min()),
+        "max_sample": int(samples.max()),
+    }
+
+
+def real_decode_audio(payload: bytes) -> dict:
+    """Audio twin of real_decode_image: dispatches on container magic.
+    WAV (RIFF/PCM) has a real pure-numpy decoder here; compressed codecs
+    (MP3/OGG/FLAC) need a codec library not present in this environment —
+    wire ffmpeg/soundfile for those in a real deployment."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "no codec registered for this audio container (MP3/OGG/FLAC need "
+        "ffmpeg/soundfile); WAV PCM16 decodes natively via decode_wav"
+    )
+
+
+WAV_SCHEMA = (
+    "doc_id long, source string, sample_rate int, n_samples long, "
+    "sum_samples long, checksum64 long, min_sample long, max_sample long"
+)
+
+
+def wav_roundtrip_features(df: DataFrame) -> DataFrame:
+    """Encode a real WAV per document, then run the REAL decoder on the
+    bytes and return its header + sample statistics — the audio twin of
+    ppm_roundtrip_features. Clip shape derives from doc_id
+    (n = doc_id%2000+100 samples, rate = 8000 + doc_id%3 * 4000) so the
+    oracle knows the ground truth; the decoder never sees that rule,
+    only the payload bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                payload = encode_wav(
+                    d % 2000 + 100, 8000 + d % 3 * 4000, d
+                )
+                feats = real_decode_audio(payload)
+                rows.append({"doc_id": d, "source": source, **feats})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=WAV_SCHEMA)

@@ -265,3 +265,79 @@ def q_multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return ppm_resize_features(docs).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_wav_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 4096 AS d,
+         doc_id % 2000 + 100 AS n,
+         8000 + doc_id % 3 * 4000 AS rate
+  FROM documents
+),
+f AS (
+  SELECT source, n, rate,
+         -- ramp (d+k)%4096 - 2048 over k<n (n < 4096: at most one wrap)
+         n * d + n * (n - 1) // 2
+           - 4096 * GREATEST(0, d + n - 4096) - 2048 * n AS sum_samples,
+         LEAST(64, n) * d + LEAST(64, n) * (LEAST(64, n) - 1) // 2
+           - 4096 * GREATEST(0, d + LEAST(64, n) - 4096)
+           - 2048 * LEAST(64, n) AS checksum64,
+         CASE WHEN d + n > 4096 THEN -2048 ELSE d - 2048 END AS min_s,
+         CASE WHEN d + n > 4096 THEN 2047 ELSE d + n - 1 - 2048 END AS max_s
+  FROM dims
+)
+SELECT source,
+       COUNT(*) AS n_clips,
+       CAST(SUM(n) AS BIGINT) AS total_samples,
+       CAST(SUM(CAST(ROUND(n * 1000000.0 / rate) AS BIGINT)) AS BIGINT)
+         AS total_duration_micros,
+       CAST(SUM(sum_samples) AS BIGINT) AS total_sum_samples,
+       CAST(SUM(checksum64) AS BIGINT) AS total_checksum64,
+       CAST(MIN(min_s) AS BIGINT) AS min_sample,
+       CAST(MAX(max_s) AS BIGINT) AS max_sample
+FROM f
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the multimodal path (round-5 de-stub, the
+    audio twin of q_multimodal_ppm_decode): a RIFF/WAVE PCM16 payload is
+    encoded per document — every 5th clip carrying an odd-sized junk
+    LIST chunk so the word-alignment pad path is exercised — then parsed
+    by the pure-numpy decoder in functions/multimodal.py (container
+    magic, chunk walk, fmt validation, sample materialization), and the
+    per-source aggregate of the DECODED sample statistics must match the
+    oracle's closed-form ground truth. A decoder bug anywhere (chunk
+    offset, pad byte, endianness, dtype sign) breaks the hash.
+
+    Scale shape: one Arrow-batched mapInPandas stage (codec work —
+    embarrassingly parallel), then a JVM-side groupBy on source; sample
+    bytes never leave the stage. Duration is summed as per-clip-rounded
+    integer micros so the aggregate is order-independent."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        wav_roundtrip_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    feats = wav_roundtrip_features(docs)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum(
+                F.round(
+                    F.col("n_samples") * 1000000.0 / F.col("sample_rate")
+                ).cast("long")
+            ).alias("total_duration_micros"),
+            F.sum("sum_samples").alias("total_sum_samples"),
+            F.sum("checksum64").alias("total_checksum64"),
+            F.min("min_sample").alias("min_sample"),
+            F.max("max_sample").alias("max_sample"),
+        )
+        .orderBy("source")
+    )

@@ -467,3 +467,52 @@ def test_ppm_patch_embed_matches_numpy_reference():
     assert len(emb) == g * g * 3
     # pooled sums partition the image: total equals the full pixel sum
     assert sum(emb) == int(arr.sum())
+
+
+def test_wav_codec_roundtrip_and_parser_edges():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+        real_decode_audio,
+    )
+
+    # roundtrip across shapes incl. the junk-LIST-chunk path (seed%5==0)
+    # and the ramp wrap (seed near 4096)
+    for n, rate, seed in [(100, 8000, 5), (1, 12000, 7), (300, 16000, 4090),
+                          (2099, 8000, 0), (64, 12000, 4095)]:
+        f = decode_wav(encode_wav(n, rate, seed))
+        d = seed % 4096
+        s = ((d + np.arange(n, dtype=np.int64)) % 4096) - 2048
+        assert f["n_samples"] == n and f["sample_rate"] == rate
+        assert f["sum_samples"] == int(s.sum())
+        assert f["checksum64"] == int(s[:64].sum())
+        assert f["min_sample"] == int(s.min())
+        assert f["max_sample"] == int(s.max())
+
+    good = encode_wav(50, 8000, 3)
+    # container magic errors
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + good[4:])
+    with pytest.raises(ValueError):
+        decode_wav(good[:8] + b"AVI " + good[12:])
+    # non-PCM / stereo / wrong-width fmt rejected
+    bad_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt)
+    with pytest.raises(ValueError):
+        decode_wav(payload)
+    # missing data chunk
+    ok_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(ok_fmt))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(ok_fmt)) + ok_fmt)
+    with pytest.raises(ValueError):
+        decode_wav(payload)
+    # dispatch hook: unknown container raises NotImplementedError
+    with pytest.raises(NotImplementedError):
+        real_decode_audio(b"ID3\x03" + b"\x00" * 32)
+    assert real_decode_audio(good)["n_samples"] == 50
