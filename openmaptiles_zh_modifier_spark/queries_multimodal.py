@@ -341,3 +341,74 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_multimodal_y4m_framesample",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 8 + 2 AS w,
+         doc_id * 3 % 8 + 2 AS h,
+         doc_id % 10 + 1 AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, source, w, h, u.f AS f,
+         3 * w * h AS n,
+         (doc_id + u.f * 3 * w * h) % 256 AS df
+  FROM dims, LATERAL unnest(generate_series(0, nf - 1)) AS u(f)
+  WHERE u.f % 4 = 0
+),
+st AS (
+  SELECT source, f,
+         -- sum_{i<n} (df+i)%256: full cycles + remainder segment
+         (n // 256) * 32640
+           + (n % 256) * df + (n % 256) * (n % 256 - 1) // 2
+           - 256 * GREATEST(0, df + n % 256 - 256) AS frame_sum,
+         LEAST(64, n) * df + LEAST(64, n) * (LEAST(64, n) - 1) // 2
+           - 256 * GREATEST(0, df + LEAST(64, n) - 256) AS first64
+  FROM fr
+)
+SELECT source,
+       COUNT(*) AS n_frames_sampled,
+       CAST(SUM(frame_sum) AS BIGINT) AS total_frame_sum,
+       CAST(SUM(first64) AS BIGINT) AS total_first64,
+       CAST(MAX(f) AS BIGINT) AS max_frame_idx
+FROM st
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_multimodal_y4m_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (round 5 — completes the multimodal
+    trifecta: PPM image, WAV audio, y4m video, all actual pure-numpy
+    codecs with compressed formats as honest hooks): a YUV4MPEG2 clip is
+    encoded per document (every 4th clip carries FRAME parameter tags),
+    REAL-decoded — stream-header tags, FRAME-marker walk, raw C444 plane
+    materialization — and every 4th frame becomes one output row; the
+    per-source aggregate of DECODED frame statistics must match the
+    oracle's closed-form ramp ground truth. Any bug in the marker walk,
+    frame offsets, or plane sizing breaks the hash.
+
+    Scale shape: one Arrow-batched mapInPandas stage doing the 1->N
+    clip-to-frames explode (the real video-ingest shape: decode cost is
+    per-frame, embarrassingly parallel, and the sampled-frame rows are
+    tiny stats — payload bytes never leave the stage), then a JVM-side
+    groupBy on source."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        y4m_framesample_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    feats = y4m_framesample_features(docs, stride=4)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.sum("frame_sum").alias("total_frame_sum"),
+            F.sum("first64").alias("total_first64"),
+            F.max("frame_idx").alias("max_frame_idx"),
+        )
+        .orderBy("source")
+    )

@@ -516,3 +516,41 @@ def test_wav_codec_roundtrip_and_parser_edges():
     with pytest.raises(NotImplementedError):
         real_decode_audio(b"ID3\x03" + b"\x00" * 32)
     assert real_decode_audio(good)["n_samples"] == 50
+
+
+def test_y4m_codec_frames_and_parser_edges():
+    import numpy as np
+    import pytest
+
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        decode_y4m_frames,
+        encode_y4m,
+        real_decode_video,
+    )
+
+    # roundtrip across shapes incl. FRAME-parameter tags (seed%4==0),
+    # single frame, stride sampling, and >256-byte frames (full cycles)
+    for w, h, nf, seed, stride in [
+        (3, 2, 5, 4, 4), (2, 2, 1, 7, 1), (9, 9, 10, 300, 4), (8, 8, 7, 0, 2)
+    ]:
+        frames = decode_y4m_frames(encode_y4m(w, h, nf, seed), stride=stride)
+        n = 3 * w * h
+        assert [f["frame_idx"] for f in frames] == list(range(0, nf, stride))
+        for fr in frames:
+            f = fr["frame_idx"]
+            ref = (np.arange(f * n, (f + 1) * n, dtype=np.int64) + seed) % 256
+            assert fr["width"] == w and fr["height"] == h
+            assert fr["frame_sum"] == int(ref.sum())
+            assert fr["first64"] == int(ref[: min(64, n)].sum())
+    # parser edges
+    good = encode_y4m(2, 2, 2, 1)
+    with pytest.raises(ValueError):
+        decode_y4m_frames(b"RIFF" + good[9:])
+    with pytest.raises(ValueError):  # C420 unsupported (honest gap)
+        decode_y4m_frames(good.replace(b"C444", b"C420", 1))
+    with pytest.raises(ValueError):  # truncated frame payload
+        decode_y4m_frames(good[:-5])
+    with pytest.raises(ValueError):  # corrupt frame marker
+        decode_y4m_frames(good.replace(b"FRAME", b"FRAMX", 1))
+    with pytest.raises(NotImplementedError):
+        real_decode_video(b"\x00\x00\x00\x20ftypmp42" + b"\x00" * 16)
