@@ -2093,3 +2093,115 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level Zipf fit (vocabulary health diagnostic)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 100
+
+
+@register(
+    "q_token_zipf",
+    oracle=f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+tc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS vocab FROM tc),
+top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+  FROM tc ORDER BY c DESC, w LIMIT {ZIPF_TOP_K}
+),
+q AS (
+  SELECT CAST(ROUND(ln(r) * 1000000) AS BIGINT) AS xq,
+         CAST(ROUND(ln(c) * 1000000) AS BIGINT) AS yq,
+         c, r
+  FROM top
+),
+s AS (
+  SELECT COUNT(*) AS k, SUM(xq) AS sx, SUM(yq) AS sy,
+         SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx, SUM(yq * yq) AS syy,
+         MAX(CASE WHEN r = 1 THEN c END) AS top1
+  FROM q
+)
+SELECT tot.n_total, tot.vocab,
+       ROUND(top1 * 1.0 / tot.n_total, 4) AS top1_frac,
+       ROUND((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx), 4)
+         AS zipf_slope,
+       ROUND(((k * sxy - sx * sy) * 1.0) * ((k * sxy - sx * sy) * 1.0)
+             / (((k * sxx - sx * sx) * 1.0) * ((k * syy - sy * sy) * 1.0)),
+             4) AS r2
+FROM s, tot
+""",
+)
+def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Zipf diagnostic: OLS slope (and R^2) of
+    ln(frequency) against ln(rank) over the top-{ZIPF_TOP_K} tokens,
+    plus corpus token total, vocabulary size, and the head token's
+    mass. Natural corpora sit near slope -1 with high R^2; scraped junk,
+    template floods, and synthetic spam bend the curve — this is the
+    one-row corpus-health panel a curation pipeline alerts on.
+
+    Determinism: ln(rank) and ln(count) quantize to integer micro-units
+    per rank BEFORE the sufficient-statistic sums (exact BIGINT), so
+    the regression inputs are order-independent; slope and R^2 are
+    single double expressions over those integers, rounded at 4 dp.
+    Rank ties break on the token string in both engines.
+
+    Scale shape: one map-side-combinable token count, then a top-K
+    TakeOrdered (no global sort shuffle) — the regression runs over
+    exactly {ZIPF_TOP_K} rows. At 100 TB the only corpus-sized stage is
+    the token-count aggregate every other text op already pays."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    tc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    tc = memo_frame_lazy(spark, f"zipf_tc:{sf_dir}", lambda: tc)
+    tot = tc.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    top = (
+        tc.orderBy(F.col("c").desc(), "w")
+        .limit(ZIPF_TOP_K)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), "w")
+            ),
+        )
+    )
+    q = top.select(
+        "c",
+        "r",
+        F.round(F.log("r") * 1000000).cast("long").alias("xq"),
+        F.round(F.log("c") * 1000000).cast("long").alias("yq"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+        F.max(F.when(F.col("r") == 1, F.col("c"))).alias("top1"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_total",
+        "vocab",
+        F.round(F.col("top1") * 1.0 / F.col("n_total"), 4).alias("top1_frac"),
+        F.round(num * 1.0 / denx, 4).alias("zipf_slope"),
+        # the r2 denominator product (~1e34) overflows BIGINT — convert
+        # each exact-integer factor to double FIRST (identical nearest-
+        # double rounding on both engines), multiply as doubles
+        F.round(
+            (num * 1.0) * (num * 1.0) / ((denx * 1.0) * (deny * 1.0)), 4
+        ).alias("r2"),
+    )
