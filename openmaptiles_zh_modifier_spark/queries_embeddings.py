@@ -1571,7 +1571,15 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus is touched ONCE (the memoized covariance
     partials); every iteration is a d^2-row broadcast-join matvec —
     driver/executor work independent of corpus size. The only
-    corpus-sized stage is the covariance's single mapInPandas scan."""
+    corpus-sized stage is the covariance's single mapInPandas scan.
+    Local-mode cost is the 8-iteration stage-scheduling floor (~2.2 s
+    warm at 3 tiny stages/iteration after coalesce(1) collapsed the
+    32-task overhead, measured 5.7 -> 2.2 s); an in-row HOF variant
+    (all 8 matvecs as nested transform/aggregate lambdas over one
+    collected row) was measured SLOWER (4.3 s — nested higher-order
+    functions evaluate interpreted, ~d^2*iters lambda calls) and
+    rejected. On a real cluster the same plan is latency-bound at
+    ~seconds regardless of corpus size."""
     cov = _covariance_frame(spark, sf_dir)
     from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
 
@@ -1582,16 +1590,23 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mx = fullm.agg(F.max(F.abs("cov_num")).alias("mc"))
+    # the normalized matrix is d^2 rows (driver-scale by construction —
+    # the corpus-sized work already happened inside the covariance scan),
+    # so the whole iteration chain runs in ONE partition: 32-task
+    # scheduling overhead on 4096-row stages dominated the runtime
+    # otherwise (measured 5.7 s warm -> see module history)
     m = memo_frame_lazy(
         spark,
         f"pca_M:{sf_dir}",
-        lambda: fullm.crossJoin(F.broadcast(mx)).select(
+        lambda: fullm.crossJoin(F.broadcast(mx))
+        .select(
             "i",
             "j",
             (F.col("cov_num").cast("double") / F.col("mc").cast("double")).alias(
                 "cn"
             ),
-        ),
+        )
+        .coalesce(1),
     )
     idx = m.select("i").distinct()
     v = idx.select(
