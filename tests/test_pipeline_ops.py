@@ -554,3 +554,67 @@ def test_y4m_codec_frames_and_parser_edges():
         decode_y4m_frames(good.replace(b"FRAME", b"FRAMX", 1))
     with pytest.raises(NotImplementedError):
         real_decode_video(b"\x00\x00\x00\x20ftypmp42" + b"\x00" * 16)
+
+
+def test_codec_property_fuzz_roundtrips():
+    """Hypothesis fuzz over the three real codecs: arbitrary shapes and
+    seeds must roundtrip encode -> decode with statistics equal to the
+    generation rule recomputed independently in numpy."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        decode_ppm,
+        decode_wav,
+        decode_y4m_frames,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 24),
+        seed=st.integers(0, 1000),
+    )
+    def ppm(w, h, seed):
+        f = decode_ppm(encode_ppm(w, h, seed))
+        n = 3 * w * h
+        ref = (np.arange(n, dtype=np.int64) + seed) % 256
+        assert f["width"] == w and f["height"] == h
+        assert f["n_pixel_bytes"] == n
+        assert f["pixel_sum"] == int(ref.sum())
+        assert f["checksum64"] == int(ref[:64].sum())
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 5000), rate=st.sampled_from([8000, 12000, 16000]),
+        seed=st.integers(0, 9000),
+    )
+    def wav(n, rate, seed):
+        f = decode_wav(encode_wav(n, rate, seed))
+        ref = ((seed % 4096 + np.arange(n, dtype=np.int64)) % 4096) - 2048
+        assert f["n_samples"] == n and f["sample_rate"] == rate
+        assert f["sum_samples"] == int(ref.sum())
+        assert f["min_sample"] == int(ref.min())
+        assert f["max_sample"] == int(ref.max())
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 10), h=st.integers(1, 10),
+        nf=st.integers(1, 12), seed=st.integers(0, 600),
+        stride=st.integers(1, 5),
+    )
+    def y4m(w, h, nf, seed, stride):
+        frames = decode_y4m_frames(encode_y4m(w, h, nf, seed), stride=stride)
+        n = 3 * w * h
+        assert [fr["frame_idx"] for fr in frames] == list(range(0, nf, stride))
+        for fr in frames:
+            f = fr["frame_idx"]
+            ref = (np.arange(f * n, (f + 1) * n, dtype=np.int64) + seed) % 256
+            assert fr["frame_sum"] == int(ref.sum())
+
+    ppm()
+    wav()
+    y4m()

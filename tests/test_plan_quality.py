@@ -109,3 +109,53 @@ def test_boilerplate_cleaned_no_cartesian_and_partial_agg(spark, sf_dir):
     plan = _plan(QUERIES["q_boilerplate_cleaned"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_cross_source_overlap_no_shingle_self_join(spark, sf_dir):
+    """The contamination matrix's pair expansion must be IN-ROW (explode
+    of each shingle's collected source set), not a self-join on the
+    shingle hash: the only Join nodes allowed in the plan are the two
+    tiny per-source-count enrichment joins on src_a/src_b, so a hot
+    shingle can never become a skewed join key."""
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+    df = QUERIES["q_cross_source_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    join_lines = [ln for ln in plan.splitlines() if " Join " in ln or ln.lstrip().startswith("Join ")]
+    assert len(join_lines) == 2, join_lines
+    assert all("src_a#" in ln or "src_b#" in ln for ln in join_lines), join_lines
+    assert not any("gh#" in ln for ln in join_lines), (
+        f"shingle-hash self-join reappeared: {join_lines}"
+    )
+
+
+def test_covariance_single_corpus_scan_and_arrow_stage(spark, sf_dir):
+    """The covariance plan must touch the embeddings parquet exactly once
+    (inside the one mapInPandas codec/Gram stage) — partial sums, not
+    vectors, are what shuffles."""
+    from openmaptiles_zh_modifier_spark.registry import QUERIES, clear_frame_cache
+
+    clear_frame_cache()
+    try:
+        df = QUERIES["q_embed_covariance"](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # all four consumers (prod, m_i, m_j, n) print the SAME cached
+        # partials lineage, so the FileScan appears once per consumer in
+        # the tree — what must hold is (a) every scan is pruned to the
+        # embedding column, (b) a MapInPandas Gram stage sits above it,
+        # and (c) every printed lineage is the SAME physical plan (one
+        # Exchange plan_id), i.e. the corpus is scanned once and every
+        # consumer reads the shared cache.
+        import re
+
+        scans = [
+            ln for ln in plan.splitlines()
+            if "embeddings.parquet" in ln and "FileScan" in ln
+        ]
+        assert scans, plan
+        assert all("struct<embedding:array<float>>" in ln for ln in scans), scans
+        assert "MapInPandas" in plan, plan
+        ids = set(re.findall(r"Exchange hashpartitioning\(i#\d+, j#\d+, \d+\),\s*\w+,\s*\[plan_id=(\d+)\]", plan))
+        assert len(ids) == 1, (ids, plan)
+    finally:
+        clear_frame_cache()
