@@ -1642,3 +1642,106 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_h3"
         ),
     ).orderBy("user_id")
+
+
+# ------------------------------------------------------- seasonal decompose
+
+SEAS_PERIOD = 7  # weekly seasonality over the daily series
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT day, cents,
+         (day - DATE '1970-01-01') % {SEAS_PERIOD} AS dow,
+         CASE WHEN COUNT(*) OVER w = {SEAS_PERIOD}
+              THEN SUM(cents) OVER w / {float(SEAS_PERIOD)} END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dt AS (
+  SELECT *, CAST(ROUND((cents - trend) * 1000000) AS BIGINT) AS detr_q
+  FROM tr
+),
+sea AS (
+  SELECT *,
+         SUM(detr_q) OVER (PARTITION BY dow)
+           / (1000000.0 * COUNT(detr_q) OVER (PARTITION BY dow)) AS seasonal
+  FROM dt
+)
+SELECT day, cents AS observed_cents,
+       ROUND(trend, 4) AS trend_cents,
+       ROUND(seasonal, 4) AS seasonal_cents,
+       ROUND(CASE WHEN trend IS NOT NULL
+             THEN (detr_q / 1000000.0) - seasonal END, 4) AS residual_cents
+FROM sea
+ORDER BY day
+""",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (STL-lite) of the
+    global daily revenue series: trend = centered {SEAS_PERIOD}-day
+    moving average (NULL at the edges where the window is partial),
+    seasonal = per-day-of-week mean of the detrended series, residual =
+    the rest. The standard pre-modeling diagnostic next to the SES/Holt
+    forecasters.
+
+    Determinism: daily totals are exact integer cents; the trend is one
+    SUM-of-7-ints division; the detrended value quantizes to BIGINT
+    micro-units BEFORE the per-weekday mean, so that group sum is
+    order-independent, and the mean/residual are single double ops.
+    Day-of-week is epoch-day mod {SEAS_PERIOD} — identical arithmetic
+    both engines, no locale/week-start conventions.
+
+    Scale shape: one map-side-combinable daily aggregate (the only
+    corpus-sized stage), then windows over the |days|-sized series —
+    partitioned by nothing because the series IS global and
+    days-bounded; per-key decomposition would partition the same
+    windows by the key."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "cents",
+        (F.datediff("day", F.lit("1970-01-01")) % SEAS_PERIOD).alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(w) == SEAS_PERIOD,
+            F.sum("cents").over(w) / float(SEAS_PERIOD),
+        ).alias("trend"),
+    )
+    dt = tr.withColumn(
+        "detr_q",
+        F.round((F.col("cents") - F.col("trend")) * 1000000).cast("long"),
+    )
+    wd = Window.partitionBy("dow")
+    sea = dt.withColumn(
+        "seasonal",
+        F.sum("detr_q").over(wd)
+        / (1000000.0 * F.count("detr_q").over(wd)),
+    )
+    return sea.select(
+        "day",
+        F.col("cents").alias("observed_cents"),
+        F.round("trend", 4).alias("trend_cents"),
+        F.round("seasonal", 4).alias("seasonal_cents"),
+        F.round(
+            F.when(
+                F.col("trend").isNotNull(),
+                F.col("detr_q") / 1000000.0 - F.col("seasonal"),
+            ),
+            4,
+        ).alias("residual_cents"),
+    ).orderBy("day")
