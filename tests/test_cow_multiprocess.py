@@ -139,6 +139,14 @@ def _vacuum_worker(args):
         removed += cow_vacuum(root, keep_versions=1)
         sweeps += 1
         time.sleep(0.003)
+    # one final sweep after the writers signal done: under heavy host
+    # load the pool can starve this worker to a single early pass that
+    # observes no droppable versions yet, making "vacuum did real work"
+    # a flaky assertion about SCHEDULING rather than the protocol — the
+    # post-stop sweep deterministically sees the full commit history
+    # while the in-loop sweeps still provide the mid-race interleaving.
+    removed += cow_vacuum(root, keep_versions=1)
+    sweeps += 1
     return ("vacuum", removed, sweeps)
 
 
