@@ -1,0 +1,289 @@
+"""Document-quality operators: the full Gopher rules panel (Rae et al.
+2021, appendix A1.1 — the published heuristic filter suite every LLM
+data pipeline starts from) and a multinomial Naive Bayes source
+classifier (the counts-only stand-in for the fastText quality
+classifier of GPT-3/CCNet pipelines — same shape: linear scorer over
+token counts, trained and applied as pure aggregates).
+
+Extension surface beyond the reference (SURVEY.md §2.9 north star).
+Complements q_text_stats (TTR/stopword), q_quality_repetition
+(dominant token/bigram), and q_perplexity_filter (LM score): together
+these four are the standard pre-training quality gauntlet.
+
+Determinism: flags compare exact integer counts or exact-double ratios
+of integers with identical expressions both engines; NB scores are
+integer micro-unit log-probability sums (the DSIR pattern,
+queries_text.py) so distributed summation is order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.functions.text import STOPWORDS, tokens
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 2  # distinct stopwords that must appear
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         length(text) AS nc
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         len(toks) AS n_words,
+         (nc - len(toks) + 1) * 1.0 / len(toks) AS mean_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+           * 1.0 / len(toks) AS alpha_frac,
+         len(list_distinct(list_filter(toks, x -> x IN ({_STOP_SQL}))))
+           AS n_stop
+  FROM t
+)
+SELECT doc_id, source,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_len, 4) AS mean_word_len,
+       ROUND(alpha_frac, 4) AS alpha_word_frac,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       CAST(n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS} AS INT) AS ok_words,
+       CAST(mean_len >= {GOPHER_MIN_MEAN_LEN}
+            AND mean_len <= {GOPHER_MAX_MEAN_LEN} AS INT) AS ok_mean_len,
+       CAST(alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS INT) AS ok_alpha,
+       CAST(n_stop >= {GOPHER_MIN_STOPWORDS} AS INT) AS ok_stop,
+       CAST(n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_len >= {GOPHER_MIN_MEAN_LEN}
+            AND mean_len <= {GOPHER_MAX_MEAN_LEN}
+            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+            AND n_stop >= {GOPHER_MIN_STOPWORDS} AS INT) AS keep
+FROM m
+ORDER BY doc_id
+""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter panel (Rae et al. 2021): word-count bounds,
+    mean word length 3-10, >=80% words containing an alphabetic
+    character, and >=2 distinct required stopwords present — the four
+    rules that transfer to any corpus (the bullet/ellipsis line rules
+    need multi-line docs; the fixture corpus is single-line, so they
+    would be constant columns and are left to the boilerplate pass).
+
+    Determinism: mean_len and alpha_frac are exact-double ratios of
+    exact integers (chars - words + 1 counts the non-space chars of a
+    single-space-joined text), compared against shared literal
+    thresholds before any rounding; presentation columns round at 4 dp.
+
+    Scale shape: pure per-row column expressions — whole-stage codegen,
+    no explode (the token array never leaves its row), no shuffle but
+    the presentation sort. The 100 TB cost is one scan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_words"),
+        (
+            (F.length("text") - F.size(toks) + 1)
+            * F.lit(1.0)
+            / F.size(toks)
+        ).alias("mean_len"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+            * F.lit(1.0)
+            / F.size(toks)
+        ).alias("alpha_frac"),
+        F.size(
+            F.array_distinct(
+                F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+            )
+        ).alias("n_stop"),
+    )
+    ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_mean = (F.col("mean_len") >= GOPHER_MIN_MEAN_LEN) & (
+        F.col("mean_len") <= GOPHER_MAX_MEAN_LEN
+    )
+    ok_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    ok_stop = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    return m.select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("mean_len", 4).alias("mean_word_len"),
+        F.round("alpha_frac", 4).alias("alpha_word_frac"),
+        F.col("n_stop").cast("long").alias("n_stopwords"),
+        ok_words.cast("int").alias("ok_words"),
+        ok_mean.cast("int").alias("ok_mean_len"),
+        ok_alpha.cast("int").alias("ok_alpha"),
+        ok_stop.cast("int").alias("ok_stop"),
+        (ok_words & ok_mean & ok_alpha & ok_stop).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes source classifier
+# ---------------------------------------------------------------------------
+
+NB_MIN_COUNT = 5  # vocabulary = tokens with corpus count >= this
+
+
+@register(
+    "q_nb_source_classifier",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM tok GROUP BY term HAVING COUNT(*) >= {NB_MIN_COUNT}
+),
+vt AS (SELECT tok.* FROM tok JOIN vocab USING (term)),
+srcs AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tok
+  FROM vt GROUP BY source
+),
+v AS (SELECT COUNT(*) AS vsize FROM vocab),
+alld AS (SELECT SUM(n_docs) AS total_docs FROM srcs),
+model AS (
+  SELECT s.source AS cls, vocab.term,
+         CAST(ROUND(ln(
+           (COALESCE(stc.c, 0) + 1.0) / (s.n_tok + v.vsize)) * 1e6)
+           AS BIGINT) AS ll_micro
+  FROM srcs s CROSS JOIN vocab CROSS JOIN v
+  LEFT JOIN (
+    SELECT source, term, COUNT(*) AS c FROM vt GROUP BY 1, 2
+  ) stc ON stc.source = s.source AND stc.term = vocab.term
+),
+prior AS (
+  SELECT source AS cls,
+         CAST(ROUND(ln(n_docs * 1.0 / alld.total_docs) * 1e6) AS BIGINT)
+           AS prior_micro
+  FROM srcs CROSS JOIN alld
+),
+scores AS (
+  SELECT vt.doc_id, vt.source, m.cls,
+         p.prior_micro + SUM(m.ll_micro) AS score
+  FROM vt JOIN model m USING (term)
+  JOIN prior p ON p.cls = m.cls
+  GROUP BY vt.doc_id, vt.source, m.cls, p.prior_micro
+),
+pred AS (
+  SELECT doc_id, source, cls AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls) AS rn
+  FROM scores
+)
+SELECT source, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY source, predicted
+ORDER BY source, predicted
+""",
+)
+def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained to predict a document's source
+    from its tokens, evaluated in-sample as a confusion matrix — the
+    counts-only twin of the fastText quality classifier used to filter
+    CommonCrawl against a "good" reference corpus (CCNet / GPT-3
+    WebText filter): same linear-scorer-over-token-counts shape, but
+    expressible entirely as aggregates with no gradient loop.
+
+    Determinism: Laplace-smoothed log-likelihoods and log-priors are
+    quantized to integer micro-units BEFORE the per-doc sum (the DSIR
+    pattern) so the distributed reduction is an order-independent
+    BIGINT sum; argmax tie-breaks on class name via row_number.
+
+    Scale shape: training = one (source, term) count aggregate joined
+    against the capped vocabulary (DF >= {NB_MIN_COUNT} prunes the
+    hapax tail that dominates raw vocab size); scoring = token explode
+    joined to the broadcast model table, then one combinable integer
+    sum per (doc, class). At 100 TB the model stays
+    |vocab| x |classes| rows — kilobytes to broadcast — and no text
+    ever shuffles, only 4-token terms and integer scores."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+    )
+    vt = tok.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    vocab_counts = vt.groupBy("term").agg(F.sum("n").alias("ct"))
+    vocab = vocab_counts.where(F.col("ct") >= NB_MIN_COUNT).select("term")
+    vtv = vt.join(F.broadcast(vocab), "term")
+    srcs = vtv.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n").alias("n_tok"),
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).alias("vsize"))
+    alld = srcs.agg(F.sum("n_docs").alias("total_docs"))
+    stc = vtv.groupBy("source", "term").agg(F.sum("n").alias("c")).select(
+        F.col("source").alias("src2"), F.col("term").alias("term2"), "c"
+    )
+    model = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(vsize))
+        .join(
+            stc,
+            (F.col("src2") == F.col("source"))
+            & (F.col("term2") == F.col("term")),
+            "left",
+        )
+        .select(
+            F.col("source").alias("cls"),
+            F.col("term"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("n_tok") + F.col("vsize"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("ll_micro"),
+        )
+    )
+    prior = srcs.crossJoin(F.broadcast(alld)).select(
+        F.col("source").alias("cls"),
+        F.round(
+            F.log(F.col("n_docs") * F.lit(1.0) / F.col("total_docs")) * 1e6
+        )
+        .cast("long")
+        .alias("prior_micro"),
+    )
+    scores = (
+        vtv.join(F.broadcast(model), "term")
+        .join(F.broadcast(prior), "cls")
+        .groupBy("doc_id", "source", "cls", "prior_micro")
+        .agg(
+            (F.col("prior_micro") + F.sum(F.col("n") * F.col("ll_micro"))).alias(
+                "score"
+            )
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    )
+    pred = scores.withColumn("rn", rn).where(F.col("rn") == 1)
+    return (
+        pred.groupBy("source", F.col("cls").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "predicted")
+    )
