@@ -1,0 +1,239 @@
+"""Embedding operators, second wave: Matryoshka truncation recall (the
+dimension-vs-quality dial of MRL embeddings, Kusupati et al. 2022) and
+Johnson-Lindenstrauss random projection with measured distance
+distortion — the two standard "shrink the vectors, know what you lose"
+tools next to PQ (q_embed_pq_adc) and int8 (q_embed_int8_rerank).
+
+Determinism: the projection sign matrix is a fixed LCG-derived +-1.0
+literal shared between both engines; every cross-row double reduction
+folds in explicit candidate order (the pagerank pattern); presentation
+rounds at 4 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.queries_embeddings import (
+    DIM,
+    N_QUERIES,
+    TOP_K,
+    _dot_fold,
+    _dot_sql,
+    _dvec,
+    _norm,
+    pq_recall_vs_exact,
+)
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall
+# ---------------------------------------------------------------------------
+
+MAT_DIM = 16  # serve on the first 16 of 64 dims
+
+
+@register(
+    "q_embed_matryoshka",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+t AS (SELECT vec_id, e[1:{MAT_DIM}] AS te FROM v),
+q AS (SELECT vec_id AS qid, te AS qe FROM t WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, t.vec_id AS nn_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY {_dot_sql('t.te', 't.te')} - 2 * {_dot_sql('q.qe', 't.te')},
+                    t.vec_id) AS rk
+  FROM q JOIN t ON t.vec_id <> q.qid
+),
+ann AS (SELECT qid, nn_id FROM scored WHERE rk <= {TOP_K}),
+fq AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+exd AS (
+  SELECT fq.qid, v.vec_id AS nn_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY fq.qid
+           ORDER BY {_dot_sql('v.e', 'v.e')} - 2 * {_dot_sql('fq.qe', 'v.e')},
+                    v.vec_id) AS rk
+  FROM fq JOIN v ON v.vec_id <> fq.qid
+),
+ex AS (SELECT qid, nn_id FROM exd WHERE rk <= {TOP_K})
+SELECT ann.qid,
+       CAST(COUNT(ex.nn_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(ex.nn_id) / {TOP_K}.0, 2) AS recall
+FROM ann LEFT JOIN ex ON ex.qid = ann.qid AND ex.nn_id = ann.nn_id
+GROUP BY ann.qid
+ORDER BY ann.qid
+""",
+)
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation recall: serve nearest-neighbor search
+    on only the FIRST {MAT_DIM} of {DIM} dimensions (the MRL deployment
+    trick — a prefix of a matryoshka-trained embedding is itself a
+    valid embedding at 1/{DIM // MAT_DIM} the storage and FLOPs) and
+    measure recall@{TOP_K} against the full-dimension exact scan.
+    These fixture vectors are not MRL-trained, so the measured recall
+    is the honest untrained floor — the same reading q_pq_recall gives
+    for untrained codebooks.
+
+    Determinism: both ANN and exact sides rank by the fold-ordered
+    squared-L2 surrogate ||c||^2 - 2<q,c> with id tie-breaks.
+
+    Scale shape: the truncated scan reads {MAT_DIM * 4} bytes/vector
+    instead of {DIM * 4} — at 100 TB that is a 4x scan-cost cut before
+    any indexing; plan is broadcast-queries + one corpus pass + per-
+    query top-k, identical to the exact path it replaces."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e")
+    )
+    t = v.select("vec_id", F.slice("e", 1, MAT_DIM).alias("te"))
+    q = t.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("te").alias("qe")
+    )
+    dist = _dot_fold(F.col("te"), F.col("te")) - 2 * _dot_fold(
+        F.col("qe"), F.col("te")
+    )
+    w = Window.partitionBy("qid").orderBy("d", "nn_id")
+    ann = (
+        t.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nn_id"), dist.alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("qid", "nn_id")
+    )
+    return pq_recall_vs_exact(spark, sf_dir, ann)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distortion audit
+# ---------------------------------------------------------------------------
+
+JL_K = 16  # projected dimensionality
+JL_LCG_A, JL_LCG_C, JL_LCG_M = 1103515245, 12345, 1 << 31
+JL_CAND_MOD, JL_CAND_RES = 7, 3  # candidate sample: vec_id % 7 == 3
+
+
+def _jl_signs(k: int) -> list[float]:
+    """Row k of the fixed Rademacher +-1 projection matrix (LCG parity,
+    seeded disjointly from the LSH planes via the +9973 offset)."""
+    out = []
+    for i in range(DIM):
+        x = (JL_LCG_A * (k * DIM + i + 9973) + JL_LCG_C) % JL_LCG_M
+        out.append(1.0 if x % 2 == 0 else -1.0)
+    return out
+
+
+def _jl_sign_sql(k: int) -> str:
+    return "[" + ", ".join(repr(c) for c in _jl_signs(k)) + "]::DOUBLE[]"
+
+
+def _jl_proj_sql(e: str) -> str:
+    comps = ", ".join(
+        _dot_sql(e, _jl_sign_sql(k)) for k in range(JL_K)
+    )
+    return f"[{comps}]"
+
+
+@register(
+    "q_embed_rand_projection",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (SELECT vec_id, e, {_jl_proj_sql('e')} AS pe FROM v),
+q AS (SELECT vec_id AS qid, e AS qe, pe AS qpe FROM p
+      WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, e AS ce, pe AS cpe FROM p
+      WHERE vec_id % {JL_CAND_MOD} = {JL_CAND_RES} AND vec_id >= {N_QUERIES}),
+pairs AS (
+  SELECT qid, cid,
+         ROUND(({_dot_sql('list_transform(list_zip(qpe, cpe), z -> z[1] - z[2])',
+                          'list_transform(list_zip(qpe, cpe), z -> z[1] - z[2])')})
+               / ({JL_K} * ({_dot_sql('list_transform(list_zip(qe, ce), z -> z[1] - z[2])',
+                                      'list_transform(list_zip(qe, ce), z -> z[1] - z[2])')})),
+               6) AS ratio
+  FROM q CROSS JOIN c
+)
+SELECT qid,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(ratio ORDER BY cid)),
+                         (acc, x) -> acc + x) / COUNT(*), 4) AS mean_ratio,
+       ROUND(MIN(ratio), 4) AS min_ratio,
+       ROUND(MAX(ratio), 4) AS max_ratio
+FROM pairs GROUP BY qid
+ORDER BY qid
+""",
+)
+def q_embed_rand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection ({DIM} -> {JL_K} dims via
+    a fixed Rademacher +-1 sign matrix) with the distortion audit that
+    justifies it: for each query vector against a deterministic
+    candidate sample, the ratio ||P(q-c)||^2 / (k * ||q-c||^2), whose
+    expectation is 1 under the JL guarantee (each projected coordinate
+    of x has variance ||x||^2 for +-1 entries). The per-query
+    mean/min/max ratios are the concentration reading that tells a
+    pipeline whether {JL_K} dims suffice before swapping the projection
+    into the dedup or ANN path.
+
+    Determinism: the sign matrix is a Python-generated literal injected
+    into both plans; distance folds run in array order; the per-query
+    mean folds in candidate order; ratios round at 6 dp before the
+    fold, stats at 4 dp.
+
+    Scale shape: projection is a per-row map ({JL_K} folds of {DIM}
+    muls — whole-stage codegen, no shuffle); the audit joins a
+    broadcast {N_QUERIES}-row query side against a ~1/{JL_CAND_MOD}
+    candidate sample. At 100 TB the projection runs in the ingest scan
+    and the audit on a sample, exactly as here."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e")
+    )
+    proj = F.array(
+        *[
+            _dot_fold(
+                F.col("e"),
+                F.array(*[F.lit(s) for s in _jl_signs(k)]),
+            )
+            for k in range(JL_K)
+        ]
+    )
+    p = v.select("vec_id", "e", proj.alias("pe"))
+    q = p.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("pe").alias("qpe"),
+    )
+    c = p.where(
+        (F.pmod(F.col("vec_id"), F.lit(JL_CAND_MOD)) == JL_CAND_RES)
+        & (F.col("vec_id") >= N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("pe").alias("cpe"),
+    )
+    dproj = F.zip_with(F.col("qpe"), F.col("cpe"), lambda a, b: a - b)
+    dfull = F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: a - b)
+    ratio = F.round(
+        _dot_fold(dproj, dproj) / (JL_K * _dot_fold(dfull, dfull)), 6
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", ratio.alias("ratio")
+    )
+    return (
+        pairs.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("cid", "ratio"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["ratio"],
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+        )
+        .orderBy("qid")
+    )

@@ -257,3 +257,147 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("boot_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series anomaly flags on the STL residuals
+# ---------------------------------------------------------------------------
+
+ANOM_PERIOD = 7  # weekly seasonality (matches q_seasonal_decompose)
+ANOM_Z = 3.0  # robust-z threshold
+ANOM_MAD_K = 1.4826  # MAD -> sigma consistency constant (normal)
+
+
+@register(
+    "q_anomaly_residual",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT day, cents,
+         (day - DATE '1970-01-01') % {ANOM_PERIOD} AS dow,
+         CASE WHEN COUNT(*) OVER w = {ANOM_PERIOD}
+              THEN SUM(cents) OVER w / {float(ANOM_PERIOD)} END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dt AS (
+  SELECT *, CAST(ROUND((cents - trend) * 1000000) AS BIGINT) AS detr_q
+  FROM tr
+),
+sea AS (
+  SELECT *,
+         SUM(detr_q) OVER (PARTITION BY dow)
+           / (1000000.0 * COUNT(detr_q) OVER (PARTITION BY dow)) AS seasonal
+  FROM dt
+),
+res AS (
+  SELECT day, cents,
+         CAST(ROUND(((detr_q / 1000000.0) - seasonal) * 1000000) AS BIGINT)
+           AS resid_q
+  FROM sea WHERE trend IS NOT NULL
+),
+stats AS (
+  SELECT quantile_cont(resid_q, 0.5) AS med FROM res
+),
+dev AS (
+  SELECT r.day, r.cents, r.resid_q, s.med,
+         ABS(r.resid_q - s.med) AS adev
+  FROM res r CROSS JOIN stats s
+),
+mad AS (SELECT quantile_cont(adev, 0.5) AS mad_q FROM dev)
+SELECT d.day,
+       d.cents AS observed_cents,
+       ROUND(d.resid_q / 1000000.0, 4) AS residual_cents,
+       ROUND((d.resid_q - d.med) / ({ANOM_MAD_K} * m.mad_q), 4) AS robust_z,
+       CAST(ABS((d.resid_q - d.med) / ({ANOM_MAD_K} * m.mad_q))
+            > {ANOM_Z} AS INT) AS is_anomaly
+FROM dev d CROSS JOIN mad m
+ORDER BY d.day
+""",
+)
+def q_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the STL residuals: the
+    q_seasonal_decompose pipeline (7-day centered-MA trend, weekday
+    seasonal means on micro-quantized detrended values) feeds a
+    median/MAD robust z-score — |z| > {ANOM_Z} flags a day whose
+    revenue the trend+seasonal model cannot explain. Median+MAD instead
+    of mean+stddev so the anomalies being hunted cannot mask themselves
+    by inflating the threshold (the standard robust-monitoring choice).
+
+    Determinism: residuals are micro-quantized BIGINTs before the
+    median; Spark ``percentile`` and DuckDB ``quantile_cont`` both
+    linearly interpolate on the sorted integers, giving identical
+    doubles; the z expression is written token-identically both sides.
+
+    Scale shape: daily rollup = one map-side-combinable aggregate;
+    trend/seasonal = windows over the (tiny) day domain; the
+    median/MAD pass aggregates the same day-domain frame twice — at
+    100 TB the day domain is still thousands of rows, so the exact
+    medians are free (the corpus-sized work is only the first
+    rollup). Driver-sized reductions broadcast back, no collect."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wma = (
+        Window.orderBy("day").rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "day",
+        "cents",
+        F.pmod(F.datediff("day", F.lit("1970-01-01")), F.lit(ANOM_PERIOD)).alias(
+            "dow"
+        ),
+        F.when(
+            F.count(F.lit(1)).over(wma) == ANOM_PERIOD,
+            F.sum("cents").over(wma) / float(ANOM_PERIOD),
+        ).alias("trend"),
+    )
+    dt = tr.withColumn(
+        "detr_q",
+        F.round((F.col("cents") - F.col("trend")) * 1_000_000).cast("long"),
+    )
+    wdow = Window.partitionBy("dow")
+    sea = dt.withColumn(
+        "seasonal",
+        F.sum("detr_q").over(wdow)
+        / (1_000_000.0 * F.count("detr_q").over(wdow)),
+    )
+    res = sea.where(F.col("trend").isNotNull()).select(
+        "day",
+        "cents",
+        F.round(
+            ((F.col("detr_q") / 1_000_000.0) - F.col("seasonal")) * 1_000_000
+        )
+        .cast("long")
+        .alias("resid_q"),
+    )
+    stats = res.agg(F.expr("percentile(resid_q, 0.5)").alias("med"))
+    dev = res.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "cents",
+        "resid_q",
+        "med",
+        F.abs(F.col("resid_q") - F.col("med")).alias("adev"),
+    )
+    mad = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad_q"))
+    z = (F.col("resid_q") - F.col("med")) / (ANOM_MAD_K * F.col("mad_q"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("cents").alias("observed_cents"),
+            F.round(F.col("resid_q") / 1_000_000.0, 4).alias("residual_cents"),
+            F.round(z, 4).alias("robust_z"),
+            (F.abs(z) > ANOM_Z).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -941,4 +941,107 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi",
         )
         .orderBy("wstart")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: space-saving top-k per event type
+# ---------------------------------------------------------------------------
+
+HH_TOPK = 5
+HH_CAP = 4096  # space-saving summary capacity (counters per event type)
+
+
+def heavy_hitter_topk(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Space-saving heavy hitters (Metwally et al. 2005) per event type
+    via ``applyInPandasWithState``: the state is a bounded counter
+    summary (at most {HH_CAP} (user, count) pairs per type); when a new
+    user arrives at capacity, the minimum counter is evicted and
+    inherited (the classic overestimate-bounded replacement, min ties
+    broken on smallest user id for determinism). Each micro-batch emits
+    the current top-{HH_TOPK} with a state sequence number so a
+    multi-batch replay's final summary is identifiable downstream.
+
+    With capacity >= distinct keys the summary is EXACT (no eviction
+    ever fires) — true at fixture scale, which is what lets the oracle
+    pin the arithmetic; at 100 TB capacity << keys and the guarantee
+    degrades gracefully to count error <= N/{HH_CAP} with all true
+    heavy hitters retained — the point of the algorithm. State is
+    O(capacity) longs per type regardless of stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            uids, cnts, seq = state.get
+            counts = dict(zip(uids, cnts))
+        else:
+            counts, seq = {}, 0
+        seq += 1
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                u = int(u)
+                if u in counts:
+                    counts[u] += 1
+                elif len(counts) < HH_CAP:
+                    counts[u] = 1
+                else:
+                    mu = min(counts, key=lambda k: (counts[k], k))
+                    counts[u] = counts.pop(mu) + 1
+        state.update((list(counts.keys()), list(counts.values()), seq))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:HH_TOPK]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(top),
+                "user_id": [u for u, _ in top],
+                "n_events": [c for _, c in top],
+                "rk": list(range(1, len(top) + 1)),
+                "seq": [seq] * len(top),
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "event_type string, user_id long, n_events long,"
+                " rk int, seq long"
+            ),
+            stateStructType="uids array<long>, cnts array<long>, seq long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@register(
+    "q_stream_heavy_hitters",
+    oracle=f"""
+SELECT event_type, user_id, n_events, rk FROM (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY COUNT(*) DESC, user_id) AS INT) AS rk
+  FROM events GROUP BY event_type, user_id
+) t WHERE rk <= {HH_TOPK}
+ORDER BY event_type, rk
+""",
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-{HH_TOPK} users per event type from the
+    space-saving state summary (see heavy_hitter_topk). The gate
+    equivalence: at fixture scale capacity exceeds key cardinality, so
+    the summary holds exact counts and the final emission per type
+    equals the batch GROUP BY top-k; the multi-batch eviction path is
+    pytest-covered separately."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(heavy_hitter_topk(ev), output_mode="update")
+    wmax = Window.partitionBy("event_type")
+    return (
+        out.withColumn("__smax", F.max("seq").over(wmax))
+        .where(F.col("seq") == F.col("__smax"))
+        .select("event_type", "user_id", "n_events", "rk")
+        .orderBy("event_type", "rk")
     )
