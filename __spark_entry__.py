@@ -30,40 +30,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
-# dict ordering decides what gets externally verified. Round-5 window
-# (per VERDICT.md round-4 item #1, generated by tools/gate_coverage.py
-# --window): the 5 late-round-4 queries that have never had a driver row,
-# then any round-5-NEW queries (no earlier round could have sampled them),
-# then the stalest greens — the full r01-only set (including the q1-q5
-# relational block whose driver rows are four rounds old), then the
-# stalest r02-only entries. After round 5 every registry entry has a
-# driver row in r01 ∪ … ∪ r05. Names are stable — only dict ordering
+# dict ordering decides what gets externally verified. Round-6 window
+# (tools/gate_coverage.py --window over the on-disk CORRECTNESS_r01-r04
+# artifacts — no r05 file was recorded, so every round-5 addition still
+# counts as never-driver-sampled and leads): the 21 round-5 queries with
+# no driver row, then the 11 round-6-NEW queries, then the stalest
+# greens (the r01-only block). Names are stable — only dict ordering
 # changes round to round.
-_R05_WINDOW = [
-    # never driver-sampled (late round-4 additions)
+_R06_WINDOW = [
+    "q_psi_arms",
+    "q_welch_ttest",
+    "q_holt_linear",
+    "q_seasonal_decompose",
     "q_embed_pq_adc",
     "q_pq_recall",
+    "q_embed_class_drift",
+    "q_embed_covariance",
+    "q_embed_pca_power",
+    "q_multimodal_ppm_resize",
+    "q_multimodal_wav_decode",
+    "q_multimodal_y4m_framesample",
     "q_dsir_selection",
     "q_split_leakage",
     "q_boilerplate_segments",
-    # round-5-NEW queries (inserted as they are added; displace the tail)
     "q_boilerplate_cleaned",
     "q_substring_span_clean",
-    "q_multimodal_ppm_resize",
-    "q_embed_class_drift",
-    "q_psi_arms",
-    "q_welch_ttest",
-    "q_stream_psi",
     "q_char_entropy",
     "q_cross_source_overlap",
-    "q_holt_linear",
-    "q_embed_covariance",
-    "q_embed_pca_power",
-    "q_multimodal_wav_decode",
-    "q_multimodal_y4m_framesample",
     "q_token_zipf",
-    "q_seasonal_decompose",
-    # stalest greens: all r01-only rows first, then stalest r02-only
+    "q_mannwhitney_u",
+    "q_bootstrap_ci",
+    "q_anomaly_residual",
+    "q_gopher_rules",
+    "q_nb_source_classifier",
+    "q_hits_scores",
+    "q_kcore",
+    "q_link_prediction",
+    "q_embed_matryoshka",
+    "q_embed_rand_projection",
+    "q_stream_psi",
+    "q_stream_heavy_hitters",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -82,22 +88,11 @@ _R05_WINDOW = [
     "q_stratified_sample",
     "q_topk_per_group_agg",
     "q_unpivot_measures",
-    "q13_customer_distribution",
-    "q6_forecast_revenue",
-    "q_array_functions",
-    "q_asof_click_purchase",
-    "q_bpe_merge_candidates",
-    "q_cms_heavy_hitters",
-    "q_cohort_retention",
-    "q_curation_pipeline",
-    "q_decontaminate_ngram",
-    "q_decontamination",
-    "q_dedup_canonical",
 ]
 
 
 def _gate_order(names) -> list[str]:
-    head = [n for n in _R05_WINDOW if n in names]
+    head = [n for n in _R06_WINDOW if n in names]
     return head + [n for n in names if n not in set(head)]
 
 
