@@ -325,7 +325,8 @@ deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
 cand AS (
   SELECT a.node AS u, b.node AS v,
          COUNT(*) AS cn,
-         SUM(CAST(ROUND(1000000 / ln(dm.d)) AS BIGINT)) AS aa_micro
+         CAST(SUM(CAST(ROUND(1000000 / ln(dm.d)) AS BIGINT)) AS BIGINT)
+           AS aa_micro
   FROM adj a
   JOIN adj b ON b.nbr = a.nbr AND a.node < b.node
   JOIN deg dm ON dm.node = a.nbr

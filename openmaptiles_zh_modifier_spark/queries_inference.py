@@ -401,3 +401,372 @@ def q_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point monitor on the daily revenue series
+# ---------------------------------------------------------------------------
+
+CUSUM_K_SIGMA = 0.5  # slack, in sigma units
+CUSUM_H_SIGMA = 4.0  # alarm threshold, in sigma units
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+ord AS (
+  SELECT day, cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM daily
+),
+st AS (
+  SELECT COUNT(*) AS n, SUM(cents) AS s, SUM(cents * cents) AS q
+  FROM daily
+),
+params AS (
+  SELECT (s / CAST(n AS DOUBLE)) AS mu,
+         sqrt((q - (s / CAST(n AS DOUBLE)) * s) / (n - 1)) AS sigma
+  FROM st
+),
+rec AS (
+  SELECT o.i, o.day, o.cents,
+         GREATEST(0.0, (o.cents - p.mu) - {CUSUM_K_SIGMA} * p.sigma) AS sp,
+         GREATEST(0.0, (p.mu - o.cents) - {CUSUM_K_SIGMA} * p.sigma) AS sn
+  FROM ord o CROSS JOIN params p WHERE o.i = 1
+  UNION ALL
+  SELECT o.i, o.day, o.cents,
+         GREATEST(0.0, r.sp + (o.cents - p.mu) - {CUSUM_K_SIGMA} * p.sigma),
+         GREATEST(0.0, r.sn + (p.mu - o.cents) - {CUSUM_K_SIGMA} * p.sigma)
+  FROM rec r
+  JOIN ord o ON o.i = r.i + 1
+  CROSS JOIN params p
+)
+SELECT r.day, r.cents AS observed_cents,
+       ROUND(r.sp / p.sigma, 4) AS cusum_hi_sigma,
+       ROUND(r.sn / p.sigma, 4) AS cusum_lo_sigma,
+       CAST(r.sp > {CUSUM_H_SIGMA} * p.sigma
+            OR r.sn > {CUSUM_H_SIGMA} * p.sigma AS INT) AS alarm
+FROM rec r CROSS JOIN params p
+ORDER BY r.day
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point monitor (Page 1954) over the daily
+    revenue series: S+ accumulates positive deviations beyond a
+    {CUSUM_K_SIGMA}-sigma slack, S- the negative side; either crossing
+    {CUSUM_H_SIGMA} sigma raises the alarm — the sequential detector
+    that catches small persistent level shifts a per-day z-score
+    misses (the standard data-quality tripwire for ingest volume and
+    metric drift).
+
+    Determinism: mu/sigma come from exact integer sums; the clamp
+    recurrence is inherently sequential, so Spark folds it with
+    F.aggregate over the day-sorted series while the oracle expresses
+    the IDENTICAL IEEE sequence as a recursive CTE (the q_holt_linear
+    pattern — DuckDB's list_reduce struct-state evaluation hazard is
+    documented there, so struct-state folds never appear oracle-side).
+
+    Scale shape: the corpus-sized work is one combinable daily rollup;
+    the recurrence runs over the day domain (thousands of rows at any
+    corpus size) inside ONE array fold — the canonical
+    small-state/sequential-tail split. The fold state is an appended
+    array so every day's running statistic is emitted, not just the
+    last."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    params = st.select(
+        (F.col("s") / F.col("n").cast("double")).alias("mu"),
+        F.sqrt(
+            (F.col("q") - (F.col("s") / F.col("n").cast("double")) * F.col("s"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("xs")
+    )
+    acc_t = "array<struct<day:date,cents:bigint,sp:double,sn:double>>"
+
+    def step(acc, x):
+        last_sp = F.coalesce(F.try_element_at(acc, F.lit(-1))["sp"], F.lit(0.0))
+        last_sn = F.coalesce(F.try_element_at(acc, F.lit(-1))["sn"], F.lit(0.0))
+        dev = x["cents"] - F.col("mu")
+        sp = F.greatest(
+            F.lit(0.0), last_sp + dev - CUSUM_K_SIGMA * F.col("sigma")
+        )
+        sn = F.greatest(
+            F.lit(0.0), last_sn + (-dev) - CUSUM_K_SIGMA * F.col("sigma")
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["cents"].alias("cents"),
+                    sp.alias("sp"),
+                    sn.alias("sn"),
+                )
+            ),
+        )
+
+    folded = series.crossJoin(F.broadcast(params)).select(
+        "sigma",
+        F.aggregate(
+            "xs", F.expr(f"CAST(array() AS {acc_t})"), step
+        ).alias("tr"),
+    )
+    row = folded.select("sigma", F.explode("tr").alias("r"))
+    return row.select(
+        F.col("r.day").alias("day"),
+        F.col("r.cents").alias("observed_cents"),
+        F.round(F.col("r.sp") / F.col("sigma"), 4).alias("cusum_hi_sigma"),
+        F.round(F.col("r.sn") / F.col("sigma"), 4).alias("cusum_lo_sigma"),
+        (
+            (F.col("r.sp") > CUSUM_H_SIGMA * F.col("sigma"))
+            | (F.col("r.sn") > CUSUM_H_SIGMA * F.col("sigma"))
+        )
+        .cast("int")
+        .alias("alarm"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed robust statistics
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "q_winsorized_stats",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+fences AS (
+  SELECT o_orderpriority,
+         quantile_cont(cents, {WINSOR_LO}) AS lo,
+         quantile_cont(cents, {WINSOR_HI}) AS hi
+  FROM o GROUP BY 1
+),
+w AS (
+  SELECT o.o_orderpriority,
+         CAST(ROUND(LEAST(GREATEST(o.cents, f.lo), f.hi) * 100) AS BIGINT)
+           AS wq,
+         CASE WHEN o.cents >= f.lo AND o.cents <= f.hi
+              THEN o.cents END AS kept
+  FROM o JOIN fences f USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(wq) / (COUNT(*) * 10000.0), 4) AS winsorized_mean,
+       ROUND(SUM(kept) / (COUNT(kept) * 100.0), 4) AS trimmed_mean,
+       CAST(COUNT(*) - COUNT(kept) AS BIGINT) AS n_clamped
+FROM w
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means of order value per priority class —
+    the robust location estimates every metrics platform serves next
+    to the raw mean, because a single fat-finger order should move a
+    KPI by at most the fence width (winsorize clamps to the
+    [{WINSOR_LO}, {WINSOR_HI}] quantile fences; trim drops outside
+    them).
+
+    Determinism: fences are exact interpolated quantiles over integer
+    cents (Spark ``percentile`` == DuckDB ``quantile_cont``); clamped
+    values re-quantize to BIGINT hundredths-of-a-cent BEFORE summing
+    so the aggregate is order-independent; the final ratios are exact
+    integer/double expressions written identically both sides.
+
+    Scale shape: pass 1 computes 5 fence pairs (tiny broadcast), pass
+    2 is one combinable aggregate over the clamped scan — the
+    standard two-pass robust-stats plan; exact quantiles come off the
+    per-group sort at this cardinality and would swap to
+    approx_percentile partials at extreme group counts."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    fences = o.groupBy("o_orderpriority").agg(
+        F.expr(f"percentile(cents, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(cents, {WINSOR_HI})").alias("hi"),
+    )
+    w = o.join(F.broadcast(fences), "o_orderpriority").select(
+        "o_orderpriority",
+        F.round(
+            F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+            * 100
+        )
+        .cast("long")
+        .alias("wq"),
+        F.when(
+            (F.col("cents") >= F.col("lo")) & (F.col("cents") <= F.col("hi")),
+            F.col("cents"),
+        ).alias("kept"),
+    )
+    return (
+        w.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum("wq") / (F.count(F.lit(1)) * 10000.0), 4
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum("kept") / (F.count("kept") * 100.0), 4
+            ).alias("trimmed_mean"),
+            (F.count(F.lit(1)) - F.count("kept"))
+            .cast("long")
+            .alias("n_clamped"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival over user activity spans
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_DAYS = 2  # active within this many days of stream end => censored
+
+
+@register(
+    "q_km_survival",
+    oracle=f"""
+WITH RECURSIVE spans AS (
+  SELECT user_id,
+         CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+  FROM events GROUP BY 1
+),
+horizon AS (SELECT MAX(d1) AS dmax FROM spans),
+obs AS (
+  SELECT s.user_id,
+         CAST(s.d1 - s.d0 AS BIGINT) AS t,
+         CASE WHEN s.d1 >= h.dmax - {KM_CENSOR_DAYS} THEN 0 ELSE 1 END
+           AS observed
+  FROM spans s CROSS JOIN horizon h
+),
+bytime AS (
+  SELECT t,
+         CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         CAST(SUM(c) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n,
+         CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i
+  FROM bytime
+),
+rec AS (
+  SELECT i, t, n, d,
+         (1.0 - d / CAST(n AS DOUBLE)) AS s
+  FROM risk WHERE i = 1
+  UNION ALL
+  SELECT k.i, k.t, k.n, k.d,
+         r.s * (1.0 - k.d / CAST(k.n AS DOUBLE))
+  FROM rec r JOIN risk k ON k.i = r.i + 1
+)
+SELECT t AS duration_days, n AS n_at_risk, d AS n_churned,
+       ROUND(s, 6) AS survival
+FROM rec
+ORDER BY duration_days
+""",
+)
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user activity span (days from
+    first to last event): users still active within {KM_CENSOR_DAYS}
+    days of the stream horizon are right-CENSORED (they haven't
+    churned — treating them as events is the classic retention-curve
+    mistake KM exists to fix); everyone else's span is an observed
+    churn. S(t) = prod over event times <= t of (1 - d_i / n_i) with
+    n_i the at-risk count (span >= t_i, censored included).
+
+    Determinism: d/n are exact BIGINTs (at-risk from one descending
+    cumulative window); each factor is the same exact double both
+    engines; the inherently sequential product folds in duration
+    order — Spark as an appending F.aggregate over the sorted series,
+    the oracle as the equivalent recursive CTE (the q_holt_linear
+    pattern).
+
+    Scale shape: the corpus-sized work is one (user) span aggregate;
+    everything after lives on the duration domain (hundreds of rows
+    at any corpus size) — window + one array fold. The textbook
+    split: distributed sufficient statistics, sequential tail on the
+    tiny domain."""
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+    )
+    horizon = spans.agg(F.max("d1").alias("dmax"))
+    obs = spans.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.datediff("d1", "d0").cast("long").alias("t"),
+        F.when(
+            F.col("d1") >= F.date_sub(F.col("dmax"), KM_CENSOR_DAYS), 0
+        )
+        .otherwise(1)
+        .alias("observed"),
+    )
+    bytime = obs.groupBy("t").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    wrisk = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = bytime.withColumn("n", F.sum("c").over(wrisk).cast("long"))
+    series = risk.agg(
+        F.array_sort(F.collect_list(F.struct("t", "n", "d"))).alias("xs")
+    )
+    acc_t = "array<struct<t:bigint,n:bigint,d:bigint,s:double>>"
+
+    def step(acc, x):
+        s_prev = F.coalesce(F.try_element_at(acc, F.lit(-1))["s"], F.lit(1.0))
+        f = F.lit(1.0) - x["d"] / x["n"].cast("double")
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["t"].alias("t"),
+                    x["n"].alias("n"),
+                    x["d"].alias("d"),
+                    (s_prev * f).alias("s"),
+                )
+            ),
+        )
+
+    folded = series.select(
+        F.explode(
+            F.aggregate("xs", F.expr(f"CAST(array() AS {acc_t})"), step)
+        ).alias("r")
+    )
+    return folded.select(
+        F.col("r.t").alias("duration_days"),
+        F.col("r.n").alias("n_at_risk"),
+        F.col("r.d").alias("n_churned"),
+        F.round(F.col("r.s"), 6).alias("survival"),
+    ).orderBy("duration_days")

@@ -145,11 +145,11 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NB_MIN_COUNT = 5  # vocabulary = tokens with corpus count >= this
 
-
-@register(
-    "q_nb_source_classifier",
-    oracle=f"""
-WITH tok AS (
+# Shared CTE chain (tok -> vocab -> model -> scores), embedded by both the
+# confusion-matrix gate and the calibration gate so the model arithmetic
+# is defined exactly once.
+_NB_SCORES_CTE = f"""
+tok AS (
   SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
   FROM documents
 ),
@@ -185,42 +185,18 @@ scores AS (
   FROM vt JOIN model m USING (term)
   JOIN prior p ON p.cls = m.cls
   GROUP BY vt.doc_id, vt.source, m.cls, p.prior_micro
-),
-pred AS (
-  SELECT doc_id, source, cls AS predicted,
-         ROW_NUMBER() OVER (PARTITION BY doc_id
-                            ORDER BY score DESC, cls) AS rn
-  FROM scores
-)
-SELECT source, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM pred WHERE rn = 1
-GROUP BY source, predicted
-ORDER BY source, predicted
-""",
-)
-def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive Bayes trained to predict a document's source
-    from its tokens, evaluated in-sample as a confusion matrix — the
-    counts-only twin of the fastText quality classifier used to filter
-    CommonCrawl against a "good" reference corpus (CCNet / GPT-3
-    WebText filter): same linear-scorer-over-token-counts shape, but
-    expressible entirely as aggregates with no gradient loop.
+)"""
 
-    Determinism: Laplace-smoothed log-likelihoods and log-priors are
-    quantized to integer micro-units BEFORE the per-doc sum (the DSIR
-    pattern) so the distributed reduction is an order-independent
-    BIGINT sum; argmax tie-breaks on class name via row_number.
 
-    Scale shape: training = one (source, term) count aggregate joined
-    against the capped vocabulary (DF >= {NB_MIN_COUNT} prunes the
-    hapax tail that dominates raw vocab size); scoring = token explode
-    joined to the broadcast model table, then one combinable integer
-    sum per (doc, class). At 100 TB the model stays
-    |vocab| x |classes| rows — kilobytes to broadcast — and no text
-    ever shuffles, only 4-token terms and integer scores."""
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, class) Naive Bayes integer-micro log-posterior scores —
+    the shared trunk of the confusion-matrix and calibration gates
+    (mirrors _NB_SCORES_CTE term for term)."""
     tok = (
         load(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+        .select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
     )
     vt = tok.groupBy("doc_id", "source", "term").agg(
         F.count(F.lit(1)).alias("n")
@@ -268,16 +244,55 @@ def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prior_micro"),
     )
-    scores = (
+    return (
         vtv.join(F.broadcast(model), "term")
         .join(F.broadcast(prior), "cls")
         .groupBy("doc_id", "source", "cls", "prior_micro")
         .agg(
-            (F.col("prior_micro") + F.sum(F.col("n") * F.col("ll_micro"))).alias(
-                "score"
-            )
+            (
+                F.col("prior_micro") + F.sum(F.col("n") * F.col("ll_micro"))
+            ).alias("score")
         )
     )
+
+
+@register(
+    "q_nb_source_classifier",
+    oracle=f"""
+WITH {_NB_SCORES_CTE},
+pred AS (
+  SELECT doc_id, source, cls AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls) AS rn
+  FROM scores
+)
+SELECT source, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY source, predicted
+ORDER BY source, predicted
+""",
+)
+def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained to predict a document's source
+    from its tokens, evaluated in-sample as a confusion matrix — the
+    counts-only twin of the fastText quality classifier used to filter
+    CommonCrawl against a "good" reference corpus (CCNet / GPT-3
+    WebText filter): same linear-scorer-over-token-counts shape, but
+    expressible entirely as aggregates with no gradient loop.
+
+    Determinism: Laplace-smoothed log-likelihoods and log-priors are
+    quantized to integer micro-units BEFORE the per-doc sum (the DSIR
+    pattern) so the distributed reduction is an order-independent
+    BIGINT sum; argmax tie-breaks on class name via row_number.
+
+    Scale shape: training = one (source, term) count aggregate joined
+    against the capped vocabulary (DF >= {NB_MIN_COUNT} prunes the
+    hapax tail that dominates raw vocab size); scoring = token explode
+    joined to the broadcast model table, then one combinable integer
+    sum per (doc, class). At 100 TB the model stays
+    |vocab| x |classes| rows — kilobytes to broadcast — and no text
+    ever shuffles, only 4-token terms and integer scores."""
+    scores = _nb_scores(spark, sf_dir)
     rn = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
     )
@@ -286,4 +301,102 @@ def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.groupBy("source", F.col("cls").alias("predicted"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("source", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration by decision margin
+# ---------------------------------------------------------------------------
+
+CAL_DECILES = 10
+
+
+@register(
+    "q_nb_calibration",
+    oracle=f"""
+WITH {_NB_SCORES_CTE},
+ranked AS (
+  SELECT doc_id, source, cls, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls) AS rn
+  FROM scores
+),
+docm AS (
+  SELECT doc_id,
+         MAX(source) AS source,
+         MAX(CASE WHEN rn = 1 THEN cls END) AS predicted,
+         MAX(CASE WHEN rn = 1 THEN score END)
+           - MAX(CASE WHEN rn = 2 THEN score END) AS margin
+  FROM ranked WHERE rn <= 2 GROUP BY doc_id
+),
+dec AS (
+  SELECT *,
+         CAST(NTILE({CAL_DECILES}) OVER (ORDER BY margin, doc_id) AS INT)
+           AS decile
+  FROM docm
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(margin) / (COUNT(*) * 1000000.0), 4) AS mean_margin,
+       ROUND(SUM(CASE WHEN predicted = source THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 4) AS accuracy
+FROM dec
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based calibration audit of the NB source classifier: docs
+    bucketed into deciles of decision margin (top score minus
+    runner-up, in log-prob micro-units) with per-decile accuracy —
+    the reliability-diagram reading that tells a filtering pipeline
+    which confidence band a score threshold actually buys (the ECE
+    shape, on margins instead of softmax probabilities so the gate
+    stays transcendental-free beyond the model's own quantized lns).
+
+    Determinism: margins are exact BIGINT differences; the decile
+    assignment NTILEs a total order (margin, doc_id); accuracy and
+    mean margin are exact-integer ratios rounded at 4 dp.
+
+    Scale shape: reuses the broadcast NB model scoring pass
+    (_nb_scores); the decile NTILE is a single-partition sort over
+    per-DOC rows — at extreme corpus scale it swaps to
+    approx-quantile fences like q_histogram_equidepth, documented
+    trade. Everything else is combinable aggregation."""
+    scores = _nb_scores(spark, sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    )
+    ranked = scores.withColumn("rn", rn).where(F.col("rn") <= 2)
+    docm = ranked.groupBy("doc_id").agg(
+        F.max("source").alias("source"),
+        F.max(F.when(F.col("rn") == 1, F.col("cls"))).alias("predicted"),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("score")))
+            - F.max(F.when(F.col("rn") == 2, F.col("score")))
+        ).alias("margin"),
+    )
+    dec = docm.withColumn(
+        "decile",
+        F.ntile(CAL_DECILES)
+        .over(Window.orderBy("margin", "doc_id"))
+        .cast("int"),
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("margin") / (F.count(F.lit(1)) * 1_000_000.0), 4
+            ).alias("mean_margin"),
+            F.round(
+                F.sum(
+                    F.when(F.col("predicted") == F.col("source"), 1).otherwise(0)
+                )
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("decile")
     )

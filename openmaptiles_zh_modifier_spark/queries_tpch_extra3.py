@@ -487,3 +487,78 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: percent_rank / cume_dist / ntile / nth_value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_ranks",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_nationkey < 5
+)
+SELECT c_nationkey, c_custkey, bal_cents,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       nth_value(c_custkey, 2) OVER (
+         PARTITION BY c_nationkey ORDER BY bal_cents DESC, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS runner_up_cust
+FROM c
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents DESC, c_custkey)
+ORDER BY c_nationkey, pct_rank, c_custkey
+""",
+)
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-flavored window functions over customer balances per
+    nation: percent_rank, cume_dist, NTILE(4) quartiles, and
+    nth_value(2) (the runner-up customer via an explicit
+    whole-partition frame) — completing the window surface next to the
+    frame-spec (q_window_frames) and ranking (q_topk_per_group_agg)
+    gates, since these four are the ones analysts reach for in
+    leaderboard and decile reports.
+
+    Determinism: the window orders by (bal_cents, custkey) — a total
+    order, so peer-dependent definitions (cume_dist counts peers,
+    percent_rank uses rank) have no ambiguity; balances are integer
+    cents; ratios round at 6 dp.
+
+    Scale shape: one hash-partition shuffle on the partition key, one
+    in-partition sort serving all four functions (Catalyst computes
+    them in a single Window operator — verified in the plan); the
+    nation filter prunes at the parquet scan."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 5)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("bal_cents"), F.asc("c_custkey")
+    )
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "bal_cents",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.nth_value(F.col("c_custkey"), 2).over(wfull).alias(
+                "runner_up_cust"
+            ),
+        )
+        .orderBy("c_nationkey", "pct_rank", "c_custkey")
+    )
