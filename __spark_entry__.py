@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/gate_coverage.py --window over the on-disk CORRECTNESS_r01-r04
 # artifacts — no r05 file was recorded, so every round-5 addition still
 # counts as never-driver-sampled and leads): the 21 round-5 queries with
-# no driver row, then the 11 round-6-NEW queries, then the stalest
+# no driver row, then the round-6-NEW queries, then the stalest
 # greens (the r01-only block). Names are stable — only dict ordering
 # changes round to round.
 _R06_WINDOW = [
@@ -58,11 +58,16 @@ _R06_WINDOW = [
     "q_char_entropy",
     "q_cross_source_overlap",
     "q_token_zipf",
+    "q_window_ranks",
     "q_mannwhitney_u",
     "q_bootstrap_ci",
     "q_anomaly_residual",
+    "q_cusum_changepoint",
+    "q_winsorized_stats",
+    "q_km_survival",
     "q_gopher_rules",
     "q_nb_source_classifier",
+    "q_nb_calibration",
     "q_hits_scores",
     "q_kcore",
     "q_link_prediction",
@@ -83,11 +88,6 @@ _R06_WINDOW = [
     "q_integrity_audit",
     "q_priority_sample",
     "q_recursive_calendar",
-    "q_rollup_returns",
-    "q_scalar_functions",
-    "q_stratified_sample",
-    "q_topk_per_group_agg",
-    "q_unpivot_measures",
 ]
 
 
