@@ -159,3 +159,46 @@ def test_covariance_single_corpus_scan_and_arrow_stage(spark, sf_dir):
         assert len(ids) == 1, (ids, plan)
     finally:
         clear_frame_cache()
+
+
+def test_nb_classifier_broadcasts_model(spark, sf_dir):
+    """The NB scoring join must broadcast the |vocab| x |classes| model
+    (and the vocab prune), never shuffle the token explode against it."""
+    plan = _plan(QUERIES["q_nb_source_classifier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_single_corpus_scan_per_branch(spark, sf_dir):
+    """The Poisson bootstrap reads orders for the replicate explode and
+    once more for the point estimate — two scans total, no more (the
+    64x amplification must live inside the scan stage, not as 64
+    branches)."""
+    plan = _plan(QUERIES["q_bootstrap_ci"](spark, sf_dir))
+    assert plan.count("orders.parquet") <= 2, plan.count("orders.parquet")
+
+
+def test_gopher_rules_no_shuffle_before_sort(spark, sf_dir):
+    """Gopher flags are per-row column expressions: exactly one exchange
+    (the presentation sort), no aggregation exchanges, no explode."""
+    plan = _plan(QUERIES["q_gopher_rules"](spark, sf_dir))
+    assert "Generate" not in plan  # no explode — arrays stay in-row
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")
+
+
+def test_window_ranks_single_window_operator(spark, sf_dir):
+    """All four distribution functions over the same (partition, order)
+    must collapse into a shared sort, not one sort per function."""
+    plan = _plan(QUERIES["q_window_ranks"](spark, sf_dir))
+    # one partition-key exchange for the window + one for the final
+    # presentation sort
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
+
+
+def test_kcore_linear_plan_depth(spark, sf_dir):
+    """The peel must stay an edge-filter chain: no joins at all in the
+    iteration body (two window counts per round), so no sort-merge or
+    broadcast joins beyond the trajectory's count branches."""
+    plan = _plan(QUERIES["q_kcore"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
