@@ -181,18 +181,19 @@ def test_bootstrap_single_corpus_scan_per_branch(spark, sf_dir):
 def test_gopher_rules_no_shuffle_before_sort(spark, sf_dir):
     """Gopher flags are per-row column expressions: exactly one exchange
     (the presentation sort), no aggregation exchanges, no explode."""
-    plan = _plan(QUERIES["q_gopher_rules"](spark, sf_dir))
+    plan = _plan(QUERIES["q_gopher_rules"](spark, sf_dir), mode="simple")
     assert "Generate" not in plan  # no explode — arrays stay in-row
-    assert plan.count("Exchange") <= 1, plan.count("Exchange")
+    assert plan.count("Exchange") <= 1, plan
 
 
 def test_window_ranks_single_window_operator(spark, sf_dir):
     """All four distribution functions over the same (partition, order)
     must collapse into a shared sort, not one sort per function."""
-    plan = _plan(QUERIES["q_window_ranks"](spark, sf_dir))
+    plan = _plan(QUERIES["q_window_ranks"](spark, sf_dir), mode="simple")
     # one partition-key exchange for the window + one for the final
     # presentation sort
-    assert plan.count("Exchange") <= 3, plan.count("Exchange")
+    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("Window") == 1, plan
 
 
 def test_kcore_linear_plan_depth(spark, sf_dir):

@@ -74,6 +74,16 @@ BENCH_QUERIES = [
     "q_cross_source_overlap",
     "q_holt_linear",
     "q_embed_covariance",
+    # round-6 additions: NB model+scoring over 3x docs (vocab DF counts
+    # triple, model size constant), the wedge join of link prediction
+    # (same middle-vertex shape as triangles — the densified graph is
+    # its stress case), the rank-histogram Mann-Whitney (distinct-value
+    # domain fixed while rows triple), and the heavy-hitter state path
+    # with 20% of events on one hot user.
+    "q_nb_source_classifier",
+    "q_link_prediction",
+    "q_mannwhitney_u",
+    "q_stream_heavy_hitters",
 ]
 
 
