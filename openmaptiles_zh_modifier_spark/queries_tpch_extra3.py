@@ -562,3 +562,53 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "pct_rank", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared-text SQL interface: ONE string, both engines
+# ---------------------------------------------------------------------------
+
+# The exact same SQL text runs on Spark (spark.sql over temp views) AND on
+# DuckDB as its own oracle — the dialect-portability proof that the engine
+# accepts the ANSI surface directly, not only the DataFrame API. Constraint
+# on the text: the COMMON dialect subset (joins, FILTER aggregates, CASE,
+# window functions, CAST/ROUND) — no engine-specific functions.
+_SHARED_SQL_TEXT = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+            AS BIGINT) AS n_urgent,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) DESC,
+                  n.n_name) AS INT) AS rk
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY rk
+"""
+
+
+@register("q_sql_shared_text", oracle=_SHARED_SQL_TEXT)
+def q_sql_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity, stated as executable fact: the ORACLE STRING
+    ITSELF runs through ``spark.sql`` over temp views of the same
+    parquet — zero translation, so any user-facing ANSI query in the
+    common dialect subset (joins, FILTER aggregates, windows,
+    CAST/ROUND) is accepted verbatim by this engine. The reference's
+    users write SQL (PostgreSQL is its actual query engine,
+    OMTZHModifier.java:134-138); this gate pins that they can keep
+    doing so here.
+
+    Determinism: integer cents, FILTER counts, and a total-order
+    window — nothing engine-specific anywhere in the text.
+
+    Scale shape: Catalyst plans the text identically to the DataFrame
+    build — broadcast dims onto the orders fact, partial aggregation
+    before the exchange, TakeOrdered for the ranked output (verified
+    via explain; the SQL front end costs nothing at any scale)."""
+    for t in ("orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SHARED_SQL_TEXT)

@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from openmaptiles_zh_modifier_spark.registry import register
+from openmaptiles_zh_modifier_spark.registry import load, register
 
 # Parquet streaming source needs an explicit schema; ts is TIMESTAMP(NANOS)
 # on disk. How that surfaces depends on the installed Spark: 4.x reads it
@@ -1044,4 +1044,176 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("seq") == F.col("__smax"))
         .select("event_type", "user_id", "n_events", "rk")
         .orderBy("event_type", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift tripwire per event type
+# ---------------------------------------------------------------------------
+
+SCUSUM_K = 0.5  # slack in sigma units (matches q_cusum_changepoint)
+
+
+def streaming_cusum(events: DataFrame, params: dict,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-event-type two-sided CUSUM in ``applyInPandasWithState``:
+    state is the (S+, S-, n) triple, advanced over each micro-batch's
+    rows in event-time order against FIXED reference (mu, sigma) from
+    the training corpus (broadcast as plain Python — a handful of
+    floats). Emits the running statistics per batch.
+
+    Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    micro-batch and state carries across batches in arrival order —
+    exact for a time-ordered source (production streams are), and
+    deterministic for the availableNow gate drain (single batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        et = key[0]
+        mu, sigma = params[et]
+        sp, sn, n = state.get if state.exists else (0.0, 0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for cents in pdf["cents"]:
+                dev = float(cents) - mu
+                sp = max(0.0, sp + dev - SCUSUM_K * sigma)
+                sn = max(0.0, sn + (-dev) - SCUSUM_K * sigma)
+                n += 1
+        state.update((sp, sn, n))
+        yield pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_events": [n],
+                "cusum_hi": [sp],
+                "cusum_lo": [sn],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "event_type", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "event_type string, n_events long,"
+                " cusum_hi double, cusum_lo double"
+            ),
+            stateStructType="sp double, sn double, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@register(
+    "q_stream_cusum",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+p AS (
+  SELECT event_type,
+         SUM(cents) / CAST(COUNT(*) AS DOUBLE) AS mu,
+         sqrt((SUM(cents * cents)
+               - (SUM(cents) / CAST(COUNT(*) AS DOUBLE)) * SUM(cents))
+              / (COUNT(*) - 1)) AS sigma
+  FROM e GROUP BY 1
+),
+ord AS (
+  SELECT event_type, cents,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS i
+  FROM e
+),
+rec AS (
+  SELECT o.event_type, o.i,
+         GREATEST(0.0, (o.cents - p.mu) - {SCUSUM_K} * p.sigma) AS sp,
+         GREATEST(0.0, (p.mu - o.cents) - {SCUSUM_K} * p.sigma) AS sn
+  FROM ord o JOIN p ON p.event_type = o.event_type WHERE o.i = 1
+  UNION ALL
+  SELECT o.event_type, o.i,
+         GREATEST(0.0, r.sp + (o.cents - p.mu) - {SCUSUM_K} * p.sigma),
+         GREATEST(0.0, r.sn + (p.mu - o.cents) - {SCUSUM_K} * p.sigma)
+  FROM rec r
+  JOIN ord o ON o.event_type = r.event_type AND o.i = r.i + 1
+  JOIN p ON p.event_type = o.event_type
+),
+last AS (
+  SELECT event_type, MAX(i) AS n FROM ord GROUP BY 1
+)
+SELECT r.event_type,
+       l.n AS n_events,
+       ROUND(r.sp / p.sigma, 4) AS cusum_hi_sigma,
+       ROUND(r.sn / p.sigma, 4) AS cusum_lo_sigma
+FROM rec r
+JOIN last l ON l.event_type = r.event_type AND r.i = l.n
+JOIN p ON p.event_type = r.event_type
+ORDER BY r.event_type
+""",
+)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift tripwire: the q_cusum_changepoint
+    recurrence moved into the state store, per event type, against
+    reference (mu, sigma) computed from the training corpus (the
+    stream-static parameter pattern). The gate compares the final
+    per-type running statistics against the oracle's recursive-CTE
+    replay of the identical IEEE sequence.
+
+    Scale shape: state is three scalars per event type; each batch
+    does one in-group sort + a linear pass. Parameters are a
+    per-type pair of floats — at any corpus scale they ride along as
+    a broadcast, never a join."""
+    ev_batch = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    prow = (
+        ev_batch.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).alias("q"),
+        )
+        .select(
+            "event_type",
+            (F.col("s") / F.col("n").cast("double")).alias("mu"),
+            F.sqrt(
+                (F.col("q") - (F.col("s") / F.col("n").cast("double")) * F.col("s"))
+                / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
+        .collect()
+    )
+    params = {r["event_type"]: (r["mu"], r["sigma"]) for r in prow}
+    out = run_to_memory(
+        streaming_cusum(read_events_stream(spark, sf_dir), params),
+        output_mode="update",
+    )
+    sig = spark.createDataFrame(
+        [(et, s) for et, (_, s) in sorted(params.items())],
+        "event_type string, sigma double",
+    )
+    wmax = Window.partitionBy("event_type")
+    return (
+        out.withColumn("__m", F.max("n_events").over(wmax))
+        .where(F.col("n_events") == F.col("__m"))
+        .join(F.broadcast(sig), "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("cusum_hi") / F.col("sigma"), 4).alias(
+                "cusum_hi_sigma"
+            ),
+            F.round(F.col("cusum_lo") / F.col("sigma"), 4).alias(
+                "cusum_lo_sigma"
+            ),
+        )
+        .orderBy("event_type")
     )
