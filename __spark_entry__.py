@@ -59,6 +59,7 @@ _R06_WINDOW = [
     "q_cross_source_overlap",
     "q_token_zipf",
     "q_window_ranks",
+    "q_sql_shared_text",
     "q_mannwhitney_u",
     "q_bootstrap_ci",
     "q_anomaly_residual",
@@ -75,6 +76,7 @@ _R06_WINDOW = [
     "q_embed_rand_projection",
     "q_stream_psi",
     "q_stream_heavy_hitters",
+    "q_stream_cusum",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -86,8 +88,6 @@ _R06_WINDOW = [
     "q_date_functions",
     "q_distinct_agg",
     "q_integrity_audit",
-    "q_priority_sample",
-    "q_recursive_calendar",
 ]
 
 
