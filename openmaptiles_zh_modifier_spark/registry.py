@@ -320,4 +320,5 @@ def _register_all() -> None:
     import openmaptiles_zh_modifier_spark.streaming.events  # noqa: F401
 
 
-_register_all()
+# _register_all() is invoked by the package __init__ (see note there:
+# calling it here re-entrantly breaks direct submodule imports).
