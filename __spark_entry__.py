@@ -74,6 +74,9 @@ _R06_WINDOW = [
     "q_link_prediction",
     "q_embed_matryoshka",
     "q_embed_rand_projection",
+    "q_hard_negatives",
+    "q_label_balance",
+    "q_span_corruption",
     "q_stream_psi",
     "q_stream_heavy_hitters",
     "q_stream_cusum",
@@ -85,9 +88,6 @@ _R06_WINDOW = [
     "q_cube_orders",
     "q_customer_order_running",
     "q_customers_without_orders",
-    "q_date_functions",
-    "q_distinct_agg",
-    "q_integrity_audit",
 ]
 
 

@@ -1,0 +1,343 @@
+"""Training-set preparation operators: contrastive hard-negative
+mining over the embedding corpus, deterministic class rebalancing, and
+T5-style span corruption — the last-mile passes that turn a curated
+corpus into model-ready examples (SURVEY.md §2.9 north-star surface).
+
+Determinism: selection and masking decisions derive from the shared
+32-bit md5 hash (functions/text.h32) — no RNG; cosines round at 4 dp;
+every tie-break is a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.functions.text import h32, h32_sql, tokens
+from openmaptiles_zh_modifier_spark.queries_embeddings import (
+    N_QUERIES,
+    _dot_fold,
+    _dot_sql,
+    _dvec,
+    _norm,
+)
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe, label AS qlabel FROM v
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, q.qlabel, v.vec_id AS cid, v.label = q.qlabel AS same,
+         ROUND({_dot_sql('q.qe', 'v.e')}
+               / (sqrt({_dot_sql('q.qe', 'q.qe')})
+                  * sqrt({_dot_sql('v.e', 'v.e')})), 4) AS cos
+  FROM q JOIN v ON v.vec_id <> q.qid
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, same
+                               ORDER BY cos DESC, cid) AS rn
+  FROM scored
+)
+SELECT qid,
+       CAST(qlabel AS INT) AS anchor_label,
+       MAX(CASE WHEN same THEN cid END) AS positive_id,
+       MAX(CASE WHEN same THEN cos END) AS positive_cos,
+       MAX(CASE WHEN NOT same THEN cid END) AS hard_negative_id,
+       MAX(CASE WHEN NOT same THEN cos END) AS hard_negative_cos,
+       ROUND(MAX(CASE WHEN same THEN cos END)
+             - MAX(CASE WHEN NOT same THEN cos END), 4) AS margin
+FROM ranked WHERE rn = 1
+GROUP BY qid, qlabel
+ORDER BY qid
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining for embedding-model training: for each
+    anchor (the {N_QUERIES}-vector query sample), the most similar
+    SAME-label vector is the positive and the most similar
+    DIFFERENT-label vector is the hard negative — the mining rule that
+    makes triplet/InfoNCE training converge (random negatives are too
+    easy; the hardest one carries the gradient). The margin
+    (pos_cos - neg_cos) is the curriculum signal: negative margins
+    mark anchors whose neighborhood contradicts their label.
+
+    Determinism: cosines round at 4 dp before ranking; ties break on
+    candidate id; the same/different split is exact.
+
+    Scale shape: broadcast anchors x one corpus scan, ranked by a
+    per-(anchor, side) window — the exact-scoring path. At 100 TB
+    mining runs per anchor BATCH against the ANN index
+    (q_embed_ivf_topk) with this exact scan as the ground-truth pass
+    on a sample; the plan here IS that sampled pass."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e"), "label"
+    )
+    q = v.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    cos = F.round(
+        _dot_fold(F.col("qe"), F.col("e"))
+        / (_norm(F.col("qe")) * _norm(F.col("e"))),
+        4,
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("cid"),
+            (F.col("label") == F.col("qlabel")).alias("same"),
+            cos.alias("cos"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid", "same").orderBy(F.desc("cos"), F.asc("cid"))
+    )
+    top = scored.withColumn("rn", rn).where(F.col("rn") == 1)
+    pos_cos = F.max(F.when(F.col("same"), F.col("cos")))
+    neg_cos = F.max(F.when(~F.col("same"), F.col("cos")))
+    return (
+        top.groupBy("qid", "qlabel")
+        .agg(
+            F.max(F.when(F.col("same"), F.col("cid"))).alias("positive_id"),
+            pos_cos.alias("positive_cos"),
+            F.max(F.when(~F.col("same"), F.col("cid"))).alias(
+                "hard_negative_id"
+            ),
+            neg_cos.alias("hard_negative_cos"),
+            F.round(pos_cos - neg_cos, 4).alias("margin"),
+        )
+        .select(
+            "qid",
+            F.col("qlabel").cast("int").alias("anchor_label"),
+            "positive_id",
+            "positive_cos",
+            "hard_negative_id",
+            "hard_negative_cos",
+            "margin",
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic class rebalancing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_label_balance",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label FROM embeddings),
+tgt AS (SELECT MIN(c) AS target FROM (
+  SELECT COUNT(*) AS c FROM v GROUP BY label)),
+rk AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY {h32_sql("vec_id || ':bal'")}, vec_id) AS r
+  FROM v
+)
+SELECT rk.label,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN rk.r <= t.target THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after,
+       CAST(MIN(CASE WHEN rk.r <= t.target THEN vec_id END) AS BIGINT)
+         AS first_kept_id
+FROM rk CROSS JOIN tgt t
+GROUP BY rk.label
+ORDER BY rk.label
+""",
+)
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing: downsample every label to the
+    minority-class count by keeping the rows with the smallest
+    hash-rank (md5 of the id — uniform, seedless, reproducible across
+    runs and engines, the property an RNG-based sampler can't give a
+    distributed pipeline). Emits the per-label before/after census
+    plus the first kept id as a selection witness.
+
+    Scale shape: one count aggregate for the target (broadcast
+    scalar), one per-label window rank, one combinable census — the
+    window is the only per-row sort and it partitions by label. The
+    kept-rows frame itself (filter r <= target) is the pipeline
+    output; the gate compares its census."""
+    v = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    tgt = (
+        v.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("target"))
+    )
+    r = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            h32(F.concat(F.col("vec_id"), F.lit(":bal"))), F.asc("vec_id")
+        )
+    )
+    rk = v.withColumn("r", r)
+    kept = F.when(F.col("r") <= F.col("target"), 1).otherwise(0)
+    return (
+        rk.crossJoin(F.broadcast(tgt))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(kept).cast("long").alias("n_after"),
+            F.min(
+                F.when(F.col("r") <= F.col("target"), F.col("vec_id"))
+            )
+            .cast("long")
+            .alias("first_kept_id"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption
+# ---------------------------------------------------------------------------
+
+SPAN_START_PCT = 8  # a token starts a masked span with ~8% probability
+SPAN_MAX_EXTRA = 2  # span length 1..3 tokens
+
+
+@register(
+    "q_span_corruption",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(generate_series(1, len(toks)),
+           i -> CASE WHEN {h32_sql("doc_id || ':' || i")} % 100
+                          < {SPAN_START_PCT}
+                     THEN 1 + {h32_sql("doc_id || ':L' || i")}
+                              % {SPAN_MAX_EXTRA + 1}
+                     ELSE 0 END) AS spanlen
+  FROM t
+),
+c AS (
+  SELECT doc_id, toks, n, spanlen,
+         list_transform(generate_series(1, n),
+           j -> CAST((spanlen[j] >= 1)
+                  OR (j >= 2 AND spanlen[j - 1] >= 2)
+                  OR (j >= 3 AND spanlen[j - 2] >= 3) AS INT)) AS covered
+  FROM m
+),
+o AS (
+  SELECT doc_id, n,
+         list_reduce(list_prepend(0, covered), (a, x) -> a + x) AS n_masked,
+         md5(array_to_string(
+           list_transform(
+             list_filter(generate_series(1, n), j -> covered[j] = 0),
+             j -> toks[j]), ' ')) AS kept_md5
+  FROM c
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(n_masked AS BIGINT) AS n_masked,
+       ROUND(n_masked * 1.0 / n, 4) AS masked_frac,
+       kept_md5
+FROM o
+ORDER BY doc_id
+""",
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al.): each token position
+    starts a masked span with ~{SPAN_START_PCT}% probability and
+    length 1-{SPAN_MAX_EXTRA + 1}, decided by the shared md5 hash of
+    (doc_id, position) — the seedless determinism a distributed
+    pipeline needs for reproducible training runs and for the
+    denoising-objective input/target split. Overlapping spans merge
+    via the covered-position OR. Emits the per-doc mask census and
+    the md5 of the surviving (input-side) token sequence — the
+    scalar witness that the exact same corrupted input would be fed
+    to the trainer from either engine.
+
+    Scale shape: everything is in-row array arithmetic over the token
+    list (transform/filter — whole-stage codegen, no explode, no
+    shuffle before the presentation sort). The span decisions read
+    only (doc_id, position), so any executor reproduces any doc's
+    mask in isolation — the property that makes deterministic data
+    loading order-free."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+
+    def spanlen_at(i):
+        start = (
+            h32(F.concat(F.col("doc_id"), F.lit(":"), i)) % 100
+            < SPAN_START_PCT
+        )
+        ln = 1 + h32(
+            F.concat(F.col("doc_id"), F.lit(":L"), i)
+        ) % (SPAN_MAX_EXTRA + 1)
+        return F.when(start, ln).otherwise(F.lit(0))
+
+    m = t.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: spanlen_at(i)
+        ).alias("spanlen"),
+    )
+    # lookbacks clamp the index to >= 1 (element_at(arr, 0) raises and
+    # Spark's & does NOT short-circuit); the j >= k guard keeps the
+    # clamped read from ever counting
+    covered_at = lambda j: (  # noqa: E731
+        (F.element_at("spanlen", j) >= 1)
+        | (
+            (j >= 2)
+            & (F.element_at("spanlen", F.greatest(j - 1, F.lit(1))) >= 2)
+        )
+        | (
+            (j >= 3)
+            & (F.element_at("spanlen", F.greatest(j - 2, F.lit(1))) >= 3)
+        )
+    ).cast("int")
+    c = m.select(
+        "doc_id",
+        "toks",
+        "n",
+        "spanlen",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")), covered_at
+        ).alias("covered"),
+    )
+    kept = F.md5(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(1), F.col("n")),
+                    lambda j: F.element_at("covered", j) == 0,
+                ),
+                lambda j: F.element_at("toks", j),
+            ),
+            " ",
+        )
+    )
+    n_masked = F.aggregate("covered", F.lit(0), lambda a, x: a + x)
+    return (
+        c.select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            n_masked.cast("long").alias("n_masked"),
+            F.round(n_masked * F.lit(1.0) / F.col("n"), 4).alias(
+                "masked_frac"
+            ),
+            kept.alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
