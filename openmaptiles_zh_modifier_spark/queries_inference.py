@@ -770,3 +770,90 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.d").alias("n_churned"),
         F.round(F.col("r.s"), 6).alias("survival"),
     ).orderBy("duration_days")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-Res)
+# ---------------------------------------------------------------------------
+
+WS_TOPK = 20
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ({h32_sql("o_orderkey || ':ws'")} + 1) / 4294967296.0 AS u
+  FROM orders
+),
+keyed AS (
+  SELECT o_orderkey, cents,
+         ROUND(ln(u), 6) / cents AS k
+  FROM o
+),
+ranked AS (
+  SELECT o_orderkey, cents, ROUND(k * 1e9, 4) AS key_nano,
+         ROW_NUMBER() OVER (ORDER BY k DESC, o_orderkey) AS rk
+  FROM keyed
+)
+SELECT rk, o_orderkey, cents, key_nano
+FROM ranked WHERE rk <= {WS_TOPK}
+ORDER BY rk
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-Res: each row gets key u^(1/w) (equivalently ln(u)/w, monotone)
+    with u a seedless hash-uniform in (0, 1] and w the row's weight
+    (order value in cents); the top-k keys ARE a weighted sample
+    without replacement — the only known one-pass distributed
+    formulation, and the standard way to draw training-mixture samples
+    proportional to quality/importance weights (pairs with
+    q_mixture_weights / q_dsir_selection, which produce exactly such
+    per-row weights).
+
+    Determinism: u derives from the shared md5 hash (+1 so u > 0);
+    ln(u) is rounded at 6 dp BEFORE the exact division by the integer
+    weight, absorbing any last-ulp libm difference between engines;
+    top-k tie-breaks on the key id.
+
+    Scale shape: one narrow scan computing the key, then TakeOrdered
+    top-k — no shuffle of the corpus, ever; at 100 TB each partition
+    contributes its local top-k and the driver merges k rows. This is
+    the A-Res property that makes it THE distributed weighted
+    sampler."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(concat(o_orderkey, ':ws')),"
+                    " 1, 8), 16, 10) AS BIGINT)"
+                )
+                + 1
+            )
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    k = F.round(F.log("u"), 6) / F.col("cents")
+    ranked = (
+        o.select(
+            "o_orderkey",
+            "cents",
+            F.round(k * 1e9, 4).alias("key_nano"),
+            k.alias("k"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("k"), F.asc("o_orderkey"))
+            ),
+        )
+        .where(F.col("rk") <= WS_TOPK)
+    )
+    return ranked.select("rk", "o_orderkey", "cents", "key_nano").orderBy(
+        "rk"
+    )

@@ -41,7 +41,7 @@ engine extensions per SURVEY.md §2.9 north-star scope.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openmaptiles_zh_modifier_spark.functions.text import tokens
@@ -860,4 +860,177 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------- IR eval
+
+NDCG_TERMS = ["spark", "join", "window", "hash"]  # the BM25 probe set
+NDCG_DEPTH = 10  # evaluate @10
+NDCG_LIST = 20  # system ranking depth per query term
+NDCG_TITLE = 20  # "title" = first N tokens (relevance proxy)
+
+
+def _ndcg_pairs_sql() -> str:
+    parts = []
+    for q in NDCG_TERMS:
+        parts.append(
+            f"SELECT '{q}' AS term, doc_id, "
+            f"len(list_filter(toks, x -> x = '{q}')) AS tf, "
+            f"CASE WHEN len(list_filter(toks[1:{NDCG_TITLE}], "
+            f"x -> x = '{q}')) > 0 THEN 1 ELSE 0 END AS rel FROM t"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_ndcg_mrr",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pairs AS (
+  {_ndcg_pairs_sql()}
+),
+ranked AS (
+  SELECT term, doc_id, tf, rel,
+         ROW_NUMBER() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS rk
+  FROM pairs WHERE tf > 0
+),
+hits AS (SELECT * FROM ranked WHERE rk <= {NDCG_LIST}),
+dcg AS (
+  SELECT term,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list(ROUND(rel / (ln(rk + 1) / ln(2)), 6) ORDER BY rk)
+         ), (a, x) -> a + x) AS dcg_val,
+         CAST(SUM(rel) AS BIGINT) AS n_rel,
+         MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel
+  FROM hits WHERE rk <= {NDCG_DEPTH}
+  GROUP BY term
+),
+ideal AS (
+  SELECT term,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list(ROUND(rel / (ln(ideal_rk + 1) / ln(2)), 6) ORDER BY ideal_rk)
+         ), (a, x) -> a + x) AS idcg_val
+  FROM (
+    SELECT term, rel,
+           ROW_NUMBER() OVER (PARTITION BY term
+                              ORDER BY rel DESC, rk) AS ideal_rk
+    FROM hits WHERE rk <= {NDCG_DEPTH}
+  ) WHERE ideal_rk <= {NDCG_DEPTH}
+  GROUP BY term
+)
+SELECT d.term,
+       d.n_rel,
+       ROUND(d.dcg_val, 4) AS dcg,
+       ROUND(CASE WHEN i.idcg_val > 0 THEN d.dcg_val / i.idcg_val END, 4)
+         AS ndcg,
+       ROUND(CASE WHEN d.first_rel IS NOT NULL
+                  THEN 1.0 / d.first_rel ELSE 0.0 END, 4) AS mrr
+FROM dcg d JOIN ideal i ON i.term = d.term
+ORDER BY d.term
+""",
+)
+def q_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the lexical retriever: NDCG@10 and
+    MRR per probe query term, with relevance defined by an INDEPENDENT
+    signal (the term appearing in the first {NDCG_TITLE} tokens — the
+    title proxy), so the metric measures whether raw term-frequency
+    ranking surfaces title matches, not itself. This is the eval pass
+    every retrieval/RAG pipeline runs next to the retrievers
+    themselves (q_text_bm25, q_tfidf_topk, q_rank_fusion_rrf).
+
+    Determinism: ranks come from integer sorts with doc_id
+    tie-breaks; each DCG contribution rel/log2(rk+1) is rounded at
+    6 dp BEFORE the rank-ordered fold (ln agrees across engines well
+    inside 6 dp); the NDCG ratio and MRR are exact expressions of
+    those folded values.
+
+    Scale shape: one tokenized scan fans out to the {len(NDCG_TERMS)}
+    probe terms in-row (no join), per-term rankings are bounded-depth
+    windows, and everything after lives on <= {NDCG_LIST} rows per
+    term. The eval cost is the retriever scan, nothing more."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    per_term = []
+    for q in NDCG_TERMS:
+        tf = F.size(F.filter("toks", lambda x: x == q))
+        rel = (
+            F.size(
+                F.filter(F.slice("toks", 1, NDCG_TITLE), lambda x: x == q)
+            )
+            > 0
+        ).cast("int")
+        per_term.append(
+            t.select(
+                F.lit(q).alias("term"),
+                "doc_id",
+                tf.alias("tf"),
+                rel.alias("rel"),
+            )
+        )
+    pairs = per_term[0]
+    for p in per_term[1:]:
+        pairs = pairs.unionByName(p)
+    wrk = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    hits = (
+        pairs.where(F.col("tf") > 0)
+        .withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") <= NDCG_LIST)
+    )
+    top = hits.where(F.col("rk") <= NDCG_DEPTH)
+    contrib = F.round(
+        F.col("rel") / (F.log(F.col("rk") + 1) / F.log(F.lit(2.0))), 6
+    )
+    dcg = top.groupBy("term").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rk", contrib.alias("c")))),
+            F.lit(0.0),
+            lambda a, x: a + x["c"],
+        ).alias("dcg_val"),
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+    )
+    wideal = Window.partitionBy("term").orderBy(F.desc("rel"), F.asc("rk"))
+    ideal_rows = (
+        top.withColumn("ideal_rk", F.row_number().over(wideal))
+        .where(F.col("ideal_rk") <= NDCG_DEPTH)
+    )
+    icontrib = F.round(
+        F.col("rel") / (F.log(F.col("ideal_rk") + 1) / F.log(F.lit(2.0))), 6
+    )
+    ideal = ideal_rows.groupBy("term").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("ideal_rk", icontrib.alias("c")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["c"],
+        ).alias("idcg_val")
+    )
+    return (
+        dcg.join(ideal, "term")
+        .select(
+            "term",
+            "n_rel",
+            F.round(F.col("dcg_val"), 4).alias("dcg"),
+            F.round(
+                F.when(
+                    F.col("idcg_val") > 0,
+                    F.col("dcg_val") / F.col("idcg_val"),
+                ),
+                4,
+            ).alias("ndcg"),
+            F.round(
+                F.when(
+                    F.col("first_rel").isNotNull(),
+                    F.lit(1.0) / F.col("first_rel"),
+                ).otherwise(0.0),
+                4,
+            ).alias("mrr"),
+        )
+        .orderBy("term")
     )
