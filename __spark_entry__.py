@@ -60,12 +60,14 @@ _R06_WINDOW = [
     "q_token_zipf",
     "q_window_ranks",
     "q_sql_shared_text",
+    "q_ndcg_mrr",
     "q_mannwhitney_u",
     "q_bootstrap_ci",
     "q_anomaly_residual",
     "q_cusum_changepoint",
     "q_winsorized_stats",
     "q_km_survival",
+    "q_weighted_sample",
     "q_gopher_rules",
     "q_nb_source_classifier",
     "q_nb_calibration",
@@ -86,8 +88,6 @@ _R06_WINDOW = [
     "q5_local_supplier_volume",
     "q_advanced_aggregates",
     "q_cube_orders",
-    "q_customer_order_running",
-    "q_customers_without_orders",
 ]
 
 
