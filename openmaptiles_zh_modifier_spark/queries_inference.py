@@ -446,7 +446,7 @@ rec AS (
   JOIN ord o ON o.i = r.i + 1
   CROSS JOIN params p
 )
-SELECT r.day, r.cents AS observed_cents,
+SELECT r.day, CAST(r.cents AS BIGINT) AS observed_cents,
        ROUND(r.sp / p.sigma, 4) AS cusum_hi_sigma,
        ROUND(r.sn / p.sigma, 4) AS cusum_lo_sigma,
        CAST(r.sp > {CUSUM_H_SIGMA} * p.sigma
