@@ -137,20 +137,32 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("w"))
         ),
     )
-    ep = edges.select(
-        F.col("src").alias("key"),
-        F.col("dst").alias("out"),
-        "w",
-        F.lit("a").alias("kind"),
-    ).unionByName(
-        edges.select(
-            F.col("dst").alias("key"),
-            F.col("src").alias("out"),
+    # the tagged two-direction edge list is <= 2*|edges| rows (1250 at
+    # any SF — node space is the fixed 25 nations), so the whole
+    # iteration chain runs in ONE partition: the corpus-sized work
+    # already happened building `edges`, and 32-task scheduling on
+    # 50-row stages otherwise dominates (the q_embed_pca_power lesson;
+    # measured there 5.7 -> 2.2 s)
+    ep = memo_frame_lazy(
+        spark,
+        f"trade_ep:{sf_dir}",
+        lambda: edges.select(
+            F.col("src").alias("key"),
+            F.col("dst").alias("out"),
             "w",
-            F.lit("h").alias("kind"),
+            F.lit("a").alias("kind"),
         )
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("key"),
+                F.col("src").alias("out"),
+                "w",
+                F.lit("h").alias("kind"),
+            )
+        )
+        .coalesce(1),
     )
-    nodes = nation.select("node")
+    nodes = nation.select("node").coalesce(1)
     state = nodes.select(
         "node",
         F.lit(HITS_SCALE).cast("long").alias("a"),
@@ -159,7 +171,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = Window.partitionBy("kind")
     for _ in range(HITS_ITERS):
         raw = (
-            ep.join(state, F.col("key") == F.col("node"))
+            ep.join(F.broadcast(state), F.col("key") == F.col("node"))
             .groupBy(F.col("out").alias("node"), "kind")
             .agg(
                 F.sum(
@@ -177,7 +189,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
         state = (
-            nodes.join(nrm, "node", "left")
+            nodes.join(F.broadcast(nrm), "node", "left")
             .groupBy("node")
             .agg(
                 F.coalesce(
