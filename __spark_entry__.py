@@ -76,6 +76,7 @@ _R06_WINDOW = [
     "q_link_prediction",
     "q_embed_matryoshka",
     "q_embed_rand_projection",
+    "q_neardup_pr_curve",
     "q_hard_negatives",
     "q_label_balance",
     "q_span_corruption",
@@ -87,7 +88,6 @@ _R06_WINDOW = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q_advanced_aggregates",
-    "q_cube_orders",
 ]
 
 

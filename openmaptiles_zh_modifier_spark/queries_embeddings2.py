@@ -19,6 +19,7 @@ from openmaptiles_zh_modifier_spark.queries_embeddings import (
     DIM,
     N_QUERIES,
     TOP_K,
+    _bucket_sql,
     _dot_fold,
     _dot_sql,
     _dvec,
@@ -237,3 +238,156 @@ def q_embed_rand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-quality PR curve: LSH candidates vs exact near-dup truth
+# ---------------------------------------------------------------------------
+
+PR_SAMPLE_MOD = 5  # evaluate on vectors with vec_id % 5 == 0
+PR_THRESHOLDS = (0.35, 0.40, 0.45)
+
+
+@register(
+    "q_neardup_pr_curve",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % {PR_SAMPLE_MOD} = 0
+),
+b AS (SELECT vec_id, e, {_bucket_sql()} AS bucket FROM v),
+pairs AS (
+  SELECT a.vec_id AS ida, bb.vec_id AS idb,
+         ROUND({_dot_sql('a.e', 'bb.e')}
+               / (sqrt({_dot_sql('a.e', 'a.e')})
+                  * sqrt({_dot_sql('bb.e', 'bb.e')})), 6) AS cos,
+         CASE WHEN a.bucket = bb.bucket THEN 1 ELSE 0 END AS cand
+  FROM b a JOIN b bb ON a.vec_id < bb.vec_id
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(cand) AS BIGINT) AS n_cand,
+         {', '.join(
+           f"CAST(SUM(CASE WHEN cos >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+           f" AS nt_{i}, "
+           f"CAST(SUM(CASE WHEN cand = 1 AND cos >= {t} THEN 1 ELSE 0 END)"
+           f" AS BIGINT) AS nh_{i}"
+           for i, t in enumerate(PR_THRESHOLDS))}
+  FROM pairs
+)
+{' UNION ALL '.join(
+  f"SELECT CAST({t} AS DOUBLE) AS threshold, n_pairs, n_cand,"
+  f" nt_{i} AS n_true,"
+  f" nh_{i} AS n_hit,"
+  f" ROUND(CASE WHEN n_cand > 0 THEN nh_{i} * 1.0 / n_cand END, 4)"
+  f" AS precision_pairs,"
+  f" ROUND(CASE WHEN nt_{i} > 0 THEN nh_{i} * 1.0 / nt_{i} END, 4)"
+  f" AS recall FROM agg"
+  for i, t in enumerate(PR_THRESHOLDS))}
+ORDER BY threshold
+""",
+)
+def q_neardup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation of the hyperplane-LSH candidate
+    generator against exact cosine truth, as a precision/recall curve
+    over near-dup thresholds — the dedup-side twin of q_pq_recall (ANN
+    recall) and q_nb_calibration (classifier reliability): before
+    trusting LSH-bucketed dedup at scale you measure what fraction of
+    true near-dup pairs share a bucket (recall = pair completeness)
+    and how much of the candidate set is signal (precision; its
+    inverse tracks the verify-stage cost the blocking buys you).
+
+    Determinism: cosines round at 6 dp before thresholding; buckets
+    are the shared fixed-hyperplane sign codes; everything else is
+    exact counts evaluated on the deterministic
+    vec_id % {PR_SAMPLE_MOD} sample.
+
+    Scale shape: the exact side is O(sample^2) BY DESIGN — it is the
+    ground-truth audit you run on a sample (the mod-{PR_SAMPLE_MOD}
+    slice here IS that sample), not the serving path; the serving path
+    is the bucketed join whose quality this measures. One pair scan
+    computes cosine + candidacy together; one aggregate carries every
+    threshold as a conditional sum (no per-threshold pass)."""
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.pmod(F.col("vec_id"), F.lit(PR_SAMPLE_MOD)) == 0)
+        .select("vec_id", _dvec("embedding").alias("e"))
+    )
+    from openmaptiles_zh_modifier_spark.queries_embeddings import (
+        LSH_PLANES,
+        _plane,
+    )
+
+    bucket = None
+    for p in range(LSH_PLANES):
+        plane = F.array(*[F.lit(c) for c in _plane(p)])
+        bit = F.when(_dot_fold(F.col("e"), plane) > 0, F.lit(1 << p)).otherwise(
+            0
+        )
+        bucket = bit if bucket is None else bucket + bit
+    b = v.withColumn("bucket", bucket)
+    a = b.select(
+        F.col("vec_id").alias("ida"),
+        F.col("e").alias("ea"),
+        F.col("bucket").alias("ba"),
+    )
+    bb = b.select(
+        F.col("vec_id").alias("idb"),
+        F.col("e").alias("eb"),
+        F.col("bucket").alias("bb"),
+    )
+    cos = F.round(
+        _dot_fold(F.col("ea"), F.col("eb"))
+        / (
+            F.sqrt(_dot_fold(F.col("ea"), F.col("ea")))
+            * F.sqrt(_dot_fold(F.col("eb"), F.col("eb")))
+        ),
+        6,
+    )
+    pairs = a.join(bb, F.col("ida") < F.col("idb")).select(
+        cos.alias("cos"),
+        (F.col("ba") == F.col("bb")).cast("int").alias("cand"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cand").cast("long").alias("n_cand"),
+    ]
+    for i, t in enumerate(PR_THRESHOLDS):
+        aggs.append(
+            F.sum((F.col("cos") >= t).cast("int")).cast("long").alias(f"nt_{i}")
+        )
+        aggs.append(
+            F.sum(((F.col("cand") == 1) & (F.col("cos") >= t)).cast("int"))
+            .cast("long")
+            .alias(f"nh_{i}")
+        )
+    one = pairs.agg(*aggs)
+    rows = []
+    for i, t in enumerate(PR_THRESHOLDS):
+        rows.append(
+            one.select(
+                F.lit(t).alias("threshold"),
+                "n_pairs",
+                "n_cand",
+                F.col(f"nt_{i}").alias("n_true"),
+                F.col(f"nh_{i}").alias("n_hit"),
+                F.round(
+                    F.when(
+                        F.col("n_cand") > 0,
+                        F.col(f"nh_{i}") * F.lit(1.0) / F.col("n_cand"),
+                    ),
+                    4,
+                ).alias("precision_pairs"),
+                F.round(
+                    F.when(
+                        F.col(f"nt_{i}") > 0,
+                        F.col(f"nh_{i}") * F.lit(1.0) / F.col(f"nt_{i}"),
+                    ),
+                    4,
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("threshold")
