@@ -80,14 +80,14 @@ _R06_WINDOW = [
     "q_hard_negatives",
     "q_label_balance",
     "q_span_corruption",
+    "q_kanonymity",
+    "q_balanced_shards",
+    "q_corpus_datasheet",
     "q_stream_psi",
     "q_stream_heavy_hitters",
     "q_stream_cusum",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q_advanced_aggregates",
 ]
 
 

@@ -1,0 +1,307 @@
+"""Data-governance and export-stage operators: k-anonymity audit with
+a generalization step (the privacy sibling of q_gdpr_cascade), balanced
+shard assignment for training-data export, and the one-row corpus
+datasheet (Gebru et al. "Datasheets for Datasets" — the summary panel a
+data release ships with).
+
+Determinism: exact counts throughout; the sharding rule is a pure
+rank/modulo function of integer token counts; datasheet ratios are
+exact-integer divisions rounded at 4 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.functions.text import tokens
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit with one generalization step
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+
+
+@register(
+    "q_kanonymity",
+    oracle=f"""
+WITH q0 AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+  FROM customer GROUP BY 1, 2
+),
+lvl0 AS (
+  SELECT 0 AS level,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(CASE WHEN class_size < {KANON_K} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violating_classes,
+         CAST(SUM(CASE WHEN class_size < {KANON_K} THEN class_size
+                       ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+         CAST(MIN(class_size) AS BIGINT) AS min_class
+  FROM q0
+),
+q1 AS (
+  SELECT n.n_regionkey, c.c_mktsegment, COUNT(*) AS class_size
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+lvl1 AS (
+  SELECT 1 AS level,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(CASE WHEN class_size < {KANON_K} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violating_classes,
+         CAST(SUM(CASE WHEN class_size < {KANON_K} THEN class_size
+                       ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+         CAST(MIN(class_size) AS BIGINT) AS min_class
+  FROM q1
+)
+SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+ORDER BY level
+""",
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: a release is k-anonymous when every
+    equivalence class has >= k rows — classes below {KANON_K} are the
+    re-identification surface a privacy review flags. The second row
+    re-audits after ONE generalization step (nation -> region, the
+    standard anonymization move), showing how much exposure the
+    coarser quasi-identifier removes — the exact decision loop of a
+    privacy-preserving release (complements q_gdpr_cascade's deletion
+    side).
+
+    Determinism: pure integer class-size arithmetic.
+
+    Scale shape: each level is one map-side-combinable count on the
+    quasi-identifier key plus a tiny summary aggregate; the
+    generalization join is against the broadcast 25-row nation dim.
+    At 100 TB the audit cost is one scan per level — and levels
+    share it in production by grouping on both keys at once."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+
+    def level(df: DataFrame, lvl: int) -> DataFrame:
+        sizes = df.groupBy("qid1", "qid2").agg(
+            F.count(F.lit(1)).alias("class_size")
+        )
+        viol = F.col("class_size") < KANON_K
+        return sizes.agg(
+            F.lit(lvl).alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(viol.cast("int")).cast("long").alias("n_violating_classes"),
+            F.sum(F.when(viol, F.col("class_size")).otherwise(0))
+            .cast("long")
+            .alias("n_exposed_rows"),
+            F.min("class_size").cast("long").alias("min_class"),
+        )
+
+    lvl0 = level(
+        c.select(
+            F.col("c_nationkey").alias("qid1"),
+            F.col("c_mktsegment").alias("qid2"),
+        ),
+        0,
+    )
+    lvl1 = level(
+        c.join(
+            F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+        ).select(
+            F.col("n_regionkey").alias("qid1"),
+            F.col("c_mktsegment").alias("qid2"),
+        ),
+        1,
+    )
+    return lvl0.unionByName(lvl1).orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# Balanced shard assignment for export
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+@register(
+    "q_balanced_shards",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS r
+  FROM d
+),
+assigned AS (
+  SELECT doc_id, n_tokens,
+         CAST(CASE WHEN ((r - 1) // {N_SHARDS}) % 2 = 0
+                   THEN (r - 1) % {N_SHARDS}
+                   ELSE {N_SHARDS - 1} - ((r - 1) % {N_SHARDS})
+              END AS INT) AS shard
+  FROM ranked
+),
+per AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+  FROM assigned GROUP BY shard
+),
+tot AS (SELECT MAX(shard_tokens) AS mx, MIN(shard_tokens) AS mn FROM per)
+SELECT p.shard, p.n_docs, p.shard_tokens,
+       ROUND(t.mx * 1.0 / t.mn, 4) AS imbalance_ratio
+FROM per p CROSS JOIN tot t
+ORDER BY p.shard
+""",
+)
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment for training-data export:
+    documents ranked by token count descending are dealt
+    boustrophedon (serpentine) across {N_SHARDS} shards — the
+    deterministic one-pass approximation of greedy
+    longest-processing-time bin packing that keeps every shard's
+    token total within a few percent (the imbalance_ratio column is
+    the audit). Balanced shards are what make data-parallel training
+    steps finish together; the ratio is the straggler bound.
+
+    Determinism: rank over (tokens desc, doc_id); the serpentine
+    shard function is pure integer arithmetic on the rank.
+
+    Scale shape: one tokenize scan, one global rank. The rank is the
+    only total-order operation; at extreme corpus scale it swaps to
+    range-partitioned bucketing on approx token-count quantiles (the
+    q_histogram_equidepth machinery), trading a provable bound for
+    no global sort — documented trade, same interface."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    r = F.row_number().over(Window.orderBy(F.desc("n_tokens"), "doc_id"))
+    fwd = (F.col("r") - 1) % N_SHARDS
+    shard = F.when(
+        F.floor((F.col("r") - 1) / N_SHARDS) % 2 == 0, fwd
+    ).otherwise(F.lit(N_SHARDS - 1) - fwd)
+    assigned = d.withColumn("r", r).select(
+        "doc_id", "n_tokens", shard.cast("int").alias("shard")
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
+    tot = per.agg(
+        F.max("shard_tokens").alias("mx"), F.min("shard_tokens").alias("mn")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            F.round(F.col("mx") * F.lit(1.0) / F.col("mn"), 4).alias(
+                "imbalance_ratio"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet (one-row release summary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_corpus_datasheet",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+),
+langs AS (SELECT lang, COUNT(*) AS c FROM d GROUP BY 1),
+lt AS (SELECT SUM(c) AS n FROM langs),
+lang_ent AS (
+  SELECT ROUND(SUM(CAST(ROUND(-(c * 1.0 / lt.n)
+               * ROUND(ln(c * 1.0 / lt.n), 6) * 1000000) AS BIGINT))
+               / 1000000.0, 4) AS h
+  FROM langs CROSS JOIN lt
+),
+dups AS (
+  SELECT CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_texts
+  FROM d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       ROUND(SUM(n_tokens) * 1.0 / COUNT(*), 4) AS mean_tokens,
+       (SELECT h FROM lang_ent) AS lang_entropy_nats,
+       (SELECT n_dup_texts FROM dups) AS n_dup_texts
+FROM d
+""",
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus datasheet (Gebru et al.): document/source/
+    language census, token and character totals, length extremes,
+    language-distribution entropy, and the exact duplicate count —
+    the summary panel a dataset release ships with and the first
+    thing a consumer reads. Composes the signals the dedicated
+    operators compute in depth (q_text_stats, q_dedup_exact,
+    q_source_mixture) into the release artifact.
+
+    Determinism: counts and integer ratios; the entropy's per-lang ln
+    is rounded at 6 dp before the (tiny, lang-count-sized) sum.
+
+    Scale shape: ONE scan computing per-doc tokens + text hash feeds
+    every statistic; the language entropy and dup count aggregate the
+    same frame. All reductions are map-side combinable; the datasheet
+    is a broadcast-sized single row."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    lt = langs.agg(F.sum("c").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    lang_ent = (
+        langs.crossJoin(F.broadcast(lt))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(-p * F.round(F.log(p), 6) * 1_000_000).cast(
+                        "long"
+                    )
+                )
+                / 1_000_000.0,
+                4,
+            ).alias("h")
+        )
+    )
+    dups = d.agg(
+        (F.count(F.lit(1)) - F.countDistinct("h"))
+        .cast("long")
+        .alias("n_dup_texts")
+    )
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.round(
+            F.sum("n_tokens") * F.lit(1.0) / F.count(F.lit(1)), 4
+        ).alias("mean_tokens"),
+    )
+    return (
+        base.crossJoin(F.broadcast(lang_ent.select(F.col("h").alias("lang_entropy_nats"))))
+        .crossJoin(F.broadcast(dups))
+    )
