@@ -181,3 +181,29 @@ def test_link_prediction_excludes_existing_edges(spark):
         assert (r["u"], r["v"]) not in edges
         assert 0.0 < r["jaccard"] <= 1.0
         assert r["common_nbrs"] >= 1
+
+
+def test_balanced_shards_imbalance_bound(spark):
+    """The serpentine deal must keep shard token totals tight: the
+    max/min ratio stays under 1.05 on the fixture, and every doc is
+    assigned exactly once."""
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+    rows = QUERIES["q_balanced_shards"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 8
+    assert all(r["imbalance_ratio"] < 1.05 for r in rows)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_kanonymity_generalization_reduces_exposure(spark):
+    """Coarsening the quasi-identifier can only shrink (or keep) the
+    number of exposed rows and classes."""
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+    rows = {
+        r["level"]: r
+        for r in QUERIES["q_kanonymity"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows[1]["n_classes"] <= rows[0]["n_classes"]
+    assert rows[1]["n_exposed_rows"] <= rows[0]["n_exposed_rows"]
