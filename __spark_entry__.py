@@ -80,6 +80,7 @@ _R06_WINDOW = [
     "q_hard_negatives",
     "q_label_balance",
     "q_span_corruption",
+    "q_bpe_apply",
     "q_kanonymity",
     "q_balanced_shards",
     "q_corpus_datasheet",
@@ -87,7 +88,6 @@ _R06_WINDOW = [
     "q_stream_heavy_hitters",
     "q_stream_cusum",
     "q1_pricing_summary",
-    "q3_shipping_priority",
 ]
 
 

@@ -341,3 +341,152 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application (the tokenizer-training second half)
+# ---------------------------------------------------------------------------
+
+BPE_APPLY_K = 5  # apply the top-K learned merges
+
+
+@register(
+    "q_bpe_apply",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                i -> substr(w, i, 2))) AS pair
+  FROM toks WHERE length(w) >= 2
+),
+cand AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS INT) AS rk
+  FROM pairs GROUP BY pair
+  QUALIFY rk <= {BPE_APPLY_K}
+),
+m AS (
+  SELECT {', '.join(
+    f"MAX(CASE WHEN rk = {k} THEN pair END) AS m{k}" for k in range(1, 6))}
+  FROM cand
+),
+spaced AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+         length(w) AS n_chars
+  FROM toks
+),
+applied AS (
+  SELECT n_chars,
+         {'replace(' * 5}s
+           , ' ' || substr(m.m1, 1, 1) || ' ' || substr(m.m1, 2, 1) || ' ', ' ' || m.m1 || ' ')
+           , ' ' || substr(m.m2, 1, 1) || ' ' || substr(m.m2, 2, 1) || ' ', ' ' || m.m2 || ' ')
+           , ' ' || substr(m.m3, 1, 1) || ' ' || substr(m.m3, 2, 1) || ' ', ' ' || m.m3 || ' ')
+           , ' ' || substr(m.m4, 1, 1) || ' ' || substr(m.m4, 2, 1) || ' ', ' ' || m.m4 || ' ')
+           , ' ' || substr(m.m5, 1, 1) || ' ' || substr(m.m5, 2, 1) || ' ', ' ' || m.m5 || ' ') AS s5
+  FROM spaced CROSS JOIN m
+),
+stats AS (
+  SELECT CAST(SUM(n_chars) AS BIGINT) AS symbols_before,
+         CAST(SUM(len(string_split(trim(s5), ' '))) AS BIGINT)
+           AS symbols_after
+  FROM applied
+)
+SELECT c.rk, c.pair, c.n_occ, t.symbols_before, t.symbols_after,
+       ROUND(t.symbols_after * 1.0 / t.symbols_before, 4)
+         AS compression
+FROM cand c CROSS JOIN stats t
+ORDER BY c.rk
+""",
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION — the second half of the tokenizer loop
+    whose first half q_bpe_merge_candidates counts: the top
+    {BPE_APPLY_K} learned merges are applied corpus-wide over the
+    space-separated symbol representation, and the corpus reports its
+    symbol count before/after (the compression the merges bought).
+    One round of first-order merges (real BPE re-counts after every
+    merge; the re-count IS q_bpe_merge_candidates run again — the
+    distributed loop alternates these two queries). Boundary-sharing
+    consecutive occurrences resolve left-to-right non-overlapping —
+    identical semantics in both engines' literal replace.
+
+    Determinism: the merge list comes from the same integer ranking
+    both engines compute; application is literal string replace; all
+    stats are exact integers.
+
+    Scale shape: merge selection is the bounded-explode count of the
+    candidates query; application is a per-row map of 5 chained
+    replaces against a broadcast one-row merge table — no shuffle
+    beyond the candidate count and the final scalar aggregate."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("w")
+    )
+    pairs = (
+        toks.where(F.length("w") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+            "w",
+        )
+        .select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
+    )
+    cand = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_occ"), F.asc("pair")))
+            .cast("int"),
+        )
+        .where(F.col("rk") <= BPE_APPLY_K)
+    )
+    m = cand.agg(
+        *[
+            F.max(F.when(F.col("rk") == k, F.col("pair"))).alias(f"m{k}")
+            for k in range(1, 6)
+        ]
+    )
+    spaced = toks.select(
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+        F.length("w").alias("n_chars"),
+    )
+    s = F.col("s")
+    for k in range(1, 6):
+        mk = F.col(f"m{k}")
+        s = F.replace(
+            s,
+            F.concat(
+                F.lit(" "),
+                F.substring(mk, 1, 1),
+                F.lit(" "),
+                F.substring(mk, 2, 1),
+                F.lit(" "),
+            ),
+            F.concat(F.lit(" "), mk, F.lit(" ")),
+        )
+    applied = spaced.crossJoin(F.broadcast(m)).select(
+        "n_chars", s.alias("s5")
+    )
+    stats = applied.agg(
+        F.sum("n_chars").cast("long").alias("symbols_before"),
+        F.sum(F.size(F.split(F.trim(F.col("s5")), " ")))
+        .cast("long")
+        .alias("symbols_after"),
+    )
+    return (
+        cand.crossJoin(F.broadcast(stats))
+        .select(
+            "rk",
+            "pair",
+            "n_occ",
+            "symbols_before",
+            "symbols_after",
+            F.round(
+                F.col("symbols_after") * F.lit(1.0) / F.col("symbols_before"),
+                4,
+            ).alias("compression"),
+        )
+        .orderBy("rk")
+    )
