@@ -35,7 +35,7 @@ from openmaptiles_zh_modifier_spark.registry import load, register
     oracle="""
 WITH e AS (
   SELECT event_type,
-         user_id % 2 AS arm,
+         (user_id % 2 + 2) % 2 AS arm,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 ),
@@ -85,7 +85,10 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every sufficient statistic (counts, ra_x2, tie term)
     is an exact BIGINT; the cumulative-count window orders by the
     distinct cents key (no peer ambiguity); doubles appear only in the
-    final z expression, written token-identically on both engines.
+    final z expression, written token-identically on both engines. The
+    arm split uses F.pmod on Spark and ``(user_id % 2 + 2) % 2`` in
+    the oracle so both sides yield {0,1} even for negative user_ids
+    (DuckDB's plain % returns negative remainders).
 
     Scale shape: ranking a 100 TB metric column needs NO global sort —
     the (type, cents) aggregate is map-side combinable, the window runs

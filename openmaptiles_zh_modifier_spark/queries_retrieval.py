@@ -953,7 +953,7 @@ def q_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, and everything after lives on <= {NDCG_LIST} rows per
     term. The eval cost is the retriever scan, nothing more."""
     t = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
+        "doc_id", tokens(F.col("text")).alias("toks")
     )
     per_term = []
     for q in NDCG_TERMS:
