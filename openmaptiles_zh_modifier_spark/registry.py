@@ -248,6 +248,100 @@ def q_zh_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zh_backfill_transform(zh_fixture_src(docs)).orderBy("doc_id")
 
 
+# --- B1 typo-compat mode, oracle-gated (VERDICT r6 #8) --------------------
+#
+# ``compat_names_typo=True`` reproduces OMTZHModifier.java:135-136: the
+# SELECT reads the existing Hant from the misspelled key ``names:zh-Hant``
+# (which never exists) while WHERE/UPDATE use the correct key — so a stored
+# Hant value is never seen and is regenerated whenever the row qualifies.
+# The fixture's Hant column deliberately DIVERGES from what regeneration
+# produces (rows doc_id%7 in {2,6}: stored 舊城門樓/國語書院 vs regenerated
+# 廣州東門/國語學校), so the overwrite behavior is visible in the hash —
+# with the original fixture both values coincided and the quirk was
+# unobservable.
+
+_ZH_HANT_DIVERGENT = [None, None, "舊城門樓", None, "", None, "國語書院"]
+
+ZH_BACKFILL_TYPO_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id,
+         {_pick_sql(_ZH_NAMES, "doc_id")} AS name,
+         {_pick_sql(_ZH_TAGVALS, "doc_id")} AS zh_tag,
+         {_pick_sql(_ZH_HANS, "doc_id")} AS hans_tag,
+         {_pick_sql(_ZH_HANT_DIVERGENT, "doc_id")} AS hant_tag
+  FROM documents
+),
+qualified AS (
+  -- the WHERE is spelled correctly even in typo mode (only the SELECT
+  -- reads the wrong key), so the row set is unchanged
+  SELECT * FROM src
+  WHERE (name IS NOT NULL OR zh_tag IS NOT NULL)
+    AND (hant_tag IS NULL OR hans_tag IS NULL)
+),
+derived AS (
+  SELECT doc_id,
+         COALESCE(zh_tag,
+                  CASE WHEN name IS NOT NULL AND name <> ''
+                            AND regexp_matches(name, '{HAN_REGEX_RE2}')
+                       THEN name END) AS zh,
+         NULLIF(hans_tag, '') AS hans_old
+  FROM qualified
+)
+-- hant_old is read from the misspelled key => always NULL: hant is always
+-- regenerated and needs_update is always true for qualifying rows
+SELECT doc_id,
+       COALESCE(hans_old, {to_simplified_sql('zh')}) AS hans,
+       {to_traditional_sql('zh')} AS hant
+FROM derived
+WHERE zh IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+@register("zh_backfill_typo_compat", oracle=ZH_BACKFILL_TYPO_ORACLE)
+def q_zh_backfill_typo_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 typo-compat back-fill through the REAL map-typed operator: the
+    scalar fixture is assembled into the production ``(name, tags map)``
+    shape (null-valued entries dropped, empty strings kept — quirk B7's
+    raw-IS-NULL WHERE must see them), then ``derive_zh_columns`` runs
+    with ``compat_names_typo=True`` so the Hant read misses and every
+    qualifying row regenerates Hant. Pure column expressions end to end:
+    map_from_arrays/map_filter build, element_at reads, no UDF."""
+    from openmaptiles_zh_modifier_spark.operators.zh_backfill import (
+        KEY_HANS,
+        KEY_HANT,
+        KEY_ZH,
+        derive_zh_columns,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    idx = F.col("doc_id")
+    src = docs.select(
+        idx,
+        _pick_spark(_ZH_NAMES, idx).alias("name"),
+        _pick_spark(_ZH_TAGVALS, idx).alias("zh_tag"),
+        _pick_spark(_ZH_HANS, idx).alias("hans_tag"),
+        _pick_spark(_ZH_HANT_DIVERGENT, idx).alias("hant_tag"),
+    )
+    tagged = src.select(
+        "doc_id",
+        "name",
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit(KEY_ZH), F.lit(KEY_HANS), F.lit(KEY_HANT)),
+                F.array("zh_tag", "hans_tag", "hant_tag"),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("tags"),
+    )
+    out = derive_zh_columns(tagged, "doc_id", compat_names_typo=True)
+    return (
+        out.where("needs_update")
+        .select("doc_id", "hans", "hant")
+        .orderBy("doc_id")
+    )
+
+
 # =========================================================================
 # TPC-H-style relational surface (SURVEY.md §2.3-§2.7 engine declarations)
 # =========================================================================

@@ -380,3 +380,67 @@ def test_updates_frame_with_tags_consistent(spark, lattice_df):
     }
     for i, (_, _, new_tags) in with_tags.items():
         assert new_tags == rewritten[i], i
+
+
+def test_typo_compat_gate_query_diverges_by_mode(spark):
+    """The oracle-gated zh_backfill_typo_compat entry (VERDICT r6 #8)
+    runs derive_zh_columns in typo mode over a fixture whose stored Hant
+    (rows doc_id%7 in {2,6}) DIVERGES from regeneration — so a wrong
+    implementation that reads the correct key would keep the stored
+    value and break the driver hash. Prove the divergence here by
+    running the same map-typed fixture in both modes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openmaptiles_zh_modifier_spark.operators.zh_backfill import (
+        KEY_HANS,
+        KEY_HANT,
+        KEY_ZH,
+        derive_zh_columns,
+    )
+    from openmaptiles_zh_modifier_spark.registry import (
+        _ZH_HANS,
+        _ZH_HANT_DIVERGENT,
+        _ZH_NAMES,
+        _ZH_TAGVALS,
+        _pick_spark,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    idx = F.col("doc_id")
+    tagged = docs.select(
+        idx,
+        _pick_spark(_ZH_NAMES, idx).alias("name"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit(KEY_ZH), F.lit(KEY_HANS), F.lit(KEY_HANT)),
+                F.array(
+                    _pick_spark(_ZH_TAGVALS, idx),
+                    _pick_spark(_ZH_HANS, idx),
+                    _pick_spark(_ZH_HANT_DIVERGENT, idx),
+                ),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("tags"),
+    )
+    faithful = {
+        r["doc_id"]: r["hant"]
+        for r in derive_zh_columns(tagged, "doc_id", True).collect()
+    }
+    intended = {
+        r["doc_id"]: r["hant"]
+        for r in derive_zh_columns(tagged, "doc_id", False).collect()
+    }
+    saw = 0
+    for doc_id, hant in intended.items():
+        if doc_id % 7 == 2:
+            assert hant == "舊城門樓" and faithful[doc_id] == "廣州東門"
+            saw += 1
+        elif doc_id % 7 == 6:
+            assert hant == "國語書院" and faithful[doc_id] == "國語學校"
+            saw += 1
+        else:
+            assert faithful[doc_id] == hant
+    assert saw >= 2
