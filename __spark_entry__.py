@@ -30,69 +30,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
-# dict ordering decides what gets externally verified. Round-6 window
-# (tools/gate_coverage.py --window over the on-disk CORRECTNESS_r01-r04
-# artifacts — no r05 file was recorded, so every round-5 addition still
-# counts as never-driver-sampled and leads): the 21 round-5 queries with
-# no driver row, then the round-6-NEW queries, then the stalest
-# greens (the r01-only block). Names are stable — only dict ordering
-# changes round to round.
-_R06_WINDOW = [
-    "q_psi_arms",
-    "q_welch_ttest",
-    "q_holt_linear",
-    "q_seasonal_decompose",
-    "q_embed_pq_adc",
-    "q_pq_recall",
-    "q_embed_class_drift",
-    "q_embed_covariance",
-    "q_embed_pca_power",
-    "q_multimodal_ppm_resize",
-    "q_multimodal_wav_decode",
-    "q_multimodal_y4m_framesample",
-    "q_dsir_selection",
-    "q_split_leakage",
-    "q_boilerplate_segments",
-    "q_boilerplate_cleaned",
-    "q_substring_span_clean",
-    "q_char_entropy",
-    "q_cross_source_overlap",
-    "q_token_zipf",
-    "q_window_ranks",
-    "q_sql_shared_text",
-    "q_ndcg_mrr",
-    "q_mannwhitney_u",
-    "q_bootstrap_ci",
-    "q_anomaly_residual",
-    "q_cusum_changepoint",
-    "q_winsorized_stats",
-    "q_km_survival",
-    "q_weighted_sample",
-    "q_gopher_rules",
-    "q_nb_source_classifier",
-    "q_nb_calibration",
-    "q_hits_scores",
-    "q_kcore",
-    "q_link_prediction",
-    "q_embed_matryoshka",
-    "q_embed_rand_projection",
-    "q_neardup_pr_curve",
-    "q_hard_negatives",
-    "q_label_balance",
-    "q_span_corruption",
-    "q_bpe_apply",
-    "q_kanonymity",
-    "q_balanced_shards",
-    "q_corpus_datasheet",
-    "q_stream_psi",
-    "q_stream_heavy_hitters",
-    "q_stream_cusum",
-    "q1_pricing_summary",
+# dict ordering decides what gets externally verified. Round-7 window
+# (tools/gate_coverage.py --window over CORRECTNESS_r01-r06): the two
+# round-7-NEW never-sampled entries (typo-compat oracle, PNG decode) lead,
+# then the 17 r01-only rows, then the stalest r02 greens — retiring the
+# driver-row staleness debt VERDICT r06 item #1 names. Names are stable —
+# only dict ordering changes round to round.
+_R07_WINDOW = [
+    "zh_backfill_typo_compat",
+    "q_multimodal_png_decode",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q_advanced_aggregates",
+    "q_cube_orders",
+    "q_customer_order_running",
+    "q_customers_without_orders",
+    "q_date_functions",
+    "q_distinct_agg",
+    "q_integrity_audit",
+    "q_priority_sample",
+    "q_recursive_calendar",
+    "q_rollup_returns",
+    "q_scalar_functions",
+    "q_stratified_sample",
+    "q_topk_per_group_agg",
+    "q_unpivot_measures",
+    "q13_customer_distribution",
+    "q6_forecast_revenue",
+    "q_array_functions",
+    "q_asof_click_purchase",
+    "q_bpe_merge_candidates",
+    "q_cms_heavy_hitters",
+    "q_cohort_retention",
+    "q_curation_pipeline",
+    "q_decontaminate_ngram",
+    "q_decontamination",
+    "q_dedup_canonical",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_doc_chunking",
+    "q_embed_int8_rerank",
+    "q_embed_maxsim",
+    "q_embed_neardup",
+    "q_event_transitions",
+    "q_events_from_json",
+    "q_events_sessionize",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_funnel_analysis",
+    "q_hll_distinct",
+    "q_kmeans_step",
+    "q_kmv_set_overlap",
+    "q_late_data_audit",
+    "q_latest_per_key",
+    "q_locf_gapfill",
+    "q_map_functions",
+    "q_multimodal_decode",
 ]
 
 
 def _gate_order(names) -> list[str]:
-    head = [n for n in _R06_WINDOW if n in names]
+    head = [n for n in _R07_WINDOW if n in names]
     return head + [n for n in names if n not in set(head)]
 
 
