@@ -84,6 +84,16 @@ BENCH_QUERIES = [
     "q_link_prediction",
     "q_mannwhitney_u",
     "q_stream_heavy_hitters",
+    # round-7 additions (VERDICT r6 #7): the remaining iterative /
+    # resampling round-6 ops. HITS edge build triples (and the hot
+    # customer concentrates edge weight on one nation) while the
+    # iteration itself stays on the 25-node state; k-core's peel loop
+    # runs on the co-purchase graph the densified replicas grow; the
+    # Poisson bootstrap is one combinable aggregate whose resample
+    # weights ride the hot user's 20% slice.
+    "q_hits_scores",
+    "q_kcore",
+    "q_bootstrap_ci",
 ]
 
 
