@@ -317,7 +317,7 @@ _OPENCC_FIXTURE = [
     ("几个", "s2t", "幾個", "幾個"),    # 几→幾 char default
     # -- residual divergences: words OUTSIDE the phrase vocabulary ----------
     ("理了发", "s2t", "理了髮", "理了發"),  # OOV split word: 发→發 fallback
-    ("瞭然", "t2s", "了然", "瞭然"),    # OOV 瞭-word: stays (char absent)
+    ("瞭然", "t2s", "了然", "了然"),    # in-vocab since round-7 sweep 8
     ("茶几", "s2t", "茶几", "茶幾"),    # 几→幾 char default wins on
                                         # frequency (几个/几乎/几何…);
                                         # the rare furniture word loses —
@@ -354,7 +354,8 @@ def test_opencc_divergence_envelope(spark):
     # words still diverge, each falling back to the char table (or to
     # identity where the ambiguous char is deliberately absent from it)
     assert len(_OPENCC_FIXTURE) >= 80
-    assert diverged == ["理了发", "瞭然", "茶几"]
+    # (瞭然 left this list in round 7: the sweep-8 phrase batch covers it)
+    assert diverged == ["理了发", "茶几"]
 
 
 def test_updates_frame_with_tags_consistent(spark, lattice_df):
