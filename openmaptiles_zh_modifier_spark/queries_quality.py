@@ -414,3 +414,107 @@ def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement (Cohen's kappa) — label QA for training data
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_annotator_kappa",
+    oracle="""
+WITH lab AS (
+  SELECT doc_id,
+         n_chars % 3 AS a,
+         CASE WHEN doc_id % 4 = 0 THEN (n_chars % 3 + 1) % 3
+              ELSE n_chars % 3 END AS b
+  FROM documents
+),
+cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM lab
+),
+marg AS (
+  SELECT CAST(SUM(na * nb) AS BIGINT) AS chance_mass
+  FROM (
+    SELECT k,
+           SUM(CASE WHEN src = 'a' THEN c ELSE 0 END) AS na,
+           SUM(CASE WHEN src = 'b' THEN c ELSE 0 END) AS nb
+    FROM (
+      SELECT 'a' AS src, a AS k, COUNT(*) AS c FROM lab GROUP BY 2
+      UNION ALL
+      SELECT 'b' AS src, b AS k, COUNT(*) AS c FROM lab GROUP BY 2
+    ) GROUP BY k
+  )
+)
+SELECT n AS n_items,
+       n_agree,
+       ROUND(CAST(n_agree AS DOUBLE) / n, 6) AS po,
+       ROUND(CAST(chance_mass AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+       ROUND(CAST(n_agree * n - chance_mass AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n - chance_mass), 6) AS kappa
+FROM cnt, marg
+""",
+)
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two annotators of a labeling pass — the
+    standard chance-corrected agreement statistic a labeling pipeline
+    gates raters on (Cohen 1960). The two label columns are a
+    deterministic fixture overlay on ``documents`` (annotator A buckets
+    by n_chars; annotator B agrees except on every 4th doc, where it
+    shifts one class — the same pick-by-doc-id fixture pattern the zh
+    back-fill queries use), so both engines see identical labels; the
+    OPERATOR is the kappa computation itself.
+
+    Determinism: observed agreement, the per-class marginals, and the
+    chance mass SUM(nA_k * nB_k) are all exact integers; kappa is the
+    single division (n_agree*N - chance) / (N^2 - chance) — identical
+    to (po-pe)/(1-pe) but with integer numerator and denominator, so
+    there is exactly one ulp-safe double op per output value.
+
+    Scale shape: one map-side-combinable contingency aggregate over the
+    corpus (class space is tiny), then arithmetic on a handful of rows.
+    No shuffle carries more than n_classes rows; at 100 TB this is
+    scan-bound. A per-rater-pair variant only adds the pair key to the
+    groupBy."""
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") % 3).alias("a"),
+        F.when(
+            F.col("doc_id") % 4 == 0, (F.col("n_chars") % 3 + 1) % 3
+        )
+        .otherwise(F.col("n_chars") % 3)
+        .alias("b"),
+    )
+    cnt = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    marg = (
+        lab.select(F.lit("a").alias("src"), F.col("a").alias("k"))
+        .unionByName(lab.select(F.lit("b").alias("src"), F.col("b").alias("k")))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("src") == "a", 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("src") == "b", 1).otherwise(0)).alias("nb"),
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("chance_mass"))
+    )
+    nd = F.col("n").cast("double")
+    return cnt.crossJoin(marg).select(
+        F.col("n").alias("n_items"),
+        "n_agree",
+        F.round(F.col("n_agree").cast("double") / F.col("n"), 6).alias("po"),
+        F.round(F.col("chance_mass").cast("double") / (nd * F.col("n")), 6).alias(
+            "pe"
+        ),
+        F.round(
+            (F.col("n_agree") * F.col("n") - F.col("chance_mass")).cast("double")
+            / (nd * F.col("n") - F.col("chance_mass")),
+            6,
+        ).alias("kappa"),
+    )

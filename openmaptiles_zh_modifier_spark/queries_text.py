@@ -2205,3 +2205,88 @@ def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num * 1.0) * (num * 1.0) / ((denx * 1.0) * (deny * 1.0)), 4
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: Good-Turing unseen mass + Chao1 richness + entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_vocab_coverage",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS clogc_micro
+  FROM tc
+)
+SELECT n_total, vocab, f1, f2,
+       ROUND(CAST(f1 AS DOUBLE) / n_total, 6) AS p_unseen,
+       ROUND(vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 2)
+         AS chao1,
+       ROUND(ln(n_total) - (CAST(clogc_micro AS DOUBLE) / 1000000)
+               / n_total, 6) AS shannon_h
+FROM agg
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-coverage panel: Good-Turing unseen-token mass
+    (Good 1953: P(next token is novel) ~= f1/N, the missing-mass
+    estimator), bias-corrected Chao1 species richness (Chao 1984:
+    V + f1(f1-1)/(2(f2+1)), a lower bound on true vocabulary size), and
+    corpus token entropy — the "have we scraped enough / what's left in
+    the tail" panel a crawl-curation pipeline reads before deciding
+    whether more of a source is worth fetching.
+
+    Determinism: the frequency-of-frequencies counts (f1, f2), N, and V
+    are exact integers; entropy uses the repo's integer-micro pattern —
+    each token contributes ROUND(c*ln(c)*1e6) as a BIGINT, summed
+    exactly (order-independent), with H = ln(N) - sum/(1e6*N) applied
+    once at the end. One double division per output value.
+
+    Scale shape: explode -> one (token) count -> one frequency-class
+    aggregate. The only corpus-sized shuffle is the token count, which
+    combines map-side (hot tokens partial-aggregate before the
+    exchange); the second aggregate is vocab-sized and collapses to a
+    single row. No top-k, no sort, no UDF."""
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("w")
+    )
+    tc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    agg = tc.agg(
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")) * 1000000).cast("long")
+        ).alias("clogc_micro"),
+    )
+    return agg.select(
+        "n_total",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(F.col("f1").cast("double") / F.col("n_total"), 6).alias(
+            "p_unseen"
+        ),
+        F.round(
+            F.col("vocab")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1)
+            / (2.0 * (F.col("f2") + 1)),
+            2,
+        ).alias("chao1"),
+        F.round(
+            F.log(F.col("n_total"))
+            - (F.col("clogc_micro").cast("double") / 1000000)
+            / F.col("n_total"),
+            6,
+        ).alias("shannon_h"),
+    )
