@@ -518,3 +518,85 @@ def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist / keyword filtering (C4- and RefinedWeb-style curation gate)
+# ---------------------------------------------------------------------------
+
+BLOCKLIST = ["slow", "merge", "spill", "crash"]
+BLOCK_RATIO = 0.05  # docs with > 5% blocklisted tokens are dropped
+
+
+@register(
+    "q_blocklist_filter",
+    oracle=f"""
+WITH scored AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains({BLOCKLIST!r}, x))) AS BIGINT) AS hits
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN hits > {BLOCK_RATIO} * n_tokens
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       ROUND(CAST(SUM(hits) AS DOUBLE) / SUM(n_tokens), 6) AS hit_rate,
+       ROUND(CAST(SUM(CASE WHEN hits > {BLOCK_RATIO} * n_tokens
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+         AS block_rate
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist curation gate: per-document blocklisted-token count and
+    ratio, per-source block census — the C4/RefinedWeb "bad words list"
+    filter (Raffel et al. 2020 drop any page containing a listed word;
+    this is the softer ratio variant production pipelines use so one
+    incidental token doesn't kill a good document).
+
+    Scale shape: the match is entirely IN-ROW — size(filter(tokens,
+    array_contains(blocklist))) against a literal array, no explode, no
+    join, no shuffle before the per-source aggregate (which map-side
+    combines into |sources| rows). A 100k-term production blocklist
+    swaps the literal for a broadcast Bloom/hash set in the same
+    expression; the plan shape is unchanged. hit_rate is the exact
+    integer pair SUM(hits)/SUM(n_tokens) divided once."""
+    toks = tokens(F.col("text"))
+    bl = F.array(*[F.lit(w) for w in BLOCKLIST])
+    scored = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(bl, x))
+        ).cast("long").alias("hits"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("hits") > BLOCK_RATIO * F.col("n_tokens"), 1
+                ).otherwise(0)
+            ).alias("n_blocked"),
+            F.sum("hits").alias("total_hits"),
+            F.round(
+                F.sum("hits").cast("double") / F.sum("n_tokens"), 6
+            ).alias("hit_rate"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("hits") > BLOCK_RATIO * F.col("n_tokens"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("block_rate"),
+        )
+        .orderBy("source")
+    )

@@ -490,3 +490,205 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget curation: best-first selection under a corpus token budget
+# ---------------------------------------------------------------------------
+
+BUDGET_FRAC = 0.4  # spend 40% of the corpus token mass on the best docs
+
+
+@register(
+    "q_token_budget_select",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars AS q,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+  FROM documents
+),
+tot AS (SELECT CAST(FLOOR({BUDGET_FRAC} * SUM(t)) AS BIGINT) AS budget FROM d),
+c AS (
+  SELECT doc_id, source, t,
+         SUM(t) OVER (ORDER BY q DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(SUM(CASE WHEN cum <= budget THEN t ELSE 0 END) AS BIGINT)
+         AS tokens_selected,
+       ROUND(CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS keep_rate
+FROM c, tot
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first curation under a token budget: rank documents by a
+    quality score (fixture: n_chars, stand-in for a model quality
+    score), take documents in score order until the cumulative token
+    count reaches {BUDGET_FRAC:.0%} of the corpus — "spend the training
+    budget on the best data first" (the selection stage behind
+    quality-pruned corpora a la DataComp-LM / FineWeb-Edu cuts).
+
+    Scale shape: the naive global ORDER BY + running SUM collapses to
+    one partition at 100 TB. This plan is the HISTOGRAM-PREFIX
+    decomposition instead (same trick as q_mannwhitney_u): (1) one
+    combinable aggregate builds per-score-VALUE token sums — the score
+    domain, not the corpus, sizes this; (2) the prefix over the tiny
+    value domain is a value-count-sized window; (3) each doc's global
+    cumulative = its value's prefix + a running sum WITHIN its value
+    group (window partitioned by score value — parallel across values).
+    The only global-order artifact is over distinct score values, never
+    rows. Budget and cutoffs are exact integers; DuckDB states the
+    straightforward single cumsum and must agree exactly.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("q"),
+        F.size(tokens(F.col("text"))).cast("long").alias("t"),
+    )
+    vsum = d.groupBy("q").agg(F.sum("t").alias("vt"))
+    wv = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vpre = vsum.select(
+        "q", (F.sum("vt").over(wv) - F.col("vt")).alias("vprefix")
+    )
+    budget = d.agg(
+        F.floor(F.lit(BUDGET_FRAC) * F.sum("t")).cast("long").alias("budget")
+    )
+    ww = Window.partitionBy("q").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        d.withColumn("run", F.sum("t").over(ww))
+        .join(F.broadcast(vpre), "q")
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            "t",
+            (F.col("vprefix") + F.col("run") <= F.col("budget")).alias(
+                "sel"
+            ),
+        )
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("sel"), 1).otherwise(0)).alias("n_selected"),
+            F.sum(F.when(F.col("sel"), F.col("t")).otherwise(0)).alias(
+                "tokens_selected"
+            ),
+            F.round(
+                F.sum(F.when(F.col("sel"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for implicit-feedback training pairs
+# ---------------------------------------------------------------------------
+
+NEG_K = 4  # candidate negatives drawn per positive
+NEG_ITEMS = 50  # fixture item space: item = event_id % NEG_ITEMS
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+WITH pos AS (
+  SELECT DISTINCT user_id, event_id % {NEG_ITEMS} AS item
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT DISTINCT user_id,
+         {h32_sql(f"user_id || ':' || item || ':' || k")} % {NEG_ITEMS}
+           AS neg_item
+  FROM pos, (SELECT unnest(range({NEG_K})) AS k)
+),
+kept AS (
+  SELECT c.user_id, c.neg_item
+  FROM cand c
+  LEFT JOIN pos p ON p.user_id = c.user_id AND p.item = c.neg_item
+  WHERE p.item IS NULL
+)
+SELECT pos.user_id,
+       CAST(COUNT(DISTINCT pos.item) AS BIGINT) AS n_pos,
+       CAST(COUNT(DISTINCT kept.neg_item) AS BIGINT) AS n_neg,
+       COALESCE(CAST(SUM(DISTINCT kept.neg_item) AS BIGINT), 0)
+         AS neg_witness
+FROM pos LEFT JOIN kept ON kept.user_id = pos.user_id
+GROUP BY pos.user_id
+ORDER BY pos.user_id
+""",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    each observed (user, item) positive seeds {NEG_K} hash-drawn
+    candidate negatives from the item space; candidates colliding with
+    ANY of the user's positives are anti-joined away (the correctness
+    step naive samplers skip — a "negative" the user actually bought is
+    a false label). Hash-seeded (md5 h32, no RNG) so every engine, run,
+    and retry draws the identical sample — the reproducibility property
+    a training pipeline needs for exact restarts. Item ids are the
+    event_id % {NEG_ITEMS} fixture overlay (events carry no item
+    column); the OPERATOR is the draw + collision-filter + census.
+
+    Scale shape: positives dedup (one shuffle on (user, item)), an
+    in-row explode of {NEG_K} literals, and a left-anti self-join on
+    (user, candidate) — co-partitioned with the positives shuffle, so
+    AQE plans it without an extra exchange. At 100 TB the anti-join is
+    the standard skew-join case (hot users salt); census is one
+    combinable aggregate."""
+    pos = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.pmod(F.col("event_id"), NEG_ITEMS).alias("item")
+        )
+        .distinct()
+    )
+    cand = pos.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(k) for k in range(NEG_K)])).alias("k"),
+        "item",
+    ).select(
+        "user_id",
+        F.pmod(
+            h32(F.concat_ws(":", F.col("user_id"), F.col("item"), F.col("k"))),
+            NEG_ITEMS,
+        ).alias("neg_item"),
+    ).distinct()
+    kept = cand.join(
+        pos.select("user_id", F.col("item").alias("neg_item")),
+        ["user_id", "neg_item"],
+        "left_anti",
+    )
+    pc = pos.groupBy("user_id").agg(
+        F.count_distinct("item").alias("n_pos")
+    )
+    nc = kept.groupBy("user_id").agg(
+        F.count_distinct("neg_item").alias("n_neg"),
+        F.sum_distinct("neg_item").alias("neg_witness"),
+    )
+    return (
+        pc.join(nc, "user_id", "left")
+        .select(
+            "user_id",
+            "n_pos",
+            F.coalesce("n_neg", F.lit(0)).alias("n_neg"),
+            F.coalesce("neg_witness", F.lit(0)).alias("neg_witness"),
+        )
+        .orderBy("user_id")
+    )
