@@ -262,19 +262,92 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def encode_bmp(width: int, height: int, seed: int) -> bytes:
+    """Encode a REAL 24-bit uncompressed Windows BMP (BITMAPINFOHEADER,
+    BI_RGB): the LOGICAL image is the same top-down row-major RGB ramp
+    as the PPM/PNG fixtures (pixel byte i = (seed+i) % 256, so the
+    DuckDB oracle reuses the identical closed forms), but the FILE
+    stores rows bottom-up, channels as BGR, and each row padded to a
+    4-byte boundary — the three layout quirks that make BMP a genuine
+    parser exercise rather than a raw dump."""
+    import struct
+
+    import numpy as np
+
+    stride = 3 * width
+    pad = (-stride) % 4
+    logical = (
+        ((np.arange(stride * height, dtype=np.int64) + seed) % 256)
+        .astype(np.uint8)
+        .reshape(height, width, 3)
+    )
+    body = bytearray()
+    zeros = b"\x00" * pad
+    for r in range(height - 1, -1, -1):  # bottom-up
+        body.extend(logical[r, :, ::-1].tobytes())  # RGB -> BGR
+        body.extend(zeros)
+    off = 14 + 40
+    filehdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    infohdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return filehdr + infohdr + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Pure-stdlib+numpy 24-bit BI_RGB BMP decoder: parses both headers,
+    honors the pixel-data offset, un-pads each 4-byte-aligned row,
+    flips bottom-up storage back to top-down and BGR back to RGB, and
+    computes the pixel statistics FROM THE DECODED LOGICAL ARRAY — a
+    bug in any of offset handling, padding, row flip, or channel swap
+    breaks the oracle hash."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack("<I", payload[10:14])
+    hsize, width, height = struct.unpack("<Iii", payload[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", payload[26:34])
+    if hsize < 40 or bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed (BI_RGB) BMP supported")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = 3 * width
+    fstride = stride + ((-stride) % 4)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=fstride * height, offset=off
+    ).reshape(height, fstride)[:, :stride]
+    if bottom_up:
+        rows = rows[::-1]
+    logical = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+    flat = logical.reshape(-1).astype(np.int64)
+    return {
+        "width": width,
+        "height": height,
+        "n_pixel_bytes": int(flat.size),
+        "checksum64": int(flat[:64].sum()),
+        "pixel_sum": int(flat.sum()),
+    }
+
+
 def real_decode_image(payload: bytes) -> dict:
     """The production decode hook: dispatches on magic bytes to a
-    registered codec. PPM (P6) and 8-bit RGB PNG have real pure-numpy
-    decoders here; DCT formats (JPEG) need a codec library not present
-    in this environment — wire PIL/libvips for those in a real
-    deployment."""
+    registered codec. PPM (P6), 8-bit RGB PNG, and 24-bit BI_RGB BMP
+    have real pure-numpy decoders here; DCT formats (JPEG) need a codec
+    library not present in this environment — wire PIL/libvips for
+    those in a real deployment."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
         "no codec registered for this payload format (JPEG needs "
-        "PIL/libvips); PPM P6 and 8-bit RGB PNG decode natively"
+        "PIL/libvips); PPM P6, 8-bit RGB PNG, and 24-bit BMP decode "
+        "natively"
     )
 
 
@@ -371,6 +444,31 @@ def png_roundtrip_features(df: DataFrame) -> DataFrame:
             for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
                 d = int(doc_id)
                 payload = encode_png(d % 13 + 4, d * 5 % 13 + 4, d * 7 % 256)
+                feats = real_decode_image(payload)
+                rows.append({"doc_id": d, "source": source, **feats})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=PPM_SCHEMA)
+
+
+def bmp_roundtrip_features(df: DataFrame) -> DataFrame:
+    """BMP twin of ``png_roundtrip_features``: encode a real 24-bit
+    BI_RGB BMP per document, run the real decoder (offset/padding/
+    bottom-up/BGR handling), return header + pixel statistics.
+    Dimension rule (width = doc_id*3%13+4, height = doc_id*11%13+4,
+    seed = doc_id*13%256) is distinct from both the PPM and PNG grids
+    so each codec is verified on its own fixtures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                payload = encode_bmp(
+                    d * 3 % 13 + 4, d * 11 % 13 + 4, d * 13 % 256
+                )
                 feats = real_decode_image(payload)
                 rows.append({"doc_id": d, "source": source, **feats})
             yield pd.DataFrame(rows)

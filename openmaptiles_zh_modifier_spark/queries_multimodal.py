@@ -486,3 +486,73 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_multimodal_bmp_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id * 3 % 13 + 4 AS w,
+         doc_id * 11 % 13 + 4 AS h,
+         doc_id * 13 % 256 AS d
+  FROM documents
+),
+f AS (
+  SELECT source, w, h,
+         3 * w * h AS n,
+         LEAST(64, 3 * w * h) * d
+           + LEAST(64, 3 * w * h) * (LEAST(64, 3 * w * h) - 1) // 2
+           - 256 * GREATEST(0, d + LEAST(64, 3 * w * h) - 256)
+           AS checksum64,
+         (3 * w * h // 256) * 32640
+           + (3 * w * h % 256) * d
+           + (3 * w * h % 256) * (3 * w * h % 256 - 1) // 2
+           - 256 * GREATEST(0, d + (3 * w * h % 256) - 256) AS pixel_sum
+  FROM dims
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_pixel_bytes,
+       CAST(SUM(checksum64) AS BIGINT) AS total_checksum64,
+       CAST(SUM(pixel_sum) AS BIGINT) AS total_pixel_sum,
+       MAX(w) AS max_width,
+       MAX(h) AS max_height
+FROM f
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL image codec in the multimodal path: per document a
+    24-bit uncompressed BI_RGB BMP is encoded (bottom-up rows, BGR
+    channels, 4-byte row padding — the layout quirks that distinguish a
+    real parser from a raw memcpy) and decoded back by the pure-numpy
+    decoder; per-source aggregates of the DECODED statistics must match
+    the oracle's closed forms of the generation ramp. Any bug in offset
+    handling, padding strip, the bottom-up flip, or the BGR swap breaks
+    the hash. Together with PPM (raw), PNG (compressed), and BMP
+    (layout-transformed) the image dispatch now covers the three
+    container shapes a production decode stage meets.
+
+    Scale shape: identical to the PPM/PNG queries — one Arrow-batched
+    mapInPandas codec stage, then a JVM-side per-source aggregate;
+    payload bytes never leave the Python stage."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        bmp_roundtrip_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    feats = bmp_roundtrip_features(docs)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pixel_bytes").alias("total_pixel_bytes"),
+            F.sum("checksum64").alias("total_checksum64"),
+            F.sum("pixel_sum").alias("total_pixel_sum"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+        )
+        .orderBy("source")
+    )

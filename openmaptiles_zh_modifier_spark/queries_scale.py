@@ -559,3 +559,139 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = br if rows is None else rows.unionByName(br)
     return rows.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit: "will this key skew a shuffle?" pre-flight report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skew_audit",
+    oracle="""
+WITH kc AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+  FROM orders GROUP BY 1
+),
+hist AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS m FROM kc GROUP BY 1),
+pre AS (
+  SELECT f, m,
+         SUM(m) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS cum_keys,
+         SUM(f * m) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS cum_rows
+  FROM hist
+),
+tot AS (
+  SELECT CAST(SUM(f * m) AS BIGINT) AS n_rows,
+         CAST(SUM(m) AS BIGINT) AS n_keys,
+         CAST(MAX(f) AS BIGINT) AS max_f
+  FROM hist
+),
+-- Gini from the frequency histogram: keys sorted by f ascending occupy
+-- rank run [cum_keys-m+1, cum_keys]; sum of ranks in the run is
+-- (a+b)*(b-a+1)/2, each weighted by f
+gini_num AS (
+  SELECT CAST(SUM(f * (((cum_keys - m + 1) + cum_keys) * m) / 2) AS BIGINT)
+           AS rank_mass
+  FROM pre
+),
+quant AS (
+  SELECT MIN(CASE WHEN cum_keys * 2 >= (SELECT n_keys FROM tot)
+                  THEN f END) AS p50_f,
+         MIN(CASE WHEN cum_keys * 100 >= 99 * (SELECT n_keys FROM tot)
+                  THEN f END) AS p99_f
+  FROM pre
+)
+SELECT n_rows, n_keys, max_f,
+       ROUND(CAST(max_f AS DOUBLE) / n_rows, 6) AS top1_share,
+       CAST(p50_f AS BIGINT) AS p50_f,
+       CAST(p99_f AS BIGINT) AS p99_f,
+       ROUND(CAST(2 * rank_mass - (n_keys + 1) * n_rows AS DOUBLE)
+             / (CAST(n_keys AS DOUBLE) * n_rows), 6) AS gini
+FROM tot, gini_num, quant
+""",
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: the one-row report a pipeline reads
+    BEFORE shuffling on a key — row/key counts, hottest-key share,
+    median and p99 key frequency, and the Gini coefficient of the key
+    frequency distribution (0 = uniform, ->1 = one celebrity key owns
+    everything). This is the measurement behind the repo's salting/
+    AQE-skew-join decisions (q_salted_skew_join, the stream-stream
+    bucketing) made into a first-class operator.
+
+    Scale shape: count-per-key (ONE corpus-sized, map-side-combinable
+    shuffle), then everything lives on the frequency-of-frequencies
+    histogram — a domain of distinct frequency VALUES, not keys. Gini
+    needs keys sorted by frequency, but over the histogram a run of m
+    equal-frequency keys occupies a contiguous rank interval, so the
+    rank mass is the exact integer f*(a+b)*(b-a+1)/2 per histogram row
+    and the global sort is over the tiny value domain (same
+    histogram-prefix trick as q_mannwhitney_u / q_token_budget_select).
+    Quantiles read off the same prefix. All integers until the two
+    final divisions."""
+    from pyspark.sql import Window
+
+    kc = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    hist = kc.groupBy("f").agg(F.count(F.lit(1)).alias("m"))
+    wv = Window.orderBy("f").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = hist.select(
+        "f",
+        "m",
+        F.sum("m").over(wv).alias("cum_keys"),
+        F.sum(F.col("f") * F.col("m")).over(wv).alias("cum_rows"),
+    )
+    tot = hist.agg(
+        F.sum(F.col("f") * F.col("m")).alias("n_rows"),
+        F.sum("m").alias("n_keys"),
+        F.max("f").alias("max_f"),
+    )
+    rank_mass = pre.agg(
+        F.sum(
+            F.col("f")
+            * (
+                ((F.col("cum_keys") - F.col("m") + 1) + F.col("cum_keys"))
+                * F.col("m")
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("rank_mass")
+    )
+    quant = pre.crossJoin(F.broadcast(tot.select("n_keys"))).agg(
+        F.min(
+            F.when(F.col("cum_keys") * 2 >= F.col("n_keys"), F.col("f"))
+        ).alias("p50_f"),
+        F.min(
+            F.when(
+                F.col("cum_keys") * 100 >= 99 * F.col("n_keys"), F.col("f")
+            )
+        ).alias("p99_f"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(rank_mass))
+        .crossJoin(F.broadcast(quant))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_f",
+            F.round(F.col("max_f").cast("double") / F.col("n_rows"), 6).alias(
+                "top1_share"
+            ),
+            F.col("p50_f").cast("long").alias("p50_f"),
+            F.col("p99_f").cast("long").alias("p99_f"),
+            F.round(
+                (
+                    2 * F.col("rank_mass")
+                    - (F.col("n_keys") + 1) * F.col("n_rows")
+                ).cast("double")
+                / (F.col("n_keys").cast("double") * F.col("n_rows")),
+                6,
+            ).alias("gini"),
+        )
+    )

@@ -622,3 +622,51 @@ def test_codec_property_fuzz_roundtrips():
     ppm()
     wav()
     y4m()
+
+
+def test_bmp_codec_roundtrip_and_layout_quirks():
+    """BMP decode must handle the three layout quirks (bottom-up rows,
+    BGR channels, 4-byte row padding) and reject unsupported variants."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        real_decode_image,
+    )
+
+    # widths 4..7 cycle through all four padding residues (12/15/18/21
+    # byte strides -> pad 0/1/2/3)
+    for w, h, seed in [(4, 4, 0), (5, 3, 100), (6, 2, 200), (7, 5, 255)]:
+        f = decode_bmp(encode_bmp(w, h, seed))
+        n = 3 * w * h
+        ramp = (np.arange(n, dtype=np.int64) + seed) % 256
+        assert (f["width"], f["height"], f["n_pixel_bytes"]) == (w, h, n)
+        assert f["pixel_sum"] == int(ramp.sum())
+        assert f["checksum64"] == int(ramp[:64].sum())
+
+    # top-down (negative height) storage decodes to the same logical image
+    p = bytearray(encode_bmp(5, 3, 42))
+    stride = 3 * 5 + ((-3 * 5) % 4)
+    body = p[54:]
+    flipped = b"".join(
+        bytes(body[r * stride : (r + 1) * stride]) for r in range(2, -1, -1)
+    )
+    p2 = p[:14] + struct.pack(
+        "<IiiHHIIiiII", 40, 5, -3, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    ) + flipped
+    assert decode_bmp(bytes(p2)) == decode_bmp(bytes(p))
+
+    # dispatch: BM magic routes to the BMP decoder
+    assert real_decode_image(encode_bmp(4, 4, 1))["width"] == 4
+
+    # unsupported variants are loud errors, not silent garbage
+    bad_bpp = bytearray(encode_bmp(4, 4, 0))
+    bad_bpp[28] = 8  # biBitCount = 8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX not a bmp")
