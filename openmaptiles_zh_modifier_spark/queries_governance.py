@@ -305,3 +305,79 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.crossJoin(F.broadcast(lang_ent.select(F.col("h").alias("lang_entropy_nats"))))
         .crossJoin(F.broadcast(dups))
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release census (seeded Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  # per-cell privacy budget for the count release
+
+
+@register(
+    "q_dp_census",
+    oracle=f"""
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+noise AS (
+  SELECT source, lang, n,
+         (({{h}} + 0.5) / 4294967296.0) - 0.5 AS v
+  FROM c
+)
+SELECT source, lang,
+       CAST(GREATEST(0, CAST(ROUND(
+         (n - (1.0 / {DP_EPSILON})
+                * CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END
+                * ln(1.0 - 2.0 * abs(v)))
+         * 10000) AS BIGINT)) AS BIGINT) AS noisy_n_x10k
+FROM noise
+ORDER BY source, lang
+""".replace(
+        "{h}",
+        "CAST(('0x' || substr(md5(source || ':' || lang || ':dp'), 1, 8))"
+        " AS BIGINT)",
+    ),
+)
+def q_dp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-(source, lang) document
+    counts through the Laplace mechanism (sensitivity 1, epsilon
+    {DP_EPSILON}) with non-negativity post-processing — the standard
+    way a data owner publishes corpus composition without exposing
+    exact membership counts. Noise is SEEDED (inverse-CDF of an
+    md5-hash uniform per cell, the same h32 determinism rule as every
+    sampler here) so releases are reproducible and both engines derive
+    bit-identical noise; a production release swaps the seed source for
+    a one-time secret draw — the mechanism, sensitivity accounting, and
+    post-processing are exactly what ships. Output is quantized to
+    1e-4 units (x10k BIGINT) so the hash compares integers, not
+    float text.
+
+    Scale shape: one map-side-combinable count aggregate (cell space =
+    |sources| x |langs|), then per-cell scalar math. Scan-bound at any
+    corpus size."""
+    from openmaptiles_zh_modifier_spark.functions.text import h32
+
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    u = (
+        h32(F.concat_ws(":", F.col("source"), F.col("lang"), F.lit("dp")))
+        + 0.5
+    ) / F.lit(4294967296.0)
+    v = u - 0.5
+    lap = (
+        (1.0 / DP_EPSILON)
+        * F.when(v < 0, -1.0).otherwise(1.0)
+        * F.log(1.0 - 2.0 * F.abs(v))
+    )
+    return c.select(
+        "source",
+        "lang",
+        F.greatest(
+            F.lit(0), F.round((F.col("n") - lap) * 10000).cast("long")
+        ).alias("noisy_n_x10k"),
+    ).orderBy("source", "lang")
