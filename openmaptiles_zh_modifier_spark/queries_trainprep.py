@@ -692,3 +692,252 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer step (SentencePiece family): Viterbi E + count M
+# ---------------------------------------------------------------------------
+
+UNI_BIGRAMS = 24  # bigram pieces admitted to the vocab beside all chars
+UNI_TOP_OUT = 20  # pieces reported after the M-step
+UNI_MAX_WLEN = 16  # backtrack unroll depth; words longer are excluded
+
+
+def _unigram_oracle() -> str:
+    """Programmatically build the DuckDB oracle. The forward Viterbi is
+    ONE list_reduce whose whole state lives in a single VARCHAR
+    ('d2;d1;choices') — DuckDB 1.0 struct accumulators read
+    partially-updated fields and list-typed fields don't thread at all.
+    The backtrack CANNOT be a second list_reduce: chained lambdas over
+    grouped/joined CTEs nondeterministically pair the lambda's inputs
+    with the wrong row under parallel execution (measured ~5/6 runs
+    wrong; AS MATERIALIZED does not fix it), so it is UNROLLED into
+    {UNI_MAX_WLEN} scalar CTE projections instead — verified stable."""
+    c = "COALESCE(TRY_CAST(substr(ch, pos, 1) AS INT), 1)"
+    fwd = """list_reduce(
+  list_prepend('0;0;', cxs),
+  (acc, x) ->
+    split_part(acc, ';', 2) || ';' ||
+    CAST(CASE WHEN split_part(x, ',', 2) <> ''
+               AND TRY_CAST(split_part(acc, ';', 1) AS BIGINT)
+                   + TRY_CAST(split_part(x, ',', 2) AS BIGINT)
+                 < TRY_CAST(split_part(acc, ';', 2) AS BIGINT)
+                   + TRY_CAST(split_part(x, ',', 1) AS BIGINT)
+              THEN TRY_CAST(split_part(acc, ';', 1) AS BIGINT)
+                   + TRY_CAST(split_part(x, ',', 2) AS BIGINT)
+              ELSE TRY_CAST(split_part(acc, ';', 2) AS BIGINT)
+                   + TRY_CAST(split_part(x, ',', 1) AS BIGINT) END AS VARCHAR)
+    || ';' || split_part(acc, ';', 3) ||
+    CASE WHEN split_part(x, ',', 2) <> ''
+              AND TRY_CAST(split_part(acc, ';', 1) AS BIGINT)
+                  + TRY_CAST(split_part(x, ',', 2) AS BIGINT)
+                < TRY_CAST(split_part(acc, ';', 2) AS BIGINT)
+                  + TRY_CAST(split_part(x, ',', 1) AS BIGINT)
+         THEN '2' ELSE '1' END)"""
+    steps = [
+        "s0 AS (SELECT w, wc, cost, ch, CAST(len(w) AS INT) AS pos,"
+        " '' AS ps FROM fw2)"
+    ]
+    for k in range(1, UNI_MAX_WLEN + 1):
+        steps.append(f"""s{k} AS (
+  SELECT w, wc, cost, ch,
+         CASE WHEN pos <= 0 THEN pos ELSE pos - {c} END AS pos,
+         CASE WHEN pos <= 0 THEN ps
+              WHEN ps = '' THEN substr(w, pos - {c} + 1, {c})
+              ELSE substr(w, pos - {c} + 1, {c}) || '|' || ps END AS ps
+  FROM s{k - 1})""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) wc
+  FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+  WHERE len(w) > 0 AND len(w) <= {UNI_MAX_WLEN} GROUP BY 1),
+pos AS (SELECT w, wc, unnest(range(1, len(w) + 1)) AS i FROM words),
+chars AS (SELECT substr(w, i, 1) p, CAST(SUM(wc) AS BIGINT) c
+          FROM pos GROUP BY 1),
+bigs AS (SELECT substr(w, i - 1, 2) p, CAST(SUM(wc) AS BIGINT) c
+         FROM pos WHERE i >= 2 GROUP BY 1),
+topbigs AS (
+  SELECT p, c FROM (
+    SELECT p, c, ROW_NUMBER() OVER (ORDER BY c DESC, p) r FROM bigs)
+  WHERE r <= {UNI_BIGRAMS}),
+pieces AS (SELECT * FROM chars UNION ALL SELECT * FROM topbigs),
+tot AS (SELECT SUM(c) t FROM pieces),
+pcost AS (SELECT p, CAST(ROUND(-ln(CAST(c AS DOUBLE) / t) * 1000000)
+                    AS BIGINT) AS cost FROM pieces, tot),
+p2 AS (
+  SELECT pos.w, pos.wc, pos.i, a.cost AS c1, b.cost AS c2
+  FROM pos
+  LEFT JOIN pcost a ON a.p = substr(pos.w, pos.i, 1)
+  LEFT JOIN pcost b ON pos.i >= 2 AND b.p = substr(pos.w, pos.i - 1, 2)),
+arrs AS MATERIALIZED (
+  SELECT w, wc,
+         list(CAST(c1 AS VARCHAR) || ',' || COALESCE(CAST(c2 AS VARCHAR), '')
+              ORDER BY i) cxs
+  FROM p2 GROUP BY 1, 2),
+fw AS MATERIALIZED (SELECT w, wc, {fwd} AS st FROM arrs),
+fw2 AS MATERIALIZED (
+  SELECT w, wc, TRY_CAST(split_part(st, ';', 2) AS BIGINT) AS cost,
+         split_part(st, ';', 3) AS ch FROM fw),
+{chain},
+seg AS (SELECT w, wc, cost, ps FROM s{UNI_MAX_WLEN}),
+mstep AS (
+  SELECT p, CAST(SUM(wc) AS BIGINT) AS new_count
+  FROM (SELECT wc, unnest(string_split(ps, '|')) AS p FROM seg)
+  GROUP BY 1)
+SELECT rk, p AS piece, new_count, cost_micro FROM (
+  SELECT m.p, m.new_count, pc.cost AS cost_micro,
+         ROW_NUMBER() OVER (ORDER BY m.new_count DESC, m.p) AS rk
+  FROM mstep m JOIN pcost pc ON pc.p = m.p)
+WHERE rk <= {UNI_TOP_OUT} ORDER BY rk
+"""
+
+
+@register("q_unigram_lm_step", oracle=_unigram_oracle())
+def q_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Viterbi-EM step of a unigram-LM tokenizer (the SentencePiece
+    family, Kudo 2018) — completing the tokenizer-training surface next
+    to BPE (q_bpe_merge_candidates trains, q_bpe_apply applies): the
+    piece vocabulary is all corpus characters plus the top-{UNI_BIGRAMS}
+    character bigrams; piece costs are -ln(count/total) in integer
+    micro-units (E step); each distinct word is segmented by an exact
+    Viterbi DP over pieces of length <= 2 (dp[i] = min(dp[i-1]+c1,
+    dp[i-2]+c2), single chars preferred on cost ties); the M step
+    re-counts pieces along the Viterbi paths weighted by word frequency
+    and reports the top-{UNI_TOP_OUT} pieces with their refreshed
+    counts. A production trainer iterates this step and prunes — one
+    step is where all the machinery lives.
+
+    Determinism: costs are integer micro-units, the DP is integer-exact
+    with an explicit tie rule, vocab selection and output ranks are
+    fully tie-broken. The Spark DP is an in-row F.aggregate over the
+    word's per-position cost structs (choices accumulate in a string);
+    the backtrack is a second in-row fold walking the choice string.
+    Words are capped at {UNI_MAX_WLEN} chars on BOTH engines (the
+    oracle's backtrack is a fixed-depth unrolled CTE chain — see
+    _unigram_oracle for why DuckDB cannot run it as a second lambda).
+
+    Scale shape: everything heavy is keyed by DISTINCT WORD — the
+    corpus-sized pass is the word count (map-side combinable); the DP
+    is in-row over the word-length array (no shuffle, no UDF, pure
+    whole-stage-codegen expressions); piece tables are vocab-sized
+    broadcast joins. At 100 TB the distinct-word domain is the working
+    set, exactly how production tokenizer trainers shard."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where((F.length("w") > 0) & (F.length("w") <= UNI_MAX_WLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pos = words.select(
+        "w", "wc", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
+    )
+    chars = (
+        pos.select(F.expr("substr(w, i, 1)").alias("p"), "wc")
+        .groupBy("p")
+        .agg(F.sum("wc").alias("c"))
+    )
+    bigs = (
+        pos.where(F.col("i") >= 2)
+        .select(F.expr("substr(w, i-1, 2)").alias("p"), "wc")
+        .groupBy("p")
+        .agg(F.sum("wc").alias("c"))
+    )
+    wb = Window.orderBy(F.desc("c"), F.asc("p"))
+    topbigs = (
+        bigs.withColumn("r", F.row_number().over(wb))
+        .where(F.col("r") <= UNI_BIGRAMS)
+        .drop("r")
+    )
+    pieces = chars.unionByName(topbigs)
+    tot = pieces.agg(F.sum("c").alias("t"))
+    pcost = pieces.crossJoin(F.broadcast(tot)).select(
+        "p",
+        F.round(-F.log(F.col("c").cast("double") / F.col("t")) * 1e6)
+        .cast("long")
+        .alias("cost"),
+    )
+    p1 = pos.join(
+        F.broadcast(
+            pcost.select(F.col("p").alias("c1p"), F.col("cost").alias("c1"))
+        ),
+        F.expr("substr(w, i, 1)") == F.col("c1p"),
+        "left",
+    ).select("w", "wc", "i", "c1")
+    p2 = p1.join(
+        F.broadcast(
+            pcost.select(F.col("p").alias("c2p"), F.col("cost").alias("c2"))
+        ),
+        (F.col("i") >= 2) & (F.expr("substr(w, i-1, 2)") == F.col("c2p")),
+        "left",
+    )
+    arrs = p2.groupBy("w", "wc").agg(
+        F.array_sort(F.collect_list(F.struct("i", "c1", "c2"))).alias("xs")
+    )
+
+    def viterbi(xs):
+        init = F.struct(
+            F.lit(0).cast("long").alias("d2"),
+            F.lit(0).cast("long").alias("d1"),
+            F.lit("").alias("ch"),
+        )
+
+        def step(acc, x):
+            one = acc["d1"] + x["c1"]
+            two = F.when(
+                x["c2"].isNotNull(), acc["d2"] + x["c2"]
+            ).otherwise(F.lit(1 << 60))
+            t2 = two < one
+            return F.struct(
+                acc["d1"].alias("d2"),
+                F.when(t2, two).otherwise(one).alias("d1"),
+                F.concat(
+                    acc["ch"], F.when(t2, F.lit("2")).otherwise(F.lit("1"))
+                ).alias("ch"),
+            )
+
+        return F.aggregate(xs, init, step)
+
+    fw = arrs.select("w", "wc", viterbi(F.col("xs")).alias("v"))
+
+    def backtrack(w, ch):
+        init = F.struct(
+            F.length(w).cast("int").alias("pos"), F.lit("").alias("ps")
+        )
+
+        def step(acc, _):
+            c = F.substring(ch, acc["pos"], 1).cast("int")
+            piece = F.substring(w, acc["pos"] - c + 1, c)
+            nps = F.when(acc["ps"] == "", piece).otherwise(
+                F.concat(piece, F.lit("|"), acc["ps"])
+            )
+            return F.when(acc["pos"] <= 0, acc).otherwise(
+                F.struct((acc["pos"] - c).alias("pos"), nps.alias("ps"))
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(w)), init, step
+        )["ps"]
+
+    seg = fw.select(
+        "w", "wc", backtrack(F.col("w"), F.col("v")["ch"]).alias("ps")
+    )
+    mstep = (
+        seg.select("wc", F.explode(F.split("ps", "\\|")).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("wc").alias("new_count"))
+    )
+    wout = Window.orderBy(F.desc("new_count"), F.asc("p"))
+    return (
+        mstep.join(F.broadcast(pcost), "p")
+        .withColumn("rk", F.row_number().over(wout))
+        .where(F.col("rk") <= UNI_TOP_OUT)
+        .select(
+            "rk",
+            F.col("p").alias("piece"),
+            "new_count",
+            F.col("cost").alias("cost_micro"),
+        )
+        .orderBy("rk")
+    )
