@@ -31,14 +31,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
 # dict ordering decides what gets externally verified. Round-7 window
-# (tools/gate_coverage.py --window over CORRECTNESS_r01-r06): the two
-# round-7-NEW never-sampled entries (typo-compat oracle, PNG decode) lead,
-# then the 17 r01-only rows, then the stalest r02 greens — retiring the
-# driver-row staleness debt VERDICT r06 item #1 names. Names are stable —
-# only dict ordering changes round to round.
+# (tools/gate_coverage.py --window over CORRECTNESS_r01-r06): every
+# round-7-NEW never-sampled entry leads (the early pair, then the ten
+# new operators), then the 17 r01-only rows, then the stalest r02
+# greens — retiring the driver-row staleness debt VERDICT r06 item #1
+# names. Names are stable — only dict ordering changes round to round.
 _R07_WINDOW = [
     "zh_backfill_typo_compat",
     "q_multimodal_png_decode",
+    "q_annotator_kappa",
+    "q_vocab_coverage",
+    "q_embed_binary_hamming",
+    "q_blocklist_filter",
+    "q_token_budget_select",
+    "q_negative_sampling",
+    "q_skew_audit",
+    "q_multimodal_bmp_decode",
+    "q_dp_census",
+    "q_unigram_lm_step",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -77,16 +87,6 @@ _R07_WINDOW = [
     "q_events_from_json",
     "q_events_sessionize",
     "q_events_sliding",
-    "q_events_tumbling",
-    "q_funnel_analysis",
-    "q_hll_distinct",
-    "q_kmeans_step",
-    "q_kmv_set_overlap",
-    "q_late_data_audit",
-    "q_latest_per_key",
-    "q_locf_gapfill",
-    "q_map_functions",
-    "q_multimodal_decode",
 ]
 
 
