@@ -825,7 +825,7 @@ def q_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, exactly how production tokenizer trainers shard."""
     docs = load(spark, sf_dir, "documents")
     words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .where((F.length("w") > 0) & (F.length("w") <= UNI_MAX_WLEN))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
