@@ -27,7 +27,7 @@ from openmaptiles_zh_modifier_spark.functions.text import (
     shingles,
     tokens,
 )
-from openmaptiles_zh_modifier_spark.registry import load, register
+from openmaptiles_zh_modifier_spark.registry import QUERIES, load, register
 
 
 def _stop_in_sql(lang: str) -> str:
@@ -2289,4 +2289,87 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_total"),
             6,
         ).alias("shannon_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix + per-class precision/recall
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_langid_confusion",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_langid_score_sql(lang)} AS score_{lang}" for lang in LANG_ORDER)}
+  FROM t
+),
+m AS (
+  SELECT *, GREATEST({", ".join(f"score_{lang}" for lang in LANG_ORDER)}) AS best
+  FROM s
+),
+pred AS (
+  SELECT lang AS lang_label,
+         CASE WHEN best = 0 THEN 'und' ELSE {_LANGID_PRED_SQL} END AS lang_pred
+  FROM m
+),
+cells AS (
+  SELECT lang_label, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+marg AS (
+  SELECT lang_label, SUM(n) AS row_n FROM cells GROUP BY 1
+),
+pmarg AS (
+  SELECT lang_pred, SUM(n) AS col_n FROM cells GROUP BY 1
+)
+SELECT c.lang_label, c.lang_pred, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / m.row_n, 4) AS recall_share,
+       ROUND(CAST(c.n AS DOUBLE) / p.col_n, 4) AS precision_share
+FROM cells c
+JOIN marg m ON m.lang_label = c.lang_label
+JOIN pmarg p ON p.lang_pred = c.lang_pred
+ORDER BY c.lang_label, c.lang_pred
+""",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval view of the language-ID operator: the full
+    (true label, predicted) confusion matrix with per-cell recall and
+    precision shares — the audit a curation pipeline reads before
+    trusting a cheap classifier to route documents (and the template
+    for evaluating ANY per-row classifier in the registry: compose the
+    classifier query, aggregate the confusion cells). The fixture's
+    lang column is synthetic over identical text, so the matrix here
+    measures the tie-break structure, not linguistic power — score
+    parity with the oracle is the gate, as for q_text_langid.
+
+    Scale shape: the classifier is in-row (literal stopword arrays);
+    the matrix is one combinable aggregate over |langs|^2 cells; the
+    marginals are broadcast self-joins on a cell table that fits in a
+    single packet at any corpus size."""
+    pred = QUERIES["q_text_langid"](spark, sf_dir).select(
+        "lang_label", "lang_pred"
+    )
+    cells = pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = cells.groupBy("lang_label").agg(F.sum("n").alias("row_n"))
+    pmarg = cells.groupBy("lang_pred").agg(F.sum("n").alias("col_n"))
+    return (
+        cells.join(F.broadcast(marg), "lang_label")
+        .join(F.broadcast(pmarg), "lang_pred")
+        .select(
+            "lang_label",
+            "lang_pred",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_n"), 4).alias(
+                "recall_share"
+            ),
+            F.round(F.col("n").cast("double") / F.col("col_n"), 4).alias(
+                "precision_share"
+            ),
+        )
+        .orderBy("lang_label", "lang_pred")
     )
