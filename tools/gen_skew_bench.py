@@ -94,6 +94,17 @@ BENCH_QUERIES = [
     "q_hits_scores",
     "q_kcore",
     "q_bootstrap_ci",
+    # round-7 operators: unigram's working set is the distinct-word
+    # domain (replication only grows counts); binary-Hamming's wide
+    # stage reads two BIGINTs/vector; budget-select/skew-audit live on
+    # value-domain histograms; negative sampling is bounded by
+    # NEG_K * positives with the item space fixed.
+    "q_unigram_lm_step",
+    "q_embed_binary_hamming",
+    "q_token_budget_select",
+    "q_negative_sampling",
+    "q_skew_audit",
+    "q_vocab_coverage",
 ]
 
 
