@@ -941,3 +941,82 @@ def q_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: 4-round Feistel permutation + rank compaction
+# ---------------------------------------------------------------------------
+
+SHUF_ROUNDS = 4
+SHUF_HALF = 16  # 32-bit Feistel domain split into 16-bit halves
+
+
+def _feistel_sql(seed: str) -> str:
+    L, R = "(doc_id // 65536)", "(doc_id % 65536)"
+    for r in range(SHUF_ROUNDS):
+        round_key = "'" + seed + ":" + str(r) + ":' || " + R
+        f = "(" + h32_sql(round_key) + " % 65536)"
+        L, R = R, f"xor({L}, {f})"
+    return f"({L} * 65536 + {R})"
+
+
+@register(
+    "q_epoch_shuffle",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         {_feistel_sql('ep0')} AS k0,
+         {_feistel_sql('ep1')} AS k1
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY k0, doc_id) AS BIGINT) AS pos_ep0,
+       CAST(ROW_NUMBER() OVER (ORDER BY k1, doc_id) AS BIGINT) AS pos_ep1
+FROM keyed
+ORDER BY doc_id
+""",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch data shuffle: a 4-round Feistel network
+    over the 32-bit doc_id domain (md5-h32 round function keyed by the
+    epoch seed) assigns every document a pseudorandom-but-reproducible
+    shuffle key, bijectively — the standard way training pipelines get
+    a different, exactly replayable data order per epoch WITHOUT
+    materializing a rand() column (any worker can recompute any
+    document's position from (doc_id, epoch) alone; resume-from-step
+    needs no stored order). Two epochs emitted to exhibit independence.
+
+    Determinism: the Feistel rounds are integer xor/mod arithmetic on
+    the shared md5 h32 — bit-identical across engines, runs, and
+    retries; bijective on the 2^32 domain so distinct doc_ids can
+    never collide on the shuffle key.
+
+    Scale shape: the key is IN-ROW (four hash evaluations, no state);
+    the only ordering artifact is the rank compaction to dense
+    positions, which the gate states as a global ROW_NUMBER but a
+    production writer replaces with range-partitioned file layout ON
+    the shuffle key (the key itself is the sort order — workers write
+    their key-range shard without any global sort)."""
+    keyed = load(spark, sf_dir, "documents").select("doc_id")
+
+    def feistel(seed: str):
+        L = (F.col("doc_id") / 65536).cast("long")
+        R = F.pmod(F.col("doc_id"), 65536)
+        for r in range(SHUF_ROUNDS):
+            f = F.pmod(
+                h32(F.concat(F.lit(f"{seed}:{r}:"), R.cast("string"))),
+                65536,
+            )
+            L, R = R, L.bitwiseXOR(f)
+        return L * 65536 + R
+
+    keyed = keyed.select(
+        "doc_id", feistel("ep0").alias("k0"), feistel("ep1").alias("k1")
+    )
+    w0 = Window.orderBy("k0", "doc_id")
+    w1 = Window.orderBy("k1", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.row_number().over(w0).cast("long").alias("pos_ep0"),
+        F.row_number().over(w1).cast("long").alias("pos_ep1"),
+    ).orderBy("doc_id")

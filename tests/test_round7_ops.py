@@ -225,3 +225,19 @@ def test_dp_census_nonnegative_and_noise_bounded(spark):
         n = true[(r.source, r.lang)]
         # Laplace(b=1) noise at the released quantization
         assert abs(r.noisy_n_x10k / 10000 - n) < 25  # ln(2^32) ~ 22.2
+
+
+def test_epoch_shuffle_bijective_and_epoch_independent(spark):
+    """Positions must be a permutation of 1..N per epoch, and the two
+    epochs must produce genuinely different orders (rank correlation
+    far from 1)."""
+    out = QUERIES["q_epoch_shuffle"](spark, _sf_dir()).collect()
+    n = len(out)
+    p0 = [r.pos_ep0 for r in out]
+    p1 = [r.pos_ep1 for r in out]
+    assert sorted(p0) == list(range(1, n + 1))
+    assert sorted(p1) == list(range(1, n + 1))
+    # Spearman-ish: mean squared rank displacement between epochs should
+    # be near the random expectation (n^2/6), not near 0 (same order)
+    msd = sum((a - b) ** 2 for a, b in zip(p0, p1)) / n
+    assert msd > n * n / 24  # far from identical ordering
