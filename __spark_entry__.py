@@ -51,6 +51,7 @@ _R07_WINDOW = [
     "q_unigram_lm_step",
     "q_langid_confusion",
     "q_epoch_shuffle",
+    "q_multimodal_wav_features",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -86,7 +87,6 @@ _R07_WINDOW = [
     "q_embed_maxsim",
     "q_embed_neardup",
     "q_event_transitions",
-    "q_events_from_json",
 ]
 
 

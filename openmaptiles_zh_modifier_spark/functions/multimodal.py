@@ -881,3 +881,73 @@ def y4m_framesample_features(df: DataFrame, stride: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=Y4M_SCHEMA)
+
+
+WAV_FRAME = 256  # non-overlapping analysis window (samples)
+
+WAV_FEAT_SCHEMA = (
+    "doc_id long, source string, n_frames long, total_energy long, "
+    "frame_witness long, zcr long"
+)
+
+
+def wav_frame_features(df: DataFrame, frame: int = WAV_FRAME) -> DataFrame:
+    """Audio FEATURE extraction over the decoded PCM (the stage after
+    decode in a speech pipeline: energy/VAD framing): re-parse the WAV
+    payload, window the samples into non-overlapping {frame}-sample
+    frames (tail remainder dropped, as analysis windows are), and per
+    clip emit frame count, total in-frame energy (sum of squared
+    samples — exact integers, PCM16 squares fit easily in int64), a
+    frame-boundary WITNESS (sum over frames of frame_index * energy —
+    any off-by-one in the framing shifts the weighting and breaks the
+    oracle hash), and the strict zero-crossing count (sign products
+    < 0 over consecutive in-frame samples of the whole clip prefix)."""
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                payload = encode_wav(d % 2000 + 100, 8000 + d % 3 * 4000, d)
+                # real decode: reuse the chunk walk via decode path
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, samples = 12, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    size = struct.unpack(
+                        "<I", payload[pos + 4 : pos + 8]
+                    )[0]
+                    if cid == b"data":
+                        samples = np.frombuffer(
+                            payload[pos + 8 : pos + 8 + size], dtype="<i2"
+                        ).astype(np.int64)
+                    pos += 8 + size + (size & 1)
+                if samples is None:
+                    raise ValueError("missing data chunk")
+                nf = samples.size // frame
+                body = samples[: nf * frame].reshape(nf, frame)
+                energy = (body * body).sum(axis=1)
+                widx = np.arange(nf, dtype=np.int64)
+                zc = int(
+                    ((samples[:-1] * samples[1:]) < 0)[: nf * frame - 1]
+                    .sum()
+                ) if nf else 0
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "source": source,
+                        "n_frames": int(nf),
+                        "total_energy": int(energy.sum()),
+                        "frame_witness": int((widx * energy).sum()),
+                        "zcr": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=WAV_FEAT_SCHEMA)

@@ -556,3 +556,99 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _g(m: str) -> str:
+    """Sum of squares 1..m as the polynomial G(m)=m(m+1)(2m+1)/6 —
+    G(b)-G(a-1) telescopes over ANY signed integer range [a, b]."""
+    return f"(({m}) * (({m}) + 1) * (2 * ({m}) + 1) // 6)"
+
+
+@register(
+    "q_multimodal_wav_features",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 4096 AS d,
+         doc_id % 2000 + 100 AS n,
+         (doc_id % 2000 + 100) // 256 AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, source, d, nf, unnest(range(nf)) AS f
+  FROM dims WHERE nf > 0
+),
+seg AS (
+  SELECT doc_id, source, nf, f,
+         d, f * 256 AS a, f * 256 + 255 AS b, 4096 - d AS w
+  FROM fr
+),
+en AS (
+  SELECT doc_id, source, f,
+         CASE
+           WHEN b < w THEN {_g('d + b - 2048')} - {_g('d + a - 2049')}
+           WHEN a >= w THEN {_g('d + b - 6144')} - {_g('d + a - 6145')}
+           ELSE ({_g('2047')} - {_g('d + a - 2049')})
+                + ({_g('d + b - 6144')} - {_g('-2049')})
+         END AS ss
+  FROM seg
+),
+per_doc_e AS (
+  SELECT doc_id, source,
+         CAST(SUM(ss) AS BIGINT) AS e,
+         CAST(SUM(f * ss) AS BIGINT) AS wit
+  FROM en GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT dims.doc_id, dims.source, dims.nf,
+         COALESCE(per_doc_e.e, 0) AS e,
+         COALESCE(per_doc_e.wit, 0) AS wit,
+         CASE WHEN dims.d > 0 AND 4096 - dims.d < dims.nf * 256
+              THEN 1 ELSE 0 END AS zcr
+  FROM dims LEFT JOIN per_doc_e ON per_doc_e.doc_id = dims.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(nf) AS BIGINT) AS total_frames,
+       CAST(SUM(e) AS BIGINT) AS total_energy,
+       CAST(SUM(wit) AS BIGINT) AS total_witness,
+       CAST(SUM(zcr) AS BIGINT) AS total_zcr
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE extraction — the stage after decode in a speech
+    pipeline: each clip's decoded PCM is windowed into non-overlapping
+    256-sample analysis frames; per clip the operator emits frame
+    count, total in-frame energy (exact integer sum of squared PCM16
+    samples), a frame-boundary witness (sum of frame_index * energy —
+    any off-by-one in the framing shifts the weights and breaks the
+    hash), and the strict zero-crossing count. The oracle recomputes
+    every frame's energy in closed form from the generation ramp via
+    the telescoped sum-of-squares polynomial G(b) - G(a-1) with wrap
+    splitting — so the decode, the frame boundaries, AND the per-frame
+    reduction are all verified, not just clip totals.
+
+    Scale shape: one Arrow-batched mapInPandas stage (vectorized numpy
+    reshape + row-sum per clip — embarrassingly parallel, the real
+    shape of audio featurization), then a JVM-side per-source
+    aggregate. Sample bytes never leave the Python stage."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        wav_frame_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    feats = wav_frame_features(docs)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("total_energy").alias("total_energy"),
+            F.sum("frame_witness").alias("total_witness"),
+            F.sum("zcr").alias("total_zcr"),
+        )
+        .orderBy("source")
+    )
