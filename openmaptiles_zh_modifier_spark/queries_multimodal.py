@@ -560,8 +560,13 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _g(m: str) -> str:
     """Sum of squares 1..m as the polynomial G(m)=m(m+1)(2m+1)/6 —
-    G(b)-G(a-1) telescopes over ANY signed integer range [a, b]."""
-    return f"(({m}) * (({m}) + 1) * (2 * ({m}) + 1) // 6)"
+    G(b)-G(a-1) telescopes over ANY signed integer range [a, b].
+    Computed in BIGINT: the INT32 product m(m+1)(2m+1) overflows at
+    |m| ~ 1290 (hit at sf0.1; sf0.01's plan happened to widen first)."""
+    return (
+        f"(CAST(({m}) AS BIGINT) * (CAST(({m}) AS BIGINT) + 1)"
+        f" * (2 * CAST(({m}) AS BIGINT) + 1) // 6)"
+    )
 
 
 @register(
