@@ -52,6 +52,7 @@ _R07_WINDOW = [
     "q_langid_confusion",
     "q_epoch_shuffle",
     "q_multimodal_wav_features",
+    "q_nb_auc",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -86,7 +87,6 @@ _R07_WINDOW = [
     "q_embed_int8_rerank",
     "q_embed_maxsim",
     "q_embed_neardup",
-    "q_event_transitions",
 ]
 
 

@@ -600,3 +600,108 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-vs-rest AUC of the NB classifier (exact, rank-sum / histogram form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_nb_auc",
+    oracle=f"""
+WITH {_NB_SCORES_CTE},
+lab AS (
+  SELECT cls, score,
+         CASE WHEN source = cls THEN 1 ELSE 0 END AS is_pos
+  FROM scores
+),
+hist AS (
+  SELECT cls, score,
+         CAST(SUM(is_pos) AS BIGINT) AS pos_v,
+         CAST(SUM(1 - is_pos) AS BIGINT) AS neg_v
+  FROM lab GROUP BY 1, 2
+),
+cum AS (
+  SELECT cls, score, pos_v, neg_v,
+         SUM(neg_v) OVER (PARTITION BY cls ORDER BY score
+                          ROWS UNBOUNDED PRECEDING) - neg_v AS neg_below
+  FROM hist
+),
+agg AS (
+  SELECT cls,
+         CAST(SUM(pos_v) AS BIGINT) AS n_pos,
+         CAST(SUM(neg_v) AS BIGINT) AS n_neg,
+         CAST(SUM(pos_v * (2 * neg_below + neg_v)) AS BIGINT) AS u2
+  FROM cum GROUP BY 1
+)
+SELECT cls, n_pos, n_neg,
+       ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+FROM agg
+ORDER BY cls
+""",
+)
+def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-vs-rest AUC per class for the NB source classifier —
+    the canonical threshold-free ranking metric, computed WITHOUT
+    sorting pairs: AUC is the Mann-Whitney U statistic normalized by
+    n_pos*n_neg (ties at half credit), and U folds over the
+    score-VALUE histogram exactly like q_mannwhitney_u —
+    U2 = sum over values of pos_v * (2*neg_below + neg_v), doubled to
+    stay integer until the single final division.
+
+    Determinism: scores are the shared integer-micro NB log-posteriors
+    (_nb_scores); U2, n_pos, n_neg are exact integers; one double
+    division rounded at 6 dp.
+
+    Scale shape: reuses the broadcast-model scoring pass; the
+    histogram groups by (class, score value). Integer-micro scores can
+    approach one distinct value per doc, so at extreme scale the
+    histogram is as big as the doc count — still ONE combinable
+    aggregate plus a per-class cumulative window; if even that is too
+    wide, quantize scores to coarser micro-units first (AUC error
+    bounded by the quantile width). Documented trade, same family as
+    q_histogram_equidepth."""
+    scores = _nb_scores(spark, sf_dir)
+    lab = scores.select(
+        "cls",
+        "score",
+        F.when(F.col("source") == F.col("cls"), 1).otherwise(0).alias(
+            "is_pos"
+        ),
+    )
+    hist = lab.groupBy("cls", "score").agg(
+        F.sum("is_pos").alias("pos_v"),
+        F.sum(1 - F.col("is_pos")).alias("neg_v"),
+    )
+    wv = (
+        Window.partitionBy("cls")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn(
+        "neg_below", F.sum("neg_v").over(wv) - F.col("neg_v")
+    )
+    return (
+        cum.groupBy("cls")
+        .agg(
+            F.sum("pos_v").cast("long").alias("n_pos"),
+            F.sum("neg_v").cast("long").alias("n_neg"),
+            F.sum(
+                F.col("pos_v") * (2 * F.col("neg_below") + F.col("neg_v"))
+            )
+            .cast("long")
+            .alias("u2"),
+        )
+        .select(
+            "cls",
+            "n_pos",
+            "n_neg",
+            F.round(
+                F.col("u2").cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("cls")
+    )
