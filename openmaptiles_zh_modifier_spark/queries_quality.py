@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from openmaptiles_zh_modifier_spark.functions.text import STOPWORDS, tokens
+from openmaptiles_zh_modifier_spark.functions.text import STOPWORDS, h32, h32_sql, tokens
 from openmaptiles_zh_modifier_spark.registry import (
     load,
     memo_frame_lazy,
@@ -704,4 +704,92 @@ def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
         .orderBy("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing + one exact logistic-regression gradient step
+# ---------------------------------------------------------------------------
+
+LR_BUCKETS = 16  # hashing-trick feature dimensionality
+LR_RATE_MICRO = 10_000  # learning rate 0.01 in 1e-6 units
+
+
+@register(
+    "q_logreg_step",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, y,
+         {h32_sql("term")} % {LR_BUCKETS} AS j,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM tok GROUP BY 1, 2, 3
+),
+grad AS (
+  -- from w = 0 every margin is 0 and sigmoid(0) = 1/2 EXACTLY, so the
+  -- first-step gradient sum((p - y) * x) doubles into the integer
+  -- g2 = sum((1 - 2y) * x) with no float anywhere
+  SELECT j,
+         CAST(SUM((1 - 2 * y) * x) AS BIGINT) AS grad2,
+         CAST(SUM(x) AS BIGINT) AS n_obs
+  FROM feat GROUP BY 1
+),
+spine AS (SELECT unnest(range({LR_BUCKETS})) AS j)
+SELECT spine.j AS bucket,
+       COALESCE(n_obs, 0) AS n_obs,
+       COALESCE(grad2, 0) AS grad2,
+       CAST(-{LR_RATE_MICRO} * COALESCE(grad2, 0) / 2 AS BIGINT) AS w1_micro
+FROM spine LEFT JOIN grad ON grad.j = spine.j
+ORDER BY bucket
+""",
+)
+def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing + one EXACT logistic-regression gradient step —
+    the trainable-model counterpart to the NB classifier: tokens hash
+    into {LR_BUCKETS} buckets (the hashing trick — fixed dimensionality
+    regardless of vocabulary, the standard way distributed text
+    classifiers bound feature width), labels are the binary lang=='en'
+    task, and one full-batch GD step runs from zero initialization.
+    At w=0 the sigmoid is EXACTLY 1/2, so the first step's gradient
+    sum((p - y) x) is the integer g2/2 with g2 = sum((1-2y) x) — the
+    whole step is integer arithmetic: no transcendental, no float sum,
+    bit-identical across engines (later steps need per-row sigmoids —
+    in this registry's convention they'd quantize per-row to micro
+    units before the exact SUM, the NB-model pattern).
+
+    Scale shape: explode -> one combinable (doc, bucket) count -> one
+    combinable per-bucket gradient aggregate — the textbook distributed
+    full-batch GD shape (gradient = sum of per-partition partials);
+    model width is constant so the reduce output is {LR_BUCKETS} rows
+    at any corpus size."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    feat = tok.groupBy(
+        "doc_id", "y", F.pmod(h32(F.col("term")), LR_BUCKETS).alias("j")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    grad = feat.groupBy("j").agg(
+        F.sum((1 - 2 * F.col("y")) * F.col("x")).alias("grad2"),
+        F.sum("x").alias("n_obs"),
+    )
+    spine = spark.range(LR_BUCKETS).select(F.col("id").alias("j"))
+    return (
+        spine.join(F.broadcast(grad), "j", "left")
+        .select(
+            F.col("j").alias("bucket"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.coalesce("grad2", F.lit(0)).alias("grad2"),
+            (
+                F.lit(-LR_RATE_MICRO) * F.coalesce("grad2", F.lit(0)) / 2
+            )
+            .cast("long")
+            .alias("w1_micro"),
+        )
+        .orderBy("bucket")
     )
