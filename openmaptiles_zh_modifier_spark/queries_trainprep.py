@@ -1000,8 +1000,11 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = load(spark, sf_dir, "documents").select("doc_id")
 
     def feistel(seed: str):
-        L = (F.col("doc_id") / 65536).cast("long")
-        R = F.pmod(F.col("doc_id"), 65536)
+        # bit ops, not float division: exact over the whole 32-bit
+        # domain (a double-division half splits wrong past 2^52 ids —
+        # ids beyond 2^32 are out of the Feistel domain by contract)
+        L = F.shiftright(F.col("doc_id"), SHUF_HALF).cast("long")
+        R = F.col("doc_id").bitwiseAND(65535)
         for r in range(SHUF_ROUNDS):
             f = F.pmod(
                 h32(F.concat(F.lit(f"{seed}:{r}:"), R.cast("string"))),
