@@ -241,3 +241,41 @@ def test_epoch_shuffle_bijective_and_epoch_independent(spark):
     # be near the random expectation (n^2/6), not near 0 (same order)
     msd = sum((a - b) ** 2 for a, b in zip(p0, p1)) / n
     assert msd > n * n / 24  # far from identical ordering
+
+
+def test_wav_frame_features_match_python_replay(spark):
+    """Frame energies, the frame-index witness, and ZCR must equal a
+    direct numpy replay over the decoded samples — including clips
+    shorter than one frame (zero rows of everything)."""
+    import numpy as np
+
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        WAV_FRAME,
+        wav_frame_features,
+    )
+
+    docs = (
+        spark.read.parquet(f"{_sf_dir()}/documents.parquet")
+        .select("doc_id", "source")
+        .limit(40)
+    )
+    got = {r.doc_id: r for r in wav_frame_features(docs).collect()}
+    for d in got:
+        n = d % 2000 + 100
+        dd = d % 4096
+        s = ((dd + np.arange(n, dtype=np.int64)) % 4096) - 2048
+        nf = n // WAV_FRAME
+        body = s[: nf * WAV_FRAME].reshape(nf, WAV_FRAME) if nf else None
+        r = got[d]
+        assert r.n_frames == nf
+        if nf == 0:
+            assert (r.total_energy, r.frame_witness, r.zcr) == (0, 0, 0)
+            continue
+        e = (body * body).sum(axis=1)
+        assert r.total_energy == int(e.sum())
+        assert r.frame_witness == int(
+            (np.arange(nf, dtype=np.int64) * e).sum()
+        )
+        assert r.zcr == int(
+            ((s[:-1] * s[1:]) < 0)[: nf * WAV_FRAME - 1].sum()
+        )
