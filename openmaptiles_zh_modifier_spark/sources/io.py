@@ -230,3 +230,40 @@ def compact_parquet(
     df.write.mode("overwrite").parquet(out_path)
     out = spark.read.parquet(out_path)
     return out.select(spark_partition_id()).distinct().count()
+
+
+def read_json_audited(
+    spark: SparkSession, path: str, schema: str, **options
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSONL ingestion with an explicit schema and a corrupt-
+    record audit — the production posture for crawl/ingest files where
+    some fraction of lines is always broken: good rows parse into the
+    declared schema, bad lines land intact in ``_corrupt_record``
+    instead of killing the job (FAILFAST) or vanishing (DROPMALFORMED).
+    Returns (clean_rows, corrupt_rows); callers route the corrupt frame
+    to a quarantine sink and alert on its rate.
+
+    Scale note: schema is REQUIRED — schema inference is a full extra
+    pass over the data at 100 TB; an ingestion contract should never
+    pay it. The corrupt column must be materialized (cached or
+    re-selected from the raw read) per Spark's semantics: predicates on
+    it alone can't be pushed into the scan."""
+    full_schema = schema + ", _corrupt_record string"
+    df = (
+        spark.read.options(
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt_record",
+            **options,
+        )
+        .schema(full_schema)
+        .json(path)
+        .cache()  # Spark requires materialization before filtering on
+        # the corrupt column alone (SPARK-21610)
+    )
+    clean = df.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    corrupt = df.where(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return clean, corrupt

@@ -155,3 +155,23 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 5000
     assert got.agg(F.sum("k")).collect()[0][0] == 5000 * 4999 // 2
+
+
+def test_read_json_audited_quarantines_corrupt_lines(spark, tmp_path):
+    """Good lines parse into the declared schema; broken lines are
+    quarantined verbatim, not dropped and not fatal."""
+    from openmaptiles_zh_modifier_spark.sources.io import read_json_audited
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"s": "a", "n": 1}\n'
+        "this is not json\n"
+        '{"s": "b", "n": 2}\n'
+        '{"s": "c", "n": }\n'  # malformed value
+        '{"s": "d", "n": 4}\n'
+    )
+    clean, corrupt = read_json_audited(spark, str(p), "s string, n long")
+    rows = sorted((r.s, r.n) for r in clean.collect())
+    assert rows == [("a", 1), ("b", 2), ("d", 4)]
+    bad = sorted(r._corrupt_record for r in corrupt.collect())
+    assert bad == ["this is not json", '{"s": "c", "n": }']
