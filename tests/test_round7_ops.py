@@ -279,3 +279,77 @@ def test_wav_frame_features_match_python_replay(spark):
         assert r.zcr == int(
             ((s[:-1] * s[1:]) < 0)[: nf * WAV_FRAME - 1].sum()
         )
+
+
+def test_unigram_em_cost_monotone_under_reestimation(spark):
+    """EM sanity: re-estimating piece probabilities from the M-step
+    counts and re-running Viterbi must not increase the total corpus
+    cost (the monotonicity a full SentencePiece trainer relies on; the
+    registered query ships one step — this proves iterating it
+    converges rather than oscillating)."""
+    from openmaptiles_zh_modifier_spark.queries_trainprep import (
+        UNI_BIGRAMS,
+        UNI_MAX_WLEN,
+    )
+
+    docs = spark.read.parquet(f"{_sf_dir()}/documents.parquet")
+    words = {}
+    for r in docs.select("text").collect():
+        for w in r.text.split(" "):
+            if w and len(w) <= UNI_MAX_WLEN:
+                words[w] = words.get(w, 0) + 1
+
+    def build_costs(counts):
+        tot = sum(counts.values())
+        return {
+            p: -math.log(c / tot) for p, c in counts.items() if c > 0
+        }
+
+    def viterbi_all(cost):
+        total, usage = 0.0, {}
+        for w, wc in words.items():
+            L = len(w)
+            dp = [0.0] * (L + 1)
+            back = [1] * (L + 1)
+            for i in range(1, L + 1):
+                one = dp[i - 1] + cost[w[i - 1]]
+                dp[i], back[i] = one, 1
+                big = w[i - 2 : i]
+                if i >= 2 and big in cost:
+                    two = dp[i - 2] + cost[big]
+                    if two < one:
+                        dp[i], back[i] = two, 2
+            total += dp[L] * wc
+            pos = L
+            while pos > 0:
+                c = back[pos]
+                piece = w[pos - c : pos]
+                usage[piece] = usage.get(piece, 0) + wc
+                pos -= c
+        return total, usage
+
+    # initial counts: chars + top bigrams by raw occurrence
+    chars, bigs = {}, {}
+    for w, wc in words.items():
+        for i, ch in enumerate(w):
+            chars[ch] = chars.get(ch, 0) + wc
+            if i >= 1:
+                b = w[i - 1 : i + 1]
+                bigs[b] = bigs.get(b, 0) + wc
+    top = sorted(bigs.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_BIGRAMS]
+    counts = dict(chars)
+    counts.update(dict(top))
+
+    cost = build_costs(counts)
+    prev_total, usage = viterbi_all(cost)
+    for _ in range(3):  # three EM rounds must be monotone
+        # M step: new counts are Viterbi usage; keep chars alive with
+        # +1 smoothing so every word stays segmentable
+        counts = {p: usage.get(p, 0) for p in counts}
+        for ch in chars:
+            counts[ch] = counts.get(ch, 0) + 1
+        cost = build_costs(counts)
+        # words must remain segmentable: all chars still present
+        total, usage = viterbi_all(cost)
+        assert total <= prev_total + 1e-6, (total, prev_total)
+        prev_total = total
