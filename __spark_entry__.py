@@ -54,6 +54,7 @@ _R07_WINDOW = [
     "q_multimodal_wav_features",
     "q_nb_auc",
     "q_logreg_step",
+    "q_unigram_apply",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -86,7 +87,6 @@ _R07_WINDOW = [
     "q_dedup_simhash",
     "q_doc_chunking",
     "q_embed_int8_rerank",
-    "q_embed_maxsim",
 ]
 
 

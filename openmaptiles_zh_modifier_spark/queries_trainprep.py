@@ -793,36 +793,12 @@ WHERE rk <= {UNI_TOP_OUT} ORDER BY rk
 """
 
 
-@register("q_unigram_lm_step", oracle=_unigram_oracle())
-def q_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One Viterbi-EM step of a unigram-LM tokenizer (the SentencePiece
-    family, Kudo 2018) — completing the tokenizer-training surface next
-    to BPE (q_bpe_merge_candidates trains, q_bpe_apply applies): the
-    piece vocabulary is all corpus characters plus the top-{UNI_BIGRAMS}
-    character bigrams; piece costs are -ln(count/total) in integer
-    micro-units (E step); each distinct word is segmented by an exact
-    Viterbi DP over pieces of length <= 2 (dp[i] = min(dp[i-1]+c1,
-    dp[i-2]+c2), single chars preferred on cost ties); the M step
-    re-counts pieces along the Viterbi paths weighted by word frequency
-    and reports the top-{UNI_TOP_OUT} pieces with their refreshed
-    counts. A production trainer iterates this step and prunes — one
-    step is where all the machinery lives.
-
-    Determinism: costs are integer micro-units, the DP is integer-exact
-    with an explicit tie rule, vocab selection and output ranks are
-    fully tie-broken. The Spark DP is an in-row F.aggregate over the
-    word's per-position cost structs (choices accumulate in a string);
-    the backtrack is a second in-row fold walking the choice string.
-    Words are capped at {UNI_MAX_WLEN} chars on BOTH engines (the
-    oracle's backtrack is a fixed-depth unrolled CTE chain — see
-    _unigram_oracle for why DuckDB cannot run it as a second lambda).
-
-    Scale shape: everything heavy is keyed by DISTINCT WORD — the
-    corpus-sized pass is the word count (map-side combinable); the DP
-    is in-row over the word-length array (no shuffle, no UDF, pure
-    whole-stage-codegen expressions); piece tables are vocab-sized
-    broadcast joins. At 100 TB the distinct-word domain is the working
-    set, exactly how production tokenizer trainers shard."""
+def _unigram_segments(spark: SparkSession, sf_dir: str):
+    """Shared trunk of the unigram tokenizer pair: trains the piece
+    cost model over the corpus and Viterbi-segments every DISTINCT
+    word (train and apply both amortize over the vocabulary, not the
+    corpus). Returns (piece_cost_frame, seg_frame) where seg has
+    (w, wc, cost, ps='p1|p2|...')."""
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -921,8 +897,45 @@ def q_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )["ps"]
 
     seg = fw.select(
-        "w", "wc", backtrack(F.col("w"), F.col("v")["ch"]).alias("ps")
+        "w",
+        "wc",
+        F.col("v")["d1"].alias("cost"),
+        backtrack(F.col("w"), F.col("v")["ch"]).alias("ps"),
     )
+    return pcost, seg
+
+
+@register("q_unigram_lm_step", oracle=_unigram_oracle())
+def q_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Viterbi-EM step of a unigram-LM tokenizer (the SentencePiece
+    family, Kudo 2018) — completing the tokenizer-training surface next
+    to BPE (q_bpe_merge_candidates trains, q_bpe_apply applies): the
+    piece vocabulary is all corpus characters plus the top-{UNI_BIGRAMS}
+    character bigrams; piece costs are -ln(count/total) in integer
+    micro-units (E step); each distinct word is segmented by an exact
+    Viterbi DP over pieces of length <= 2 (dp[i] = min(dp[i-1]+c1,
+    dp[i-2]+c2), single chars preferred on cost ties); the M step
+    re-counts pieces along the Viterbi paths weighted by word frequency
+    and reports the top-{UNI_TOP_OUT} pieces with their refreshed
+    counts. A production trainer iterates this step and prunes — one
+    step is where all the machinery lives.
+
+    Determinism: costs are integer micro-units, the DP is integer-exact
+    with an explicit tie rule, vocab selection and output ranks are
+    fully tie-broken. The Spark DP is an in-row F.aggregate over the
+    word's per-position cost structs (choices accumulate in a string);
+    the backtrack is a second in-row fold walking the choice string.
+    Words are capped at {UNI_MAX_WLEN} chars on BOTH engines (the
+    oracle's backtrack is a fixed-depth unrolled CTE chain — see
+    _unigram_oracle for why DuckDB cannot run it as a second lambda).
+
+    Scale shape: everything heavy is keyed by DISTINCT WORD — the
+    corpus-sized pass is the word count (map-side combinable); the DP
+    is in-row over the word-length array (no shuffle, no UDF, pure
+    whole-stage-codegen expressions); piece tables are vocab-sized
+    broadcast joins. At 100 TB the distinct-word domain is the working
+    set, exactly how production tokenizer trainers shard."""
+    pcost, seg = _unigram_segments(spark, sf_dir)
     mstep = (
         seg.select("wc", F.explode(F.split("ps", "\\|")).alias("p"))
         .groupBy("p")
@@ -1023,3 +1036,73 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w0).cast("long").alias("pos_ep0"),
         F.row_number().over(w1).cast("long").alias("pos_ep1"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_unigram_apply",
+    oracle=_unigram_oracle().replace(
+        """mstep AS (
+  SELECT p, CAST(SUM(wc) AS BIGINT) AS new_count
+  FROM (SELECT wc, unnest(string_split(ps, '|')) AS p FROM seg)
+  GROUP BY 1)
+SELECT rk, p AS piece, new_count, cost_micro FROM (
+  SELECT m.p, m.new_count, pc.cost AS cost_micro,
+         ROW_NUMBER() OVER (ORDER BY m.new_count DESC, m.p) AS rk
+  FROM mstep m JOIN pcost pc ON pc.p = m.p)
+WHERE rk <= 20 ORDER BY rk""",
+        """wp AS (
+  SELECT w, CAST(len(string_split(ps, '|')) AS BIGINT) AS n_pieces, cost
+  FROM seg),
+docs_tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wp.n_pieces) AS BIGINT) AS n_pieces,
+       ROUND(CAST(SUM(wp.n_pieces) AS DOUBLE) / COUNT(*), 4)
+         AS pieces_per_word,
+       CAST(SUM(wp.cost) AS BIGINT) AS total_cost_micro
+FROM docs_tok JOIN wp ON wp.w = docs_tok.w
+GROUP BY source
+ORDER BY source""",
+    ),
+)
+def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of the unigram tokenizer (closing the train/apply
+    loop, as q_bpe_apply does for BPE): every corpus word is segmented
+    with the trained piece model (the shared _unigram_segments Viterbi
+    trunk) and the per-source tokenization census is emitted — word and
+    piece totals, pieces-per-word (the compression ratio a tokenizer is
+    judged by), and the total encoding cost in micro-nats (the corpus
+    negative log-likelihood under the piece model, the number an
+    entropy-based data-mixing policy reads per source).
+
+    Scale shape: segmentation runs once per DISTINCT WORD; application
+    is one broadcast word->(n_pieces, cost) map against the exploded
+    corpus plus a combinable per-source aggregate — exactly how
+    production tokenizers amortize: segment the vocabulary, not the
+    corpus."""
+    _, seg = _unigram_segments(spark, sf_dir)
+    wp = seg.select(
+        "w",
+        F.size(F.split("ps", "\\|")).cast("long").alias("n_pieces"),
+        "cost",
+    )
+    docs_tok = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    return (
+        docs_tok.join(F.broadcast(wp), "w")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 4
+            ).alias("pieces_per_word"),
+            F.sum("cost").alias("total_cost_micro"),
+        )
+        .orderBy("source")
+    )
