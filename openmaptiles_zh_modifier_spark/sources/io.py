@@ -267,3 +267,34 @@ def read_json_audited(
         "_corrupt_record"
     )
     return clean, corrupt
+
+
+def read_csv_audited(
+    spark: SparkSession, path: str, schema: str, **options
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of ``read_json_audited``: PERMISSIVE parse against an
+    explicit schema with malformed lines quarantined verbatim. CSV adds
+    the failure modes JSONL doesn't have — wrong column COUNT and
+    per-column type-cast failures — both of which land the raw line in
+    ``_corrupt_record`` instead of silently null-padding (the default
+    PERMISSIVE behavior without the corrupt column is exactly that
+    silent null-pad, which is how bad rows poison aggregates)."""
+    full_schema = schema + ", _corrupt_record string"
+    df = (
+        spark.read.options(
+            header="true",
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt_record",
+            **options,
+        )
+        .schema(full_schema)
+        .csv(path)
+        .cache()
+    )
+    clean = df.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    corrupt = df.where(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return clean, corrupt

@@ -175,3 +175,14 @@ def test_read_json_audited_quarantines_corrupt_lines(spark, tmp_path):
     assert rows == [("a", 1), ("b", 2), ("d", 4)]
     bad = sorted(r._corrupt_record for r in corrupt.collect())
     assert bad == ["this is not json", '{"s": "c", "n": }']
+
+
+def test_read_csv_audited_quarantines_bad_rows(spark, tmp_path):
+    """Type-cast failures quarantine the raw line; clean rows parse."""
+    from openmaptiles_zh_modifier_spark.sources.io import read_csv_audited
+
+    p = tmp_path / "in.csv"
+    p.write_text("s,n\na,1\nb,notanumber\nc,3\n")
+    clean, corrupt = read_csv_audited(spark, str(p), "s string, n long")
+    assert sorted((r.s, r.n) for r in clean.collect()) == [("a", 1), ("c", 3)]
+    assert [r._corrupt_record for r in corrupt.collect()] == ["b,notanumber"]
