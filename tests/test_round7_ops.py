@@ -13,19 +13,11 @@ from pyspark.sql import functions as F
 from openmaptiles_zh_modifier_spark.registry import QUERIES
 
 
-def test_kappa_identical_raters_is_one(spark):
-    """po=1 must give kappa=1 regardless of marginals (and the integer
-    form (agree*N - chance)/(N^2 - chance) must not blow up)."""
-    from openmaptiles_zh_modifier_spark.queries_quality import (
-        q_annotator_kappa,
-    )
-
-    # derive via the fixture rule: docs where doc_id % 4 != 0 agree; so
-    # run the registered query and check bounds + exact po/pe relation
-    out = q_annotator_kappa.__wrapped__ if hasattr(
-        q_annotator_kappa, "__wrapped__"
-    ) else q_annotator_kappa
-    row = out(spark, _sf_dir()).collect()[0]
+def test_kappa_bounds_and_form_equivalence(spark):
+    """The integer form (agree*N - chance)/(N^2 - chance) must agree
+    with the textbook (po-pe)/(1-pe) within output rounding, and the
+    fixture's known disagreement rate (every 4th doc) must show."""
+    row = QUERIES["q_annotator_kappa"](spark, _sf_dir()).collect()[0]
     assert 0 < row.po < 1 and 0 < row.pe < 1
     # kappa must equal (po-pe)/(1-pe) within rounding of the two forms
     assert abs(row.kappa - (row.po - row.pe) / (1 - row.pe)) < 2e-4
