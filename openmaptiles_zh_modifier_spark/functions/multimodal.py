@@ -195,6 +195,10 @@ def decode_png(payload: bytes) -> dict:
     pos, width, height, idat = 8, None, None, bytearray()
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + ln > len(payload):
+            # payload cut mid-chunk: keep the documented ValueError
+            # contract (a short CRC slice would raise struct.error)
+            raise ValueError("truncated PNG chunk")
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])

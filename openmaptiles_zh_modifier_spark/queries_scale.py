@@ -590,7 +590,10 @@ tot AS (
 -- rank run [cum_keys-m+1, cum_keys]; sum of ranks in the run is
 -- (a+b)*(b-a+1)/2, each weighted by f
 gini_num AS (
-  SELECT CAST(SUM(f * (((cum_keys - m + 1) + cum_keys) * m) / 2) AS BIGINT)
+  -- (a+b)*m is a sum of m consecutive ints times 2, hence always even:
+  -- integer // keeps the whole fold in BIGINT (a float /2 is exact only
+  -- below 2^53, where engines' double summation orders could diverge)
+  SELECT CAST(SUM(f * ((((cum_keys - m + 1) + cum_keys) * m) // 2)) AS BIGINT)
            AS rank_mass
   FROM pre
 ),
@@ -651,17 +654,18 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").alias("n_keys"),
         F.max("f").alias("max_f"),
     )
+    # (a+b)*m always even -> shiftright(x,1) is exact integer /2 on longs,
+    # keeping the whole rank-mass fold in BIGINT (ADVICE r7: float /2 is
+    # exact only below 2^53)
+    run_ranksum = F.shiftright(
+        (
+            ((F.col("cum_keys") - F.col("m") + 1) + F.col("cum_keys"))
+            * F.col("m")
+        ).cast("long"),
+        1,
+    )
     rank_mass = pre.agg(
-        F.sum(
-            F.col("f")
-            * (
-                ((F.col("cum_keys") - F.col("m") + 1) + F.col("cum_keys"))
-                * F.col("m")
-            )
-            / 2
-        )
-        .cast("long")
-        .alias("rank_mass")
+        F.sum(F.col("f") * run_ranksum).cast("long").alias("rank_mass")
     )
     quant = pre.crossJoin(F.broadcast(tot.select("n_keys"))).agg(
         F.min(

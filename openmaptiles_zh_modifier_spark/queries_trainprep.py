@@ -608,12 +608,17 @@ NEG_ITEMS = 50  # fixture item space: item = event_id % NEG_ITEMS
     "q_negative_sampling",
     oracle=f"""
 WITH pos AS (
-  SELECT DISTINCT user_id, event_id % {NEG_ITEMS} AS item
+  -- pmod-safe form (matches Spark F.pmod even for negative operands;
+  -- fixture ids are non-negative today, but the oracle should not rely
+  -- on that — ADVICE r7, same convention as q_mannwhitney_u)
+  SELECT DISTINCT user_id,
+         ((event_id % {NEG_ITEMS}) + {NEG_ITEMS}) % {NEG_ITEMS} AS item
   FROM events WHERE event_type = 'purchase'
 ),
 cand AS (
   SELECT DISTINCT user_id,
-         {h32_sql(f"user_id || ':' || item || ':' || k")} % {NEG_ITEMS}
+         (({h32_sql(f"user_id || ':' || item || ':' || k")} % {NEG_ITEMS})
+          + {NEG_ITEMS}) % {NEG_ITEMS}
            AS neg_item
   FROM pos, (SELECT unnest(range({NEG_K})) AS k)
 ),

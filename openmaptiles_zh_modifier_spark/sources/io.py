@@ -234,14 +234,18 @@ def compact_parquet(
 
 def read_json_audited(
     spark: SparkSession, path: str, schema: str, **options
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """PERMISSIVE JSONL ingestion with an explicit schema and a corrupt-
     record audit — the production posture for crawl/ingest files where
     some fraction of lines is always broken: good rows parse into the
     declared schema, bad lines land intact in ``_corrupt_record``
     instead of killing the job (FAILFAST) or vanishing (DROPMALFORMED).
-    Returns (clean_rows, corrupt_rows); callers route the corrupt frame
-    to a quarantine sink and alert on its rate.
+    Returns (clean_rows, corrupt_rows, raw): callers route the corrupt
+    frame to a quarantine sink, alert on its rate, and — once both
+    frames are consumed — ``raw.unpersist()`` to release the cache
+    (the cache is load-bearing, see below, so this helper cannot drop
+    it itself; without the handle, repeated ingestion calls would pin
+    one cached frame per file for the session lifetime).
 
     Scale note: schema is REQUIRED — schema inference is a full extra
     pass over the data at 100 TB; an ingestion contract should never
@@ -266,19 +270,20 @@ def read_json_audited(
     corrupt = df.where(F.col("_corrupt_record").isNotNull()).select(
         "_corrupt_record"
     )
-    return clean, corrupt
+    return clean, corrupt, df
 
 
 def read_csv_audited(
     spark: SparkSession, path: str, schema: str, **options
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """CSV twin of ``read_json_audited``: PERMISSIVE parse against an
     explicit schema with malformed lines quarantined verbatim. CSV adds
     the failure modes JSONL doesn't have — wrong column COUNT and
     per-column type-cast failures — both of which land the raw line in
     ``_corrupt_record`` instead of silently null-padding (the default
     PERMISSIVE behavior without the corrupt column is exactly that
-    silent null-pad, which is how bad rows poison aggregates)."""
+    silent null-pad, which is how bad rows poison aggregates).
+    Same (clean, corrupt, raw) contract: unpersist ``raw`` when done."""
     full_schema = schema + ", _corrupt_record string"
     df = (
         spark.read.options(
@@ -297,4 +302,4 @@ def read_csv_audited(
     corrupt = df.where(F.col("_corrupt_record").isNotNull()).select(
         "_corrupt_record"
     )
-    return clean, corrupt
+    return clean, corrupt, df

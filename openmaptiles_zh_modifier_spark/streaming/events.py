@@ -17,6 +17,7 @@ the streaming twin of q_dedup_exact.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -179,10 +180,21 @@ def _ephemeral_checkpoint_dir() -> str:
     over the 13-query stream block: 27.7 s on /tmp vs 24.0 s on tmpfs;
     RocksDB provider measured 23.6 s — within noise of tmpfs, not
     additive with it, so the default HDFS-backed store stays).
-    Long-lived production streams pass their own durable location."""
+    Long-lived production streams pass their own durable location.
+
+    tmpfs is only chosen when it has real headroom (>=256 MiB free):
+    container /dev/shm defaults can be as small as 64 MB, where a
+    mid-drain ENOSPC would fail a stream /tmp handles fine — and since
+    these checkpoints live in RAM, leaking them is worse than leaking
+    disk, so run_to_memory removes the directory after the drain."""
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return tempfile.mkdtemp(prefix="omt-ckpt-", dir=shm)
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 256 * 1024 * 1024:
+                return tempfile.mkdtemp(prefix="omt-ckpt-", dir=shm)
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix="omt-ckpt-")
 
 
@@ -217,19 +229,23 @@ def run_to_memory(
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    ckpt = _ephemeral_checkpoint_dir()
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .option("checkpointLocation", _ephemeral_checkpoint_dir())
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
+        # the memory sink owns the rows once the drain terminates; the
+        # throwaway checkpoint (possibly RAM-backed tmpfs) is dead weight
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

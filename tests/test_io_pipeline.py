@@ -170,11 +170,14 @@ def test_read_json_audited_quarantines_corrupt_lines(spark, tmp_path):
         '{"s": "c", "n": }\n'  # malformed value
         '{"s": "d", "n": 4}\n'
     )
-    clean, corrupt = read_json_audited(spark, str(p), "s string, n long")
+    clean, corrupt, raw = read_json_audited(spark, str(p), "s string, n long")
     rows = sorted((r.s, r.n) for r in clean.collect())
     assert rows == [("a", 1), ("b", 2), ("d", 4)]
     bad = sorted(r._corrupt_record for r in corrupt.collect())
     assert bad == ["this is not json", '{"s": "c", "n": }']
+    assert raw.is_cached  # caller-owned cache handle (ADVICE r7)
+    raw.unpersist()
+    assert not raw.is_cached
 
 
 def test_read_csv_audited_quarantines_bad_rows(spark, tmp_path):
@@ -183,6 +186,7 @@ def test_read_csv_audited_quarantines_bad_rows(spark, tmp_path):
 
     p = tmp_path / "in.csv"
     p.write_text("s,n\na,1\nb,notanumber\nc,3\n")
-    clean, corrupt = read_csv_audited(spark, str(p), "s string, n long")
+    clean, corrupt, raw = read_csv_audited(spark, str(p), "s string, n long")
     assert sorted((r.s, r.n) for r in clean.collect()) == [("a", 1), ("c", 3)]
     assert [r._corrupt_record for r in corrupt.collect()] == ["b,notanumber"]
+    raw.unpersist()

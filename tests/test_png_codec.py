@@ -57,6 +57,17 @@ def test_magic_dispatch():
         real_decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
 
 
+def test_truncated_mid_chunk_raises_valueerror():
+    # a payload cut inside a chunk must keep the documented ValueError
+    # contract, not leak struct.error from a short CRC slice (ADVICE r7)
+    p = encode_png(5, 5, 1)
+    idat_at = p.index(b"IDAT")
+    # cut INSIDE the IDAT data: header fully present (the walk enters the
+    # chunk) but data+CRC short — the exact short-CRC-slice case
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(p[: idat_at + 12])
+
+
 def test_corrupted_crc_rejected():
     p = bytearray(encode_png(5, 5, 1))
     # flip a byte inside the IDAT payload (after sig+IHDR chunk)

@@ -1,0 +1,45 @@
+"""Canonical zh conversion-table counts — the ONLY numbers docs may quote.
+
+VERDICT r7 nit #2: CHANGES_r7 quoted char-pair counts from a pre-dedup
+tally (1,621/1,388) while the live tables measure differently. The fix is
+procedural: docs quote THIS tool's output, which reads the live tables.
+
+Definitions (so the numbers stay audit-exact):
+- "t2s chars" / "s2t chars": len(T2S_FROM) / len(S2T_FROM) — the
+  single-codepoint translate alphabets actually applied at runtime.
+- "t2s phrases" / "s2t phrases": len(T2S_PHRASES) / len(S2T_PHRASES) —
+  word-level disambiguation pairs in the fold (counted as PAIRS; chars
+  inside phrases are NOT added to the char counts).
+
+Usage: python tools/zh_vocab_counts.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from openmaptiles_zh_modifier_spark.functions import zh  # noqa: E402
+
+
+def counts() -> dict[str, int]:
+    out = {
+        "t2s_chars": len(zh.T2S_FROM),
+        "s2t_chars": len(zh.S2T_FROM),
+        "t2s_phrases": len(zh.T2S_PHRASES),
+        "s2t_phrases": len(zh.S2T_PHRASES),
+    }
+    sep = getattr(zh, "SEP_VERB_RULES_S2T", None)
+    if sep is not None:
+        out["s2t_separable_rules"] = len(sep)
+    keep = getattr(zh, "KEEP_WORDS_S2T", None)
+    if keep is not None:
+        out["s2t_keep_words"] = len(keep)
+    return out
+
+
+if __name__ == "__main__":
+    for k, v in counts().items():
+        print(f"{k}: {v}")
