@@ -315,14 +315,16 @@ _OPENCC_FIXTURE = [
     ("汤面", "s2t", "湯麵", "湯麵"),
     ("周围", "s2t", "周圍", "周圍"),    # 周 stays — only week-words take 週
     ("几个", "s2t", "幾個", "幾個"),    # 几→幾 char default
-    # -- residual divergences: words OUTSIDE the phrase vocabulary ----------
-    ("理了发", "s2t", "理了髮", "理了發"),  # OOV split word: 发→發 fallback
+    # -- round-8: previously-divergent cases, now resolved ------------------
+    ("理了发", "s2t", "理了髮", "理了髮"),  # separable-verb gap rule
+                                        # (SEP_VERB_RULES_S2T): 理…发
+                                        # converts as a word across the
+                                        # aspect-marker infix
     ("瞭然", "t2s", "了然", "了然"),    # in-vocab since round-7 sweep 8
-    ("茶几", "s2t", "茶几", "茶幾"),    # 几→幾 char default wins on
-                                        # frequency (几个/几乎/几何…);
-                                        # the rare furniture word loses —
-                                        # same trade OpenCC's char table
-                                        # makes before its exception list
+    ("茶几", "s2t", "茶几", "茶几"),    # keep-word sentinel
+                                        # (KEEP_WORDS_S2T): furniture 几
+                                        # is protected from the 几→幾
+                                        # char default inside the word
 ]
 
 
@@ -350,12 +352,12 @@ def test_opencc_divergence_envelope(spark):
         if char_expected != opencc_expected:
             diverged.append(w)
     # the measured envelope: the phrase pre-pass resolves every
-    # in-vocabulary word-level case; only out-of-vocabulary ambiguous
-    # words still diverge, each falling back to the char table (or to
-    # identity where the ambiguous char is deliberately absent from it)
+    # in-vocabulary word-level case; round 8's separable-verb gap rules
+    # and keep-word sentinels retired the last two divergences (理了发,
+    # 茶几). New OOV ambiguous words would land here again — the test
+    # exists so such a regression is named, not silent.
     assert len(_OPENCC_FIXTURE) >= 80
-    # (瞭然 left this list in round 7: the sweep-8 phrase batch covers it)
-    assert diverged == ["理了发", "茶几"]
+    assert diverged == []
 
 
 def test_updates_frame_with_tags_consistent(spark, lattice_df):
