@@ -310,7 +310,10 @@ def cow_history(root: str) -> list[int]:
 
 
 def cow_vacuum(
-    root: str, keep_versions: int = 1, orphan_grace_seconds: float = 600.0
+    root: str,
+    keep_versions: int = 1,
+    orphan_grace_seconds: float = 600.0,
+    pinned_versions=None,
 ) -> int:
     """Drop manifests older than the newest ``keep_versions`` and delete
     every data file no surviving manifest references — including
@@ -329,11 +332,27 @@ def cow_vacuum(
     dead (a dropped version is not an in-flight writer) and are removed
     unconditionally, so one vacuum reclaims recently-rewritten versions.
     Pass ``0`` to force-sweep orphans too when no writer can be live
-    (tests, offline maintenance)."""
+    (tests, offline maintenance).
+
+    ``pinned_versions`` is the reader-lease knob (the versions-domain
+    analog of Delta's retention check): an iterable of snapshot versions
+    live readers hold; each survives the vacuum — manifest AND data
+    files — regardless of ``keep_versions``, so a reader pinned at
+    snapshot N keeps bit-identical results across concurrent
+    merge+vacuum cycles while its lease is registered, and intermediate
+    unpinned versions are still reclaimed
+    (tests/test_cow_multiprocess.py::test_snapshot_isolation_*).
+    Without a lease, keep_versions alone WOULD reclaim a pinned
+    snapshot's files once enough newer versions land."""
     import time
 
     versions = cow_history(root)
     kept_vs = versions[-keep_versions:]
+    if pinned_versions:
+        kept_vs = sorted(
+            set(kept_vs) | (set(pinned_versions) & set(versions))
+        )
+    dropped_vs = [v for v in versions if v not in set(kept_vs)]
     live: set[str] = set()
     for v in kept_vs:
         live |= {e["path"] for e in _read_manifest(root, v)["files"]}
@@ -341,11 +360,11 @@ def cow_vacuum(
     # those manifests are gone these are provably dead (not orphans of
     # an in-flight writer), so no mtime grace applies to them
     dropped_refs: set[str] = set()
-    for v in versions[:-keep_versions]:
+    for v in dropped_vs:
         dropped_refs |= {e["path"] for e in _read_manifest(root, v)["files"]}
     dropped_refs -= live
     removed = 0
-    for v in versions[:-keep_versions]:
+    for v in dropped_vs:
         os.unlink(_manifest_path(root, v))
     cutoff = time.time() - orphan_grace_seconds
     # sweep the data directories: anything not referenced by a kept

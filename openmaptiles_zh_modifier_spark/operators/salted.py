@@ -56,6 +56,67 @@ def salted_join(
     return out.drop(SALT_COL)
 
 
+def key_skew_stats(df: DataFrame, key: str, sample_fraction: float | None = None):
+    """One-row key-skew measurement for :func:`maybe_salt_join` — the
+    operational half of q_skew_audit: count-per-key (map-side
+    combinable), then a constant-width reduce to (n_keys, n_rows,
+    max_f). The single collect() here is the documented bounded pattern:
+    exactly one row crosses the driver, and the result is a physical-
+    plan DECISION input, not data. At 100 TB pass ``sample_fraction``
+    (a hot key visible at all is visible in a 1% sample) or feed a
+    cached audit instead of re-scanning."""
+    src = df.sample(sample_fraction, seed=7) if sample_fraction else df
+    row = (
+        src.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("f").alias("n_rows"),
+            F.max("f").alias("max_f"),
+        )
+        .collect()[0]
+    )
+    return row
+
+
+def maybe_salt_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: str,
+    tiebreak: str,
+    n_salt: int = 8,
+    how: str = "inner",
+    skew_factor: float = 4.0,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, bool]:
+    """The measure→decide→join loop q_skew_audit and salted_join imply:
+    audit the fact side's key distribution, salt ONLY when the hottest
+    key would overload a balanced task. Returns (plan, salted?).
+
+    Decision rule: salt iff ``max_f > skew_factor * n_rows/partitions``
+    — i.e. one key alone carries more than ``skew_factor``× a balanced
+    reducer's share (the same shape as AQE's skewedPartitionFactor, but
+    applied BEFORE the shuffle and effective on the build side AQE can't
+    split). On uniform data this returns the plain join — salting an
+    unskewed input costs a dim replication for nothing; on a hot-key
+    input it returns the salted plan, whose output is identical by
+    construction (property-tested both ways in tests/test_skew_guard.py).
+    """
+    spark = skewed.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    s = key_skew_stats(skewed, on, sample_fraction)
+    if s.n_rows is None or s.max_f is None:
+        return skewed.join(dim, on=on, how=how), False
+    balanced = max(float(s.n_rows) / max(parts, 1), 1.0)
+    if float(s.max_f) > skew_factor * balanced:
+        return (
+            salted_join(skewed, dim, on=on, tiebreak=tiebreak,
+                        n_salt=n_salt, how=how),
+            True,
+        )
+    return skewed.join(dim, on=on, how=how), False
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

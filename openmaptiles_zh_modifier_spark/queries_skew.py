@@ -8,7 +8,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openmaptiles_zh_modifier_spark.operators.salted import salted_agg, salted_join
+from openmaptiles_zh_modifier_spark.operators.salted import (
+    maybe_salt_join,
+    salted_agg,
+)
 from openmaptiles_zh_modifier_spark.registry import load, register
 
 
@@ -24,20 +27,28 @@ ORDER BY o_orderpriority
 """,
 )
 def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-safe join + aggregation: lineitem->orders through an 8-way
-    salted equi-join (dim replicated per salt, fact salted on the
-    line number so a hot orderkey spreads over 8 reducers), then a
-    two-phase salted aggregation on order priority. The summed measure
-    (l_quantity) is integral-valued, so the two-phase re-association is
-    bit-exact vs the oracle's single-phase sum. Result must be identical
-    to the unsalted plan — skew handling is pure physical rewiring."""
+    """Hot-key-safe join + aggregation, now through the round-8
+    measure→decide→join guard (operators/salted.py maybe_salt_join):
+    the fact side's key distribution is audited first (one combinable
+    count-per-key + a one-row reduce — the operational q_skew_audit),
+    and the 8-way salted join (dim replicated per salt, fact salted on
+    the line number) is planned ONLY when one key would overload a
+    balanced reducer. On the uniform TPC-H gate data that picks the
+    plain join (salting unskewed input replicates the dim for nothing);
+    on the 3x hot-key bench anchor it salts. Either branch produces the
+    identical result (property-tested both ways), so the oracle is
+    branch-blind. Then a two-phase salted aggregation on order priority;
+    the summed measure (l_quantity) is integral-valued, so the two-phase
+    re-association is bit-exact vs the oracle's single-phase sum."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
     orders = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, orders, on="l_orderkey", tiebreak="l_linenumber")
+    joined, _salted = maybe_salt_join(
+        li, orders, on="l_orderkey", tiebreak="l_linenumber"
+    )
     return (
         salted_agg(
             joined,
