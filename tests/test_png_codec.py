@@ -53,8 +53,12 @@ def test_png_agrees_with_ppm_on_same_ramp():
 def test_magic_dispatch():
     assert real_decode_image(encode_png(4, 4, 9))["width"] == 4
     assert real_decode_image(encode_ppm(4, 4, 9))["width"] == 4
-    with pytest.raises(NotImplementedError):
+    # JPEG now has a real decoder (round 8) — garbage after the magic is
+    # a loud ValueError from the marker walk, not NotImplementedError
+    with pytest.raises(ValueError):
         real_decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"RIFF....WEBPVP8 ")  # genuinely unregistered
 
 
 def test_truncated_mid_chunk_raises_valueerror():
