@@ -798,12 +798,10 @@ WHERE rk <= {UNI_TOP_OUT} ORDER BY rk
 """
 
 
-def _unigram_segments(spark: SparkSession, sf_dir: str):
-    """Shared trunk of the unigram tokenizer pair: trains the piece
-    cost model over the corpus and Viterbi-segments every DISTINCT
-    word (train and apply both amortize over the vocabulary, not the
-    corpus). Returns (piece_cost_frame, seg_frame) where seg has
-    (w, wc, cost, ps='p1|p2|...')."""
+def _unigram_base(spark: SparkSession, sf_dir: str):
+    """Corpus-derived inputs shared by the one-step and multi-round
+    trainers: the distinct-word position frame, the character piece
+    counts, and the initial inventory (all chars + top bigrams)."""
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -832,13 +830,41 @@ def _unigram_segments(spark: SparkSession, sf_dir: str):
         .drop("r")
     )
     pieces = chars.unionByName(topbigs)
-    tot = pieces.agg(F.sum("c").alias("t"))
-    pcost = pieces.crossJoin(F.broadcast(tot)).select(
+    return pos, chars, pieces
+
+
+def _cost_from_counts(pieces: DataFrame) -> DataFrame:
+    """-ln(count/total) in integer micro-units; counts floored at 1 so
+    a required-coverage char that fell off every Viterbi path keeps a
+    finite (maximal) cost instead of -ln(0)."""
+    tot = pieces.agg(F.sum(F.greatest(F.col("c"), F.lit(1))).alias("t"))
+    return pieces.crossJoin(F.broadcast(tot)).select(
         "p",
-        F.round(-F.log(F.col("c").cast("double") / F.col("t")) * 1e6)
+        F.round(
+            -F.log(
+                F.greatest(F.col("c"), F.lit(1)).cast("double") / F.col("t")
+            )
+            * 1e6
+        )
         .cast("long")
         .alias("cost"),
     )
+
+
+def _unigram_segments(spark: SparkSession, sf_dir: str):
+    """Shared trunk of the unigram tokenizer pair: trains the piece
+    cost model over the corpus and Viterbi-segments every DISTINCT
+    word (train and apply both amortize over the vocabulary, not the
+    corpus). Returns (piece_cost_frame, seg_frame) where seg has
+    (w, wc, cost, ps='p1|p2|...')."""
+    pos, _chars, pieces = _unigram_base(spark, sf_dir)
+    pcost = _cost_from_counts(pieces)
+    return pcost, _viterbi_over(pos, pcost)
+
+
+def _viterbi_over(pos: DataFrame, pcost: DataFrame) -> DataFrame:
+    """Viterbi-segment every distinct word in ``pos`` against the piece
+    cost model ``pcost`` (p, cost). Returns (w, wc, cost, ps)."""
     p1 = pos.join(
         F.broadcast(
             pcost.select(F.col("p").alias("c1p"), F.col("cost").alias("c1"))
@@ -907,7 +933,7 @@ def _unigram_segments(spark: SparkSession, sf_dir: str):
         F.col("v")["d1"].alias("cost"),
         backtrack(F.col("w"), F.col("v")["ch"]).alias("ps"),
     )
-    return pcost, seg
+    return seg
 
 
 @register("q_unigram_lm_step", oracle=_unigram_oracle())
@@ -949,6 +975,236 @@ def q_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     wout = Window.orderBy(F.desc("new_count"), F.asc("p"))
     return (
         mstep.join(F.broadcast(pcost), "p")
+        .withColumn("rk", F.row_number().over(wout))
+        .where(F.col("rk") <= UNI_TOP_OUT)
+        .select(
+            "rk",
+            F.col("p").alias("piece"),
+            "new_count",
+            F.col("cost").alias("cost_micro"),
+        )
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-round unigram trainer with inventory pruning (VERDICT r7 #5):
+# the SentencePiece recipe — loop Viterbi-EM, prune the piece inventory
+# between rounds, re-estimate costs from the refreshed counts.
+# ---------------------------------------------------------------------------
+
+UNI_PRUNE_KS = (16, 12)  # multi-char pieces kept after rounds 1 and 2
+
+
+def _unigram_round_sql(r: int, pieces_cte: str) -> str:
+    """One EM round as DuckDB CTEs (suffix _{r}): cost model from the
+    round's piece counts, Viterbi forward fold (single-VARCHAR state —
+    the DuckDB 1.0 struct-accumulator finding), unrolled backtrack,
+    M-step recount. Mirrors _unigram_oracle's round body verbatim with
+    suffixed names; counts are floored at 1 in the cost (coverage
+    chars that fell off every path keep a finite maximal cost)."""
+    c = "COALESCE(TRY_CAST(substr(ch, pos, 1) AS INT), 1)"
+    fwd = """list_reduce(
+  list_prepend('0;0;', cxs),
+  (acc, x) ->
+    split_part(acc, ';', 2) || ';' ||
+    CAST(CASE WHEN split_part(x, ',', 2) <> ''
+               AND TRY_CAST(split_part(acc, ';', 1) AS BIGINT)
+                   + TRY_CAST(split_part(x, ',', 2) AS BIGINT)
+                 < TRY_CAST(split_part(acc, ';', 2) AS BIGINT)
+                   + TRY_CAST(split_part(x, ',', 1) AS BIGINT)
+              THEN TRY_CAST(split_part(acc, ';', 1) AS BIGINT)
+                   + TRY_CAST(split_part(x, ',', 2) AS BIGINT)
+              ELSE TRY_CAST(split_part(acc, ';', 2) AS BIGINT)
+                   + TRY_CAST(split_part(x, ',', 1) AS BIGINT) END AS VARCHAR)
+    || ';' || split_part(acc, ';', 3) ||
+    CASE WHEN split_part(x, ',', 2) <> ''
+              AND TRY_CAST(split_part(acc, ';', 1) AS BIGINT)
+                  + TRY_CAST(split_part(x, ',', 2) AS BIGINT)
+                < TRY_CAST(split_part(acc, ';', 2) AS BIGINT)
+                  + TRY_CAST(split_part(x, ',', 1) AS BIGINT)
+         THEN '2' ELSE '1' END)"""
+    steps = [
+        f"s0_{r} AS (SELECT w, wc, cost, ch, CAST(len(w) AS INT) AS pos,"
+        f" '' AS ps FROM fw2_{r})"
+    ]
+    for k in range(1, UNI_MAX_WLEN + 1):
+        steps.append(f"""s{k}_{r} AS (
+  SELECT w, wc, cost, ch,
+         CASE WHEN pos <= 0 THEN pos ELSE pos - {c} END AS pos,
+         CASE WHEN pos <= 0 THEN ps
+              WHEN ps = '' THEN substr(w, pos - {c} + 1, {c})
+              ELSE substr(w, pos - {c} + 1, {c}) || '|' || ps END AS ps
+  FROM s{k - 1}_{r})""")
+    chain = ",\n".join(steps)
+    return f"""
+pcost_{r} AS (
+  SELECT p, CAST(ROUND(-ln(CAST(GREATEST(c, 1) AS DOUBLE) / t) * 1000000)
+           AS BIGINT) AS cost
+  FROM {pieces_cte},
+       (SELECT SUM(GREATEST(c, 1)) t FROM {pieces_cte})),
+p2_{r} AS (
+  SELECT pos.w, pos.wc, pos.i, a.cost AS c1, b.cost AS c2
+  FROM pos
+  LEFT JOIN pcost_{r} a ON a.p = substr(pos.w, pos.i, 1)
+  LEFT JOIN pcost_{r} b ON pos.i >= 2 AND b.p = substr(pos.w, pos.i - 1, 2)),
+arrs_{r} AS MATERIALIZED (
+  SELECT w, wc,
+         list(CAST(c1 AS VARCHAR) || ',' || COALESCE(CAST(c2 AS VARCHAR), '')
+              ORDER BY i) cxs
+  FROM p2_{r} GROUP BY 1, 2),
+fw_{r} AS MATERIALIZED (SELECT w, wc, {fwd} AS st FROM arrs_{r}),
+fw2_{r} AS MATERIALIZED (
+  SELECT w, wc, TRY_CAST(split_part(st, ';', 2) AS BIGINT) AS cost,
+         split_part(st, ';', 3) AS ch FROM fw_{r}),
+{chain},
+seg_{r} AS (SELECT w, wc, cost, ps FROM s{UNI_MAX_WLEN}_{r}),
+mstep_{r} AS (
+  SELECT p, CAST(SUM(wc) AS BIGINT) AS new_count
+  FROM (SELECT wc, unnest(string_split(ps, '|')) AS p FROM seg_{r})
+  GROUP BY 1)"""
+
+
+def _unigram_prune_sql(r: int, k: int) -> str:
+    """Inventory for round r+1: ALL corpus chars (coverage — counts from
+    the M step, 0 if off-path, floored later in the cost) plus the
+    top-{k} multi-char pieces by refreshed count."""
+    return f"""
+pieces_{r + 1} AS (
+  SELECT cc.p AS p, COALESCE(m.new_count, 0) AS c
+  FROM chars cc LEFT JOIN mstep_{r} m ON m.p = cc.p
+  UNION ALL
+  SELECT p, new_count AS c FROM (
+    SELECT p, new_count,
+           ROW_NUMBER() OVER (ORDER BY new_count DESC, p) AS rnk
+    FROM mstep_{r} WHERE len(p) >= 2)
+  WHERE rnk <= {k})"""
+
+
+def _unigram_train3_oracle() -> str:
+    parts = [
+        f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) wc
+  FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+  WHERE len(w) > 0 AND len(w) <= {UNI_MAX_WLEN} GROUP BY 1),
+pos AS (SELECT w, wc, unnest(range(1, len(w) + 1)) AS i FROM words),
+chars AS (SELECT substr(w, i, 1) p, CAST(SUM(wc) AS BIGINT) c
+          FROM pos GROUP BY 1),
+bigs AS (SELECT substr(w, i - 1, 2) p, CAST(SUM(wc) AS BIGINT) c
+         FROM pos WHERE i >= 2 GROUP BY 1),
+topbigs AS (
+  SELECT p, c FROM (
+    SELECT p, c, ROW_NUMBER() OVER (ORDER BY c DESC, p) r FROM bigs)
+  WHERE r <= {UNI_BIGRAMS}),
+pieces_1 AS (SELECT * FROM chars UNION ALL SELECT * FROM topbigs)"""
+    ]
+    for r in (1, 2, 3):
+        parts.append("," + _unigram_round_sql(r, f"pieces_{r}"))
+        if r < 3:
+            parts.append("," + _unigram_prune_sql(r, UNI_PRUNE_KS[r - 1]))
+    parts.append(f"""
+SELECT rk, p AS piece, new_count, cost_micro FROM (
+  SELECT m.p, m.new_count, pc.cost AS cost_micro,
+         ROW_NUMBER() OVER (ORDER BY m.new_count DESC, m.p) AS rk
+  FROM mstep_3 m JOIN pcost_3 pc ON pc.p = m.p)
+WHERE rk <= {UNI_TOP_OUT} ORDER BY rk
+""")
+    return "".join(parts)
+
+
+def unigram_train_rounds(
+    spark: SparkSession, sf_dir: str, ks: tuple = UNI_PRUNE_KS
+):
+    """Run len(ks)+1 Viterbi-EM rounds with pruning between them.
+    Returns [(pcost_r, seg_r, mstep_r), ...] per round.
+
+    Catalyst discipline (the iterative-plan hazard): caching alone does
+    NOT contain this loop — a cached DataFrame still carries its full
+    logical lineage, and each round references the prior state 2-4
+    times (the c1/c2 joins both consume pcost; the prune consumes mstep
+    twice), so the analyzed tree grows ~4x per round and round 3 OOMed
+    the driver during analysis (measured this round). The vocab-sized
+    round states are therefore localCheckpoint()ed: lineage is truncated
+    to the materialized RDD, keeping the logical plan linear in rounds.
+    memo_frame keys make repeat calls in a session reuse the same
+    checkpoints."""
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    pos, chars, pieces = _unigram_base(spark, sf_dir)
+    pos = memo_frame_lazy(spark, f"uni3:pos:{sf_dir}", lambda: pos)
+    chars = memo_frame_lazy(spark, f"uni3:chars:{sf_dir}", lambda: chars)
+    key = ",".join(str(k) for k in ks)
+    rounds = []
+    for r in range(len(ks) + 1):
+        pcost = memo_frame_lazy(
+            spark,
+            f"uni3:pcost:{sf_dir}:{key}:{r}",
+            lambda pieces=pieces: _cost_from_counts(pieces).localCheckpoint(),
+        )
+        seg = memo_frame_lazy(
+            spark,
+            f"uni3:seg:{sf_dir}:{key}:{r}",
+            lambda pcost=pcost: _viterbi_over(pos, pcost).localCheckpoint(),
+        )
+        mstep = memo_frame_lazy(
+            spark,
+            f"uni3:mstep:{sf_dir}:{key}:{r}",
+            lambda seg=seg: (
+                seg.select("wc", F.explode(F.split("ps", "\\|")).alias("p"))
+                .groupBy("p")
+                .agg(F.sum("wc").alias("new_count"))
+                .localCheckpoint()
+            ),
+        )
+        rounds.append((pcost, seg, mstep))
+        if r < len(ks):
+            kept_chars = (
+                chars.select("p")
+                .join(mstep, "p", "left")
+                .select("p", F.coalesce("new_count", F.lit(0)).alias("c"))
+            )
+            wmul = Window.orderBy(F.desc("new_count"), F.asc("p"))
+            kept_multi = (
+                mstep.where(F.length("p") >= 2)
+                .withColumn("rnk", F.row_number().over(wmul))
+                .where(F.col("rnk") <= ks[r])
+                .select("p", F.col("new_count").alias("c"))
+            )
+            pieces = kept_chars.unionByName(kept_multi)
+    return rounds
+
+
+@register("q_unigram_train3", oracle=_unigram_train3_oracle())
+def q_unigram_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Viterbi-EM rounds of the unigram-LM tokenizer with
+    inventory pruning between rounds (the SentencePiece training recipe,
+    Kudo 2018 — VERDICT r7 #5): round 1 starts from all chars + top-24
+    bigrams; after each round the multi-char inventory is pruned to the
+    top-{{16,12}} pieces by refreshed (M-step) count while ALL single
+    chars are retained for coverage (off-path chars keep a finite
+    maximal cost via the count-1 floor); costs are re-estimated from the
+    refreshed counts and the next round re-segments. Output: the final
+    round's top-{UNI_TOP_OUT} pieces with their counts and the round-3
+    cost model.
+
+    Properties pinned by tests/test_round8_ops.py: with pruning
+    disabled, the total corpus Viterbi cost is monotonically
+    non-increasing across rounds (the hard-EM guarantee: the M-step's
+    empirical costs can only lower the cost of the fixed segmentation,
+    and re-segmenting can only lower it further); with pruning, the
+    inventory shrinks 24 -> <=16 -> <=12 multi pieces while every
+    corpus char survives.
+
+    Scale shape: identical to q_unigram_lm_step per round — the corpus
+    pass is one combinable word count; everything else lives on the
+    distinct-word domain with vocab-sized broadcast joins; rounds chain
+    through cached vocab-sized frames (see unigram_train_rounds), so
+    plan size stays linear in rounds."""
+    pcost3, _seg3, mstep3 = unigram_train_rounds(spark, sf_dir)[-1]
+    wout = Window.orderBy(F.desc("new_count"), F.asc("p"))
+    return (
+        mstep3.join(F.broadcast(pcost3), "p")
         .withColumn("rk", F.row_number().over(wout))
         .where(F.col("rk") <= UNI_TOP_OUT)
         .select(

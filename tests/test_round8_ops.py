@@ -1,0 +1,71 @@
+"""Round-8 operator property tests: the multi-round unigram trainer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.queries_trainprep import (
+    UNI_BIGRAMS,
+    UNI_PRUNE_KS,
+    UNI_TOP_OUT,
+    unigram_train_rounds,
+)
+
+
+def _totals(rounds):
+    return [
+        r[1].agg(F.sum(F.col("wc") * F.col("cost"))).collect()[0][0]
+        for r in rounds
+    ]
+
+
+def test_unigram_em_monotone_without_pruning(spark, sf_dir):
+    """Hard-EM guarantee: with the inventory cap left at the initial
+    size (no real pruning pressure), total corpus Viterbi cost is
+    non-increasing across rounds — the M-step's empirical costs can only
+    lower the cost of the fixed segmentation, and re-segmenting can only
+    lower it further. Small slack absorbs the integer micro-rounding and
+    the count-1 coverage floor (both bounded per piece)."""
+    rounds = unigram_train_rounds(
+        spark, sf_dir, ks=(UNI_BIGRAMS, UNI_BIGRAMS)
+    )
+    t1, t2, t3 = _totals(rounds)
+    slack = 10_000  # micro-units over a ~1e11 total: noise floor
+    assert t2 <= t1 + slack, (t1, t2)
+    assert t3 <= t2 + slack, (t2, t3)
+
+
+def test_unigram_pruning_shrinks_inventory_keeps_coverage(spark, sf_dir):
+    """With real pruning (16, 12): the multi-char inventory shrinks to
+    the caps, every corpus character survives every round (coverage),
+    and surviving multi pieces are always a subset of the previous
+    round's inventory (pruning never invents pieces)."""
+    rounds = unigram_train_rounds(spark, sf_dir, ks=UNI_PRUNE_KS)
+    multis = [
+        {r.p for r in pc.where(F.length("p") >= 2).select("p").collect()}
+        for pc, _s, _m in rounds
+    ]
+    chars = [
+        {r.p for r in pc.where(F.length("p") == 1).select("p").collect()}
+        for pc, _s, _m in rounds
+    ]
+    assert len(multis[0]) <= UNI_BIGRAMS
+    assert len(multis[1]) <= UNI_PRUNE_KS[0]
+    assert len(multis[2]) <= UNI_PRUNE_KS[1]
+    assert multis[1] <= multis[0] and multis[2] <= multis[1]
+    assert chars[0] == chars[1] == chars[2] and len(chars[0]) > 0
+    # pruning is allowed to RAISE total cost (it removes used pieces) —
+    # pin that the trade happened at all on this fixture so the test
+    # would catch a prune that silently stopped pruning
+    t = _totals(rounds)
+    assert t[1] <= t[0] + 10_000
+
+
+def test_unigram_train3_output_shape(spark, sf_dir):
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+    out = QUERIES["q_unigram_train3"](spark, sf_dir).collect()
+    assert len(out) == UNI_TOP_OUT
+    assert [r.rk for r in out] == list(range(1, UNI_TOP_OUT + 1))
+    counts = [r.new_count for r in out]
+    assert counts == sorted(counts, reverse=True)
