@@ -1049,3 +1049,244 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup verification on blocked candidates (round 8)
+# ---------------------------------------------------------------------------
+
+ED_PREFIX_LEN = 40  # compared prefix (bounds the DP cost per pair)
+ED_BLOCK_LEN = 8  # blocking key: shared 8-char prefix
+ED_BLOCK_CAP = 64  # blocks bigger than this are non-discriminative: skip
+ED_DUP_MAX = 10  # levenshtein threshold for "near-dup"
+
+
+@register(
+    "q_dedup_edit_distance",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, source, substr(text, 1, {ED_PREFIX_LEN}) AS s,
+         substr(text, 1, {ED_BLOCK_LEN}) AS bk
+  FROM documents
+),
+blocks AS (
+  SELECT bk FROM s GROUP BY bk
+  HAVING COUNT(*) BETWEEN 2 AND {ED_BLOCK_CAP}
+),
+pairs AS (
+  SELECT a.source, levenshtein(a.s, b.s) AS d
+  FROM s a
+  JOIN blocks USING (bk)
+  JOIN s b ON b.bk = a.bk AND a.doc_id < b.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(SUM(CASE WHEN d <= {ED_DUP_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_dups,
+       CAST(MIN(d) AS BIGINT) AS min_d,
+       ROUND(AVG(CAST(d AS DOUBLE)), 4) AS avg_d
+FROM pairs
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification: candidates come from cheap
+    prefix blocking (same first {ED_BLOCK_LEN} chars), the exact
+    levenshtein DP runs ONLY inside blocks, and blocks larger than
+    {ED_BLOCK_CAP} docs are skipped as non-discriminative — the same
+    hot-key cap discipline as the DF-capped shingles (a block of k docs
+    costs k^2/2 DPs; an uncapped celebrity prefix is the quadratic
+    blowup this family of operators exists to avoid). Distances compare
+    {ED_PREFIX_LEN}-char prefixes, bounding the DP at {ED_PREFIX_LEN}^2
+    cells per pair. levenshtein() is built-in JVM-side on Spark and
+    native in DuckDB — identical semantics on these ASCII fixtures.
+
+    Scale shape: one shuffle on the block key (hash-uniform except the
+    capped heads), per-block self-join bounded by the cap, one
+    combinable aggregate. At 100 TB blocking would key on a content
+    hash band (as in MinHash-LSH) rather than a raw prefix; the cap and
+    verify-on-candidates shape are identical."""
+    s = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, ED_PREFIX_LEN).alias("s"),
+        F.substring("text", 1, ED_BLOCK_LEN).alias("bk"),
+    )
+    blocks = (
+        s.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= ED_BLOCK_CAP))
+        .select("bk")
+    )
+    sb = s.join(blocks, "bk")
+    a = sb.select(
+        "bk",
+        F.col("doc_id").alias("i"),
+        F.col("source").alias("source"),
+        F.col("s").alias("sa"),
+    )
+    b = sb.select(
+        "bk", F.col("doc_id").alias("j"), F.col("s").alias("sb")
+    )
+    pairs = a.join(b, "bk").where(F.col("i") < F.col("j")).select(
+        "source", F.levenshtein("sa", "sb").alias("d")
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.sum(
+                F.when(F.col("d") <= ED_DUP_MAX, 1).otherwise(0)
+            ).alias("n_near_dups"),
+            F.min("d").cast("long").alias("min_d"),
+            F.round(F.avg(F.col("d").cast("double")), 4).alias("avg_d"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (round 8)
+# ---------------------------------------------------------------------------
+
+_URL_HOSTS = [
+    "Example.COM",
+    "example.com",
+    "CDN.Example.com",
+    "blog.example.org",
+]
+_URL_TAILS = [
+    "",
+    "/",
+    "?utm_source=feed",
+    "?id={m3}&utm_medium=mail",
+    "#frag",
+    "?id={m3}",
+]
+
+
+def _url_fixture_sql() -> str:
+    host = (
+        "CASE doc_id % 4 "
+        + " ".join(
+            f"WHEN {i} THEN '{h}'" for i, h in enumerate(_URL_HOSTS[:-1])
+        )
+        + f" ELSE '{_URL_HOSTS[-1]}' END"
+    )
+    tail = (
+        "CASE doc_id % 6 "
+        + " ".join(
+            "WHEN {} THEN {}".format(
+                i, "'" + t + "'" if "{m3}" not in t
+                else "'" + t.split("{m3}")[0] + "' || (doc_id % 3) || '"
+                + t.split("{m3}")[1] + "'"
+            )
+            for i, t in enumerate(_URL_TAILS[:-1])
+        )
+        + " ELSE '?id=' || (doc_id % 3) END"
+    )
+    return (
+        f"'https://' || {host} || '/p/' || (doc_id % 50) || {tail}"
+    )
+
+
+_URL_CANON_SQL_STEPS = [
+    ("#.*$", ""),  # strip fragment
+    ("[?&]utm_[a-z]+=[A-Za-z0-9_-]*", ""),  # strip tracking params
+    ("/$", ""),  # strip trailing slash
+]
+
+
+@register(
+    "q_url_dedup",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_url_fixture_sql()} AS url FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+         'https://' ||
+         lower(regexp_extract(
+           {"regexp_replace(regexp_replace(regexp_replace(url, '#.*$', '', 'g'), '[?&]utm_[a-z]+=[A-Za-z0-9_-]*', '', 'g'), '/$', '', 'g')"},
+           '^https://([^/?#]*)', 1)) ||
+         regexp_replace(
+           {"regexp_replace(regexp_replace(regexp_replace(url, '#.*$', '', 'g'), '[?&]utm_[a-z]+=[A-Za-z0-9_-]*', '', 'g'), '/$', '', 'g')"},
+           '^https://[^/?#]*', '', 'g') AS curl
+  FROM raw
+)
+SELECT curl AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+FROM canon
+GROUP BY curl
+HAVING COUNT(*) > 1
+ORDER BY canonical_url
+""",
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-side twin of content
+    dedup: raw URLs (deterministic fixture over doc_id: mixed-case
+    hosts, trailing slashes, utm_* tracking params, fragments, and a
+    real ?id= param that must SURVIVE) are canonicalized by a fixed
+    rewrite chain — strip fragment, strip utm_* params, strip trailing
+    slash, lowercase the HOST ONLY (paths are case-sensitive per RFC
+    3986; hosts are not) — and duplicate clusters are reported with the
+    min-doc_id keeper, the same keeper rule as q_dedup_canonical.
+
+    Scale shape: canonicalization is pure in-row regexp_replace (one
+    codegen'd pass, no UDF); the cluster report is one shuffle keyed by
+    canonical URL — hash-uniform keys, the exact shape of a 100 TB URL
+    frontier dedup."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    host = F.when(F.col("doc_id") % 4 == 0, _URL_HOSTS[0])
+    for i, h in enumerate(_URL_HOSTS[1:-1], start=1):
+        host = host.when(F.col("doc_id") % 4 == i, h)
+    host = host.otherwise(_URL_HOSTS[-1])
+    m3 = (F.col("doc_id") % 3).cast("string")
+    tails = [
+        F.lit(""),
+        F.lit("/"),
+        F.lit("?utm_source=feed"),
+        F.concat(F.lit("?id="), m3, F.lit("&utm_medium=mail")),
+        F.lit("#frag"),
+        F.concat(F.lit("?id="), m3),
+    ]
+    tail = F.when(F.col("doc_id") % 6 == 0, tails[0])
+    for i, t in enumerate(tails[1:-1], start=1):
+        tail = tail.when(F.col("doc_id") % 6 == i, t)
+    tail = tail.otherwise(tails[-1])
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        tail,
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    stripped = F.col("url")
+    for pat, repl in _URL_CANON_SQL_STEPS:
+        stripped = F.regexp_replace(stripped, pat, repl)
+    curl = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(stripped, "^https://([^/?#]*)", 1)),
+        F.regexp_replace(stripped, "^https://[^/?#]*", ""),
+    )
+    canon = raw.select("doc_id", "url", curl.alias("curl"))
+    return (
+        canon.groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            F.col("curl").alias("canonical_url"),
+            "n_docs",
+            "n_raw_variants",
+            "keeper_doc",
+        )
+        .orderBy("canonical_url")
+    )

@@ -381,3 +381,127 @@ def q_dp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0), F.round((F.col("n") - lap) * 10000).cast("long")
         ).alias("noisy_n_x10k"),
     ).orderBy("source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 8): regex redaction of emails / phones / IPv4
+# ---------------------------------------------------------------------------
+
+# Java-regex/RE2 common subset (no lookaround); identical pattern strings
+# run on both engines
+PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+WITH injected AS (
+  SELECT doc_id, source,
+         text ||
+         CASE doc_id % 3
+           WHEN 0 THEN ' contact user' || (doc_id % 20) || '@mail'
+                       || (doc_id % 3) || '.example from 203.0.113.'
+                       || (doc_id % 250)
+           WHEN 1 THEN ' call ' || (100 + doc_id % 900) || '-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE ''
+         END AS t
+  FROM documents
+),
+scrubbed AS (
+  SELECT source, t,
+         len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(t, '{PII_PHONE}')) AS n_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+             '{PII_PHONE}', '[PHONE]', 'g'),
+           '{PII_IPV4}', '[IP]', 'g') AS clean
+  FROM injected
+),
+counted AS (
+  SELECT source, n_email, n_phone,
+         len(regexp_extract_all(clean, '\\[IP\\]')) AS n_ip,
+         len(t) - len(clean) AS chars_delta
+  FROM scrubbed
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+       CAST(SUM(chars_delta) AS BIGINT) AS chars_removed
+FROM counted
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the governance pass every published corpus runs:
+    emails, NNN-NNN-NNNN phone numbers, and IPv4 literals are replaced
+    by typed mask tokens via a fixed regexp_replace chain (patterns in
+    the Java-regex/RE2 common subset so the oracle runs the identical
+    strings). The fixture injects deterministic PII derived from doc_id
+    into a third of documents each for email+IP and phone, leaving a
+    third clean — the report counts redactions per kind and the net
+    character delta per source. IP matches are counted AFTER the email
+    scrub (an address inside a hostname must not double-count) by
+    counting [IP] masks in the final text — order of the chain is load-
+    bearing and pinned by the hash.
+
+    Scale shape: pure in-row regexp work (codegen'd, no UDF) plus one
+    combinable per-source aggregate — the cheapest possible shape; at
+    100 TB this pass is scan-bound, exactly as it should be."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    m = F.col("doc_id") % 3
+    inj = F.when(
+        m == 0,
+        F.concat(
+            F.lit(" contact user"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example from 203.0.113."),
+            (F.col("doc_id") % 250).cast("string"),
+        ),
+    ).when(
+        m == 1,
+        F.concat(
+            F.lit(" call "),
+            (100 + F.col("doc_id") % 900).cast("string"),
+            F.lit("-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    t = F.concat(F.col("text"), inj)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        PII_IPV4,
+        "[IP]",
+    )
+    scrubbed = docs.select(
+        "source",
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phone"),
+        F.regexp_count(clean, F.lit("\\[IP\\]")).alias("n_ip"),
+        (F.length(t) - F.length(clean)).alias("chars_delta"),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum("n_ip").alias("n_ips"),
+            F.sum("chars_delta").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )

@@ -1367,3 +1367,215 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Length bucketing for batch assembly (round 8)
+# ---------------------------------------------------------------------------
+
+BUCKET_EDGES = [16, 32, 64, 128, 256]  # fixed power-of-two padding targets
+BUCKET_BATCH = 8  # sequences per assembled batch
+
+
+@register(
+    "q_length_bucketing",
+    oracle=f"""
+WITH d AS (
+  SELECT source, len(string_split(text, ' ')) AS t FROM documents
+),
+b AS (
+  SELECT t,
+         CASE WHEN t <= 16 THEN 16 WHEN t <= 32 THEN 32
+              WHEN t <= 64 THEN 64 WHEN t <= 128 THEN 128
+              ELSE 256 END AS bucket
+  FROM d
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS total_tokens,
+       CAST(SUM(bucket - t) AS BIGINT) AS total_padding,
+       ROUND(CAST(SUM(bucket - t) AS DOUBLE)
+             / (COUNT(*) * bucket), 6) AS pad_frac,
+       CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {BUCKET_BATCH}) AS BIGINT)
+         AS n_batches
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def q_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length bucketing for training-batch assembly: every sequence is
+    assigned the smallest power-of-two padding target that fits it, and
+    the report prices the padding waste per bucket (the metric that
+    decides bucket edges in a real data loader — unbucketed padding to
+    the global max wastes most of the batch FLOPs on pad tokens).
+
+    Scale shape: bucket assignment is a pure in-row CASE (no sort, no
+    shuffle) and the report is ONE map-side-combinable aggregate keyed
+    by the ~5 bucket values — at 100 TB this is a single cheap pass,
+    unlike sort-based length grouping which would global-sort the
+    corpus. Batch counts use ceil(n/{BUCKET_BATCH}) per bucket; actual
+    batch materialization shards within buckets by hash, preserving
+    this exact accounting."""
+    d = load(spark, sf_dir, "documents").select(
+        F.size(tokens(F.col("text"))).alias("t")
+    )
+    bucket = F.when(F.col("t") <= 16, 16)
+    for e in BUCKET_EDGES[1:-1]:
+        bucket = bucket.when(F.col("t") <= e, e)
+    bucket = bucket.otherwise(BUCKET_EDGES[-1])
+    b = d.select("t", bucket.alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("t")).alias("total_padding"),
+            F.round(
+                F.sum(F.col("bucket") - F.col("t")).cast("double")
+                / (F.count(F.lit(1)) * F.col("bucket")),
+                6,
+            ).alias("pad_frac"),
+            F.ceil(
+                F.count(F.lit(1)).cast("double") / BUCKET_BATCH
+            ).cast("long").alias("n_batches"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixture (round 8)
+# ---------------------------------------------------------------------------
+
+MIX_TEMP_FRAC = 0.5  # target fraction of total tokens in the mixture
+MIX_SEED = "mix8"
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+  FROM documents GROUP BY source
+),
+-- integerized sqrt weights: floor(sqrt(tok)*1000) keeps the weight sum
+-- EXACT so the share division is bit-identical across engines (a double
+-- sum over sources is order-sensitive at the last ulp)
+w AS (
+  SELECT source, n_docs, tok,
+         CAST(FLOOR(SQRT(CAST(tok AS DOUBLE)) * 1000) AS BIGINT) AS wi
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(SUM(tok) AS BIGINT) AS tok_total,
+         CAST(SUM(wi) AS BIGINT) AS w_total
+  FROM w
+),
+rates AS (
+  SELECT source, n_docs, tok,
+         LEAST(1.0, ROUND(
+           (CAST(FLOOR({MIX_TEMP_FRAC} * tok_total) AS BIGINT) * wi)
+           / (CAST(w_total AS DOUBLE) * tok), 6)) AS keep_rate
+  FROM w, tot
+),
+kept AS (
+  SELECT d.source, len(string_split(d.text, ' ')) AS t,
+         CASE WHEN ({h32_sql(f"'{MIX_SEED}:' || doc_id")} % 1000000
+                    + 1000000) % 1000000
+              < CAST(r.keep_rate * 1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN rates r ON r.source = d.source
+)
+SELECT r.source, r.n_docs, r.tok AS total_tokens, r.keep_rate,
+       CAST(SUM(k.keep) AS BIGINT) AS n_kept,
+       CAST(SUM(k.keep * k.t) AS BIGINT) AS kept_tokens
+FROM rates r JOIN kept k ON k.source = r.source
+GROUP BY r.source, r.n_docs, r.tok, r.keep_rate
+ORDER BY r.source
+""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixture (the multilingual/multi-
+    source sampling rule of large-corpus training: sample source s with
+    probability proportional to n_s^alpha, here alpha=0.5): per-source
+    keep rates are derived so the mixture targets {MIX_TEMP_FRAC} of
+    total tokens distributed by sqrt-of-size shares — upweighting small
+    sources relative to their raw share — and each document's keep
+    decision is a seeded hash threshold (no RNG: any engine, run, or
+    retry draws the identical subset; exact-restart reproducibility).
+
+    Determinism discipline: the sqrt weights are INTEGERIZED
+    (floor(sqrt*1000)) before summation so the share denominators are
+    exact integers — a plain double sum over sources is order-sensitive
+    in the last ulp, and Spark's partial-agg order differs from
+    DuckDB's. Rates round at 6 dp into an integer hash threshold.
+
+    Scale shape: per-source stats are one combinable aggregate; rates
+    are a ~|sources|-row broadcast; the keep decision is in-row. No
+    global sort, no sampling pass, no collect."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("t")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("tok")
+    )
+    w = per_src.select(
+        "source",
+        "n_docs",
+        "tok",
+        F.floor(F.sqrt(F.col("tok").cast("double")) * 1000)
+        .cast("long")
+        .alias("wi"),
+    )
+    tot = w.agg(
+        F.sum("tok").alias("tok_total"), F.sum("wi").alias("w_total")
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tok",
+        F.least(
+            F.lit(1.0),
+            F.round(
+                (
+                    F.floor(MIX_TEMP_FRAC * F.col("tok_total")).cast("long")
+                    * F.col("wi")
+                )
+                / (F.col("w_total").cast("double") * F.col("tok")),
+                6,
+            ),
+        ).alias("keep_rate"),
+    )
+    kept = docs.join(F.broadcast(rates), "source").select(
+        "source",
+        "t",
+        F.when(
+            F.pmod(
+                h32(F.concat(F.lit(f"{MIX_SEED}:"), F.col("doc_id"))),
+                F.lit(1000000),
+            )
+            < (F.col("keep_rate") * 1000000).cast("long"),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        rates.join(
+            kept.groupBy("source").agg(
+                F.sum("keep").alias("n_kept"),
+                F.sum(F.col("keep") * F.col("t")).alias("kept_tokens"),
+            ),
+            "source",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("tok").alias("total_tokens"),
+            "keep_rate",
+            "n_kept",
+            "kept_tokens",
+        )
+        .orderBy("source")
+    )
