@@ -2373,3 +2373,253 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_label", "lang_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer apply (round 8): greedy longest-match-first with
+# ## continuations and whole-word [UNK] — the BERT-family segmenter,
+# completing the tokenizer trio beside BPE and unigram-LM.
+# ---------------------------------------------------------------------------
+
+WP_MAX_WLEN = 16
+WP_PRE2, WP_PRE3, WP_CONT2 = 12, 8, 12  # vocab caps per piece class
+WP_TOP_OUT = 20
+_WPSEP = "\x02"
+
+
+def _wordpiece_oracle() -> str:
+    return f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) wc
+  FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+  WHERE len(w) > 0 AND len(w) <= {WP_MAX_WLEN} GROUP BY 1),
+pos AS (SELECT w, wc, unnest(range(1, len(w) + 1)) AS i FROM words),
+pre2 AS (
+  SELECT p FROM (
+    SELECT substr(w, 1, 2) p, SUM(wc) c,
+           ROW_NUMBER() OVER (ORDER BY SUM(wc) DESC, substr(w, 1, 2)) r
+    FROM words WHERE len(w) >= 2 GROUP BY 1)
+  WHERE r <= {WP_PRE2}),
+pre3 AS (
+  SELECT p FROM (
+    SELECT substr(w, 1, 3) p, SUM(wc) c,
+           ROW_NUMBER() OVER (ORDER BY SUM(wc) DESC, substr(w, 1, 3)) r
+    FROM words WHERE len(w) >= 3 GROUP BY 1)
+  WHERE r <= {WP_PRE3}),
+contchars AS (
+  SELECT substr(w, i, 1) p, SUM(wc) c FROM pos WHERE i >= 2 GROUP BY 1),
+excluded AS (
+  SELECT p FROM (
+    SELECT p, ROW_NUMBER() OVER (ORDER BY c ASC, p ASC) r FROM contchars)
+  WHERE r = 1),
+cont1 AS (SELECT p FROM contchars WHERE p NOT IN (SELECT p FROM excluded)),
+cont2 AS (
+  SELECT p FROM (
+    SELECT substr(w, i, 2) p, SUM(wc) c,
+           ROW_NUMBER() OVER (ORDER BY SUM(wc) DESC, substr(w, i, 2)) r
+    FROM pos WHERE i >= 2 AND len(substr(w, i, 2)) = 2 GROUP BY 1)
+  WHERE r <= {WP_CONT2}),
+jumps AS (
+  SELECT p.w, p.wc, p.i,
+         CASE WHEN p.i = 1 THEN
+           CASE WHEN len(p.w) >= 3
+                     AND substr(p.w, 1, 3) IN (SELECT p FROM pre3) THEN 3
+                WHEN len(p.w) >= 2
+                     AND substr(p.w, 1, 2) IN (SELECT p FROM pre2) THEN 2
+                ELSE 1 END
+         ELSE
+           CASE WHEN len(substr(p.w, p.i, 2)) = 2
+                     AND substr(p.w, p.i, 2) IN (SELECT p FROM cont2) THEN 2
+                WHEN substr(p.w, p.i, 1) IN (SELECT p FROM cont1) THEN 1
+                ELSE NULL END
+         END AS j
+  FROM pos p),
+arrs AS MATERIALIZED (
+  SELECT w, wc, list(CASE WHEN j IS NULL THEN 0 ELSE j END ORDER BY i) js
+  FROM jumps GROUP BY 1, 2),
+segs AS MATERIALIZED (
+  SELECT w, wc,
+    split_part(list_reduce(
+      list_prepend('1' || chr(2) || chr(2) || '0',
+        list_transform(range(1, len(w) + 1), x -> CAST(x AS VARCHAR))),
+      (acc, xi) -> CASE
+        WHEN split_part(acc, chr(2), 3) = '1'
+             OR CAST(xi AS INT) < CAST(split_part(acc, chr(2), 1) AS INT)
+        THEN acc
+        WHEN js[CAST(xi AS INT)] = 0
+        THEN '999' || chr(2) || '[UNK]' || chr(2) || '1'
+        ELSE CAST(CAST(xi AS INT) + js[CAST(xi AS INT)] AS VARCHAR)
+          || chr(2)
+          || CASE WHEN split_part(acc, chr(2), 2) = '' THEN '' 
+                  ELSE split_part(acc, chr(2), 2) || '|' END
+          || CASE WHEN CAST(xi AS INT) = 1 THEN '' ELSE '##' END
+          || substr(w, CAST(xi AS INT), js[CAST(xi AS INT)])
+          || chr(2) || '0'
+      END), chr(2), 2) AS ps
+  FROM arrs)
+SELECT rk, p AS piece, cnt FROM (
+  SELECT p, CAST(SUM(wc) AS BIGINT) cnt,
+         ROW_NUMBER() OVER (ORDER BY SUM(wc) DESC, p) rk
+  FROM (SELECT wc, unnest(string_split(ps, '|')) p FROM segs)
+  GROUP BY p)
+WHERE rk <= {WP_TOP_OUT} ORDER BY rk
+"""
+
+
+@register("q_tokenize_wordpiece", oracle=_wordpiece_oracle())
+def q_tokenize_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy segmentation (the BERT-family tokenizer): from
+    each position take the LONGEST vocabulary piece — word-initial
+    pieces from the start vocabulary (all corpus chars + the top-12
+    2-char and top-8 3-char prefixes by frequency), word-internal
+    pieces from the '##'-continuation vocabulary (top-12 internal
+    bigrams + all internal chars EXCEPT the globally rarest, whose
+    deliberate exclusion exercises the whole-word [UNK] rule: one
+    unmatchable position voids the entire word, per the original
+    algorithm). Output: top-{WP_TOP_OUT} pieces by corpus count
+    ([UNK] counts as a piece).
+
+    Same distributed shape as the FMM segmenter and unigram trainer:
+    greedy matching needs the choice at i-1 to know where i starts, so
+    all candidate jumps are precomputed IN PARALLEL (vocab-sized
+    broadcast semijoins against the position frame), and the inherently
+    sequential walk replays per word as an O(len) in-row fold over the
+    jump array — single-VARCHAR state so the identical fold runs in
+    DuckDB's list_reduce. Corpus-sized work: one word-count shuffle;
+    everything else lives on the distinct-word domain."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where((F.length("w") > 0) & (F.length("w") <= WP_MAX_WLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pos = words.select(
+        "w", "wc", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
+    )
+
+    def topk(df, expr, k, flt=None):
+        base = df.where(flt) if flt is not None else df
+        g = base.select(expr.alias("p"), "wc").groupBy("p").agg(
+            F.sum("wc").alias("c")
+        )
+        wk = Window.orderBy(F.desc("c"), F.asc("p"))
+        return (
+            g.withColumn("r", F.row_number().over(wk))
+            .where(F.col("r") <= k)
+            .select("p")
+        )
+
+    pre2 = topk(words, F.expr("substr(w, 1, 2)"), WP_PRE2,
+                F.length("w") >= 2)
+    pre3 = topk(words, F.expr("substr(w, 1, 3)"), WP_PRE3,
+                F.length("w") >= 3)
+    contchars = (
+        pos.where(F.col("i") >= 2)
+        .select(F.expr("substr(w, i, 1)").alias("p"), "wc")
+        .groupBy("p")
+        .agg(F.sum("wc").alias("c"))
+    )
+    wex = Window.orderBy(F.asc("c"), F.asc("p"))
+    excluded = (
+        contchars.withColumn("r", F.row_number().over(wex))
+        .where(F.col("r") == 1)
+        .select("p")
+    )
+    cont1 = contchars.join(excluded, "p", "left_anti").select("p")
+    cont2 = topk(
+        pos,
+        F.expr("substr(w, i, 2)"),
+        WP_CONT2,
+        (F.col("i") >= 2) & (F.length(F.expr("substr(w, i, 2)")) == 2),
+    )
+    j = (
+        pos.join(
+            F.broadcast(pre3.select(F.col("p").alias("p3"))),
+            (F.col("i") == 1) & (F.expr("substr(w, 1, 3)") == F.col("p3")),
+            "left",
+        )
+        .join(
+            F.broadcast(pre2.select(F.col("p").alias("p2"))),
+            (F.col("i") == 1) & (F.expr("substr(w, 1, 2)") == F.col("p2")),
+            "left",
+        )
+        .join(
+            F.broadcast(cont2.select(F.col("p").alias("c2"))),
+            (F.col("i") >= 2) & (F.expr("substr(w, i, 2)") == F.col("c2")),
+            "left",
+        )
+        .join(
+            F.broadcast(cont1.select(F.col("p").alias("c1"))),
+            (F.col("i") >= 2) & (F.expr("substr(w, i, 1)") == F.col("c1")),
+            "left",
+        )
+        .select(
+            "w",
+            "wc",
+            "i",
+            F.when(
+                F.col("i") == 1,
+                F.when(F.col("p3").isNotNull(), 3)
+                .when(F.col("p2").isNotNull(), 2)
+                .otherwise(1),
+            )
+            .otherwise(
+                F.when(F.col("c2").isNotNull(), 2).when(
+                    F.col("c1").isNotNull(), 1
+                )
+            )
+            .alias("j"),
+        )
+    )
+    arrs = j.groupBy("w", "wc").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("i", F.coalesce("j", F.lit(0)).alias("j"))
+            )
+        ).alias("a")
+    )
+
+    def step(acc, i):
+        nxt = F.split_part(acc, F.lit(_WPSEP), F.lit(1)).cast("int")
+        ps0 = F.split_part(acc, F.lit(_WPSEP), F.lit(2))
+        bad = F.split_part(acc, F.lit(_WPSEP), F.lit(3))
+        jj = F.element_at(F.col("a"), i.cast("int")).getField("j")
+        piece = F.concat(
+            F.when(i == 1, F.lit("")).otherwise(F.lit("##")),
+            F.col("w").substr(i.cast("int"), jj),
+        )
+        nps = F.when(ps0 == "", piece).otherwise(
+            F.concat(ps0, F.lit("|"), piece)
+        )
+        good = F.concat_ws(
+            _WPSEP, (i + jj).cast("string"), nps, F.lit("0")
+        )
+        unk = F.concat_ws(_WPSEP, F.lit("999"), F.lit("[UNK]"), F.lit("1"))
+        return F.when((bad == "1") | (i < nxt), acc).otherwise(
+            F.when(jj == 0, unk).otherwise(good)
+        )
+
+    init = F.concat_ws(_WPSEP, F.lit("1"), F.lit(""), F.lit("0"))
+    segs = arrs.select(
+        "wc",
+        F.split_part(
+            F.aggregate(F.sequence(F.lit(1), F.length("w")), init, step),
+            F.lit(_WPSEP),
+            F.lit(2),
+        ).alias("ps"),
+    )
+    counts = (
+        segs.select("wc", F.explode(F.split("ps", "\\|")).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    wout = Window.orderBy(F.desc("cnt"), F.asc("p"))
+    return (
+        counts.withColumn("rk", F.row_number().over(wout))
+        .where(F.col("rk") <= WP_TOP_OUT)
+        .select("rk", F.col("p").alias("piece"), "cnt")
+        .orderBy("rk")
+    )

@@ -69,3 +69,19 @@ def test_unigram_train3_output_shape(spark, sf_dir):
     assert [r.rk for r in out] == list(range(1, UNI_TOP_OUT + 1))
     counts = [r.new_count for r in out]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_wordpiece_unk_voids_whole_word(spark, sf_dir):
+    """The excluded rarest continuation char voids whole words to
+    [UNK] (the WordPiece rule) — [UNK] must appear in the full piece
+    counts, and no partial pieces of a voided word may leak."""
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+    out = QUERIES["q_tokenize_wordpiece"](spark, sf_dir).collect()
+    assert len(out) == 20
+    assert [r.rk for r in out] == list(range(1, 21))
+    cnts = [r.cnt for r in out]
+    assert cnts == sorted(cnts, reverse=True)
+    # every non-first-rank piece is either a start piece or ##-marked
+    for r in out:
+        assert r.piece == "[UNK]" or not r.piece.startswith("###")
