@@ -30,12 +30,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
-# dict ordering decides what gets externally verified. Round-7 window
-# (tools/gate_coverage.py --window over CORRECTNESS_r01-r06): every
-# round-7-NEW never-sampled entry leads (the early pair, then the ten
-# new operators), then the 17 r01-only rows, then the stalest r02
-# greens — retiring the driver-row staleness debt VERDICT r06 item #1
-# names. Names are stable — only dict ordering changes round to round.
+# dict ordering decides what gets externally verified. Round-8 window
+# (tools/gate_coverage.py --window over CORRECTNESS_r01-r07, per VERDICT
+# r7 item #1): ALL 33 queries whose newest driver row is still r02 lead —
+# closing the rotation debt so no entry's newest row is older than r03 —
+# then the 9 round-8-new never-sampled operators, then the 8 stalest r03
+# greens. Names are stable — only dict ordering changes round to round.
+_R08_WINDOW = [
+    "q_embed_maxsim",
+    "q_embed_neardup",
+    "q_event_transitions",
+    "q_events_from_json",
+    "q_events_sessionize",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_funnel_analysis",
+    "q_hll_distinct",
+    "q_kmeans_step",
+    "q_kmv_set_overlap",
+    "q_late_data_audit",
+    "q_latest_per_key",
+    "q_locf_gapfill",
+    "q_map_functions",
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_ngram_counts",
+    "q_nullsafe_join",
+    "q_pivot_user_activity",
+    "q_quality_repetition",
+    "q_scd2_intervals",
+    "q_sequence_packing",
+    "q_source_mixture",
+    "q_text_bm25",
+    "q_text_bpe_tokens",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_scrub",
+    "q_text_stats",
+    "q_time_rollup",
+    "q_trailing_window",
+    "q_zh_segment_fmm",
+    "q_multimodal_jpeg_decode",
+    "q_unigram_train3",
+    "q_tokenize_wordpiece",
+    "q_dedup_edit_distance",
+    "q_url_dedup",
+    "q_pii_scrub",
+    "q_length_bucketing",
+    "q_mixture_temperature",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+]
+
+# retained for provenance (round-7 ordering)
 _R07_WINDOW = [
     "zh_backfill_typo_compat",
     "q_multimodal_png_decode",
@@ -91,7 +145,7 @@ _R07_WINDOW = [
 
 
 def _gate_order(names) -> list[str]:
-    head = [n for n in _R07_WINDOW if n in names]
+    head = [n for n in _R08_WINDOW if n in names]
     return head + [n for n in names if n not in set(head)]
 
 

@@ -612,57 +612,3 @@ def q_sql_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SHARED_SQL_TEXT)
-
-
-# ---------------------------------------------------------------------------
-# GROUPING SETS with grouping_id (round 8): the general form rollup/cube
-# are sugar for — an explicit, non-hierarchical set list
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q_grouping_sets",
-    oracle="""
-SELECT o_orderstatus,
-       o_orderpriority,
-       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
-            AS BIGINT) AS gid,
-       COUNT(*) AS n,
-       ROUND(SUM(o_totalprice), 2) AS sum_price
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                        (o_orderpriority), ())
-ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-""",
-)
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS — the non-hierarchical aggregate shape
-    rollup and cube are special cases of: detail by (status, priority),
-    subtotal by priority ALONE (not a rollup prefix!), and a grand
-    total, in ONE pass. grouping_id disambiguates a real NULL key from
-    a subtotal row — the correctness detail naive consumers of
-    rolled-up output get wrong.
-
-    Scale shape: Spark plans grouping sets as a single Expand + hash
-    aggregate — each input row is replicated once per set BEFORE the
-    partial aggregate, so the shuffle carries one partial row per
-    (set, key), not per input row; at 100 TB this beats three separate
-    aggregation passes (one scan instead of three)."""
-    orders = load(spark, sf_dir, "orders")
-    return (
-        orders.groupingSets(
-            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
-            "o_orderstatus",
-            "o_orderpriority",
-        )
-        .agg(
-            F.grouping_id().cast("long").alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        )
-        .orderBy(
-            "gid",
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
-    )

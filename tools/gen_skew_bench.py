@@ -105,6 +105,21 @@ BENCH_QUERIES = [
     "q_negative_sampling",
     "q_skew_audit",
     "q_vocab_coverage",
+    # round-8 operators: segmentation/tokenizer working sets are the
+    # distinct-word domain; codecs are per-item parallel; edit-distance
+    # dedup's block cap is load-bearing here (3x replicas triple block
+    # sizes, pushing celebrity prefixes over the cap BY DESIGN); url
+    # dedup and pii scrub are in-row + one hash-uniform shuffle;
+    # bucketing/mixture are value-domain aggregates.
+    "q_zh_segment_fmm",
+    "q_multimodal_jpeg_decode",
+    "q_unigram_train3",
+    "q_tokenize_wordpiece",
+    "q_dedup_edit_distance",
+    "q_url_dedup",
+    "q_pii_scrub",
+    "q_length_bucketing",
+    "q_mixture_temperature",
 ]
 
 
