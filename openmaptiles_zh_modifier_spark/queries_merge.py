@@ -194,3 +194,93 @@ def q_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff audit (round 8): added / removed / changed / unchanged
+# between two corpus versions, by content hash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+),
+b AS (
+  -- the simulated next crawl: %10=3 dropped, %10=7 re-crawled with new
+  -- content, %5=0 re-ingested under a NEW id (id churn shows up as
+  -- add+remove — exactly what a content-hash-aware diff must expose)
+  SELECT CASE WHEN doc_id % 5 = 0 THEN doc_id + 1000000
+              ELSE doc_id END AS doc_id,
+         source,
+         CASE WHEN doc_id % 10 = 7 THEN md5(text || ' updated')
+              ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 10 <> 3
+),
+d AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY source, status
+ORDER BY source, status
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit a data
+    release runs against its predecessor: rows are classified
+    added / removed / changed / unchanged by joining on the stable id
+    and comparing CONTENT HASHES (md5 of text), so a re-crawl that
+    changed bytes is 'changed' even though the id survived, and id
+    churn (same content re-ingested under a new id) honestly shows as
+    an add+remove pair rather than being silently absorbed. The second
+    snapshot is a deterministic simulation over the fixture (drops,
+    content updates, id churn — the three real crawl-to-crawl events).
+
+    Scale shape: one full outer join on the id (hash-uniform) with
+    per-side md5 computed in-row, one combinable aggregate. Pairs with
+    the COW time-travel surface: cow_changes diffs FILE manifests;
+    this diffs LOGICAL content."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    b = (
+        docs.where(F.col("doc_id") % 10 != 3)
+        .select(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.col("doc_id") + 1000000
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("doc_id"),
+            "source",
+            F.when(
+                F.col("doc_id") % 10 == 7,
+                F.md5(F.concat(F.col("text"), F.lit(" updated"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+    )
+    d = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "status")
+    )

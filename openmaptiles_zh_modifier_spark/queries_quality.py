@@ -793,3 +793,126 @@ def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift between corpus snapshots (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_token_drift",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+ca AS (SELECT t, CAST(COUNT(*) AS BIGINT) c FROM toks WHERE half = 0 GROUP BY t),
+cb AS (SELECT t, CAST(COUNT(*) AS BIGINT) c FROM toks WHERE half = 1 GROUP BY t),
+u AS (
+  SELECT COALESCE(ca.t, cb.t) AS t,
+         COALESCE(ca.c, 0) + 1 AS a1,
+         COALESCE(cb.c, 0) + 1 AS b1
+  FROM ca FULL OUTER JOIN cb ON ca.t = cb.t
+),
+tot AS (
+  SELECT CAST(SUM(a1) AS BIGINT) AS ta, CAST(SUM(b1) AS BIGINT) AS tb,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM u
+),
+terms AS (
+  SELECT
+    CAST(SUM(a1 * CAST(ROUND(1000000 * (ln(CAST(a1 AS DOUBLE) / ta)
+                                        - ln(CAST(b1 AS DOUBLE) / tb)))
+             AS BIGINT)) AS BIGINT) AS kl_micro_weighted,
+    CAST(SUM(ABS(a1 * tb - b1 * ta)) AS BIGINT) AS tv_num
+  FROM u, tot
+)
+SELECT tot.ta - tot.v AS tokens_a,
+       tot.tb - tot.v AS tokens_b,
+       tot.v AS vocab_union,
+       terms.kl_micro_weighted,
+       ROUND(CAST(terms.kl_micro_weighted AS DOUBLE) / 1000000 / tot.ta, 6)
+         AS kl_nats,
+       ROUND(CAST(terms.tv_num AS DOUBLE)
+             / (2.0 * tot.ta * tot.tb), 6) AS tv_dist
+FROM tot, terms
+""",
+)
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots (here the
+    deterministic doc_id-parity halves standing in for yesterday/today):
+    add-one-smoothed KL divergence and total-variation distance over the
+    unioned vocabulary — the statistical alarm a continuously-ingesting
+    training pipeline puts on every source before a new snapshot is
+    admitted (a crawler change or spam flood shows up here before any
+    model does).
+
+    Determinism discipline: the only transcendental enters PER TERM as
+    round(1e6 * (ln(pa) - ln(qb))) — integer micro-nats — and the
+    corpus-weighted sum is exact BIGINT arithmetic, so engine summation
+    order cannot move the hash (the unigram-cost trick). TV distance
+    needs no logs at all: |a1*tb - b1*ta| summed exactly, divided once
+    at the end. Both metrics additionally rounded at 6 dp.
+
+    Scale shape: two combinable token counts (one shuffle each), a
+    vocab-keyed full outer join (hash-uniform), one constant-width
+    aggregate. At 100 TB the vocab join is the only real shuffle and
+    its keys are words — the classic Zipf head is bounded by the
+    combiner, not the join."""
+    toks = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens(F.col("text"))).alias("t"),
+    )
+    ca = (
+        toks.where(F.col("half") == 0)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    cb = (
+        toks.where(F.col("half") == 1)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+    )
+    u = ca.join(cb, "t", "full_outer").select(
+        (F.coalesce("c_a", F.lit(0)) + 1).alias("a1"),
+        (F.coalesce("c_b", F.lit(0)) + 1).alias("b1"),
+    )
+    tot = u.agg(
+        F.sum("a1").alias("ta"),
+        F.sum("b1").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    terms = u.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("a1")
+            * F.round(
+                1000000
+                * (
+                    F.log(F.col("a1").cast("double") / F.col("ta"))
+                    - F.log(F.col("b1").cast("double") / F.col("tb"))
+                )
+            ).cast("long")
+        ).alias("kl_micro_weighted"),
+        F.sum(
+            F.abs(F.col("a1") * F.col("tb") - F.col("b1") * F.col("ta"))
+        ).alias("tv_num"),
+        F.first("ta").alias("ta"),
+        F.first("tb").alias("tb"),
+        F.first("v").alias("v"),
+    )
+    return terms.select(
+        (F.col("ta") - F.col("v")).alias("tokens_a"),
+        (F.col("tb") - F.col("v")).alias("tokens_b"),
+        F.col("v").alias("vocab_union"),
+        "kl_micro_weighted",
+        F.round(
+            F.col("kl_micro_weighted").cast("double") / 1000000 / F.col("ta"),
+            6,
+        ).alias("kl_nats"),
+        F.round(
+            F.col("tv_num").cast("double")
+            / (2.0 * F.col("ta") * F.col("tb")),
+            6,
+        ).alias("tv_dist"),
+    )
