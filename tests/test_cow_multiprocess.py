@@ -125,14 +125,20 @@ def _stream_writer(args):
 
 def _vacuum_worker(args):
     """Concurrent maintenance: vacuum in a tight loop (default grace —
-    the production setting) until the writers signal done."""
-    root, stop_path = args
+    the production setting) until the writers signal done. Touches
+    ``ready_path`` before the first sweep: the parent holds the writers
+    until then, so the loop is guaranteed to overlap the commit race
+    (spawned workers pay a full package import, and as the package grew
+    the import gap got wide enough for writers to FINISH before this
+    worker's first sweep — a scheduling artifact, not a protocol one)."""
+    root, stop_path, ready_path = args
     import sys
     import time
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from openmaptiles_zh_modifier_spark.operators.cow_table import cow_vacuum
 
+    open(ready_path, "w").close()
     removed = 0
     sweeps = 0
     while not os.path.exists(stop_path):
@@ -182,9 +188,18 @@ def test_merge_vacuum_stream_interleaving(tmp_path):
 
     n_merge_writers, n_commits = 3, 6
     stop_path = str(tmp_path / "stop")
+    ready_path = str(tmp_path / "vac-ready")
     ctx = mp.get_context("spawn")
     with ctx.Pool(n_merge_writers + 2) as pool:
-        vac = pool.apply_async(_vacuum_worker, [(root, stop_path)])
+        vac = pool.apply_async(_vacuum_worker, [(root, stop_path, ready_path)])
+        # hold the writers until the vacuum loop is live, so the race
+        # deterministically overlaps (see _vacuum_worker docstring)
+        import time as _time
+
+        deadline = _time.time() + 60
+        while not os.path.exists(ready_path):
+            assert _time.time() < deadline, "vacuum worker never started"
+            _time.sleep(0.01)
         writers = [
             pool.apply_async(_merge_writer, [(root, i, n_commits)])
             for i in range(n_merge_writers)

@@ -398,13 +398,17 @@ def test_ppm_codec_roundtrip_and_parser_edges():
         assert f["checksum64"] == int(ramp[:64].sum())
 
     # dispatch hook: P6 decodes; PNG routes to the REAL round-7 decoder
-    # (truncated payload is a parse error, no longer the stub); JPEG is
-    # still the documented NotImplementedError hook
+    # (truncated payload is a parse error, no longer the stub); JPEG
+    # routes to the REAL round-8 decoder (garbage after the magic is a
+    # parse error too); only genuinely unregistered formats still raise
+    # NotImplementedError
     assert real_decode_image(encode_ppm(4, 4, 1))["width"] == 4
     with pytest.raises(ValueError):
         real_decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        real_decode_image(b"\xff\xd8\xff\xe0....jpeg-junk")
     with pytest.raises(NotImplementedError):
-        real_decode_image(b"\xff\xd8\xff\xe0....jpeg-stub")
+        real_decode_image(b"RIFF....WEBPVP8 ")
     with pytest.raises(ValueError):
         decode_ppm(b"P3\n4 4\n255\n")  # ASCII PPM is not P6
 
