@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     "q_pii_scrub",
     "q_length_bucketing",
     "q_mixture_temperature",
+    # band join: the hot user (20% of 3x events) is the stress case the
+    # bucket key exists for; drift/diff are join+aggregate shapes
+    "q_band_join",
+    "q_token_drift",
+    "q_snapshot_diff",
 ]
 
 
