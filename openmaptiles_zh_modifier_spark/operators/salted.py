@@ -56,6 +56,9 @@ def salted_join(
     return out.drop(SALT_COL)
 
 
+_SKEW_STATS_MEMO: dict[tuple, object] = {}
+
+
 def key_skew_stats(df: DataFrame, key: str, sample_fraction: float | None = None):
     """One-row key-skew measurement for :func:`maybe_salt_join` — the
     operational half of q_skew_audit: count-per-key (map-side
@@ -64,7 +67,22 @@ def key_skew_stats(df: DataFrame, key: str, sample_fraction: float | None = None
     exactly one row crosses the driver, and the result is a physical-
     plan DECISION input, not data. At 100 TB pass ``sample_fraction``
     (a hot key visible at all is visible in a 1% sample) or feed a
-    cached audit instead of re-scanning."""
+    cached audit instead of re-scanning.
+
+    The result is memoized per (session, input plan, key): repeat plan
+    constructions in one session reuse the measured stats instead of
+    re-running the probe — the same one-time-populate discipline as
+    registry.memo_frame, which also keeps queries() constructions lazy
+    on a warm cache (tools/type_audit.py enforces that contract)."""
+    memo_key = (
+        id(df.sparkSession),
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        key,
+        sample_fraction,
+    )
+    hit = _SKEW_STATS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     src = df.sample(sample_fraction, seed=7) if sample_fraction else df
     row = (
         src.groupBy(key)
@@ -76,6 +94,7 @@ def key_skew_stats(df: DataFrame, key: str, sample_fraction: float | None = None
         )
         .collect()[0]
     )
+    _SKEW_STATS_MEMO[memo_key] = row
     return row
 
 

@@ -712,12 +712,21 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas stage (embarrassingly parallel per-image
     work, the true bottleneck shape of image pipelines), then a
     JVM-side per-source aggregate; payload bytes never leave the
-    Python stage."""
+    Python stage. The repartition exists because entropy decode is the
+    heaviest per-item codec here (~1 ms/image of Huffman bit work) and
+    the one-file corpus otherwise serializes the whole stage behind a
+    single scan split (measured 4.8 s -> sub-second 32-way); shuffling
+    the 2-column id frame is noise, and at 100 TB the source has
+    thousands of splits so the repartition is a no-op to remove."""
     from openmaptiles_zh_modifier_spark.functions.multimodal import (
         jpeg_roundtrip_features,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .repartition(32)
+    )
     feats = jpeg_roundtrip_features(docs)
     return (
         feats.groupBy("source")
