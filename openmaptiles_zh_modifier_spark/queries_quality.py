@@ -859,25 +859,35 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-keyed full outer join (hash-uniform), one constant-width
     aggregate. At 100 TB the vocab join is the only real shuffle and
     its keys are words — the classic Zipf head is bounded by the
-    combiner, not the join."""
-    toks = load(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 2).alias("half"),
-        F.explode(tokens(F.col("text"))).alias("t"),
-    )
-    ca = (
-        toks.where(F.col("half") == 0)
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("c_a"))
-    )
-    cb = (
-        toks.where(F.col("half") == 1)
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("c_b"))
-    )
-    u = ca.join(cb, "t", "full_outer").select(
-        (F.coalesce("c_a", F.lit(0)) + 1).alias("a1"),
-        (F.coalesce("c_b", F.lit(0)) + 1).alias("b1"),
-    )
+    combiner, not the join. The smoothed-count frame is consumed TWICE
+    (the totals pass must finish before the per-term logs can be
+    priced, inherently two passes), so it goes through the lazy vocab-
+    sized cache — without it each consumer re-derives the lineage and
+    the corpus is scanned four times instead of two (caught by the
+    PLANS.md audit)."""
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    def build_u():
+        toks = load(spark, sf_dir, "documents").select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(tokens(F.col("text"))).alias("t"),
+        )
+        ca = (
+            toks.where(F.col("half") == 0)
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c_a"))
+        )
+        cb = (
+            toks.where(F.col("half") == 1)
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c_b"))
+        )
+        return ca.join(cb, "t", "full_outer").select(
+            (F.coalesce("c_a", F.lit(0)) + 1).alias("a1"),
+            (F.coalesce("c_b", F.lit(0)) + 1).alias("b1"),
+        )
+
+    u = memo_frame_lazy(spark, f"tokdrift:u:{sf_dir}", build_u)
     tot = u.agg(
         F.sum("a1").alias("ta"),
         F.sum("b1").alias("tb"),
