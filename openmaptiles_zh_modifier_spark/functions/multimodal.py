@@ -1385,3 +1385,263 @@ def wav_frame_features(df: DataFrame, frame: int = WAV_FRAME) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=WAV_FEAT_SCHEMA)
+
+
+# ----------------------------------------------- video scene-cut (round 8)
+
+def encode_y4m_scenes(
+    width: int, height: int, n_frames: int, scene_len: int, seed: int
+) -> bytes:
+    """Scene-structured YUV4MPEG2 clip: frame ``f`` is CONSTANT value
+    ``(seed + 37 * (f // scene_len)) % 256`` — every ``scene_len``
+    frames the content jumps (a hard cut), within a scene it is static.
+    Same container framing as encode_y4m (header tags, FRAME markers)."""
+    import numpy as np
+
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n".encode()
+    n = 3 * width * height
+    out = [header]
+    for f in range(n_frames):
+        v = (seed + 37 * (f // scene_len)) % 256
+        out.append(b"FRAME\n")
+        out.append(np.full(n, v, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+SCENE_SCHEMA = (
+    "doc_id long, source string, n_frames long, n_cuts long, "
+    "first_cut long, cut_mag_sum long"
+)
+
+
+def y4m_scene_cut_features(df: DataFrame) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video frames: decode
+    every frame (the y4m chunk walk), difference consecutive frames'
+    mean intensity, and report cuts (mean abs difference >= 1 gray
+    level). Clip shape derives from doc_id (W = doc_id%6+2,
+    H = doc_id*3%6+2, frames = doc_id%12+4, scene_len = doc_id%3+2,
+    seed = doc_id*11%256); the detector sees only bytes. Constant
+    frames make the per-frame mean exactly frame_sum / (3WH), so the
+    magnitudes are exact integers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                w, h = d % 6 + 2, d * 3 % 6 + 2
+                nf, sl = d % 12 + 4, d % 3 + 2
+                payload = encode_y4m_scenes(w, h, nf, sl, d * 11 % 256)
+                frames = real_decode_video(payload, stride=1)
+                n = 3 * w * h
+                means = [fr["frame_sum"] // n for fr in frames]
+                cuts = [
+                    (i, abs(means[i] - means[i - 1]))
+                    for i in range(1, len(means))
+                    if abs(means[i] - means[i - 1]) >= 1
+                ]
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "source": source,
+                        "n_frames": len(frames),
+                        "n_cuts": len(cuts),
+                        "first_cut": cuts[0][0] if cuts else -1,
+                        "cut_mag_sum": sum(m for _i, m in cuts),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=SCENE_SCHEMA)
+
+
+# ----------------------------------------------- audio VAD frames (round 8)
+
+def encode_wav_vad(n_frames: int, seed: int, frame: int = WAV_FRAME) -> bytes:
+    """Speech/silence-structured RIFF/WAVE: analysis frame ``j`` is
+    SPEECH iff ``(j + seed) % 7 < 4`` (runs of 4 speech / 3 silence,
+    phase set by the seed). Speech samples are the nonzero ramp
+    ``((seed + j + k) % 512) - 256`` (a 256-sample window of consecutive
+    values holds at most one zero, so frame energy is always > 0);
+    silence frames are true zeros. Same RIFF framing as encode_wav."""
+    import struct
+
+    import numpy as np
+
+    parts = []
+    for j in range(n_frames):
+        if (j + seed) % 7 < 4:
+            k = np.arange(frame, dtype=np.int64)
+            parts.append((((seed + j + k) % 512) - 256).astype("<i2"))
+        else:
+            parts.append(np.zeros(frame, dtype="<i2"))
+    data = np.concatenate(parts).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+VAD_FRAME_SCHEMA = "doc_id long, source string, frame_idx long, energy long"
+
+
+def wav_vad_frames(df: DataFrame, frame: int = WAV_FRAME) -> DataFrame:
+    """Per-frame energies from REAL decoded PCM, emitted one row per
+    analysis frame — the codec stage of a VAD pipeline; the segmentation
+    itself (gaps-and-islands over speech frames) runs DISTRIBUTED in
+    Spark on the returned frame table (see q_multimodal_vad). Clip shape
+    derives from doc_id (frames = doc_id%20+8, seed = doc_id*7%97)."""
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                payload = encode_wav_vad(d % 20 + 8, d * 7 % 97)
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, samples = 12, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                    body = payload[pos + 8 : pos + 8 + size]
+                    if cid == b"data":
+                        samples = np.frombuffer(body, dtype="<i2").astype(
+                            np.int64
+                        )
+                    pos += 8 + size + (size % 2)
+                if samples is None:
+                    raise ValueError("WAV missing data chunk")
+                nf = len(samples) // frame
+                for j in range(nf):
+                    win = samples[j * frame : (j + 1) * frame]
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "source": source,
+                            "frame_idx": j,
+                            "energy": int((win * win).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=VAD_FRAME_SCHEMA)
+
+
+# ----------------------------------------------- perceptual hash (round 8)
+
+def encode_ppm_pattern(
+    width: int, height: int, pattern: int, shift: int
+) -> bytes:
+    """Gray analytic-pattern PPM: base intensity in [0,199] (pattern 0 =
+    horizontal gradient, 1 = vertical, 2 = diagonal) plus a constant
+    brightness ``shift`` in [0,50] — no clipping, so two images of the
+    same (w, h, pattern) differing only in shift are EXACT constant
+    offsets of each other (the brightness-shifted near-dup class)."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    if pattern == 0:
+        base = (x * 200) // max(width - 1, 1) + 0 * y
+    elif pattern == 1:
+        base = (y * 200) // max(height - 1, 1) + 0 * x
+    else:
+        base = ((x + y) * 200) // max(width + height - 2, 1)
+    gray = (base + shift).astype(np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + rgb.tobytes()
+
+
+def phash64(payload: bytes) -> int:
+    """Perceptual hash (pHash family): decode, grayscale, 32x32 nearest
+    resample, 2D DCT-II, take the low-frequency 8x8 block, QUANTIZE it
+    to integers, and threshold against the integer AC median (DC
+    excluded — that is exactly what makes the hash invariant to
+    constant brightness shifts). The quantization is load-bearing:
+    smooth fixtures put many AC coefficients exactly AT the median,
+    where raw float ties flip on 1e-12 arithmetic noise; integer ties
+    compare deterministically. Returns a 64-bit int (DC bit forced 0)."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("phash64 expects a P6 payload")
+    # header parse (same grammar as decode_ppm)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1
+    w, h, _maxval = fields
+    rgb = np.frombuffer(
+        payload, dtype=np.uint8, count=3 * w * h, offset=pos
+    ).reshape(h, w, 3)
+    gray = rgb[:, :, 0].astype(np.float64)  # gray fixtures: channels equal
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    small = gray[np.ix_(yi, xi)]
+    n = np.arange(32)
+    M = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 64) / 4
+    M[0] /= np.sqrt(2)
+    dct = M @ small @ M.T
+    q = np.rint(dct[:8, :8]).astype(np.int64).reshape(-1)
+    med = int(np.median(q[1:]))  # 63 ints: the median IS an element
+    bits = (q > med).astype(np.int64)
+    bits[0] = 0
+    return int((bits * (1 << np.arange(64, dtype=np.int64))).sum())
+
+
+PHASH_SCHEMA = (
+    "doc_id long, source string, width int, height int, pattern int, "
+    "shift int, payload_md5 string, phash long"
+)
+
+
+def image_phash_features(df: DataFrame) -> DataFrame:
+    """Perceptual hashes over the pattern corpus: per document a gray
+    analytic-pattern PPM (w = 16*(doc_id%2+1), h = 16*((doc_id//2)%2+1),
+    pattern = (doc_id//4)%3, shift = doc_id*7%51) is encoded and REALLY
+    hashed (decode, resample, DCT, median threshold)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                w, h = 16 * (d % 2 + 1), 16 * ((d // 2) % 2 + 1)
+                pattern, shift = (d // 4) % 3, d * 7 % 51
+                payload = encode_ppm_pattern(w, h, pattern, shift)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "source": source,
+                        "width": w,
+                        "height": h,
+                        "pattern": pattern,
+                        "shift": shift,
+                        "payload_md5": hashlib.md5(payload).hexdigest(),
+                        "phash": phash64(payload),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)

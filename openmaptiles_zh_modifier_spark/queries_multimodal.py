@@ -740,3 +740,232 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_multimodal_scene_cut",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 12 + 4 AS nf,
+         doc_id % 3 + 2 AS sl,
+         doc_id * 11 % 256 AS sd
+  FROM documents
+),
+cuts AS (
+  SELECT d.doc_id, d.source, d.nf,
+         f AS cut_frame,
+         ABS((d.sd + 37 * (f / d.sl)) % 256
+             - (d.sd + 37 * (f / d.sl - 1)) % 256) AS mag
+  FROM dims d, LATERAL (SELECT unnest(range(1, d.nf)) AS f)
+  WHERE f % d.sl = 0
+),
+per_doc AS (
+  SELECT d.doc_id, d.source, d.nf,
+         COALESCE(COUNT(c.cut_frame), 0) AS n_cuts,
+         COALESCE(MIN(c.cut_frame), -1) AS first_cut,
+         COALESCE(SUM(c.mag), 0) AS cut_mag_sum
+  FROM dims d LEFT JOIN cuts c ON c.doc_id = d.doc_id
+  GROUP BY d.doc_id, d.source, d.nf
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(nf) AS BIGINT) AS total_frames,
+       CAST(SUM(n_cuts) AS BIGINT) AS total_cuts,
+       CAST(SUM(cut_mag_sum) AS BIGINT) AS total_cut_mag,
+       CAST(SUM(CASE WHEN first_cut >= 0 THEN first_cut ELSE 0 END)
+            AS BIGINT) AS first_cut_sum
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene cut) detection — the first video ANALYSIS
+    operator beyond frame sampling: every clip is decoded frame by
+    frame (real y4m chunk walk) and consecutive frames' mean intensity
+    is differenced; a jump >= 1 gray level is a cut. The fixture clips
+    are scene-structured (constant frames, content jump every scene_len
+    frames), so the oracle states the full cut census — boundaries,
+    count, and magnitudes — in closed form from the generation rule
+    while the detector sees only bytes. A framing bug (off-by-one in
+    the FRAME walk, wrong plane size) shifts a boundary and breaks the
+    hash.
+
+    Scale shape: per-clip codec + differencing work in one Arrow
+    mapInPandas stage (sequential WITHIN a clip — the honest shape of
+    video analysis; clips parallelize), then a JVM per-source
+    aggregate."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        y4m_scene_cut_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    feats = y4m_scene_cut_features(docs)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_cuts").alias("total_cuts"),
+            F.sum("cut_mag_sum").alias("total_cut_mag"),
+            F.sum(
+                F.when(F.col("first_cut") >= 0, F.col("first_cut")).otherwise(
+                    0
+                )
+            ).alias("first_cut_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_multimodal_vad",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source, doc_id % 20 + 8 AS nf, doc_id * 7 % 97 AS sd
+  FROM documents
+),
+frames AS (
+  SELECT d.doc_id, d.source, f AS frame_idx,
+         CASE WHEN (f + d.sd) % 7 < 4 THEN 1 ELSE 0 END AS speech
+  FROM dims d, LATERAL (SELECT unnest(range(0, d.nf)) AS f)
+),
+islands AS (
+  SELECT doc_id, source, frame_idx,
+         frame_idx - ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY frame_idx) AS grp
+  FROM frames WHERE speech = 1
+),
+segs AS (
+  SELECT doc_id, source, grp, COUNT(*) AS seg_len
+  FROM islands GROUP BY doc_id, source, grp
+),
+per_doc AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_segments,
+         SUM(seg_len) AS speech_frames,
+         MAX(seg_len) AS longest_seg
+  FROM segs GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(n_segments) AS BIGINT) AS total_segments,
+       CAST(SUM(speech_frames) AS BIGINT) AS total_speech_frames,
+       CAST(MAX(longest_seg) AS BIGINT) AS max_segment,
+       CAST(SUM((SELECT SUM(frame_idx * speech) FROM frames f
+                 WHERE f.doc_id = per_doc.doc_id)) AS BIGINT)
+         AS frame_witness
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection — codec stage + DISTRIBUTED
+    segmentation: the Arrow stage decodes each clip's PCM and emits one
+    row per 256-sample analysis frame with its exact integer energy;
+    the speech/silence segmentation then runs as a classic
+    gaps-and-islands pass IN SPARK (frame_idx − row_number over speech
+    frames keys each maximal run), so the stateful part of VAD is a
+    shuffle-partitioned window over the frame table, not per-clip
+    Python. Speech = energy > 0 (the fixture's silence is true zeros;
+    speech ramps always carry energy). The frame witness
+    (Σ frame_idx·speech) pins the framing: any off-by-one in the
+    chunk walk or windowing shifts it.
+
+    Scale shape: the frame table is corpus-frames-sized (the honest
+    unit of audio pipelines); one window + two aggregates, all keyed by
+    doc — hash-uniform."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        wav_vad_frames,
+    )
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    frames = wav_vad_frames(docs)
+    speech = frames.where(F.col("energy") > 0)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    segs = (
+        speech.withColumn(
+            "grp", F.col("frame_idx") - F.row_number().over(w)
+        )
+        .groupBy("doc_id", "source", "grp")
+        .agg(F.count(F.lit(1)).alias("seg_len"))
+    )
+    per_doc = segs.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("seg_len").alias("speech_frames"),
+        F.max("seg_len").alias("longest_seg"),
+    )
+    witness = speech.groupBy("doc_id").agg(
+        F.sum("frame_idx").alias("wit")
+    )
+    return (
+        per_doc.join(witness, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_segments").alias("total_segments"),
+            F.sum("speech_frames").alias("total_speech_frames"),
+            F.max("longest_seg").alias("max_segment"),
+            F.sum("wit").alias("frame_witness"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_image_phash_dedup",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         16 * (doc_id % 2 + 1) AS w,
+         16 * ((doc_id // 4) % 2 * 0 + (doc_id // 2) % 2 + 1) AS h,
+         (doc_id // 4) % 3 AS pattern,
+         doc_id * 7 % 51 AS shift
+  FROM documents
+)
+SELECT pattern, w AS width, h AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(COUNT(DISTINCT shift) AS BIGINT) AS n_byte_variants,
+       CAST(1 AS BIGINT) AS n_phash_variants
+FROM dims
+GROUP BY pattern, w, h
+ORDER BY pattern, width, height
+""",
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection for images: every document's
+    analytic-pattern image is REALLY hashed (decode → grayscale → 32x32
+    resample → 2D DCT → integer-quantized median threshold = the pHash
+    recipe), and the report shows per (pattern, w, h) group: many
+    byte-DISTINCT payloads (brightness-shifted variants hash to
+    different md5s) collapsing to EXACTLY ONE perceptual hash — the
+    near-dup class exact dedup provably misses. The oracle's
+    n_phash_variants = 1 is a THEOREM about the implementation (a
+    constant brightness shift moves only the DC coefficient, which the
+    median threshold excludes); any bug in the resample, DCT, or
+    thresholding yields >1 variants in some group and breaks the hash.
+
+    Scale shape: hashing is per-image Arrow work; the dedup itself is
+    one groupBy on the 64-bit hash (here surfaced per generation group
+    so the oracle is closed-form) — at 100 TB identical to exact-hash
+    dedup cost, which is the point of pHash: near-dup power at
+    exact-dup price, plus banded Hamming joins (q_embed_binary_hamming)
+    for within-distance-k matches."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        image_phash_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    feats = image_phash_features(docs)
+    return (
+        feats.groupBy("pattern", "width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.count_distinct("payload_md5").alias("n_byte_variants"),
+            F.count_distinct("phash").alias("n_phash_variants"),
+        )
+        .orderBy("pattern", "width", "height")
+    )

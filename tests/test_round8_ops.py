@@ -85,3 +85,54 @@ def test_wordpiece_unk_voids_whole_word(spark, sf_dir):
     # every non-first-rank piece is either a start piece or ##-marked
     for r in out:
         assert r.piece == "[UNK]" or not r.piece.startswith("###")
+
+
+def test_phash_brightness_invariance_and_sensitivity():
+    """The theorem the oracle states: constant brightness shifts never
+    move the hash (DC-only change, median excludes DC); different
+    patterns at the same dims DO move it (the hash is not trivial)."""
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        encode_ppm_pattern,
+        phash64,
+    )
+
+    for (w, h, p) in [(16, 16, 0), (32, 16, 1), (16, 32, 2), (32, 32, 0)]:
+        hashes = {phash64(encode_ppm_pattern(w, h, p, s)) for s in range(0, 51, 7)}
+        assert len(hashes) == 1, (w, h, p)
+    # sensitivity: the three patterns at one resolution are distinct
+    vals = {phash64(encode_ppm_pattern(32, 32, p, 0)) for p in (0, 1, 2)}
+    assert len(vals) == 3
+
+
+def test_scene_cut_closed_form():
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        decode_y4m_frames,
+        encode_y4m_scenes,
+    )
+
+    frames = decode_y4m_frames(encode_y4m_scenes(4, 3, 11, 3, 250))
+    means = [f["frame_sum"] // 36 for f in frames]
+    cuts = [i for i in range(1, 11) if means[i] != means[i - 1]]
+    assert cuts == [3, 6, 9]  # every scene_len frames
+    assert means[0] == 250 and means[3] == (250 + 37) % 256
+
+
+def test_wav_vad_frame_energies():
+    """Silence frames decode to exactly zero energy; speech frames to
+    positive energy — the flag the distributed islands pass keys on."""
+    import struct
+
+    import numpy as np
+
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        encode_wav_vad,
+    )
+
+    payload = encode_wav_vad(14, 5)
+    at = payload.index(b"data") + 8
+    samples = np.frombuffer(payload, dtype="<i2", count=14 * 256, offset=at)
+    for j in range(14):
+        e = int(
+            (samples[j * 256 : (j + 1) * 256].astype(np.int64) ** 2).sum()
+        )
+        assert (e > 0) == ((j + 5) % 7 < 4), j
