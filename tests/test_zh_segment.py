@@ -79,3 +79,31 @@ def test_sep_rule_guards_hold(spark):
         for r in df.select("w", to_traditional("w").alias("t")).collect()
     }
     assert got == cases
+
+
+def test_fmm_reassembly_property(spark):
+    """Property over generated inputs: segments reassemble EXACTLY to
+    the input (no char lost, duplicated, or reordered), every multi-char
+    segment is a lexicon word, and n_words equals the segment count —
+    for strings mixing lexicon words, OOV chars, and overlapping word
+    boundaries."""
+    import random
+
+    rng = random.Random(8)
+    words = [w for w, _ in SEG_LEXICON]
+    extra = list("的了一是在有和不")
+    texts = []
+    for i in range(60):
+        parts = [
+            rng.choice(words) if rng.random() < 0.6 else rng.choice(extra)
+            for _ in range(rng.randint(1, 6))
+        ]
+        texts.append("".join(parts))
+    out = _run(spark, texts)
+    lex = set(words)
+    for t, (seg, _conv, n) in out.items():
+        pieces = seg.split("/")
+        assert "".join(pieces) == t, (t, seg)
+        assert n == len(pieces)
+        for p in pieces:
+            assert len(p) == 1 or p in lex, (t, p)
