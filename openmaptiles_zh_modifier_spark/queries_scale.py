@@ -699,3 +699,172 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout evaluation (round 8): multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+Z_BITS = 10  # per-dimension resolution (20-bit Morton code)
+Z_BUCKET_SHIFT = 14  # 64 Z-buckets (top 6 Morton bits)
+Z_PROBE = (256, 511)  # probe rectangle on BOTH normalized dims
+
+
+def _morton_expr(x: str, y: str, intdiv: str = "//") -> str:
+    """Morton interleave of two {Z_BITS}-bit ints — shifts spelled as
+    integer division/multiplication; the only dialect difference is the
+    integer-division token (DuckDB `//`, Spark SQL `div`), injected."""
+    terms = []
+    for k in range(Z_BITS):
+        terms.append(f"(({x}) {intdiv} {1 << k} % 2) * {1 << (2 * k)}")
+        terms.append(f"(({y}) {intdiv} {1 << k} % 2) * {1 << (2 * k + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_NORM_SQL = f"""
+  SELECT (o_custkey * {1 << Z_BITS}) // (SELECT MAX(o_custkey) + 1 FROM orders)
+           AS x,
+         (date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+          * {1 << Z_BITS})
+           // (SELECT date_diff('day', TIMESTAMP '1995-01-01',
+                                MAX(o_orderdate)) + 1 FROM orders) AS y
+  FROM orders
+"""
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+WITH pts AS ({_Z_NORM_SQL}),
+m AS (
+  SELECT x, y, {_morton_expr('x', 'y')} AS morton FROM pts
+),
+zb AS (
+  SELECT morton // {1 << Z_BUCKET_SHIFT} AS b,
+         COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y
+  FROM m GROUP BY 1
+),
+lb AS (
+  SELECT x // {1 << (Z_BITS - 6)} AS b,
+         COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y
+  FROM m GROUP BY 1
+),
+zs AS (
+  SELECT COUNT(*) AS n_buckets,
+         SUM(CASE WHEN max_x < {Z_PROBE[0]} OR min_x > {Z_PROBE[1]}
+                    OR max_y < {Z_PROBE[0]} OR min_y > {Z_PROBE[1]}
+                  THEN 1 ELSE 0 END) AS skipped
+  FROM zb
+),
+ls AS (
+  SELECT COUNT(*) AS n_buckets,
+         SUM(CASE WHEN max_x < {Z_PROBE[0]} OR min_x > {Z_PROBE[1]}
+                    OR max_y < {Z_PROBE[0]} OR min_y > {Z_PROBE[1]}
+                  THEN 1 ELSE 0 END) AS skipped
+  FROM lb
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_rows,
+       CAST(zs.n_buckets AS BIGINT) AS z_buckets,
+       CAST(zs.skipped AS BIGINT) AS z_skipped,
+       CAST(ls.n_buckets AS BIGINT) AS lin_buckets,
+       CAST(ls.skipped AS BIGINT) AS lin_skipped,
+       ROUND(CAST(zs.skipped AS DOUBLE) / zs.n_buckets, 4) AS z_skip_frac,
+       ROUND(CAST(ls.skipped AS DOUBLE) / ls.n_buckets, 4) AS lin_skip_frac
+FROM zs, ls
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout evaluation — the data-skipping primitive
+    behind Delta/Iceberg `OPTIMIZE ZORDER BY`: normalize two dims
+    (customer, order day) to {Z_BITS}-bit grids, interleave them into a
+    Morton code, bucket rows by Morton prefix (= the files a Z-ordered
+    writer would produce), and price a rectangle probe against the
+    per-bucket min/max zone maps — versus the same file count under a
+    single-dim (x-sorted) layout. Z-ordering skips on BOTH dims; the
+    linear layout skips only on its sort dim (its y extents span
+    everything), which is exactly the measured justification for
+    multi-dim clustering at 100 TB.
+
+    Determinism: normalization and interleave are pure integer
+    arithmetic; the engine-neutral Morton expression (shifts as //
+    and *) runs verbatim on both engines.
+
+    Scale shape: one scan + two bucket-keyed combinable aggregates
+    (the zone-map build a lakehouse writer does once per file) + two
+    one-row reductions. The probe evaluation itself reads only the
+    64-row zone maps — the entire point."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        (F.max("o_custkey") + 1).alias("cmax"),
+        (
+            F.datediff(F.max("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            + 1
+        ).alias("dmax"),
+    )
+    pts = orders.crossJoin(F.broadcast(bounds)).select(
+        ((F.col("o_custkey") * (1 << Z_BITS)) / F.col("cmax"))
+        .cast("long")
+        .alias("x"),
+        (
+            (
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+                )
+                * (1 << Z_BITS)
+            )
+            / F.col("dmax")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.select(
+        "x", "y", F.expr(_morton_expr("x", "y", intdiv="div")).alias("morton")
+    )
+
+    def zone_stats(df, bucket_col):
+        return df.groupBy(bucket_col.alias("b")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+
+    lo, hi = Z_PROBE
+    skipped = F.sum(
+        F.when(
+            (F.col("max_x") < lo)
+            | (F.col("min_x") > hi)
+            | (F.col("max_y") < lo)
+            | (F.col("min_y") > hi),
+            1,
+        ).otherwise(0)
+    )
+    zb = zone_stats(m, (F.col("morton") / (1 << Z_BUCKET_SHIFT)).cast("long"))
+    lb = zone_stats(m, (F.col("x") / (1 << (Z_BITS - 6))).cast("long"))
+    zs = zb.agg(
+        F.count(F.lit(1)).alias("z_buckets"), skipped.alias("z_skipped")
+    )
+    ls = lb.agg(
+        F.count(F.lit(1)).alias("lin_buckets"), skipped.alias("lin_skipped")
+    )
+    nrows = m.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        nrows.crossJoin(F.broadcast(zs))
+        .crossJoin(F.broadcast(ls))
+        .select(
+            "n_rows",
+            "z_buckets",
+            "z_skipped",
+            "lin_buckets",
+            "lin_skipped",
+            F.round(
+                F.col("z_skipped").cast("double") / F.col("z_buckets"), 4
+            ).alias("z_skip_frac"),
+            F.round(
+                F.col("lin_skipped").cast("double") / F.col("lin_buckets"), 4
+            ).alias("lin_skip_frac"),
+        )
+    )
