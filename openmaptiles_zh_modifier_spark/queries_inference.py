@@ -860,3 +860,129 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("rk", "o_orderkey", "cents", "key_nano").orderBy(
         "rk"
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-cache hit analytics (round 8): LLM-serving-side accounting
+# ---------------------------------------------------------------------------
+
+PC_FULL = 8  # full-prefix tier: first 8 tokens
+PC_PART = 4  # partial tier: first 4 tokens
+PC_CACHE_K = 16  # cached entries per tier (top-k by request frequency)
+
+
+@register(
+    "q_prefix_cache_hits",
+    oracle=f"""
+WITH reqs AS (
+  SELECT doc_id, source,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_toks,
+         array_to_string(toks[1:{PC_FULL}], ' ') AS p_full,
+         array_to_string(toks[1:{PC_PART}], ' ') AS p_part
+  FROM reqs WHERE n_toks >= {PC_FULL}
+),
+cache_full AS (
+  SELECT p FROM (
+    SELECT p_full p, COUNT(*) c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p_full) r
+    FROM keyed GROUP BY 1) WHERE r <= {PC_CACHE_K}),
+cache_part AS (
+  SELECT p FROM (
+    SELECT p_part p, COUNT(*) c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p_part) r
+    FROM keyed GROUP BY 1) WHERE r <= {PC_CACHE_K}),
+hits AS (
+  SELECT k.source, k.n_toks,
+         CASE WHEN cf.p IS NOT NULL THEN 'full'
+              WHEN cp.p IS NOT NULL THEN 'partial'
+              ELSE 'miss' END AS tier,
+         CASE WHEN cf.p IS NOT NULL THEN {PC_FULL}
+              WHEN cp.p IS NOT NULL THEN {PC_PART}
+              ELSE 0 END AS cached_toks
+  FROM keyed k
+  LEFT JOIN cache_full cf ON cf.p = k.p_full
+  LEFT JOIN cache_part cp ON cp.p = k.p_part
+)
+SELECT source, tier,
+       CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(SUM(cached_toks) AS BIGINT) AS tokens_served_from_cache,
+       ROUND(CAST(SUM(cached_toks) AS DOUBLE) / SUM(n_toks), 6)
+         AS cache_token_frac
+FROM hits
+GROUP BY source, tier
+ORDER BY source, tier
+""",
+)
+def q_prefix_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache accounting — the serving-side analytics of LLM
+    inference (vLLM-style automatic prefix caching): requests sharing a
+    cached prompt prefix skip its prefill. The cache holds the
+    top-{PC_CACHE_K} most frequent {PC_FULL}-token prefixes (full tier)
+    and {PC_PART}-token prefixes (partial tier); each request is
+    classified full / partial / miss and the report prices tokens served
+    from cache per source — the number that decides whether prefix
+    caching pays for a workload BEFORE deploying it.
+
+    Scale shape: prefix keys are in-row slices; both cache builds are
+    combinable counts + a k-row rank; classification is two broadcast
+    semijoins against k-row caches; the report is one combinable
+    aggregate. At 100 TB of request logs this is scan-bound — the same
+    shape the q_dedup_prefix family uses, pointed at serving."""
+    from openmaptiles_zh_modifier_spark.functions.text import tokens
+
+    reqs = load(spark, sf_dir, "documents").select(
+        "source",
+        tokens(F.col("text")).alias("toks"),
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+    )
+    keyed = reqs.where(F.col("n_toks") >= PC_FULL).select(
+        "source",
+        "n_toks",
+        F.array_join(F.slice("toks", 1, PC_FULL), " ").alias("p_full"),
+        F.array_join(F.slice("toks", 1, PC_PART), " ").alias("p_part"),
+    )
+
+    def cache(col):
+        wk = Window.orderBy(F.desc("c"), F.asc("p"))
+        return (
+            keyed.groupBy(F.col(col).alias("p"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("r", F.row_number().over(wk))
+            .where(F.col("r") <= PC_CACHE_K)
+            .select("p")
+        )
+
+    cf = cache("p_full").select(F.col("p").alias("pf"))
+    cp = cache("p_part").select(F.col("p").alias("pp"))
+    hits = (
+        keyed.join(F.broadcast(cf), F.col("p_full") == F.col("pf"), "left")
+        .join(F.broadcast(cp), F.col("p_part") == F.col("pp"), "left")
+        .select(
+            "source",
+            "n_toks",
+            F.when(F.col("pf").isNotNull(), "full")
+            .when(F.col("pp").isNotNull(), "partial")
+            .otherwise("miss")
+            .alias("tier"),
+            F.when(F.col("pf").isNotNull(), PC_FULL)
+            .when(F.col("pp").isNotNull(), PC_PART)
+            .otherwise(0)
+            .alias("cached_toks"),
+        )
+    )
+    return (
+        hits.groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("cached_toks").alias("tokens_served_from_cache"),
+            F.round(
+                F.sum("cached_toks").cast("double") / F.sum("n_toks"), 6
+            ).alias("cache_token_frac"),
+        )
+        .orderBy("source", "tier")
+    )
