@@ -125,6 +125,11 @@ BENCH_QUERIES = [
     "q_band_join",
     "q_token_drift",
     "q_snapshot_diff",
+    "q_multimodal_scene_cut",
+    "q_multimodal_vad",
+    "q_image_phash_dedup",
+    "q_zorder_layout",
+    "q_prefix_cache_hits",
 ]
 
 
