@@ -705,27 +705,27 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Z-order layout evaluation (round 8): multi-dimensional data skipping
 # ---------------------------------------------------------------------------
 
-Z_BITS = 10  # per-dimension resolution (20-bit Morton code)
-Z_BUCKET_SHIFT = 14  # 64 Z-buckets (top 6 Morton bits)
-Z_PROBE = (256, 511)  # probe rectangle on BOTH normalized dims
+ZL_BITS = 10  # per-dimension resolution (20-bit Morton code)
+ZL_BUCKET_SHIFT = 14  # 64 Z-buckets (top 6 Morton bits)
+ZL_PROBE = (256, 511)  # probe rectangle on BOTH normalized dims
 
 
 def _morton_expr(x: str, y: str, intdiv: str = "//") -> str:
-    """Morton interleave of two {Z_BITS}-bit ints — shifts spelled as
+    """Morton interleave of two {ZL_BITS}-bit ints — shifts spelled as
     integer division/multiplication; the only dialect difference is the
     integer-division token (DuckDB `//`, Spark SQL `div`), injected."""
     terms = []
-    for k in range(Z_BITS):
+    for k in range(ZL_BITS):
         terms.append(f"(({x}) {intdiv} {1 << k} % 2) * {1 << (2 * k)}")
         terms.append(f"(({y}) {intdiv} {1 << k} % 2) * {1 << (2 * k + 1)}")
     return "(" + " + ".join(terms) + ")"
 
 
 _Z_NORM_SQL = f"""
-  SELECT (o_custkey * {1 << Z_BITS}) // (SELECT MAX(o_custkey) + 1 FROM orders)
+  SELECT (o_custkey * {1 << ZL_BITS}) // (SELECT MAX(o_custkey) + 1 FROM orders)
            AS x,
          (date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
-          * {1 << Z_BITS})
+          * {1 << ZL_BITS})
            // (SELECT date_diff('day', TIMESTAMP '1995-01-01',
                                 MAX(o_orderdate)) + 1 FROM orders) AS y
   FROM orders
@@ -733,35 +733,35 @@ _Z_NORM_SQL = f"""
 
 
 @register(
-    "q_zorder_layout",
+    "q_zorder_vs_linear",
     oracle=f"""
 WITH pts AS ({_Z_NORM_SQL}),
 m AS (
   SELECT x, y, {_morton_expr('x', 'y')} AS morton FROM pts
 ),
 zb AS (
-  SELECT morton // {1 << Z_BUCKET_SHIFT} AS b,
+  SELECT morton // {1 << ZL_BUCKET_SHIFT} AS b,
          COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
          MIN(y) AS min_y, MAX(y) AS max_y
   FROM m GROUP BY 1
 ),
 lb AS (
-  SELECT x // {1 << (Z_BITS - 6)} AS b,
+  SELECT x // {1 << (ZL_BITS - 6)} AS b,
          COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
          MIN(y) AS min_y, MAX(y) AS max_y
   FROM m GROUP BY 1
 ),
 zs AS (
   SELECT COUNT(*) AS n_buckets,
-         SUM(CASE WHEN max_x < {Z_PROBE[0]} OR min_x > {Z_PROBE[1]}
-                    OR max_y < {Z_PROBE[0]} OR min_y > {Z_PROBE[1]}
+         SUM(CASE WHEN max_x < {ZL_PROBE[0]} OR min_x > {ZL_PROBE[1]}
+                    OR max_y < {ZL_PROBE[0]} OR min_y > {ZL_PROBE[1]}
                   THEN 1 ELSE 0 END) AS skipped
   FROM zb
 ),
 ls AS (
   SELECT COUNT(*) AS n_buckets,
-         SUM(CASE WHEN max_x < {Z_PROBE[0]} OR min_x > {Z_PROBE[1]}
-                    OR max_y < {Z_PROBE[0]} OR min_y > {Z_PROBE[1]}
+         SUM(CASE WHEN max_x < {ZL_PROBE[0]} OR min_x > {ZL_PROBE[1]}
+                    OR max_y < {ZL_PROBE[0]} OR min_y > {ZL_PROBE[1]}
                   THEN 1 ELSE 0 END) AS skipped
   FROM lb
 )
@@ -775,10 +775,10 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_rows,
 FROM zs, ls
 """,
 )
-def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout evaluation — the data-skipping primitive
     behind Delta/Iceberg `OPTIMIZE ZORDER BY`: normalize two dims
-    (customer, order day) to {Z_BITS}-bit grids, interleave them into a
+    (customer, order day) to {ZL_BITS}-bit grids, interleave them into a
     Morton code, bucket rows by Morton prefix (= the files a Z-ordered
     writer would produce), and price a rectangle probe against the
     per-bucket min/max zone maps — versus the same file count under a
@@ -804,7 +804,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dmax"),
     )
     pts = orders.crossJoin(F.broadcast(bounds)).select(
-        ((F.col("o_custkey") * (1 << Z_BITS)) / F.col("cmax"))
+        ((F.col("o_custkey") * (1 << ZL_BITS)) / F.col("cmax"))
         .cast("long")
         .alias("x"),
         (
@@ -812,7 +812,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff(
                     F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
                 )
-                * (1 << Z_BITS)
+                * (1 << ZL_BITS)
             )
             / F.col("dmax")
         )
@@ -832,7 +832,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
 
-    lo, hi = Z_PROBE
+    lo, hi = ZL_PROBE
     skipped = F.sum(
         F.when(
             (F.col("max_x") < lo)
@@ -842,8 +842,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0)
     )
-    zb = zone_stats(m, (F.col("morton") / (1 << Z_BUCKET_SHIFT)).cast("long"))
-    lb = zone_stats(m, (F.col("x") / (1 << (Z_BITS - 6))).cast("long"))
+    zb = zone_stats(m, (F.col("morton") / (1 << ZL_BUCKET_SHIFT)).cast("long"))
+    lb = zone_stats(m, (F.col("x") / (1 << (ZL_BITS - 6))).cast("long"))
     zs = zb.agg(
         F.count(F.lit(1)).alias("z_buckets"), skipped.alias("z_skipped")
     )

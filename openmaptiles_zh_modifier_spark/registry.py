@@ -37,6 +37,16 @@ ORACLE_SQL: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # Fail LOUDLY on duplicate names: a re-registration silently
+        # shadows the earlier query (its driver rows then "verify" a
+        # different plan) — this bit twice in round 8 (a grouping-sets
+        # twin and a z-order twin both collided with existing entries
+        # and shadowed them until sweep counts exposed it).
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} already exists "
+                f"({QUERIES[name].__module__}); pick a new name"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle

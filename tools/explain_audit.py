@@ -141,7 +141,7 @@ HEADLINE = [
     "q_multimodal_scene_cut",
     "q_multimodal_vad",
     "q_image_phash_dedup",
-    "q_zorder_layout",
+    "q_zorder_vs_linear",
     "q_prefix_cache_hits",
 ]
 
