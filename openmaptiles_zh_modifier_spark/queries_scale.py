@@ -819,8 +819,19 @@ def q_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    m = pts.select(
-        "x", "y", F.expr(_morton_expr("x", "y", intdiv="div")).alias("morton")
+    # the comparison inherently consumes the Morton frame twice (two
+    # layouts' zone maps); the lazy cache keeps that at ONE scan+compute
+    # instead of per-consumer re-derivation (PLANS audit showed 6 scans)
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    m = memo_frame_lazy(
+        spark,
+        f"zvl:m:{sf_dir}",
+        lambda: pts.select(
+            "x",
+            "y",
+            F.expr(_morton_expr("x", "y", intdiv="div")).alias("morton"),
+        ),
     )
 
     def zone_stats(df, bucket_col):
@@ -850,7 +861,7 @@ def q_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ls = lb.agg(
         F.count(F.lit(1)).alias("lin_buckets"), skipped.alias("lin_skipped")
     )
-    nrows = m.agg(F.count(F.lit(1)).alias("n_rows"))
+    nrows = zb.agg(F.sum("n").alias("n_rows"))  # zone maps already know
     return (
         nrows.crossJoin(F.broadcast(zs))
         .crossJoin(F.broadcast(ls))
