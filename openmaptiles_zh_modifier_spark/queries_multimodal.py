@@ -472,7 +472,14 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         png_roundtrip_features,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    # same 1-split fan-out as the JPEG query: the per-image unfilter
+    # loops are compute-dense vs the 2-column input, so give the codec
+    # stage its own parallelism (no-op at real multi-split scale)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .repartition(32)
+    )
     feats = png_roundtrip_features(docs)
     return (
         feats.groupBy("source")
