@@ -1,0 +1,251 @@
+"""Geospatial operators (round 8) — the axis closest to the reference's
+own domain (OpenMapTiles name processing): nearest-facility assignment
+by haversine distance, geohash-style cell bucketing (the spatial twin of
+the Morton layout op), and bounding-box containment joins.
+
+Coordinates are deterministic fixtures derived from doc_id / nation
+keys (the testdata carries no geometry), quantized to 0.01-degree
+grids so all bucketing is integer-exact. The only transcendental path
+(haversine) is quantized to integer millimeters BEFORE any argmin or
+sum — engine libm differences are ~1 ulp (~1e-10 km), far below the
+quantum, so comparisons and aggregates are bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+# fixture coordinate rules (centi-degrees as integers, then /100)
+#   POIs from documents, stations from nation
+_POI_LAT = "(-6000 + (doc_id * 37) % 12000)"  # -60.00 .. 59.99
+_POI_LON = "(-18000 + (doc_id * 73) % 36000)"  # -180.00 .. 179.99
+_ST_LAT = "(-5000 + (n_nationkey * 409) % 10000)"
+_ST_LON = "(-17000 + (n_nationkey * 1361) % 34000)"
+
+_HAV = (
+    "2 * 6371000.0 * asin(sqrt("
+    "pow(sin(radians(({lat2} - {lat1}) / 2.0)), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians(({lon2} - {lon1}) / 2.0)), 2)))"
+)
+
+
+def _hav_mm(lat1, lon1, lat2, lon2) -> str:
+    """Haversine distance in integer MILLIMETERS (the quantization that
+    makes argmin/sum engine-stable; 1 ulp of libm ≈ 1e-7 mm here)."""
+    d = _HAV.format(lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2)
+    return f"CAST(ROUND(({d}) * 1000) AS BIGINT)"
+
+
+@register(
+    "q_geo_nearest",
+    oracle=f"""
+WITH poi AS (
+  SELECT doc_id, {_POI_LAT} / 100.0 AS lat, {_POI_LON} / 100.0 AS lon
+  FROM documents
+),
+st AS (
+  SELECT n_nationkey AS st_id, n_name AS st_name,
+         {_ST_LAT} / 100.0 AS slat, {_ST_LON} / 100.0 AS slon
+  FROM nation
+),
+dists AS (
+  SELECT poi.doc_id, st.st_id, st.st_name,
+         {_hav_mm('poi.lat', 'poi.lon', 'st.slat', 'st.slon')} AS d_mm
+  FROM poi CROSS JOIN st
+),
+nearest AS (
+  SELECT doc_id, st_id, st_name, d_mm
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY d_mm, st_id) AS rn
+    FROM dists)
+  WHERE rn = 1
+)
+SELECT st_id, st_name,
+       CAST(COUNT(*) AS BIGINT) AS n_pois,
+       CAST(MIN(d_mm) AS BIGINT) AS min_mm,
+       CAST(MAX(d_mm) AS BIGINT) AS max_mm,
+       CAST(SUM(d_mm) AS BIGINT) AS sum_mm
+FROM nearest
+GROUP BY st_id, st_name
+ORDER BY st_id
+""",
+)
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment — the classic geospatial join of a
+    map pipeline (every POI to its closest station) via haversine
+    great-circle distance. With a 25-row facility side the right plan
+    is broadcast + per-POI argmin (ONE pass over the points, no
+    shuffle until the census); for large facility sets the documented
+    scale path is the geohash-cell equi-join (q_geo_geohash) with
+    neighbor-cell probing — same candidate-then-verify shape as every
+    LSH family here.
+
+    Determinism: distances quantize to integer millimeters BEFORE the
+    argmin and census; libm sin/cos differences across engines are
+    ~7 orders of magnitude below the quantum. Argmin ties break on
+    station id via the debounce rn=1 trick."""
+    poi = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_POI_LAT} / 100.0 AS lat", f"{_POI_LON} / 100.0 AS lon"
+    )
+    st = load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS st_id",
+        "n_name AS st_name",
+        f"{_ST_LAT} / 100.0 AS slat",
+        f"{_ST_LON} / 100.0 AS slon",
+    )
+    dists = poi.crossJoin(F.broadcast(st)).withColumn(
+        "d_mm", F.expr(_hav_mm("lat", "lon", "slat", "slon"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("d_mm", "st_id")
+    nearest = dists.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        nearest.groupBy("st_id", "st_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_pois"),
+            F.min("d_mm").alias("min_mm"),
+            F.max("d_mm").alias("max_mm"),
+            F.sum("d_mm").alias("sum_mm"),
+        )
+        .orderBy("st_id")
+    )
+
+
+# geohash-style cells: quantize to a 2^GH_BITS grid per dim and Morton-
+# interleave (a geohash IS a base32 rendering of exactly this integer)
+GH_BITS = 6
+GH_TOP = 15
+
+
+def _gh_cell(latc: str, lonc: str, intdiv: str) -> str:
+    x = f"((({lonc}) + 18000) * {1 << GH_BITS} {intdiv} 36001)"
+    y = f"((({latc}) + 6000) * {1 << GH_BITS} {intdiv} 12001)"
+    terms = []
+    for k in range(GH_BITS):
+        terms.append(f"(({x}) {intdiv} {1 << k} % 2) * {1 << (2 * k)}")
+        terms.append(f"(({y}) {intdiv} {1 << k} % 2) * {1 << (2 * k + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q_geo_geohash",
+    oracle=f"""
+WITH poi AS (
+  SELECT doc_id, source, {_POI_LAT} AS latc, {_POI_LON} AS lonc
+  FROM documents
+),
+cells AS (
+  SELECT source, {_gh_cell('latc', 'lonc', '//')} AS cell FROM poi
+),
+census AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM cells GROUP BY cell
+)
+SELECT cell, n, n_sources FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, cell) AS rk FROM census)
+WHERE rk <= {GH_TOP}
+ORDER BY n DESC, cell
+""",
+)
+def q_geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-cell density census — the spatial bucketing every map
+    pipeline keys on (tiling, spatial joins, heatmaps): quantize
+    lat/lon to a 2^{GH_BITS} grid per dimension and Morton-interleave
+    (a geohash string IS a base32 rendering of exactly this integer),
+    then census the hottest cells. All integer arithmetic — the cell
+    id doubles as the equi-join key that turns spatial joins into
+    hash joins at 100 TB (with 8-neighbor probing for radius queries,
+    same two-bucket trick as q_band_join in 2D).
+
+    Scale shape: in-row cell computation + ONE combinable census."""
+    poi = load(spark, sf_dir, "documents").selectExpr(
+        "source", f"{_POI_LAT} AS latc", f"{_POI_LON} AS lonc"
+    )
+    cells = poi.select(
+        "source", F.expr(_gh_cell("latc", "lonc", "div")).alias("cell")
+    )
+    census = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    wk = Window.orderBy(F.desc("n"), F.asc("cell"))
+    return (
+        census.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= GH_TOP)
+        .select("cell", "n", "n_sources")
+        .orderBy(F.desc("n"), F.asc("cell"))
+    )
+
+
+@register(
+    "q_geo_bbox_join",
+    oracle=f"""
+WITH poi AS (
+  SELECT doc_id, {_POI_LAT} AS latc, {_POI_LON} AS lonc FROM documents
+),
+box AS (
+  SELECT n_nationkey AS box_id, n_name,
+         {_ST_LAT} AS lat0, {_ST_LON} AS lon0
+  FROM nation
+),
+boxes AS (
+  SELECT box_id, n_name,
+         lat0 - 1500 AS lat_lo, lat0 + 1500 AS lat_hi,
+         lon0 - 3000 AS lon_lo, lon0 + 3000 AS lon_hi
+  FROM box
+),
+hits AS (
+  SELECT b.box_id, b.n_name, p.doc_id
+  FROM boxes b JOIN poi p
+    ON p.latc BETWEEN b.lat_lo AND b.lat_hi
+   AND p.lonc BETWEEN b.lon_lo AND b.lon_hi
+)
+SELECT box_id, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_contained,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM hits
+GROUP BY box_id, n_name
+ORDER BY box_id
+""",
+)
+def q_geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box containment join (points-in-region, the rectangle
+    stage every point-in-polygon pipeline runs FIRST — exact polygon
+    tests only on bbox survivors): 25 region boxes (±15° lat, ±30°
+    lon around station anchors) joined to POIs on two BETWEEN
+    predicates. Integer centi-degrees end to end. With a broadcastable
+    box side this is a broadcast nested-loop with cheap residuals; the
+    documented scale path for large box sets is the geohash-cell
+    prefilter (boxes explode to covered cells, points join their cell —
+    q_geo_geohash's key turns this into an equi-join)."""
+    poi = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_POI_LAT} AS latc", f"{_POI_LON} AS lonc"
+    )
+    boxes = load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS box_id",
+        "n_name",
+        f"{_ST_LAT} - 1500 AS lat_lo",
+        f"{_ST_LAT} + 1500 AS lat_hi",
+        f"{_ST_LON} - 3000 AS lon_lo",
+        f"{_ST_LON} + 3000 AS lon_hi",
+    )
+    hits = poi.join(
+        F.broadcast(boxes),
+        F.col("latc").between(F.col("lat_lo"), F.col("lat_hi"))
+        & F.col("lonc").between(F.col("lon_lo"), F.col("lon_hi")),
+    )
+    return (
+        hits.groupBy("box_id", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_contained"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("box_id")
+    )

@@ -424,6 +424,7 @@ def _register_all() -> None:
     import openmaptiles_zh_modifier_spark.queries_trainprep  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_governance  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_zh  # noqa: F401
+    import openmaptiles_zh_modifier_spark.queries_geo  # noqa: F401
     import openmaptiles_zh_modifier_spark.streaming.events  # noqa: F401
 
 

@@ -143,6 +143,9 @@ HEADLINE = [
     "q_image_phash_dedup",
     "q_zorder_vs_linear",
     "q_prefix_cache_hits",
+    "q_geo_nearest",
+    "q_geo_geohash",
+    "q_geo_bbox_join",
 ]
 
 
