@@ -249,3 +249,183 @@ def q_geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("box_id")
     )
+
+
+# Web-Mercator tile pyramid (the reference's literal domain: OpenMapTiles
+# ships z/x/y tiles). Mercator y needs ln/tan; the value is quantized to
+# 1e9 BEFORE the tile floor-division, so cross-engine libm 1-ulp
+# differences (~1e-7 of the quantum) cannot move a point across a tile
+# boundary unless it sits within 1e-16 relative of one (the fixed
+# centi-degree fixture does not).
+TILE_ZOOMS = (4, 8)
+
+
+def _merc_q(latc: str) -> str:
+    """Quantized Web-Mercator y in [0, 1e9): round(1e9 * (1 - ln(tan(phi)
+    + 1/cos(phi)) / pi) / 2)."""
+    phi = f"radians(({latc}) / 100.0)"
+    return (
+        f"CAST(ROUND(1000000000 * (1 - ln(tan({phi}) + 1 / cos({phi}))"
+        f" / pi()) / 2) AS BIGINT)"
+    )
+
+
+def _tile_exprs(z: int, intdiv: str) -> tuple[str, str]:
+    n = 1 << z
+    tx = f"(((lonc + 18000) * {n}) {intdiv} 36001)"
+    ty = f"((merc_q * {n}) {intdiv} 1000000000)"
+    return tx, ty
+
+
+def _tile_sql(z: int, intdiv: str) -> str:
+    tx, ty = _tile_exprs(z, intdiv)
+    return f"({tx} * {1 << z} + {ty})"  # packed tile id
+
+
+_TILE_UNION_DUCK = " UNION ALL ".join(
+    f"SELECT {z} AS zoom, {_tile_sql(z, '//')} AS tile FROM pts"
+    for z in TILE_ZOOMS
+)
+
+
+@register(
+    "q_tile_pyramid",
+    oracle=f"""
+WITH pts AS (
+  SELECT doc_id, {_POI_LAT} AS latc, {_POI_LON} AS lonc,
+         {_merc_q(_POI_LAT)} AS merc_q
+  FROM documents
+),
+tiles AS ({_TILE_UNION_DUCK}),
+census AS (
+  SELECT zoom, tile, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tiles GROUP BY zoom, tile
+)
+SELECT zoom,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(MAX(n) AS BIGINT) AS hottest_tile_n,
+       CAST(MIN(n) AS BIGINT) AS coldest_tile_n,
+       CAST(SUM(n) AS BIGINT) AS n_points
+FROM census
+GROUP BY zoom
+ORDER BY zoom
+""",
+)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator tile assignment — the reference's LITERAL domain
+    (OpenMapTiles ships z/x/y vector tiles): every point is assigned
+    its tile at zooms {TILE_ZOOMS} via the standard slippy-map formulas
+    (x from longitude linearly; y from the Mercator projection), and
+    the per-zoom census reports tile counts and the hottest tile — the
+    balance report a tiling pipeline reads before sharding render jobs
+    by tile id.
+
+    Determinism: the Mercator value is quantized to 1e-9 BEFORE the
+    tile floor-division, so cross-engine ln/tan 1-ulp differences sit
+    ~7 orders of magnitude below anything that could cross a tile
+    boundary. Tile ids are integers end to end after that.
+
+    Scale shape: in-row tile math, one explode over the (tiny) zoom
+    list, one combinable census keyed by (zoom, tile) — hash-uniform
+    except real-world hot tiles, which is exactly what the report
+    measures (and what the salting/banding machinery here handles when
+    a render shard keys on it)."""
+    pts = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_POI_LAT} AS latc",
+        f"{_POI_LON} AS lonc",
+        f"{_merc_q(_POI_LAT)} AS merc_q",
+    )
+    per_zoom = None
+    for z in TILE_ZOOMS:
+        t = pts.selectExpr(
+            f"{z} AS zoom", f"{_tile_sql(z, 'div')} AS tile"
+        )
+        per_zoom = t if per_zoom is None else per_zoom.unionByName(t)
+    census = per_zoom.groupBy("zoom", "tile").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        census.groupBy("zoom")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.max("n").alias("hottest_tile_n"),
+            F.min("n").alias("coldest_tile_n"),
+            F.sum("n").alias("n_points"),
+        )
+        .orderBy("zoom")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user trajectory statistics over the events stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_geo_trajectory",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         (-6000 + (event_id * 41) % 12000) / 100.0 AS lat,
+         (-18000 + (event_id * 97) % 36000) / 100.0 AS lon
+  FROM events WHERE user_id < 40
+),
+hops AS (
+  SELECT user_id, ts, lat, lon,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id,
+         {_hav_mm('plat', 'plon', 'lat', 'lon')} AS d_mm
+  FROM hops WHERE plat IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_legs,
+       CAST(SUM(d_mm) AS BIGINT) AS total_mm,
+       CAST(MAX(d_mm) AS BIGINT) AS longest_leg_mm
+FROM legs
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trajectory statistics — the mobility-analytics shape
+    (GPS pings → travel distance): each user's events get deterministic
+    fixture coordinates, consecutive positions pair via LAG over the
+    (ts, event_id) order, and leg distances (haversine, integer-mm
+    quantized as in q_geo_nearest) aggregate to total and longest-leg
+    per user.
+
+    Scale shape: ONE window (the same partitioned-order shape as
+    sessionization — state bounded per user by the shuffle) and one
+    combinable aggregate; no self-join. At 100 TB this is the standard
+    ping-stream pattern: partition by device, order by time."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 40).selectExpr(
+        "user_id",
+        "event_id",
+        "ts",
+        "(-6000 + (event_id * 41) % 12000) / 100.0 AS lat",
+        "(-18000 + (event_id * 97) % 36000) / 100.0 AS lon",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = ev.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).where(F.col("plat").isNotNull())
+    legs = hops.withColumn(
+        "d_mm", F.expr(_hav_mm("plat", "plon", "lat", "lon"))
+    )
+    return (
+        legs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_legs"),
+            F.sum("d_mm").alias("total_mm"),
+            F.max("d_mm").alias("longest_leg_mm"),
+        )
+        .orderBy("user_id")
+    )

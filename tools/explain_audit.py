@@ -146,6 +146,8 @@ HEADLINE = [
     "q_geo_nearest",
     "q_geo_geohash",
     "q_geo_bbox_join",
+    "q_tile_pyramid",
+    "q_geo_trajectory",
 ]
 
 

@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "q_geo_nearest",
     "q_geo_geohash",
     "q_geo_bbox_join",
+    "q_tile_pyramid",
+    "q_geo_trajectory",
 ]
 
 
