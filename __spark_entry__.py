@@ -30,12 +30,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
-# dict ordering decides what gets externally verified. Round-8 window
-# (tools/gate_coverage.py --window over CORRECTNESS_r01-r07, per VERDICT
-# r7 item #1): ALL 33 queries whose newest driver row is still r02 lead —
-# closing the rotation debt so no entry's newest row is older than r03 —
-# then the 9 round-8-new never-sampled operators, then the 8 stalest r03
-# greens. Names are stable — only dict ordering changes round to round.
+# dict ordering decides what gets externally verified. Round-9 window
+# (VERDICT r8 item #1, exactly): ALL 42 queries whose newest driver row is
+# still r03, then the 8 stalest r04 greens — 42+8 fills the 50-slot window
+# and retires the r03 freshness block, so after CORRECTNESS_r09 no registry
+# entry's newest driver row is older than r04. Round-8/9-new never-sampled
+# operators stay behind the window (judge-verified out-of-band, as in r08).
+_R09_WINDOW = [
+    "q19_disjunctive_predicate",
+    "q20_part_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_approx_sketches",
+    "q_bloom_join_prune",
+    "q_decimal_exact",
+    "q_dedup_minhash_lsh",
+    "q_explode_tokens",
+    "q_gdpr_cascade",
+    "q_grouping_sets",
+    "q_histogram_equidepth",
+    "q_histogram_price",
+    "q_incremental_agg",
+    "q_interval_join",
+    "q_lateral_topn",
+    "q_mad_dispersion",
+    "q_map_hofs",
+    "q_merge_upsert",
+    "q_outliers_iqr",
+    "q_pagerank_nations",
+    "q_percentiles",
+    "q_salted_skew_join",
+    "q_stat_aggregates",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_stream_zh_backfill",
+    "q_tablediff_checksum",
+    "q_triangle_count",
+    "q_udaf_mode",
+    "q_udtf_sentences",
+    "q_window_frames",
+    "q_zorder_layout",
+    "zh_backfill",
+    "q_assign_ids",
+    "q_attribution",
+    "q_balanced_sample",
+    "q_benford_audit",
+    "q_bfs_reachability",
+    "q_chisq_independence",
+    "q_column_stats",
+    "q_connected_components",
+]
+
+# retained for provenance (round-8 ordering)
 _R08_WINDOW = [
     "q_embed_maxsim",
     "q_embed_neardup",
@@ -89,63 +143,10 @@ _R08_WINDOW = [
     "q18_large_volume_customers",
 ]
 
-# retained for provenance (round-7 ordering)
-_R07_WINDOW = [
-    "zh_backfill_typo_compat",
-    "q_multimodal_png_decode",
-    "q_annotator_kappa",
-    "q_vocab_coverage",
-    "q_embed_binary_hamming",
-    "q_blocklist_filter",
-    "q_token_budget_select",
-    "q_negative_sampling",
-    "q_skew_audit",
-    "q_multimodal_bmp_decode",
-    "q_dp_census",
-    "q_unigram_lm_step",
-    "q_langid_confusion",
-    "q_epoch_shuffle",
-    "q_multimodal_wav_features",
-    "q_nb_auc",
-    "q_logreg_step",
-    "q_unigram_apply",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q_advanced_aggregates",
-    "q_cube_orders",
-    "q_customer_order_running",
-    "q_customers_without_orders",
-    "q_date_functions",
-    "q_distinct_agg",
-    "q_integrity_audit",
-    "q_priority_sample",
-    "q_recursive_calendar",
-    "q_rollup_returns",
-    "q_scalar_functions",
-    "q_stratified_sample",
-    "q_topk_per_group_agg",
-    "q_unpivot_measures",
-    "q13_customer_distribution",
-    "q6_forecast_revenue",
-    "q_array_functions",
-    "q_asof_click_purchase",
-    "q_bpe_merge_candidates",
-    "q_cms_heavy_hitters",
-    "q_cohort_retention",
-    "q_curation_pipeline",
-    "q_decontaminate_ngram",
-    "q_decontamination",
-    "q_dedup_canonical",
-    "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_doc_chunking",
-    "q_embed_int8_rerank",
-]
 
 
 def _gate_order(names) -> list[str]:
-    head = [n for n in _R08_WINDOW if n in names]
+    head = [n for n in _R09_WINDOW if n in names]
     return head + [n for n in names if n not in set(head)]
 
 
