@@ -1569,7 +1569,10 @@ def phash64(payload: bytes) -> int:
     constant brightness shifts). The quantization is load-bearing:
     smooth fixtures put many AC coefficients exactly AT the median,
     where raw float ties flip on 1e-12 arithmetic noise; integer ties
-    compare deterministically. Returns a 64-bit int (DC bit forced 0)."""
+    compare deterministically. Returns the 64-bit hash as a SIGNED
+    two's-complement Python int (DC bit forced 0) — the exact value a
+    Spark ``long`` column holds; mask with ``& ((1 << 64) - 1)`` for
+    the unsigned view before unsigned Hamming/banded-join math."""
     import numpy as np
 
     if payload[:2] != b"P6":
@@ -1603,7 +1606,12 @@ def phash64(payload: bytes) -> int:
     med = int(np.median(q[1:]))  # 63 ints: the median IS an element
     bits = (q > med).astype(np.int64)
     bits[0] = 0
-    return int((bits * (1 << np.arange(64, dtype=np.int64))).sum())
+    # accumulate in Python ints — `1 << np.arange(64, int64)` makes the
+    # bit-63 weight -2**63 and can wrap the int64 sum (ADVICE r8 #4);
+    # the unsigned value is then explicitly reinterpreted as signed
+    # two's-complement because that is what a Spark `long` column holds
+    u = sum(int(b) << i for i, b in enumerate(bits))
+    return u - (1 << 64) if u >= (1 << 63) else u
 
 
 PHASH_SCHEMA = (

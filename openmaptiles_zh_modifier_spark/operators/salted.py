@@ -56,7 +56,8 @@ def salted_join(
     return out.drop(SALT_COL)
 
 
-_SKEW_STATS_MEMO: dict[tuple, object] = {}
+# applicationId -> {(plan semanticHash, key, sample_fraction): Row}
+_SKEW_STATS_MEMO: dict[str, dict[tuple, object]] = {}
 
 
 def key_skew_stats(df: DataFrame, key: str, sample_fraction: float | None = None):
@@ -73,14 +74,20 @@ def key_skew_stats(df: DataFrame, key: str, sample_fraction: float | None = None
     constructions in one session reuse the measured stats instead of
     re-running the probe — the same one-time-populate discipline as
     registry.memo_frame, which also keeps queries() constructions lazy
-    on a warm cache (tools/type_audit.py enforces that contract)."""
+    on a warm cache (tools/type_audit.py enforces that contract).
+    Keyed on applicationId (stable for the session's lifetime; never
+    reused the way a GC'd session's id() can be) and scoped per-session
+    so ``invalidate_skew_stats`` can evict after a data rewrite — the
+    semanticHash only fingerprints the PLAN, not the files under it
+    (ADVICE r8 #3)."""
+    app_id = df.sparkSession.sparkContext.applicationId
+    per_session = _SKEW_STATS_MEMO.setdefault(app_id, {})
     memo_key = (
-        id(df.sparkSession),
         df._jdf.queryExecution().analyzed().semanticHash(),
         key,
         sample_fraction,
     )
-    hit = _SKEW_STATS_MEMO.get(memo_key)
+    hit = per_session.get(memo_key)
     if hit is not None:
         return hit
     src = df.sample(sample_fraction, seed=7) if sample_fraction else df
@@ -94,8 +101,18 @@ def key_skew_stats(df: DataFrame, key: str, sample_fraction: float | None = None
         )
         .collect()[0]
     )
-    _SKEW_STATS_MEMO[memo_key] = row
+    per_session[memo_key] = row
     return row
+
+
+def invalidate_skew_stats(spark=None) -> None:
+    """Evict memoized skew stats — call after rewriting the files a
+    memoized plan reads (e.g. a COW merge), since the plan-hash memo key
+    cannot see data changes. No ``spark`` evicts every session."""
+    if spark is None:
+        _SKEW_STATS_MEMO.clear()
+    else:
+        _SKEW_STATS_MEMO.pop(spark.sparkContext.applicationId, None)
 
 
 def maybe_salt_join(

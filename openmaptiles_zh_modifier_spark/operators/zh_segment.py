@@ -55,8 +55,16 @@ def fmm_segment_convert(
     convert per word. Returns (id_col, segmented, converted, n_words)
     where ``segmented`` joins segments with '/' and ``converted`` maps
     dictionary words via ``dst`` and single chars via
-    translate(char_from -> char_to)."""
+    translate(char_from -> char_to).
+
+    Contract: zero-length texts are dropped (no output row). Without the
+    guard, ``F.sequence(1, length)`` on an empty string yields the
+    DESCENDING sequence [1, 0] — a spurious i=0 position row feeding a
+    misindexed element_at in the fold — while the DuckDB oracle's
+    range(1, length+1) is simply empty; filtering makes both engines
+    drop empties identically (ADVICE r8 #2)."""
     did, txt = F.col(id_col), F.col(text_col)
+    src = src.where(F.length(txt) > 0)
     pos = src.select(
         did, txt, F.explode(F.sequence(F.lit(1), F.length(txt))).alias("i")
     )

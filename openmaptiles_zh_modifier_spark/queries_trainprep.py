@@ -1483,7 +1483,7 @@ kept AS (
   SELECT d.source, len(string_split(d.text, ' ')) AS t,
          CASE WHEN ({h32_sql(f"'{MIX_SEED}:' || doc_id")} % 1000000
                     + 1000000) % 1000000
-              < CAST(r.keep_rate * 1000000 AS BIGINT)
+              < CAST(ROUND(r.keep_rate * 1000000) AS BIGINT)
               THEN 1 ELSE 0 END AS keep
   FROM documents d JOIN rates r ON r.source = d.source
 )
@@ -1555,7 +1555,11 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h32(F.concat(F.lit(f"{MIX_SEED}:"), F.col("doc_id"))),
                 F.lit(1000000),
             )
-            < (F.col("keep_rate") * 1000000).cast("long"),
+            # round BEFORE the integer cast: keep_rate is round(x, 6), so
+            # keep_rate*1e6 can sit one ulp below the integer; truncation
+            # here vs DuckDB's round-to-nearest CAST would put the two
+            # engines' thresholds one apart (ADVICE r8 #1)
+            < F.round(F.col("keep_rate") * 1000000).cast("long"),
             1,
         )
         .otherwise(0)

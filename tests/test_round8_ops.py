@@ -136,3 +136,48 @@ def test_wav_vad_frame_energies():
             (samples[j * 256 : (j + 1) * 256].astype(np.int64) ** 2).sum()
         )
         assert (e > 0) == ((j + 5) % 7 < 4), j
+
+
+def test_phash64_is_signed_two_complement_long():
+    # ADVICE r8 #4: the hash accumulates in Python ints (no int64 wrap at
+    # bit 63) and is stored as the SIGNED reinterpretation a Spark long
+    # column holds; the unsigned view round-trips through the mask
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        encode_ppm_pattern,
+        phash64,
+    )
+
+    for p in (0, 1, 2):
+        for s in (0, 7, 21):
+            v = phash64(encode_ppm_pattern(32, 32, p, s))
+            assert -(1 << 63) <= v < (1 << 63)
+            u = v & ((1 << 64) - 1)
+            assert (u - (1 << 64) if u >= (1 << 63) else u) == v
+
+
+def test_mixture_threshold_rounds_identically_across_engines(spark):
+    # ADVICE r8 #1: round-to-nearest BEFORE the integer cast on both
+    # engines. Sweep 6-dp keep_rates incl. ones whose *1e6 double sits
+    # one ulp below the integer (0.070001*1e6 = 70000.99999999999).
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rates = [round(k / 1000000, 6) for k in range(69995, 70006)] + [
+        0.286601,
+        0.823441,
+        1.0,
+    ]
+    df = spark.createDataFrame([(r,) for r in rates], "keep_rate double")
+    got = [
+        r.t
+        for r in df.select(
+            F.round(F.col("keep_rate") * 1000000).cast("long").alias("t")
+        ).collect()
+    ]
+    want = [
+        duckdb.sql(
+            f"SELECT CAST(ROUND(CAST({r!r} AS DOUBLE) * 1000000) AS BIGINT)"
+        ).fetchone()[0]
+        for r in rates
+    ]
+    assert got == want

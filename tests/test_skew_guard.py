@@ -85,3 +85,18 @@ def test_guard_handles_empty_input(spark):
     empty = fact.where(F.lit(False))
     out, salted = maybe_salt_join(empty, dim, on="k", tiebreak="row_id")
     assert salted is False and out.count() == 0
+
+
+def test_skew_stats_memo_is_session_scoped_and_evictable(spark):
+    from openmaptiles_zh_modifier_spark.operators import salted as mod
+
+    fact, _ = _hot(spark)
+    mod.invalidate_skew_stats()
+    key_skew_stats(fact, "k")
+    app_id = spark.sparkContext.applicationId
+    # memo keyed on the stable applicationId, never on id(session)
+    assert app_id in mod._SKEW_STATS_MEMO
+    assert len(mod._SKEW_STATS_MEMO[app_id]) == 1
+    # eviction hook for post-rewrite staleness (ADVICE r8 #3)
+    mod.invalidate_skew_stats(spark)
+    assert app_id not in mod._SKEW_STATS_MEMO

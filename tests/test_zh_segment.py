@@ -107,3 +107,12 @@ def test_fmm_reassembly_property(spark):
         assert n == len(pieces)
         for p in pieces:
             assert len(p) == 1 or p in lex, (t, p)
+
+
+def test_fmm_drops_empty_text(spark):
+    # contract (ADVICE r8 #2): zero-length docs produce no output row on
+    # either engine — the Spark F.sequence(1, 0) descending-sequence trap
+    # is guarded by the length filter
+    out = _run(spark, ["", "茶几"])
+    assert "" not in out
+    assert out["茶几"] == ("茶几", "茶几", 1)
