@@ -433,21 +433,24 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, _NAME_DIGITS + 1)
         ]
     )
-    # A small table arrives as ONE file split; Catalyst then broadcasts
-    # the build side and the probe inherits the single input partition —
-    # the whole candidate verify would run in one task. Spread the probe
-    # across the cluster first (at 100 TB the scan has thousands of
-    # splits and this repartition is a no-op-sized rebalance; here it is
-    # the difference between 1 and N verify tasks: measured 3.2s -> <1s
-    # at sf0.1).
+    exploded = c.select(
+        "c_custkey", "c_name", F.explode(keys).alias("bk")
+    ).select("c_custkey", "c_name", "bk.pos", "bk.masked")
+    # A small table arrives as ONE file split; the broadcast-hash probe
+    # inherits it and the whole candidate verify would run in one task.
+    # Spread the PROBE side only — round-robin, since a broadcast join
+    # needs no key co-partitioning (the r8 version repartitioned a shared
+    # `blocked` frame by key, which ALSO put a wasted exchange under the
+    # BroadcastExchange on the build side — 5 shuffles where 3 suffice;
+    # the r9 plan audit settled it: 3 exchanges, isolated warm median
+    # 1.26 -> 0.99 s at sf0.1 in a 1.25x-slow control window, i.e. back
+    # to the r07 0.75 s band; the residual cost is the genuine 525k-pair
+    # levenshtein verify). At 100 TB the probe scan has thousands of
+    # splits and this rebalance is no-op-sized; here it is the
+    # difference between 1 and N verify tasks.
     par = spark.sparkContext.defaultParallelism
-    blocked = (
-        c.select("c_custkey", "c_name", F.explode(keys).alias("bk"))
-        .select("c_custkey", "c_name", "bk.pos", "bk.masked")
-        .repartition(par, "pos", "masked")
-    )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    a = exploded.repartition(par).alias("a")
+    b = F.broadcast(exploded).alias("b")
     pairs = (
         a.join(
             b,
@@ -461,11 +464,16 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.c_custkey").alias("k"), F.col("b.c_custkey").alias("nb")
         )
-        # a pair matching at multiple masked positions would duplicate;
-        # with lev=1 the collision position is unique, but dedupe anyway
-        # so the plan is correct for any LINK_MAX_LEV-compatible blocking.
-        .distinct()
     )
+    # NO dedupe stage: a pair would duplicate only by colliding at
+    # multiple masked positions, and for equal-length lev<=1 (single
+    # substitution) the collision position is exactly the one differing
+    # digit — each (k, nb) pair emerges from the join once. (The r8
+    # version paid a .distinct() shuffle on 525k pairs anyway "for
+    # generality"; the blocking construction is itself substitution-
+    # specific, so the generality was imaginary — and the oracle hash
+    # is the dupe-freeness proof, since count(*) per k would double on
+    # any duplicate.) One map-side-combinable shuffle on k remains.
     return (
         pairs.groupBy(F.col("k").alias("c_custkey"))
         .agg(
