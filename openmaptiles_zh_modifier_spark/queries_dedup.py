@@ -1069,24 +1069,39 @@ WITH s AS (
          substr(text, 1, {ED_BLOCK_LEN}) AS bk
   FROM documents
 ),
-blocks AS (
-  SELECT bk FROM s GROUP BY bk
-  HAVING COUNT(*) BETWEEN 2 AND {ED_BLOCK_CAP}
-),
+sized AS (SELECT bk, COUNT(*) AS n FROM s GROUP BY bk),
+blocks AS (SELECT bk FROM sized WHERE n BETWEEN 2 AND {ED_BLOCK_CAP}),
 pairs AS (
   SELECT a.source, levenshtein(a.s, b.s) AS d
   FROM s a
   JOIN blocks USING (bk)
   JOIN s b ON b.bk = a.bk AND a.doc_id < b.doc_id
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+         CAST(SUM(CASE WHEN d <= {ED_DUP_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_dups,
+         CAST(MIN(d) AS BIGINT) AS min_d,
+         ROUND(AVG(CAST(d AS DOUBLE)), 4) AS avg_d
+  FROM pairs
+  GROUP BY source
+),
+-- cap observability: which docs sat in blocks the cap shed
+shed AS (
+  SELECT s.source,
+         CAST(COUNT(DISTINCT s.bk) AS BIGINT) AS n_blocks_skipped,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_in_skipped_blocks
+  FROM s JOIN sized ON sized.bk = s.bk AND sized.n > {ED_BLOCK_CAP}
+  GROUP BY s.source
 )
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
-       CAST(SUM(CASE WHEN d <= {ED_DUP_MAX} THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_near_dups,
-       CAST(MIN(d) AS BIGINT) AS min_d,
-       ROUND(AVG(CAST(d AS DOUBLE)), 4) AS avg_d
-FROM pairs
-GROUP BY source
+SELECT COALESCE(agg.source, shed.source) AS source,
+       COALESCE(n_candidate_pairs, 0) AS n_candidate_pairs,
+       COALESCE(n_near_dups, 0) AS n_near_dups,
+       min_d, avg_d,
+       COALESCE(n_blocks_skipped, 0) AS n_blocks_skipped,
+       COALESCE(n_docs_in_skipped_blocks, 0) AS n_docs_in_skipped_blocks
+FROM agg FULL JOIN shed ON agg.source = shed.source
 ORDER BY source
 """,
 )
@@ -1102,6 +1117,13 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells per pair. levenshtein() is built-in JVM-side on Spark and
     native in DuckDB — identical semantics on these ASCII fixtures.
 
+    The cap is OBSERVABLE, not silent (VERDICT r8 #4): per source the
+    output reports `n_blocks_skipped` / `n_docs_in_skipped_blocks` — at
+    real scale an operator that silently sheds celebrity prefixes would
+    read as full coverage. Sources whose every block was shed still get
+    a row (full-outer on the shed census, zeroed pair counts, NULL
+    distances).
+
     Scale shape: one shuffle on the block key (hash-uniform except the
     capped heads), per-block self-join bounded by the cap, one
     combinable aggregate. At 100 TB blocking would key on a content
@@ -1113,12 +1135,10 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, ED_PREFIX_LEN).alias("s"),
         F.substring("text", 1, ED_BLOCK_LEN).alias("bk"),
     )
-    blocks = (
-        s.groupBy("bk")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where((F.col("n") >= 2) & (F.col("n") <= ED_BLOCK_CAP))
-        .select("bk")
-    )
+    sized = s.groupBy("bk").agg(F.count(F.lit(1)).alias("n"))
+    blocks = sized.where(
+        (F.col("n") >= 2) & (F.col("n") <= ED_BLOCK_CAP)
+    ).select("bk")
     sb = s.join(blocks, "bk")
     a = sb.select(
         "bk",
@@ -1132,15 +1152,45 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "bk").where(F.col("i") < F.col("j")).select(
         "source", F.levenshtein("sa", "sb").alias("d")
     )
-    return (
-        pairs.groupBy("source")
+    agg = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(
+            F.when(F.col("d") <= ED_DUP_MAX, 1).otherwise(0)
+        ).alias("n_near_dups"),
+        F.min("d").cast("long").alias("min_d"),
+        F.round(F.avg(F.col("d").cast("double")), 4).alias("avg_d"),
+    )
+    # the shed census: docs whose block the cap skipped. Broadcast is
+    # safe — there are at most (n_docs / cap) oversized blocks.
+    shed = (
+        s.join(
+            F.broadcast(
+                sized.where(F.col("n") > ED_BLOCK_CAP).select("bk")
+            ),
+            "bk",
+        )
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_candidate_pairs"),
-            F.sum(
-                F.when(F.col("d") <= ED_DUP_MAX, 1).otherwise(0)
-            ).alias("n_near_dups"),
-            F.min("d").cast("long").alias("min_d"),
-            F.round(F.avg(F.col("d").cast("double")), 4).alias("avg_d"),
+            F.count_distinct("bk").alias("n_blocks_skipped"),
+            F.count(F.lit(1)).alias("n_docs_in_skipped_blocks"),
+        )
+    )
+    return (
+        agg.join(shed, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_candidate_pairs", F.lit(0)).alias(
+                "n_candidate_pairs"
+            ),
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            "min_d",
+            "avg_d",
+            F.coalesce("n_blocks_skipped", F.lit(0)).alias(
+                "n_blocks_skipped"
+            ),
+            F.coalesce("n_docs_in_skipped_blocks", F.lit(0)).alias(
+                "n_docs_in_skipped_blocks"
+            ),
         )
         .orderBy("source")
     )

@@ -181,3 +181,34 @@ def test_mixture_threshold_rounds_identically_across_engines(spark):
         for r in rates
     ]
     assert got == want
+
+
+def test_edit_distance_cap_is_observable(spark, tmp_path):
+    # VERDICT r8 #4: celebrity-prefix blocks over ED_BLOCK_CAP are shed,
+    # and the shed is REPORTED — a source whose every block was skipped
+    # still gets a row (zero pairs, null distances, non-zero shed counts)
+    from openmaptiles_zh_modifier_spark.queries_dedup import (
+        ED_BLOCK_CAP,
+        q_dedup_edit_distance,
+    )
+
+    rows = []
+    # source "celeb": one block of CAP+2 docs sharing an 8-char prefix
+    for i in range(ED_BLOCK_CAP + 2):
+        rows.append((i, "celeb", f"PREFIX00 body {i}"))
+    # source "ok": one 2-doc block -> 1 candidate pair
+    rows.append((1000, "ok", "OKOKOKOK tail a"))
+    rows.append((1001, "ok", "OKOKOKOK tail b"))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.source: r
+        for r in q_dedup_edit_distance(spark, str(tmp_path)).collect()
+    }
+    celeb, ok = out["celeb"], out["ok"]
+    assert celeb.n_candidate_pairs == 0 and celeb.min_d is None
+    assert celeb.n_blocks_skipped == 1
+    assert celeb.n_docs_in_skipped_blocks == ED_BLOCK_CAP + 2
+    assert ok.n_candidate_pairs == 1 and ok.n_blocks_skipped == 0
