@@ -429,3 +429,302 @@ def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Radius join via neighbor-cell probing (round 9, VERDICT r8 #3)
+# ---------------------------------------------------------------------------
+
+# Grid sized so the 3x3 neighborhood is LOSSLESS for the radius at the
+# fixture's latitude band (|lat| <= 59.99 deg): a haversine distance
+# d <= R bounds |dlat| <= R/R_earth = 1.349 deg < 2 deg (cell height)
+# and, with cos(59.99 deg) >= 0.50015 on both endpoints,
+# |dlon| <= 2*asin(sin(R/2R_e)/0.50015) = 2.698 deg < 4 deg (cell
+# width) — so every true partner lies in the query's cell or one of
+# its 8 neighbors (floor-div difference <= 1 per axis), margin 1.48x.
+RADIUS_MM = 150_000_000  # 150 km in integer millimeters
+_CELL_LAT = 200  # cell height, centi-degrees (2 deg)
+_CELL_LON = 400  # cell width, centi-degrees (4 deg)
+_NX = 36000 // _CELL_LON  # 90 longitude cells; lon wraps modulo _NX
+assert 36000 % _CELL_LON == 0, "lon cells must tile the wrap exactly"
+
+# query points from customer (the side that probes), fixture rule as
+# for POIs/stations
+_Q_LAT = "(-6000 + (c_custkey * 53) % 12000)"
+_Q_LON = "(-18000 + (c_custkey * 131) % 36000)"
+_Q_SAMPLE = 5  # c_custkey % 5 = 0: keeps the brute-force oracle O(n^2/5)
+
+
+def geo_radius_pairs(
+    qdf: DataFrame,
+    pdf: DataFrame,
+    radius_mm: int = RADIUS_MM,
+) -> DataFrame:
+    """Candidate-then-verify radius join: queries ``qdf(qlatc, qlonc,
+    ...)`` against facilities ``pdf(platc, plonc, ...)`` (integer
+    centi-degree coordinates), returning all pairs within
+    ``radius_mm`` (haversine, integer-mm quantized) plus ``d_mm``.
+
+    This is the scale path q_geo_nearest's docstring promises for a
+    NON-broadcastable facility side: facilities key into one grid cell
+    each, queries explode to their cell + 8 neighbors (modular in
+    longitude, so antimeridian pairs are found; latitude does not wrap
+    and out-of-range rows simply match nothing), and the join is a
+    plain hash EQUI-join on the packed cell id — the 2D twin of
+    q_band_join's two-bucket explode. Exact haversine runs only on
+    candidates; cell geometry guarantees no true pair is missed (see
+    grid-sizing proof above). Candidates are produced at most once per
+    pair: a facility owns exactly one cell and the 9 probed cells are
+    distinct (_NX >= 3).
+
+    Scale shape: 9x query-side expansion (the cheap side by
+    construction), one shuffle per side on the cell key, block sizes
+    bounded by cell area x point density — a celebrity CELL (one hot
+    city) is visible in q_geo_geohash's census and handled by the same
+    salting machinery as any hot equi-key."""
+    q = qdf.withColumn(
+        "qcx", F.floor((F.col("qlonc") + 18000) / _CELL_LON).cast("int")
+    ).withColumn(
+        "qcy", F.floor((F.col("qlatc") + 6000) / _CELL_LAT).cast("int")
+    )
+    probes = q.select(
+        *qdf.columns,
+        F.explode(
+            F.array(
+                *[
+                    (
+                        (F.col("qcy") + dy) * (_NX + 2)
+                        + F.pmod(F.col("qcx") + dx, F.lit(_NX))
+                    ).alias("c")
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    )
+    p = pdf.select(
+        *pdf.columns,
+        (
+            F.floor((F.col("platc") + 6000) / _CELL_LAT).cast("int")
+            * (_NX + 2)
+            + F.floor((F.col("plonc") + 18000) / _CELL_LON).cast("int")
+        ).alias("cell"),
+    )
+    return (
+        probes.join(p, "cell")
+        .withColumn(
+            "d_mm",
+            F.expr(
+                _hav_mm(
+                    "qlatc / 100.0",
+                    "qlonc / 100.0",
+                    "platc / 100.0",
+                    "plonc / 100.0",
+                )
+            ),
+        )
+        .where(F.col("d_mm") <= radius_mm)
+        .drop("cell")
+    )
+
+
+@register(
+    "q_geo_radius_join",
+    oracle=f"""
+WITH q AS (
+  SELECT c_custkey, c_mktsegment, {_Q_LAT} AS qlatc, {_Q_LON} AS qlonc
+  FROM customer WHERE c_custkey % {_Q_SAMPLE} = 0
+),
+p AS (
+  SELECT doc_id, {_POI_LAT} AS platc, {_POI_LON} AS plonc FROM documents
+),
+pairs AS (
+  SELECT c_custkey, c_mktsegment, doc_id,
+         {_hav_mm('qlatc / 100.0', 'qlonc / 100.0',
+                  'platc / 100.0', 'plonc / 100.0')} AS d_mm
+  FROM q CROSS JOIN p
+)
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_queries_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(d_mm) AS BIGINT) AS min_d_mm,
+       CAST(MAX(d_mm) AS BIGINT) AS max_d_mm,
+       CAST(SUM(d_mm) AS BIGINT) AS sum_d_mm
+FROM pairs
+WHERE d_mm <= {RADIUS_MM}
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs-within-radius (every sampled customer point to every
+    POI within 150 km) WITHOUT the cross join: geohash-cell blocking
+    with 8-neighbor probing (geo_radius_pairs above — grid sized so the
+    3x3 neighborhood provably covers the radius, longitude probed
+    modulo the antimeridian). The oracle is the naive O(n*m) cross
+    join, so the hash match is a losslessness proof over the whole
+    fixture lattice — the same candidates-only discipline as
+    q_record_linkage's blocking and q_band_join's buckets, in 2D.
+
+    Scale shape: no broadcast required on EITHER side — both sides
+    hash-shuffle on the cell id (facilities once, queries 9x), so the
+    plan survives a facility table too large for q_geo_nearest's
+    broadcast argmin. Census is one combinable aggregate."""
+    q = load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % _Q_SAMPLE == 0
+    ).selectExpr(
+        "c_custkey",
+        "c_mktsegment",
+        f"{_Q_LAT} AS qlatc",
+        f"{_Q_LON} AS qlonc",
+    )
+    p = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_POI_LAT} AS platc", f"{_POI_LON} AS plonc"
+    )
+    pairs = geo_radius_pairs(q, p, RADIUS_MM)
+    return (
+        pairs.groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("c_custkey").alias("n_queries_hit"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("d_mm").alias("min_d_mm"),
+            F.max("d_mm").alias("max_d_mm"),
+            F.sum("d_mm").alias("sum_d_mm"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tile-pyramid rollup: child->parent aggregation by tile-id arithmetic
+# (round 9, VERDICT r8 #5)
+# ---------------------------------------------------------------------------
+
+ROLLUP_ZMAX = 8
+ROLLUP_CHAIN = (8, 4, 2)  # each level derives from the previous by shifts
+
+# hottest-tile argmax without a second pass: encode (n, tile) into ONE
+# BIGINT so MAX() picks highest n, ties broken toward the LOWEST tile id.
+# Packed tile ids at z<=8 are < 2^16 < _ARG_M; counts stay far below
+# BIGINT/_ARG_M overflow at any tested scale.
+_ARG_M = 131072  # 2^17
+
+
+def _argmax_enc(n: str, tile: str) -> str:
+    return f"({n} * {_ARG_M} + ({_ARG_M - 1} - {tile}))"
+
+
+_ROLLUP_SUMMARY = """
+SELECT zoom,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(n) AS BIGINT) AS n_points,
+       CAST(MAX(enc) // {m} AS BIGINT) AS hottest_tile_n,
+       CAST({mm} - MAX(enc) % {m} AS BIGINT) AS hottest_tile
+FROM {src}
+GROUP BY zoom
+""".format
+
+
+def _rollup_duck() -> str:
+    z8 = ROLLUP_ZMAX
+    tx8, ty8 = _tile_exprs(z8, "//")
+    ctes = [
+        f"c8 AS (SELECT {tx8} AS tx, {ty8} AS ty,"
+        f" CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2)"
+    ]
+    for z in ROLLUP_CHAIN[1:]:
+        # derive from the immediately previous level
+        pz = ROLLUP_CHAIN[ROLLUP_CHAIN.index(z) - 1]
+        s = 1 << (pz - z)
+        ctes.append(
+            f"c{z} AS (SELECT tx // {s} AS tx, ty // {s} AS ty,"
+            f" CAST(SUM(n) AS BIGINT) AS n FROM c{pz} GROUP BY 1, 2)"
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT {z} AS zoom, tx * {1 << z} + ty AS tile, n FROM c{z}"
+        for z in ROLLUP_CHAIN
+    )
+    return (
+        "WITH pts AS (SELECT {lat} AS latc, {lon} AS lonc,"
+        " {merc} AS merc_q FROM documents), ".format(
+            lat=_POI_LAT, lon=_POI_LON, merc=_merc_q(_POI_LAT)
+        )
+        + ", ".join(ctes)
+        + f", lv AS ({levels})"
+        + ", enc AS (SELECT zoom, n, "
+        + _argmax_enc("n", "tile")
+        + " AS enc FROM lv) "
+        + _ROLLUP_SUMMARY(m=_ARG_M, mm=_ARG_M - 1, src="enc")
+        + "ORDER BY zoom"
+    )
+
+
+@register("q_tile_rollup", oracle=_rollup_duck())
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup on the reference's literal data model
+    (OpenMapTiles ships z/x/y tiles): census the points ONCE at the max
+    zoom ({ROLLUP_ZMAX}), then aggregate child tiles into their parents
+    purely by integer tile-id shifts (z8 (tx,ty) -> z4 parent is
+    (tx//16, ty//16): floor-div nesting makes the shifted id EXACTLY
+    the parent's direct assignment, no re-scan of the points) — the
+    OPTIMIZE/rollup pattern of every tiling pipeline, and what
+    distinguishes this from q_tile_pyramid's independent per-zoom
+    census. Hottest tile per zoom is an argmax folded into one MAX()
+    via integer encoding (ties to the lowest tile id), so each level is
+    a single combinable aggregate.
+
+    Scale shape: the expensive pass (points -> z{ROLLUP_ZMAX} census)
+    happens once; every coarser level aggregates the previous CENSUS
+    (rows = tile count, not point count — at 100 TB that is the
+    difference between re-shuffling the corpus per zoom and shuffling
+    kilobytes)."""
+    z8 = ROLLUP_ZMAX
+    tx8, ty8 = _tile_exprs(z8, "div")
+    pts = load(spark, sf_dir, "documents").selectExpr(
+        f"{_POI_LAT} AS latc",
+        f"{_POI_LON} AS lonc",
+        f"{_merc_q(_POI_LAT)} AS merc_q",
+    )
+    census = {
+        z8: pts.selectExpr(f"{tx8} AS tx", f"{ty8} AS ty")
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n"))
+    }
+    for i, z in enumerate(ROLLUP_CHAIN[1:], start=1):
+        pz = ROLLUP_CHAIN[i - 1]
+        s = 1 << (pz - z)
+        census[z] = (
+            census[pz]
+            .select(
+                (F.col("tx") / s).cast("long").alias("tx"),
+                (F.col("ty") / s).cast("long").alias("ty"),
+                "n",
+            )
+            .groupBy("tx", "ty")
+            .agg(F.sum("n").alias("n"))
+        )
+    lv = None
+    for z in ROLLUP_CHAIN:
+        t = census[z].select(
+            F.lit(z).alias("zoom"),
+            (F.col("tx") * (1 << z) + F.col("ty")).alias("tile"),
+            "n",
+        )
+        lv = t if lv is None else lv.unionByName(t)
+    enc = lv.select(
+        "zoom", "n", F.expr(_argmax_enc("n", "tile")).alias("enc")
+    )
+    return (
+        enc.groupBy("zoom")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("n").alias("n_points"),
+            F.floor(F.max("enc") / _ARG_M).cast("long").alias(
+                "hottest_tile_n"
+            ),
+            (F.lit(_ARG_M - 1) - F.max("enc") % _ARG_M).cast("long").alias(
+                "hottest_tile"
+            ),
+        )
+        .orderBy("zoom")
+    )

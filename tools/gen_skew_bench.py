@@ -135,6 +135,13 @@ BENCH_QUERIES = [
     "q_geo_bbox_join",
     "q_tile_pyramid",
     "q_geo_trajectory",
+    # round-9 operators: the radius join's facility side (documents)
+    # triples while the probe side (customer, copied as-is) stays fixed
+    # — candidate pairs grow ~3x, bounded per probe by 9 cells x cell
+    # density; tile rollup re-censuses the tripled point set at max
+    # zoom then shifts (child->parent arithmetic is row-count-free)
+    "q_geo_radius_join",
+    "q_tile_rollup",
 ]
 
 
