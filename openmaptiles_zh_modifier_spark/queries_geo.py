@@ -362,9 +362,13 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_geo_trajectory",
-    oracle=f"""
+# fixture coordinate rules for event pings (shared with the streaming
+# twin q_stream_trajectory in streaming/events.py)
+TRAJ_USER_MAX = 40
+TRAJ_LAT = "(-6000 + (event_id * 41) % 12000) / 100.0"
+TRAJ_LON = "(-18000 + (event_id * 97) % 36000) / 100.0"
+
+TRAJ_ORACLE = f"""
 WITH ev AS (
   SELECT user_id, event_id, ts,
          (-6000 + (event_id * 41) % 12000) / 100.0 AS lat,
@@ -388,8 +392,10 @@ SELECT user_id,
 FROM legs
 GROUP BY user_id
 ORDER BY user_id
-""",
-)
+"""
+
+
+@register("q_geo_trajectory", oracle=TRAJ_ORACLE)
 def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity trajectory statistics — the mobility-analytics shape
     (GPS pings → travel distance): each user's events get deterministic

@@ -1280,3 +1280,130 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming trajectory legs (round 9, VERDICT r8 #7): per-user
+# last-position state + watermark; the streaming twin of
+# q_geo_trajectory on the new geospatial axis.
+# ---------------------------------------------------------------------------
+
+from openmaptiles_zh_modifier_spark.queries_geo import (  # noqa: E402
+    TRAJ_LAT,
+    TRAJ_LON,
+    TRAJ_ORACLE,
+    TRAJ_USER_MAX,
+    _hav_mm,
+)
+
+
+def trajectory_leg_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user trajectory legs as a custom stateful operator
+    (``applyInPandasWithState``): state is ONLY the last seen position
+    (ts-micros, event_id, lat, lon); each micro-batch sorts its rows by
+    (ts, event_id), chains them onto the carried position, and emits
+    one APPEND row per leg with both endpoints. The haversine runs
+    JVM-side on the emitted rows (same _hav_mm expression as the batch
+    twin), so the stream reuses the batch column expression verbatim —
+    the batch/stream reuse story on the geo axis.
+
+    Ordering contract (same as streaming_cusum): exact for a source
+    whose micro-batches arrive in event-time order (production ping
+    streams are; the availableNow gate drain is a single sorted batch).
+    A row older than the carried state position is LATE DATA and is
+    dropped — the state-store twin of the watermark discipline; the
+    multi-batch proof in tests/test_streaming_multibatch.py replays a
+    time-split source and matches the batch answer exactly.
+
+    Scale shape: state per user is one constant-width row (vs the
+    batch window's shuffle-sort); emitted legs are append-only facts,
+    so downstream aggregation is an ordinary combinable groupBy."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.exists:
+            lts, leid, llat, llon = state.get
+        else:
+            lts, leid, llat, llon = None, None, None, None
+        out_plat, out_plon, out_lat, out_lon = [], [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["tsu", "event_id"])
+            for tsu, eid, lat, lon in zip(
+                pdf["tsu"], pdf["event_id"], pdf["lat"], pdf["lon"]
+            ):
+                tsu, eid = int(tsu), int(eid)
+                if lts is not None and (tsu, eid) <= (lts, leid):
+                    continue  # late or duplicate: drop (see contract)
+                if lts is not None:
+                    out_plat.append(llat)
+                    out_plon.append(llon)
+                    out_lat.append(float(lat))
+                    out_lon.append(float(lon))
+                lts, leid, llat, llon = tsu, eid, float(lat), float(lon)
+        state.update((lts, leid, llat, llon))
+        if out_lat:
+            yield pd.DataFrame(
+                {
+                    "user_id": uid,
+                    "plat": out_plat,
+                    "plon": out_plon,
+                    "lat": out_lat,
+                    "lon": out_lon,
+                }
+            )
+
+    legs = (
+        events.withWatermark("ts", watermark)
+        .where(F.col("user_id") < TRAJ_USER_MAX)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("tsu"),
+            F.expr(TRAJ_LAT).alias("lat"),
+            F.expr(TRAJ_LON).alias("lon"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, plat double, plon double,"
+                " lat double, lon double"
+            ),
+            stateStructType=(
+                "lts long, leid long, llat double, llon double"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    # leg distance with the SAME JVM-side expression as the batch twin
+    return legs.withColumn(
+        "d_mm", F.expr(_hav_mm("plat", "plon", "lat", "lon"))
+    )
+
+
+@register("q_stream_trajectory", oracle=TRAJ_ORACLE)
+def q_stream_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming q_geo_trajectory: drain the leg stream to completion,
+    then aggregate the appended legs per user — the result must equal
+    the batch window plan (the oracle IS the batch oracle)."""
+    legs = run_to_memory(
+        trajectory_leg_stream(read_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    return (
+        legs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_legs"),
+            F.sum("d_mm").alias("total_mm"),
+            F.max("d_mm").alias("longest_leg_mm"),
+        )
+        .orderBy("user_id")
+    )
