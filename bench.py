@@ -21,6 +21,46 @@ from openmaptiles_zh_modifier_spark.registry import QUERIES  # noqa: E402
 from openmaptiles_zh_modifier_spark.session import get_spark  # noqa: E402
 
 
+# Fixed 30-query reference panel (VERDICT r8 #8): every name has been in
+# the registry since round 3 with unchanged semantics, so round-over-round
+# movement is measured on a CONSTANT basket instead of tail-diff
+# heuristics over a growing surface. Spans TPC-H, windows/grouping,
+# dedup/text/embedding, graph/skew/merge, and the full streaming block
+# (the irreducible state-store floor anchors the expensive end).
+PANEL = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q_window_frames",
+    "q_grouping_sets",
+    "q_merge_upsert",
+    "q_salted_skew_join",
+    "q_pagerank_nations",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_semdedup",
+    "q_substring_dupfrac",
+    "q_record_linkage",
+    "q_text_langid",
+    "q_perplexity_filter",
+    "q_pmi_cooccurrence",
+    "q_tfidf_topk",
+    "q_rank_fusion_rrf",
+    "q_embed_neardup",
+    "q_variant_json",
+    "q_skyline_parts",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_stream_left",
+    "q_stream_zh_backfill",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -68,6 +108,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    panel = {q: timings[q] for q in PANEL if q in timings}
     print(
         json.dumps(
             {
@@ -78,6 +119,14 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sec_per_query": round(total / max(len(timings), 1), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # the fixed reference panel LAST: the driver archives only
+                # a tail of this line, so trailing keys are what survives
+                # for round-over-round comparison (BASELINE.md panel table)
+                "panel": panel,
+                "panel_total": round(sum(panel.values()), 4),
+                "panel_sec_per_query": round(
+                    sum(panel.values()) / max(len(panel), 1), 4
+                ),
             }
         )
     )
