@@ -148,6 +148,12 @@ HEADLINE = [
     "q_geo_bbox_join",
     "q_tile_pyramid",
     "q_geo_trajectory",
+    # round-9 operators (q_stream_trajectory is a streaming drain — its
+    # batch-side aggregation plan is trivial; the stateful plan is
+    # exercised by the multibatch proof instead)
+    "q_geo_radius_join",
+    "q_tile_rollup",
+    "q_zh_convert_audit",
 ]
 
 
