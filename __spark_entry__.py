@@ -20,7 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from openmaptiles_zh_modifier_spark.registry import ORACLE_SQL, QUERIES  # noqa: E402
-from openmaptiles_zh_modifier_spark.session import apply_semantic_confs  # noqa: E402
+from openmaptiles_zh_modifier_spark.session import (  # noqa: E402
+    _export_package_pythonpath,
+    apply_semantic_confs,
+)
+
+# workers must be able to re-import the package even if the driver was
+# launched from another directory; effective when this import precedes
+# the JVM launch (see session._export_package_pythonpath)
+_export_package_pythonpath()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -53,12 +53,31 @@ PERF_CONFS: dict[str, str] = {
 }
 
 
+def _export_package_pythonpath() -> None:
+    """Make the package importable in Python WORKERS regardless of the
+    launch directory. Cloudpickle serializes the package's pandas-UDF /
+    mapInPandas functions BY REFERENCE, so each worker re-imports
+    ``openmaptiles_zh_modifier_spark`` — which only works if the repo
+    root is on the worker's import path. Driver-side sys.path edits do
+    not propagate; PYTHONPATH in the driver env does (local-mode workers
+    inherit the JVM's env, which inherits ours if set BEFORE the JVM
+    launches). Found round 9: every UDF-bearing query failed when the
+    gate script was launched from outside the repo root."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            root + (os.pathsep + existing if existing else "")
+        )
+
+
 def session_builder(
     app_name: str = "openmaptiles-zh-modifier-spark",
     master: str | None = None,
     extra: dict[str, str] | None = None,
 ) -> SparkSession.Builder:
     """Return a configured builder (callers may add more config)."""
+    _export_package_pythonpath()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"

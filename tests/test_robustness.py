@@ -116,3 +116,43 @@ def test_corrupt_json_rows_are_quarantined(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert {r.a for r in good} == {1, 3}
     assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+
+def test_udf_queries_work_from_foreign_launch_directory(tmp_path):
+    """Round-9 finding: cloudpickle serializes the package's pandas-UDF
+    functions by reference, so Python WORKERS must re-import the package
+    — which used to fail (worker read_udfs crash on every UDF-bearing
+    query) when the driver process was launched outside the repo root.
+    session._export_package_pythonpath exports the repo root into
+    PYTHONPATH before the JVM starts; this test drives a UDF query from
+    a foreign cwd in a clean subprocess."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from openmaptiles_zh_modifier_spark.registry import QUERIES\n"
+        "from openmaptiles_zh_modifier_spark.session import get_spark\n"
+        "spark = get_spark(app_name='cwd-robustness', master='local[2]')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "n = QUERIES['q_udaf_mode'](spark, '/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('ROWS', n)\n" % str(repo)
+    )
+    env = {
+        k: v
+        for k, v in __import__("os").environ.items()
+        if k != "PYTHONPATH"
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ROWS" in out.stdout
