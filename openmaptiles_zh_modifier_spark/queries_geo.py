@@ -572,10 +572,14 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture lattice — the same candidates-only discipline as
     q_record_linkage's blocking and q_band_join's buckets, in 2D.
 
-    Scale shape: no broadcast required on EITHER side — both sides
-    hash-shuffle on the cell id (facilities once, queries 9x), so the
-    plan survives a facility table too large for q_geo_nearest's
-    broadcast argmin. Census is one combinable aggregate."""
+    Scale shape: no broadcast REQUIRED on either side — the join is an
+    ordinary equi-join on the cell id, so it hash-shuffles both sides
+    (facilities once, queries 9x) when neither fits the broadcast
+    threshold, surviving a facility table too large for q_geo_nearest's
+    broadcast argmin. (At the gate scales Catalyst correctly picks BHJ
+    on the same equi-key because the facility side IS small — the plan
+    degrades gracefully, never to a nested loop.) Census is one
+    combinable aggregate."""
     q = load(spark, sf_dir, "customer").where(
         F.col("c_custkey") % _Q_SAMPLE == 0
     ).selectExpr(
