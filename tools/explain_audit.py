@@ -154,6 +154,7 @@ HEADLINE = [
     "q_geo_radius_join",
     "q_tile_rollup",
     "q_zh_convert_audit",
+    "q_geo_knn_join",
 ]
 
 

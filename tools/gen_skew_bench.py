@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     # zoom then shifts (child->parent arithmetic is row-count-free)
     "q_geo_radius_join",
     "q_tile_rollup",
+    "q_geo_knn_join",
 ]
 
 
