@@ -156,3 +156,15 @@ def test_udf_queries_work_from_foreign_launch_directory(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ROWS" in out.stdout
+
+
+def test_bench_panel_names_stay_registered():
+    """The fixed 30-query reference panel (BASELINE.md) only works as a
+    constant basket if every name stays in the registry — a rename
+    would silently shrink the basket (bench.py filters, not fails)."""
+    import bench
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+    missing = [q for q in bench.PANEL if q not in QUERIES]
+    assert missing == [], missing
+    assert len(bench.PANEL) == 30
