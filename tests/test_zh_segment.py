@@ -127,6 +127,7 @@ def test_fmm_vs_fold_full_vocab_equivalence(spark):
     import re
 
     from openmaptiles_zh_modifier_spark.functions.zh import (
+        S2T_CONTEXT_RULES,
         SEP_VERB_RULES_S2T,
         to_traditional_py,
     )
@@ -155,9 +156,12 @@ def test_fmm_vs_fold_full_vocab_equivalence(spark):
     }
 
     def gap_rule_fires(w: str) -> bool:
+        # verb rules (separable infixes) AND context rules (open-class
+        # positional senses like X后) are both regex-pass mechanisms a
+        # contiguous lexicon cannot reproduce
         return any(
             re.sub(pat, repl, w) != w
-            for pat, _, repl in SEP_VERB_RULES_S2T
+            for pat, _, repl in SEP_VERB_RULES_S2T + S2T_CONTEXT_RULES
         )
 
     diffs, bad_agree, twin_drift = [], [], []

@@ -34,6 +34,9 @@ def counts() -> dict[str, int]:
     sep = getattr(zh, "SEP_VERB_RULES_S2T", None)
     if sep is not None:
         out["s2t_separable_rules"] = len(sep)
+    ctx = getattr(zh, "S2T_CONTEXT_RULES", None)
+    if ctx is not None:
+        out["s2t_context_rules"] = len(ctx)
     keep = getattr(zh, "KEEP_WORDS_S2T", None)
     if keep is not None:
         out["s2t_keep_words"] = len(keep)
