@@ -117,6 +117,7 @@ def test_zh_translate_roundtrip_properties(spark):
     from openmaptiles_zh_modifier_spark.functions.zh import (
         S2T_FROM,
         S2T_PHRASES,
+        S2T_VARIANT_NORMALIZATIONS,
         T2S_PHRASES,
     )
 
@@ -131,9 +132,18 @@ def test_zh_translate_roundtrip_properties(spark):
         to_simplified(to_simplified(F.col("s"))).alias("simp2"),
         to_simplified(to_traditional(to_simplified(F.col("s")))).alias("cycle"),
     )
+    def normalize(s: str) -> str:
+        # declared one-way variant normalizations land on the canonical
+        # spelling (e.g. 了望 -> 瞭望), not back on the variant
+        for variant, canon in S2T_VARIANT_NORMALIZATIONS.items():
+            s = s.replace(variant, canon)
+        return s
+
     for r in df.collect():
         assert r.simp == r.simp2  # idempotent
-        assert r.cycle == r.simp  # canonical form stable through s2t
+        # canonical form stable through s2t, modulo DECLARED variant
+        # normalizations (asserted to land exactly on the canon form)
+        assert r.cycle == normalize(r.simp), (r.s, r.simp, r.cycle)
         # simplified output contains no char from the traditional-only set
         trad_only = set(T2S_FROM) - set(T2S_TO)
         assert not (set(r.simp) & trad_only)
