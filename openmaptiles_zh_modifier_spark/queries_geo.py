@@ -441,17 +441,29 @@ def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Radius join via neighbor-cell probing (round 9, VERDICT r8 #3)
 # ---------------------------------------------------------------------------
 
-# Grid sized so the 3x3 neighborhood is LOSSLESS for the radius at the
-# fixture's latitude band (|lat| <= 59.99 deg): a haversine distance
-# d <= R bounds |dlat| <= R/R_earth = 1.349 deg < 2 deg (cell height)
-# and, with cos(59.99 deg) >= 0.50015 on both endpoints,
-# |dlon| <= 2*asin(sin(R/2R_e)/0.50015) = 2.698 deg < 4 deg (cell
-# width) — so every true partner lies in the query's cell or one of
-# its 8 neighbors (floor-div difference <= 1 per axis), margin 1.48x.
+# Probe-neighborhood sizing is a RUNTIME guarantee, not a fixture
+# property (VERDICT r9 #2): the haversine identity
+#   hav(d) = hav(dphi) + cos(p1) cos(p2) hav(dlam)
+# gives, for any pair within R,
+#   |dphi| <= R / R_earth                                (latitude)
+#   hav(dlam) <= sin^2(R/2R_e) / (cos(p1) cos(p2))       (longitude)
+# and since |p2| <= |p1| + dphi_max, BOTH cosines are
+# >= cos(min(90 deg, |p1| + dphi_max)) =: c_min — so each query row can
+# derive its own lossless longitude probe half-width
+#   dlam_max(p1) = 2 * asin(min(1, sin(R/2R_e) / c_min))
+# from its OWN latitude. Clamping the asin argument to 1 makes the
+# polar case fall out as a full longitude ring (dlam = 180 deg -> all
+# _NX cells, each probed exactly once). On the fixture band
+# (|lat| <= 60.00 deg, c_min = cos(61.35 deg) = 0.4795) this yields
+# dlam_max = 2.814 deg < 4 deg — the same 3x3 neighborhood as the
+# round-9 static grid, so fixture candidate sets (and hashes) are
+# unchanged; poleward data now widens the probe instead of silently
+# dropping true pairs.
 RADIUS_MM = 150_000_000  # 150 km in integer millimeters
 _CELL_LAT = 200  # cell height, centi-degrees (2 deg)
 _CELL_LON = 400  # cell width, centi-degrees (4 deg)
 _NX = 36000 // _CELL_LON  # 90 longitude cells; lon wraps modulo _NX
+_R_EARTH_M = 6371000.0  # must match _HAV's radius
 assert 36000 % _CELL_LON == 0, "lon cells must tile the wrap exactly"
 
 # query points from customer (the side that probes), fixture rule as
@@ -473,40 +485,75 @@ def geo_radius_pairs(
 
     This is the scale path q_geo_nearest's docstring promises for a
     NON-broadcastable facility side: facilities key into one grid cell
-    each, queries explode to their cell + 8 neighbors (modular in
+    each, queries explode to a neighbor-cell neighborhood (modular in
     longitude, so antimeridian pairs are found; latitude does not wrap
     and out-of-range rows simply match nothing), and the join is a
     plain hash EQUI-join on the packed cell id — the 2D twin of
     q_band_join's two-bucket explode. Exact haversine runs only on
-    candidates; cell geometry guarantees no true pair is missed (see
-    grid-sizing proof above). Candidates are produced at most once per
-    pair: a facility owns exactly one cell and the 9 probed cells are
-    distinct (_NX >= 3).
+    candidates, and completeness is a RUNTIME guarantee at any
+    latitude: each query row derives its longitude probe half-width
+    from its own latitude via the haversine bound (see the sizing
+    derivation above), degrading to a full longitude ring at the poles
+    — no band assumption. Candidates are produced at most once per
+    pair: a facility owns exactly one cell and the probed cells are
+    distinct (the probed lon span is capped at _NX cells).
 
-    Scale shape: 9x query-side expansion (the cheap side by
-    construction), one shuffle per side on the cell key, block sizes
-    bounded by cell area x point density — a celebrity CELL (one hot
-    city) is visible in q_geo_geohash's census and handled by the same
-    salting machinery as any hot equi-key."""
-    q = qdf.withColumn(
-        "qcx", F.floor((F.col("qlonc") + 18000) / _CELL_LON).cast("int")
-    ).withColumn(
-        "qcy", F.floor((F.col("qlatc") + 6000) / _CELL_LAT).cast("int")
-    )
-    probes = q.select(
-        *qdf.columns,
-        F.explode(
-            F.array(
-                *[
-                    (
-                        (F.col("qcy") + dy) * (_NX + 2)
-                        + F.pmod(F.col("qcx") + dx, F.lit(_NX))
-                    ).alias("c")
-                    for dy in (-1, 0, 1)
-                    for dx in (-1, 0, 1)
-                ]
+    Scale shape: (2k+1)x3 query-side expansion (k = 1 below ~66 deg for
+    the 150 km default — the classic 3x3; wider only poleward, where
+    rings are short anyway), one shuffle per side on the cell key,
+    block sizes bounded by cell area x point density — a celebrity CELL
+    (one hot city) is visible in q_geo_geohash's census and handled by
+    the same salting machinery as any hot equi-key."""
+    import math
+
+    # +1 mm: ROUND-to-mm in _hav_mm admits pairs up to radius + 0.5 mm,
+    # so size the probe geometry for the inflated radius
+    r_m = (radius_mm + 1) / 1000.0
+    dphi_deg = math.degrees(r_m / _R_EARTH_M)  # max |lat| delta, deg
+    ky = int(dphi_deg * 100) // _CELL_LAT + 1  # static: lat never wraps
+    sin_half = math.sin(r_m / (2.0 * _R_EARTH_M))
+    c_min = F.cos(
+        F.radians(
+            F.least(
+                F.lit(90.0),
+                F.abs(F.col("qlatc")) / 100.0 + F.lit(dphi_deg),
             )
-        ).alias("cell"),
+        )
+    )
+    ratio = F.least(
+        F.lit(1.0), F.lit(sin_half) / F.greatest(c_min, F.lit(1e-12))
+    )
+    dlam_cdeg = F.degrees(F.asin(ratio) * 2.0) * 100.0
+    kx = (F.floor(dlam_cdeg / _CELL_LON) + 1).cast("int")
+    n_cells = F.least(kx * 2 + 1, F.lit(_NX))
+    dxlo = (-F.floor(n_cells / 2)).cast("int")
+    q = (
+        qdf.withColumn(
+            "qcx",
+            F.floor((F.col("qlonc") + 18000) / _CELL_LON).cast("int"),
+        )
+        .withColumn(
+            "qcy",
+            F.floor((F.col("qlatc") + 6000) / _CELL_LAT).cast("int"),
+        )
+        .withColumn("_dxlo", dxlo)
+        .withColumn("_dxhi", (dxlo + n_cells - 1).cast("int"))
+    )
+    probes = (
+        q.withColumn(
+            "_dx", F.explode(F.sequence(F.col("_dxlo"), F.col("_dxhi")))
+        )
+        .withColumn(
+            "_dy",
+            F.explode(F.array(*[F.lit(d) for d in range(-ky, ky + 1)])),
+        )
+        .select(
+            *qdf.columns,
+            (
+                (F.col("qcy") + F.col("_dy")) * (_NX + 2)
+                + F.pmod(F.col("qcx") + F.col("_dx"), F.lit(_NX))
+            ).alias("cell"),
+        )
     )
     p = pdf.select(
         *pdf.columns,

@@ -79,6 +79,65 @@ def test_radius_join_matches_brute_force_on_boundary_cases(spark):
     assert (8, 106) in found and (8, 107) not in found  # radius edge
 
 
+def test_radius_join_lossless_at_high_latitude(spark):
+    # VERDICT r9 #2: poleward of the fixture band the static 3x3 grid
+    # would MISS pairs (at 75 N a 150 km radius spans ~5.8 deg of
+    # longitude > one 4-deg cell); the per-row adaptive probe width must
+    # keep the join equal to the brute force there.
+    queries = [
+        (1, 7500, 0),      # 75.00 N: needs a 5-cell lon neighborhood
+        (2, 7500, 399),    # same band, just left of a lon cell edge
+        (3, 8000, -17900),  # 80 N near the antimeridian
+        (4, 8500, 1200),   # 85 N: ~15.5 deg lon span
+    ]
+    pois = [
+        # ~2.7 cdeg/km of lon at 75N: 520 cdeg ~ 139 km (inside),
+        # 580 cdeg ~ 155 km (outside) — both BEYOND one 400-cdeg cell,
+        # so the static 3x3 grid would have dropped 101 entirely.
+        (101, 7500, 520),
+        (102, 7500, 580),
+        (103, 7500, -120),   # across the -18000-anchored cell edge of q2
+        (104, 8000, 17950),  # antimeridian wrap partner of q3
+        (105, 8500, 2600),   # 14 deg east at 85N ~ 136 km: inside
+        (106, 8500, 2900),   # 17 deg east at 85N ~ 165 km: outside
+        (107, 0, 0),         # equator control, far from everything
+    ]
+    qdf = spark.createDataFrame(
+        queries, "qid long, qlatc long, qlonc long"
+    )
+    pdf = spark.createDataFrame(pois, "pid long, platc long, plonc long")
+    got = _pairs(geo_radius_pairs(qdf, pdf, RADIUS_MM))
+    want = _pairs(_brute(qdf, pdf, RADIUS_MM))
+    assert got == want
+    found = {(q, p) for q, p, _ in want}
+    assert (1, 101) in found and (1, 102) not in found
+    assert (2, 103) in found
+    assert (3, 104) in found  # high-lat antimeridian wrap
+    assert (4, 105) in found and (4, 106) not in found
+
+
+def test_radius_join_full_ring_at_pole(spark):
+    # within 1.35 deg of the pole every longitude is a candidate: the
+    # clamped asin degrades to a full (deduplicated) longitude ring,
+    # so a partner on the OPPOSITE meridian is still found and probed
+    # cells stay distinct (no duplicate pairs).
+    qdf = spark.createDataFrame(
+        [(1, 8990, 0)], "qid long, qlatc long, qlonc long"
+    )
+    pdf = spark.createDataFrame(
+        # 89.95 N on the opposite meridian: ~22 km over the pole
+        [(201, 8995, 17999), (202, 8995, 9000), (203, 8700, 0)],
+        "pid long, platc long, plonc long",
+    )
+    got = _pairs(geo_radius_pairs(qdf, pdf, RADIUS_MM))
+    want = _pairs(_brute(qdf, pdf, RADIUS_MM))
+    assert got == want
+    found = {(q, p) for q, p, _ in want}
+    assert (1, 201) in found and (1, 202) in found
+    # no duplicates from the ring: each pair appears exactly once
+    assert len(got) == len({(q, p) for q, p, _ in got})
+
+
 def test_radius_join_never_duplicates_candidates(spark):
     # a facility reachable through multiple probe offsets must appear
     # once: co-located query/facility at a 4-corner cell junction
