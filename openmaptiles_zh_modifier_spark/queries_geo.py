@@ -882,3 +882,210 @@ def q_geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_found")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon join (round 10, VERDICT r9 #3): the reference's
+# production data model — OMTZHModifier.java:40-43 mostly discovers
+# osm_*_polygon tables; this is the containment join those tables imply.
+# ---------------------------------------------------------------------------
+
+# Synthetic "admin area" polygons: one per nation, a 12-vertex STAR
+# (non-convex, so ray-casting is load-bearing — a convex hull test
+# would not be) with INTEGER vertex offsets, scaled by an integer
+# factor and translated to an integer centi-degree center. Every
+# coordinate and every ray-cast term is exact int64 arithmetic, so the
+# Spark plan and the DuckDB oracle agree bit-for-bit with no float in
+# sight. Geometry is PLANAR (projected coordinate space, as in vector
+# tile pipelines); the spherical/antimeridian story lives in
+# q_geo_radius_join.
+_STAR_OFFS = [
+    (10, 0), (3, 2), (5, 9), (0, 4), (-5, 9), (-3, 2),
+    (-10, 0), (-3, -2), (-5, -9), (0, -4), (5, -9), (3, -2),
+]  # strictly increasing polar angle -> simple (non-self-intersecting)
+_STAR_EDGES = list(zip(_STAR_OFFS, _STAR_OFFS[1:] + _STAR_OFFS[:1]))
+_OXMAX = max(abs(ox) for ox, _ in _STAR_OFFS)  # 10
+_OYMAX = max(abs(oy) for _, oy in _STAR_OFFS)  # 9
+
+# fixture rules (centi-degrees): scale 100..249 keeps every polygon
+# inside the coordinate range (|cy| + 9*249 < 6000, |cx| + 10*249 < 18000)
+_PG_S = "(100 + (n_nationkey * 89) % 150)"
+_PG_CX = "(-15000 + (n_nationkey * 6073) % 30000)"
+_PG_CY = "(-3500 + (n_nationkey * 2741) % 7000)"
+
+_PCELL = 2000  # blocking cell size, centi-degrees (square)
+_PNX = 36000 // _PCELL  # 18 lon cells; packed id stride below
+
+
+def _raycast_inside(px: str, py: str, cx: str, cy: str, s: str) -> str:
+    """Exact-integer ray-cast (odd crossings of the +x ray) over the
+    star's 12 edges, FULLY UNROLLED: the offsets are Python constants,
+    so each edge emits one straddle test plus one cross-product sign
+    test — a flat boolean expression that whole-stage-codegens in Spark
+    and parses identically in DuckDB. Half-open rule ((y1 > py) !=
+    (y2 > py)) counts a ray-through-vertex crossing exactly once; the
+    cross product (x2-x1)(py-y1) - (px-x1)(y2-y1) replaces the
+    intersection-x division, with the comparison direction folded from
+    the build-time-known sign of (oy2 - oy1)."""
+    terms = []
+    for (ox1, oy1), (ox2, oy2) in _STAR_EDGES:
+        if oy1 == oy2:  # horizontal edges never cross the ray
+            continue
+        y1 = f"(({cy}) + ({s}) * ({oy1}))"
+        y2 = f"(({cy}) + ({s}) * ({oy2}))"
+        num = (
+            f"(({s}) * ({ox2 - ox1}) * (({py}) - {y1})"
+            f" - (({px}) - ({cx}) - ({s}) * ({ox1}))"
+            f" * ({s}) * ({oy2 - oy1}))"
+        )
+        op = ">" if oy2 > oy1 else "<"
+        terms.append(
+            f"(CASE WHEN ({y1} > ({py})) <> ({y2} > ({py}))"
+            f" AND {num} {op} 0 THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+_PG_BBOX = (
+    f"px BETWEEN cx - {_OXMAX} * s AND cx + {_OXMAX} * s"
+    f" AND py BETWEEN cy - {_OYMAX} * s AND cy + {_OYMAX} * s"
+)
+
+
+@register(
+    "q_geo_polygon_join",
+    oracle=f"""
+WITH poly AS (
+  SELECT n_nationkey, n_name, {_PG_S} AS s,
+         {_PG_CX} AS cx, {_PG_CY} AS cy
+  FROM nation
+),
+pts AS (
+  SELECT doc_id, {_POI_LON} AS px, {_POI_LAT} AS py FROM documents
+),
+cand AS (
+  SELECT n_nationkey, n_name, doc_id, px, py, cx, cy, s
+  FROM poly CROSS JOIN pts
+  WHERE {_PG_BBOX}
+),
+marked AS (
+  SELECT *, CASE WHEN {_raycast_inside('px', 'py', 'cx', 'cy', 's')}
+            THEN 1 ELSE 0 END AS inside
+  FROM cand
+)
+SELECT n_nationkey, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_bbox,
+       CAST(SUM(inside) AS BIGINT) AS n_inside,
+       CAST(COALESCE(SUM(CASE WHEN inside = 1 THEN doc_id END), 0)
+            AS BIGINT) AS sum_inside_doc
+FROM marked
+GROUP BY n_nationkey, n_name
+ORDER BY n_nationkey
+""",
+)
+def q_geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment join (every POI against every
+    nation's admin-area polygon) WITHOUT the cross join: points key
+    into ONE coarse grid cell, polygons explode to the cells their
+    bbox covers (bounded: bbox width / cell size, <= 4x4 at the max
+    fixture scale), the join is a hash EQUI-join on the packed cell
+    id, then a bbox prefilter and the exact-integer ray-cast verify
+    run on candidates only. The oracle is the naive cross join with
+    the IDENTICAL ray-cast text, so the hash match proves the blocking
+    lossless. n_bbox vs n_inside exposes verify selectivity the same
+    way the edit-distance shed census does.
+
+    Scale shape: candidates = polygons x covered-cells (each pair
+    produced at most once — a point owns exactly one cell) — both
+    sides shuffle on the cell key when large, broadcast when the
+    polygon side is small (the fixture case); verify is a flat
+    codegen'd boolean over 12 unrolled integer edge tests, no UDF, no
+    float, no geometry library."""
+    poly = load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey",
+        "n_name",
+        f"{_PG_S} AS s",
+        f"{_PG_CX} AS cx",
+        f"{_PG_CY} AS cy",
+    )
+    pts = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_POI_LON} AS px", f"{_POI_LAT} AS py"
+    )
+    marked = polygon_contains_pairs(poly, pts)
+    return (
+        marked.groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_bbox"),
+            F.sum("inside").alias("n_inside"),
+            F.coalesce(
+                F.sum(F.when(F.col("inside") == 1, F.col("doc_id"))),
+                F.lit(0),
+            ).alias("sum_inside_doc"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+def polygon_contains_pairs(poly: DataFrame, pts: DataFrame) -> DataFrame:
+    """Cell-blocked candidate join + bbox prefilter + ray-cast verify.
+
+    ``poly`` carries (s, cx, cy) star-polygon parameters plus id
+    columns; ``pts`` carries (px, py) plus id columns. Returns the
+    bbox-surviving candidate pairs with an exact ``inside`` 0/1 flag.
+    Blocking is lossless BY CONSTRUCTION: a point's single cell always
+    lies within the cell range covered by any bbox containing it."""
+    cells = (
+        poly.withColumn(
+            "_cxlo",
+            F.floor(
+                (F.col("cx") - _OXMAX * F.col("s") + 18000) / _PCELL
+            ).cast("int"),
+        )
+        .withColumn(
+            "_cxhi",
+            F.floor(
+                (F.col("cx") + _OXMAX * F.col("s") + 18000) / _PCELL
+            ).cast("int"),
+        )
+        .withColumn(
+            "_cylo",
+            F.floor(
+                (F.col("cy") - _OYMAX * F.col("s") + 6000) / _PCELL
+            ).cast("int"),
+        )
+        .withColumn(
+            "_cyhi",
+            F.floor(
+                (F.col("cy") + _OYMAX * F.col("s") + 6000) / _PCELL
+            ).cast("int"),
+        )
+        .withColumn(
+            "_gx", F.explode(F.sequence(F.col("_cxlo"), F.col("_cxhi")))
+        )
+        .withColumn(
+            "_gy", F.explode(F.sequence(F.col("_cylo"), F.col("_cyhi")))
+        )
+        .select(
+            *poly.columns,
+            (F.col("_gy") * (_PNX + 2) + F.col("_gx")).alias("cell"),
+        )
+    )
+    keyed = pts.withColumn(
+        "cell",
+        (
+            F.floor((F.col("py") + 6000) / _PCELL).cast("int")
+            * (_PNX + 2)
+            + F.floor((F.col("px") + 18000) / _PCELL).cast("int")
+        ),
+    )
+    return (
+        keyed.join(cells, "cell")
+        .where(F.expr(_PG_BBOX))
+        .withColumn(
+            "inside",
+            F.when(
+                F.expr(_raycast_inside("px", "py", "cx", "cy", "s")), 1
+            ).otherwise(0),
+        )
+        .drop("cell")
+    )

@@ -226,3 +226,13 @@ def test_geo_radius_join_is_equi_join(spark, sf_dir):
     plan = _plan(QUERIES["q_geo_radius_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_polygon_join_is_equi_join(spark, sf_dir):
+    """The containment join must stay a hash EQUI-join on the blocking
+    cell key — never a nested loop / cartesian (which the bbox BETWEEN
+    predicates alone would produce), with the bbox + ray-cast as a
+    post-join filter."""
+    plan = _plan(QUERIES["q_geo_polygon_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

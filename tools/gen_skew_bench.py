@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "q_geo_radius_join",
     "q_tile_rollup",
     "q_geo_knn_join",
+    # round-10: containment join — the polygon side (nation) is fixed
+    # while the point side triples; candidates grow ~3x, bounded by
+    # bbox-covered cells x point density per cell
+    "q_geo_polygon_join",
 ]
 
 
