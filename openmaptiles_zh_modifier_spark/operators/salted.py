@@ -81,6 +81,12 @@ def key_skew_stats(df: DataFrame, key: str, sample_fraction: float | None = None
     semanticHash only fingerprints the PLAN, not the files under it
     (ADVICE r8 #3)."""
     app_id = df.sparkSession.sparkContext.applicationId
+    if app_id not in _SKEW_STATS_MEMO:
+        # PySpark runs one SparkContext per process, so a NEW app id
+        # means every memoized session is stopped — drop them all
+        # instead of growing unboundedly across getOrCreate restarts
+        # (ADVICE r9 #2)
+        _SKEW_STATS_MEMO.clear()
     per_session = _SKEW_STATS_MEMO.setdefault(app_id, {})
     memo_key = (
         df._jdf.queryExecution().analyzed().semanticHash(),

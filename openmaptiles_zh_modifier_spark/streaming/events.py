@@ -137,7 +137,14 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     running event count + value total, maintained in the state store
     across micro-batches (the hand-rolled-state escape hatch for logic the
     built-in aggregations can't express). Emits one row per user per
-    micro-batch with the updated totals."""
+    micro-batch with the updated totals.
+
+    State lifecycle: running TOTALS are meaningful only while the key's
+    whole history is retained, so NoTimeout is the honest setting —
+    evicting would silently restart counts. On an unbounded user
+    population, production bounds this by retention policy (a TTL as in
+    trajectory_leg_stream, accepting the reset semantics) or by
+    windowed aggregation instead of lifetime totals."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -1129,7 +1136,13 @@ def streaming_cusum(events: DataFrame, params: dict,
     (tests/test_streaming_cusum_vec.py proves equivalence to the
     sequential reference fold at the gate's 4-dp surface; literal bit
     equality is unobtainable because the clamp interleaves with the
-    additions, so any re-association moves ~1e-10 low-order bits)."""
+    additions, so any re-association moves ~1e-10 low-order bits).
+
+    State lifecycle: NoTimeout is DELIBERATE here — the key domain is
+    event_type (a bounded enum, unlike trajectory_leg_stream's
+    unbounded users), so the state store holds a handful of
+    constant-width rows forever by design; evicting would silently
+    reset the running statistics."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1298,7 +1311,9 @@ from openmaptiles_zh_modifier_spark.queries_geo import (  # noqa: E402
 
 
 def trajectory_leg_stream(
-    events: DataFrame, watermark: str = "2 hours"
+    events: DataFrame,
+    watermark: str = "2 hours",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-user trajectory legs as a custom stateful operator
     (``applyInPandasWithState``): state is ONLY the last seen position
@@ -1313,22 +1328,44 @@ def trajectory_leg_stream(
     whose micro-batches arrive in event-time order (production ping
     streams are; the availableNow gate drain is a single sorted batch).
     A row older than the carried state position is LATE DATA and is
-    dropped — the state-store twin of the watermark discipline; the
-    multi-batch proof in tests/test_streaming_multibatch.py replays a
-    time-split source and matches the batch answer exactly.
+    dropped — the state-store twin of the watermark discipline — and
+    the running per-user drop count rides every emitted leg as
+    ``n_dropped`` (the shed-census discipline: at-least-once replay
+    divergence from the batch twin is OBSERVABLE, not silent).
+
+    State lifecycle (VERDICT r9 #4): the user key domain is unbounded
+    and ``withWatermark`` alone does NOT evict applyInPandasWithState
+    state, so continuous deployments pass ``state_ttl_ms`` (recommend
+    ~2x the watermark delay) to evict per-key state via
+    ProcessingTimeTimeout. A user silent longer than the TTL is
+    evicted; their next ping starts a NEW trajectory, so a leg
+    spanning a silence gap > TTL is not emitted — session-gap
+    semantics, pinned by tests/test_streaming_trajectory_ttl.py.
+    ``state_ttl_ms=None`` (default) keeps NoTimeout: MEASURED behavior
+    is that an availableNow drain does not terminate while registered
+    processing-time timeouts are pending (it idles in 'cleaning up
+    state' until they fire), so run-to-completion drains — the gate
+    path — must not register TTLs; their state is bounded by the run's
+    lifetime instead.
 
     Scale shape: state per user is one constant-width row (vs the
-    batch window's shuffle-sort); emitted legs are append-only facts,
-    so downstream aggregation is an ordinary combinable groupBy."""
+    batch window's shuffle-sort), bounded in COUNT by the TTL; emitted
+    legs are append-only facts, so downstream aggregation is an
+    ordinary combinable groupBy."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_ms = state_ttl_ms
+
     def update(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # silent past the TTL: evict
+            return
         uid = key[0]
         if state.exists:
-            lts, leid, llat, llon = state.get
+            lts, leid, llat, llon, ndrop = state.get
         else:
-            lts, leid, llat, llon = None, None, None, None
+            lts, leid, llat, llon, ndrop = None, None, None, None, 0
         out_plat, out_plon, out_lat, out_lon = [], [], [], []
         for pdf in pdfs:
             if not len(pdf):
@@ -1339,14 +1376,17 @@ def trajectory_leg_stream(
             ):
                 tsu, eid = int(tsu), int(eid)
                 if lts is not None and (tsu, eid) <= (lts, leid):
-                    continue  # late or duplicate: drop (see contract)
+                    ndrop += 1  # late or duplicate: drop (see contract)
+                    continue
                 if lts is not None:
                     out_plat.append(llat)
                     out_plon.append(llon)
                     out_lat.append(float(lat))
                     out_lon.append(float(lon))
                 lts, leid, llat, llon = tsu, eid, float(lat), float(lon)
-        state.update((lts, leid, llat, llon))
+        state.update((lts, leid, llat, llon, ndrop))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out_lat:
             yield pd.DataFrame(
                 {
@@ -1355,6 +1395,7 @@ def trajectory_leg_stream(
                     "plon": out_plon,
                     "lat": out_lat,
                     "lon": out_lon,
+                    "n_dropped": ndrop,
                 }
             )
 
@@ -1374,13 +1415,18 @@ def trajectory_leg_stream(
             update,
             outputStructType=(
                 "user_id long, plat double, plon double,"
-                " lat double, lon double"
+                " lat double, lon double, n_dropped long"
             ),
             stateStructType=(
-                "lts long, leid long, llat double, llon double"
+                "lts long, leid long, llat double, llon double,"
+                " ndrop long"
             ),
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if state_ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
     # leg distance with the SAME JVM-side expression as the batch twin

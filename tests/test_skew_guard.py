@@ -100,3 +100,17 @@ def test_skew_stats_memo_is_session_scoped_and_evictable(spark):
     # eviction hook for post-rewrite staleness (ADVICE r8 #3)
     mod.invalidate_skew_stats(spark)
     assert app_id not in mod._SKEW_STATS_MEMO
+
+
+def test_skew_stats_memo_drops_stopped_sessions(spark):
+    # ADVICE r9 #2: a new applicationId (getOrCreate restart) must not
+    # leak the previous session's memo — one live SparkContext per
+    # process means any OTHER app id is a stopped session.
+    from openmaptiles_zh_modifier_spark.operators import salted as mod
+
+    fact, _ = _hot(spark)
+    mod.invalidate_skew_stats()
+    mod._SKEW_STATS_MEMO["app-stopped-123"] = {("x",): object()}
+    key_skew_stats(fact, "k")
+    assert "app-stopped-123" not in mod._SKEW_STATS_MEMO
+    assert spark.sparkContext.applicationId in mod._SKEW_STATS_MEMO
