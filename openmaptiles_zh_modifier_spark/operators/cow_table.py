@@ -136,21 +136,34 @@ def _commit_manifest(root: str, manifest: dict) -> None:
 
 
 def _write_commit(
-    df: DataFrame, root: str, partition_by: str | None
+    df: DataFrame,
+    root: str,
+    partition_by: str | None,
+    scatter_col: str | None = None,
 ) -> list[dict]:
     """Write ``df`` into a fresh commit directory; return file entries
     [{"path": rel, "partition": val-or-None}]. The partition column is
     DUPLICATED into the directory key (__cow_pv) so the data files keep
     the real column — readers need no basePath reconstruction and files
-    from different commits mix freely in one scan."""
+    from different commits mix freely in one scan.
+
+    ``scatter_col`` (compaction's Z-bucket) additionally splits files by
+    that column's value via a second directory level; the column is a
+    file-LAYOUT label only — it is consumed by partitionBy (not written
+    into the data files) and ignored by the manifest, which records only
+    the table partition."""
     commit = f"commit-{uuid.uuid4().hex[:12]}"
     out = os.path.join(root, commit)
-    if partition_by is None:
-        df.write.parquet(out)
+    dir_cols = []
+    if partition_by is not None:
+        df = df.withColumn(_PV, F.col(partition_by))
+        dir_cols.append(_PV)
+    if scatter_col is not None:
+        dir_cols.append(scatter_col)
+    if dir_cols:
+        df.write.partitionBy(*dir_cols).parquet(out)
     else:
-        df.withColumn(_PV, F.col(partition_by)).write.partitionBy(_PV).parquet(
-            out
-        )
+        df.write.parquet(out)
     from urllib.parse import unquote
 
     entries = []
@@ -502,23 +515,55 @@ def cow_append(
     return manifest["version"]
 
 
+_ZB = "__cow_zb"  # compaction's Z-bucket directory label
+
+
+def _morton_sql(x: str, y: str, bits: int, intdiv: str = "div") -> str:
+    """Engine-neutral Morton interleave of two nonneg ``bits``-bit
+    ints, shifts spelled as integer division/`%` (same construction as
+    queries_scale._morton_expr, parameterized on width; the
+    integer-division token is `div` for Spark SQL, `//` for DuckDB)."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({x}) {intdiv} {1 << k}) % 2) * {1 << (2 * k)}")
+        terms.append(f"((({y}) {intdiv} {1 << k}) % 2) * {1 << (2 * k + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def cow_compact(
     spark: SparkSession,
     root: str,
     min_files_per_partition: int = 2,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_files: int = 8,
+    zorder_bits: int = 6,
 ) -> int:
-    """OPTIMIZE: bin-pack each partition's small files into one file,
-    published as a new version (old versions still time-travel; vacuum
-    reclaims the superseded files). Only partitions holding at least
+    """OPTIMIZE: bin-pack each partition's small files, published as a
+    new version (old versions still time-travel; vacuum reclaims the
+    superseded files). Only partitions holding at least
     ``min_files_per_partition`` files are rewritten — everything else is
     carried by reference, so the rewrite cost tracks fragmentation, not
     table size. Runs under the same optimistic commit protocol as MERGE:
     a concurrent writer winning the version race raises CowConflictError
     and the compaction (pure maintenance, no semantic content) can simply
-    be retried against the new snapshot.
+    be retried against the new snapshot. A reader holding a lease on any
+    prior version is untouched: compaction never deletes files, so the
+    pinned snapshot stays bit-identical until vacuum — the lease-safe
+    swap (tests/test_cow_multiprocess.py).
+
+    Without ``zorder_by`` each rewritten partition coalesces to ONE
+    file. With it (`OPTIMIZE ZORDER BY (c1, c2)`), the partition's rows
+    are re-clustered into ``zorder_files`` files cut by equal Morton-code
+    ranges over the two columns (normalized per partition to a
+    ``zorder_bits``-bit grid from their min/max — one 1-row agg per
+    rewritten partition, the documented bounded-collect pattern), so
+    each output file carries a tight min/max zone map on BOTH dims —
+    the data-skipping layout q_zorder_vs_linear prices, made
+    transactional. File assignment is a pure integer function of the
+    row, so the layout is deterministic.
 
     Semantic no-op by construction: each rewritten partition is read
-    fully and written back unchanged (one coalesced file), so
+    fully and written back unchanged (re-laid-out only), so
     ``cow_changes`` across a compaction cancels to empty — asserted in
     the test, and the property that distinguishes OPTIMIZE from MERGE."""
     m = _read_manifest(root)
@@ -540,7 +585,31 @@ def cow_compact(
         part_df = spark.read.schema(schema).parquet(
             *[os.path.join(root, e["path"]) for e in es]
         )
-        new_files += _write_commit(part_df.coalesce(1), root, part_col)
+        if zorder_by is None:
+            new_files += _write_commit(part_df.coalesce(1), root, part_col)
+            continue
+        cx, cy = zorder_by
+        b = part_df.agg(
+            F.min(cx).alias("x0"),
+            F.max(cx).alias("x1"),
+            F.min(cy).alias("y0"),
+            F.max(cy).alias("y1"),
+        ).first()
+        spx = max(int(b.x1) - int(b.x0) + 1, 1)
+        spy = max(int(b.y1) - int(b.y0) + 1, 1)
+        xn = f"(CAST((({cx}) - {int(b.x0)}) * {1 << zorder_bits} AS BIGINT) div {spx})"
+        yn = f"(CAST((({cy}) - {int(b.y0)}) * {1 << zorder_bits} AS BIGINT) div {spy})"
+        zb = (
+            f"(({_morton_sql(xn, yn, zorder_bits)} * {zorder_files})"
+            f" div {1 << (2 * zorder_bits)})"
+        )
+        # hash-repartition on the bucket puts each bucket in one task,
+        # and partitionBy splits by value -> exactly one file per
+        # non-empty bucket, in ONE write job
+        zdf = part_df.withColumn(_ZB, F.expr(zb)).repartition(
+            zorder_files, F.col(_ZB)
+        )
+        new_files += _write_commit(zdf, root, part_col, scatter_col=_ZB)
     manifest = {
         "version": m["version"] + 1,
         "partition_by": part_col,

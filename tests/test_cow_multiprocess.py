@@ -14,6 +14,8 @@ import json
 import multiprocessing as mp
 import os
 
+from pyspark.sql import functions as F
+
 
 def _race_commit(args):
     root, version, writer_id = args
@@ -405,5 +407,104 @@ def test_snapshot_isolation_reader_survives_concurrent_merge_vacuum(
     # fails loudly (missing manifest), not silently with partial data
     cow_vacuum(root, keep_versions=1, orphan_grace_seconds=0)
     assert cow_history(root) == [n_commits + 1]
+    with pytest.raises(FileNotFoundError):
+        cow_read(spark, root, version=pinned)
+
+
+def _lease_poll_reader(args):
+    """Spark-free reader process: polls the PINNED version via the
+    manifest + duckdb until the stop sentinel appears, checksumming
+    every poll. Returns (polls, mismatches)."""
+    root, version, stop_file = args
+    import time
+
+    import duckdb
+
+    expected = None
+    polls = mismatches = 0
+    while not os.path.exists(stop_file):
+        mpath = os.path.join(
+            root, "_manifests", f"v{version:010d}.json"
+        )
+        with open(mpath) as f:
+            m = json.load(f)
+        paths = [os.path.join(root, e["path"]) for e in m["files"]]
+        got = duckdb.connect().execute(
+            "SELECT COUNT(*), SUM(k), SUM(x) FROM read_parquet(?)",
+            [paths],
+        ).fetchone()
+        if expected is None:
+            expected = got
+        elif got != expected:
+            mismatches += 1
+        polls += 1
+        time.sleep(0.02)
+    return ("reader", polls, mismatches)
+
+
+def test_compaction_is_lease_safe_across_processes(spark, tmp_path):
+    """VERDICT r9 #7: OPTIMIZE (cow_compact, Z-ordered) running
+    concurrently with a reader process holding a lease on the
+    fragmented version. Compaction + lease-honoring vacuum must keep
+    the pinned snapshot bit-identical in the OTHER process throughout;
+    releasing the lease reclaims it."""
+    import pytest
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_append,
+        cow_changes,
+        cow_compact,
+        cow_create,
+        cow_history,
+        cow_read,
+        cow_vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "(id * 37) % 64 AS x", "(id * 53) % 64 AS y"
+    ).coalesce(1)
+    cow_create(spark, root, mk(0, 40))
+    cow_append(spark, root, mk(40, 80))
+    cow_append(spark, root, mk(80, 120))
+    pinned = 3  # the fragmented version the reader leases
+    stop = str(tmp_path / "stop")
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(1) as pool:
+        fut = pool.apply_async(
+            _lease_poll_reader, [(root, pinned, stop)]
+        )
+        try:
+            # OPTIMIZE concurrently with the live reader lease
+            v4 = cow_compact(
+                spark, root, zorder_by=("x", "y"), zorder_files=4,
+                zorder_bits=5,
+            )
+            assert v4 == 4
+            # maintenance honors the lease: pinned survives the vacuum
+            cow_vacuum(
+                root, keep_versions=1, orphan_grace_seconds=0,
+                pinned_versions=[pinned],
+            )
+            assert cow_history(root) == [pinned, v4]
+            # semantic no-op: CDF across the compaction cancels to empty
+            assert cow_changes(spark, root, pinned, v4).count() == 0
+            # layout DID change: 3 arrival files -> Z-bucketed files
+            n_files_after = (
+                cow_read(spark, root, version=v4)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .count()
+            )
+            assert n_files_after == 4
+        finally:
+            open(stop, "w").close()
+        tag, polls, mismatches = fut.get(timeout=120)
+    assert tag == "reader" and polls >= 1 and mismatches == 0
+
+    # release the lease: snapshot reclaimed, read fails loudly
+    cow_vacuum(root, keep_versions=1, orphan_grace_seconds=0)
+    assert cow_history(root) == [v4]
     with pytest.raises(FileNotFoundError):
         cow_read(spark, root, version=pinned)

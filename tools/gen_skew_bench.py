@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     # while the point side triples; candidates grow ~3x, bounded by
     # bbox-covered cells x point density per cell
     "q_geo_polygon_join",
+    # OPTIMIZE end-to-end: 3x orders triple every append + the rewrite,
+    # so the whole ingest->compact->probe loop should scale ~linearly
+    "q_cow_compact_zorder",
 ]
 
 
