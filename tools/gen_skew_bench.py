@@ -229,6 +229,95 @@ def generate(spark) -> None:
     )
 
 
+# --x10 mode (VERDICT r9 #8): a seeded ~10x dataset for ONLY the five
+# most expensive non-stream queries (BENCH_r09/r10 cost tail) —
+# separates "flat because designed" from "flat because small" without
+# paying a 10x replication of every table. No skew: the hot-key story
+# is the 3x anchor's job; this one isolates pure volume scaling.
+OUT10 = str(Path(__file__).resolve().parent.parent / ".benchdata" / "sf1x10")
+X10_REPS = 10
+X10_QUERIES = [
+    # embeddings-bound: corpus 10x, output size constant (d x d / top-k)
+    "q_embed_pca_power",
+    "q_embed_neardup",
+    "q_pq_recall",
+    "q_embed_pq_adc",
+    # graph: edge build 10x (orders/lineitem), iteration on 25 nodes
+    "q_pagerank_nations",
+]
+
+
+def generate_x10(spark) -> None:
+    os.makedirs(OUT10, exist_ok=True)
+
+    def copies(df, shift_cols: dict[str, int]):
+        parts = []
+        for i in range(X10_REPS):
+            c = df
+            for col, base in shift_cols.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * base))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{OUT10}/{t}.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    _write_single_file(
+        copies(orders, {"o_orderkey": KEY_SHIFT}),
+        f"{OUT10}/orders.parquet",
+    )
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    _write_single_file(
+        copies(li, {"l_orderkey": KEY_SHIFT}), f"{OUT10}/lineitem.parquet"
+    )
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    _write_single_file(
+        copies(emb, {"vec_id": KEY_SHIFT}), f"{OUT10}/embeddings.parquet"
+    )
+
+
+def main_x10() -> None:
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
+    from openmaptiles_zh_modifier_spark.session import get_spark
+
+    spark = get_spark(app_name="x10-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--regen" in sys.argv and os.path.isdir(OUT10):
+        shutil.rmtree(OUT10)
+    if not os.path.isdir(OUT10):
+        t0 = time.monotonic()
+        generate_x10(spark)
+        print(f"# generated {OUT10} in {time.monotonic() - t0:.1f}s")
+    for d in (SRC, OUT10):
+        spark.read.parquet(f"{d}/embeddings.parquet").count()
+        spark.read.parquet(f"{d}/lineitem.parquet").groupBy(
+            "l_returnflag"
+        ).count().count()
+    spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
+
+    results: dict[str, dict[str, float]] = {}
+    for sf_label, sf_dir in (("sf0.1", SRC), ("sf1x10", OUT10)):
+        for name in X10_QUERIES:
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                n = QUERIES[name](spark, sf_dir).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[sf_label] = round(best, 3)
+            print(f"# {sf_label} {name}: {best:.3f}s ({n} rows)")
+    print("| query | sf0.1 s | sf1x10 s | ratio |")
+    print("|---|---|---|---|")
+    for name in X10_QUERIES:
+        a, b = results[name]["sf0.1"], results[name]["sf1x10"]
+        print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.2f}x |")
+    print(json.dumps({"results": results, "reps": X10_REPS}))
+
+
 def main() -> None:
     from openmaptiles_zh_modifier_spark.registry import QUERIES
     from openmaptiles_zh_modifier_spark.session import get_spark
@@ -276,4 +365,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main_x10() if "--x10" in sys.argv else main()
