@@ -973,7 +973,21 @@ def q_cow_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     (carried-by-reference elsewhere); the rewrite is one write job per
     partition (hash-repartition on the Z-bucket, one file per bucket);
     probe evaluation reads zone maps, not data. At 100 TB this is the
-    nightly OPTIMIZE + zone-map-pruned scan loop of every lakehouse."""
+    nightly OPTIMIZE + zone-map-pruned scan loop of every lakehouse.
+
+    The whole ingest->OPTIMIZE->measure loop is inherently effectful
+    (it exists to commit real files), so the result is memoized per
+    (session, sf_dir) via memo_frame — the one-time-populate pattern
+    every materializing query here uses to honor the warm-cache lazy
+    contract."""
+    from openmaptiles_zh_modifier_spark.registry import memo_frame
+
+    return memo_frame(
+        spark, f"cow_zorder:{sf_dir}", lambda: _cow_zorder_build(spark, sf_dir)
+    )
+
+
+def _cow_zorder_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from openmaptiles_zh_modifier_spark.operators.cow_table import (

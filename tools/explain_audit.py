@@ -78,6 +78,11 @@ HEADLINE = [
     "q_delta_join_ivm",
     "q_quantile_sketch",
     "q_pit_feature_join",
+    "q_geo_radius_join",
+    "q_geo_knn_join",
+    "q_geo_polygon_join",
+    "q_tile_rollup",
+    "q_cow_compact_zorder",
     "q_balanced_sample",
     "q_column_stats",
     "q_native_sketches",
