@@ -975,27 +975,39 @@ def q_cow_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe evaluation reads zone maps, not data. At 100 TB this is the
     nightly OPTIMIZE + zone-map-pruned scan loop of every lakehouse.
 
-    The whole ingest->OPTIMIZE->measure loop is inherently effectful
-    (it exists to commit real files), so the result is memoized per
-    (session, sf_dir) via memo_frame — the one-time-populate pattern
-    every materializing query here uses to honor the warm-cache lazy
-    contract."""
-    from openmaptiles_zh_modifier_spark.registry import memo_frame
+    The ingest->OPTIMIZE half is inherently effectful (it exists to
+    commit real files), so the TABLE BUILD is memoized per (session,
+    sf_dir) — one-time-populate, same discipline as memo_frame — while
+    the zone-map measurement is a fresh lazy plan every call. Warm
+    constructions therefore run zero jobs (the lazy contract), and a
+    warm EXECUTION prices exactly the probe-evaluation loop, which is
+    the recurring cost the operator story claims (OPTIMIZE once, probes
+    benefit repeatedly)."""
+    root, v_after = _zc_table(spark, sf_dir)
+    return _zc_measure(spark, root, v_after)
 
-    return memo_frame(
-        spark, f"cow_zorder:{sf_dir}", lambda: _cow_zorder_build(spark, sf_dir)
-    )
+
+# (applicationId, sf_dir) -> (table root, post-compaction version);
+# stale sessions evicted on new-app-id arrival, as in operators.salted
+_ZC_TABLES: dict[tuple, tuple[str, int]] = {}
 
 
-def _cow_zorder_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _zc_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     import tempfile
 
     from openmaptiles_zh_modifier_spark.operators.cow_table import (
         cow_append,
         cow_compact,
         cow_create,
-        cow_read,
     )
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    hit = _ZC_TABLES.get(key)
+    if hit is not None:
+        return hit
+    if not any(k[0] == app for k in _ZC_TABLES):
+        _ZC_TABLES.clear()
 
     orders = load(spark, sf_dir, "orders")
     bounds = orders.agg(
@@ -1036,6 +1048,13 @@ def _cow_zorder_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_files=ZC_FILES,
         zorder_bits=ZC_BITS,
     )
+    _ZC_TABLES[key] = (root, v_after)
+    return root, v_after
+
+
+def _zc_measure(spark: SparkSession, root: str, v_after: int) -> DataFrame:
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_read
+
     lo, hi = ZL_PROBE
     skipped = F.sum(
         F.when(
