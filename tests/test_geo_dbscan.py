@@ -1,0 +1,148 @@
+"""Grid-blocked DBSCAN (round 10): the cell-blocked pair stream +
+iterative component labels must reproduce the textbook definitions —
+verified against an independent in-process brute force (numpy distance
+matrix + union-find) on scattered points that straddle cell boundaries,
+plus targeted fixtures for the isolated-core, border-tie-break, and
+all-noise shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from openmaptiles_zh_modifier_spark.queries_geo import dbscan_labels
+
+
+def _brute_labels(ids, px, py, eps2, min_pts):
+    """Reference DBSCAN: exact definitions, min-core-id cluster labels,
+    min-cluster border tie-break (the operator's documented contract)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    n = len(ids)
+    dx = px[:, None] - px[None, :]
+    dy = py[:, None] - py[None, :]
+    adj = dx * dx + dy * dy <= eps2  # includes self
+    core = adj.sum(1) >= min_pts
+
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in np.nonzero(adj[i])[0]:
+            if core[j]:
+                ri, rj = find(i), find(int(j))
+                if ri != rj:
+                    parent[ri] = rj
+
+    cluster = {}
+    for i in range(n):
+        if core[i]:
+            root = find(i)
+            members = [ids[k] for k in range(n) if core[k] and find(k) == root]
+            cluster[ids[i]] = (min(members), 2)
+    for i in range(n):
+        if core[i]:
+            continue
+        neigh = [
+            cluster[ids[j]][0]
+            for j in np.nonzero(adj[i])[0]
+            if j != i and core[j]
+        ]
+        cluster[ids[i]] = (min(neigh), 1) if neigh else (-1, 0)
+    return {int(k): (int(v[0]), v[1]) for k, v in cluster.items()}
+
+
+def _spark_labels(spark, ids, px, py, eps2_budget, min_pts):
+    pts = spark.createDataFrame(
+        list(zip(map(int, ids), map(int, px), map(int, py))),
+        "id long, px long, py long",
+    )
+    out = dbscan_labels(pts, eps2_budget=eps2_budget, min_pts=min_pts)
+    return {
+        int(r.id): (int(r.cluster), int(r.role)) for r in out.collect()
+    }
+
+
+def test_dbscan_matches_brute_force_across_cell_boundaries(spark):
+    # 60 scattered points (quadratic hash onto a 3000x3000 plane):
+    # eps ~ 387 vs a 3000-wide plane means neighbor pairs routinely
+    # straddle cell edges — any blocking leak shows up as a missing
+    # pair, hence a wrong degree or label. 23 core / 13 border / 24
+    # noise at this eps (measured).
+    ids = list(range(60))
+    px = [(i * i % 9973) * 271 % 3000 for i in ids]
+    py = [(i * i % 9967) * 331 % 3000 for i in ids]
+    eps2_budget = 60 * 150_000  # eps2 = 150000, eps ~ 387
+    got = _spark_labels(spark, ids, px, py, eps2_budget, 4)
+    want = _brute_labels(ids, px, py, 150_000, 4)
+    assert got == want
+    roles = {r for _, r in got.values()}
+    assert roles == {0, 1, 2}, "fixture must exercise core+border+noise"
+
+
+def test_dbscan_all_noise_when_sparse(spark):
+    ids = [1, 2, 3, 4, 5]
+    px = [0, 1000, 2000, 3000, 4000]
+    py = [0, 0, 0, 0, 0]
+    got = _spark_labels(spark, ids, px, py, 5 * 100, 4)  # eps = 10
+    assert got == {i: (-1, 0) for i in ids}
+
+
+def test_dbscan_isolated_core_keeps_own_id(spark):
+    # a plus-shape: center has 5 eps-neighbors (core); each arm tip has
+    # only 2 (border) — the lone core has NO core neighbor, so the
+    # component loop never sees it and the left-join fallback must
+    # label it with its own id.
+    # eps = 6: center-tip dist 5 (in), tip-tip dist sqrt(50) ~ 7.07 and
+    # 10 (out) — tips see only {self, center} = 2 < 4 neighbors.
+    ids = [10, 11, 12, 13, 14]
+    px = [0, 5, -5, 0, 0]
+    py = [0, 0, 0, 5, -5]
+    got = _spark_labels(spark, ids, px, py, 5 * 36, 4)  # eps2 = 36
+    assert got == _brute_labels(ids, px, py, 36, 4)
+    assert got[10] == (10, 2)
+    for tip in (11, 12, 13, 14):
+        assert got[tip] == (10, 1)
+
+
+def test_dbscan_border_tiebreak_is_min_cluster(spark):
+    # two 4-point blobs (both core) with one point equidistant between
+    # them, within eps of a core in EACH: the documented deterministic
+    # tie-break assigns the MIN cluster id.
+    ids, px, py = [], [], []
+    for i, x0 in ((0, 0), (100, 1000)):
+        for k in range(4):
+            ids.append(i + k)
+            px.append(x0 + k)
+            py.append(0)
+    ids.append(500)
+    px.append(501)
+    py.append(0)
+    # eps = 499, minPts = 5: the bridge at x=501 reaches cores in BOTH
+    # blobs (ids 2,3 at 499,498 and id 100 at 499) but has only 4
+    # eps-neighbors itself — border, assigned the MIN cluster (2, not
+    # 100). The bridge must NOT become core, or it would merge the
+    # blobs into one cluster.
+    eps2 = 499 * 499
+    got = _spark_labels(spark, ids, px, py, len(ids) * eps2, 5)
+    want = _brute_labels(ids, px, py, eps2, 5)
+    assert got == want
+    assert got[500] == (2, 1)  # border, min cluster id wins
+    assert got[100][0] == 100 and got[2][0] == 2  # two distinct clusters
+
+
+def test_dbscan_roles_partition_the_input(spark):
+    ids = list(range(40))
+    px = [(i * 313) % 500 for i in ids]
+    py = [(i * 197) % 500 for i in ids]
+    got = _spark_labels(spark, ids, px, py, 40 * 3600, 4)
+    assert set(got) == set(ids)  # every point labeled exactly once
+    for i, (c, role) in got.items():
+        assert (c == -1) == (role == 0)
