@@ -1314,3 +1314,241 @@ def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+# ---------------------------------------------------------------------------
+# Segment-intersection join (round 10): roads x ways crossing census
+# ---------------------------------------------------------------------------
+
+# Segment fixtures (planar integer coordinates): endpoint 1 from a
+# modular rule, endpoint 2 at a bounded offset (|d| <= 400), with the
+# all-zero offset nudged to keep every segment non-degenerate.
+_RD_X1 = "(s_suppkey * 7919) % 35000"
+_RD_Y1 = "(s_suppkey * 6007) % 11000"
+_RD_DX = "((s_suppkey * 97) % 801 - 400)"
+_RD_DY = "((s_suppkey * 53) % 801 - 400)"
+_WY_X1 = "(o_orderkey * 104729) % 35000"
+_WY_Y1 = "(o_orderkey * 15485863) % 11000"
+_WY_DX = "((o_orderkey * 61) % 801 - 400)"
+_WY_DY = "((o_orderkey * 41) % 801 - 400)"
+_WY_SAMPLE = 20  # o_orderkey % 20 = 0 keeps the cross-join oracle tractable
+
+_SEG_CELL = 800  # blocking cell width; >= max bbox extent (800), so a
+_SEG_NCX = 64  # segment bbox covers at most 2x2 cells. 64 > 35400/800.
+
+
+def _seg_nudge(dx: str, dy: str) -> str:
+    """dy, with the (0,0) offset nudged to 1 (degenerate-segment guard)."""
+    return f"(CASE WHEN {dx} = 0 AND {dy} = 0 THEN 1 ELSE {dy} END)"
+
+
+def _seg_intersect(
+    ax1: str, ay1: str, ax2: str, ay2: str,
+    bx1: str, by1: str, bx2: str, by2: str,
+) -> str:
+    """Exact-integer segment-intersection predicate (the classic CLRS
+    cross-product orientation test, including collinear endpoint-on-
+    segment cases) as a flat SQL boolean that whole-stage-codegens in
+    Spark and parses identically in DuckDB. Coordinates are bounded
+    (|x| < 36000, offsets <= 801), so every cross product stays far
+    inside int64."""
+
+    def x(ox, oy, px, py, qx, qy):
+        return (
+            f"(({px} - {ox}) * ({qy} - {oy})"
+            f" - ({py} - {oy}) * ({qx} - {ox}))"
+        )
+
+    d1 = x(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = x(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = x(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = x(ax1, ay1, ax2, ay2, bx2, by2)
+
+    def onseg(d, px, py, ux, uy, vx, vy):
+        return (
+            f"({d} = 0"
+            f" AND {px} BETWEEN LEAST({ux}, {vx}) AND GREATEST({ux}, {vx})"
+            f" AND {py} BETWEEN LEAST({uy}, {vy}) AND GREATEST({uy}, {vy}))"
+        )
+
+    general = (
+        f"((({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0))"
+        f" AND (({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0)))"
+    )
+    return (
+        f"({general}"
+        f" OR {onseg(d1, ax1, ay1, bx1, by1, bx2, by2)}"
+        f" OR {onseg(d2, ax2, ay2, bx1, by1, bx2, by2)}"
+        f" OR {onseg(d3, bx1, by1, ax1, ay1, ax2, ay2)}"
+        f" OR {onseg(d4, bx2, by2, ax1, ay1, ax2, ay2)})"
+    )
+
+
+_SEG_BBOX_OVERLAP = (
+    "alx <= bhx AND blx <= ahx AND aly <= bhy AND bly <= ahy"
+)
+_SEG_CROSS = _seg_intersect(
+    "ax1", "ay1", "ax2", "ay2", "bx1", "by1", "bx2", "by2"
+)
+
+
+def segment_crossing_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-blocked segment-intersection join: ``a(ax1, ay1, ax2, ay2,
+    ...)`` x ``b(bx1, ...)`` -> bbox-overlapping candidate pairs with an
+    exact ``crossing`` 0/1 flag, each pair exactly ONCE.
+
+    Both sides are EXTENDED objects, so both explode to the (<= 2x2)
+    cells their bbox covers and a shared pair would surface in every
+    shared cell. Duplicates are avoided WITHOUT a distinct shuffle via
+    the PBSM reference-point rule (Patel & DeWitt 1996 / Jacox & Samet
+    2007, public): a pair is reported only by the unique cell containing
+    the top-left corner of the two bboxes' intersection — a pure filter,
+    evaluated from values already on the row.
+
+    Scale shape: <= 4x fan-out per side into a hash EQUI-join on the
+    packed cell id (broadcast when one side is small, shuffle otherwise
+    — never a nested loop); bbox prefilter, then the exact integer
+    orientation test on survivors only. A hot cell is a hot equi-key,
+    visible and saltable as usual."""
+    def with_cells(df, lx, hx, ly, hy):
+        return (
+            df.withColumn("_cxlo", F.floor(F.col(lx) / _SEG_CELL).cast("int"))
+            .withColumn("_cxhi", F.floor(F.col(hx) / _SEG_CELL).cast("int"))
+            .withColumn("_cylo", F.floor(F.col(ly) / _SEG_CELL).cast("int"))
+            .withColumn("_cyhi", F.floor(F.col(hy) / _SEG_CELL).cast("int"))
+            .withColumn(
+                "_gx", F.explode(F.sequence(F.col("_cxlo"), F.col("_cxhi")))
+            )
+            .withColumn(
+                "_gy", F.explode(F.sequence(F.col("_cylo"), F.col("_cyhi")))
+            )
+            .withColumn(
+                "cell", (F.col("_gy") + 1) * _SEG_NCX + F.col("_gx") + 1
+            )
+            .drop("_cxlo", "_cxhi", "_cylo", "_cyhi")
+        )
+
+    ac = with_cells(
+        a.withColumn("alx", F.least("ax1", "ax2"))
+        .withColumn("ahx", F.greatest("ax1", "ax2"))
+        .withColumn("aly", F.least("ay1", "ay2"))
+        .withColumn("ahy", F.greatest("ay1", "ay2")),
+        "alx", "ahx", "aly", "ahy",
+    )
+    bc = with_cells(
+        b.withColumn("blx", F.least("bx1", "bx2"))
+        .withColumn("bhx", F.greatest("bx1", "bx2"))
+        .withColumn("bly", F.least("by1", "by2"))
+        .withColumn("bhy", F.greatest("by1", "by2")),
+        "blx", "bhx", "bly", "bhy",
+    ).drop("_gx", "_gy")
+    return (
+        ac.join(bc, "cell")
+        .where(F.expr(_SEG_BBOX_OVERLAP))
+        # reference point: the pair's owner cell is the one holding the
+        # bbox-intersection corner (max of lows) — report there only
+        .where(
+            (F.col("_gx") == F.floor(F.greatest("alx", "blx") / _SEG_CELL))
+            & (F.col("_gy") == F.floor(F.greatest("aly", "bly") / _SEG_CELL))
+        )
+        .withColumn(
+            "crossing",
+            F.when(F.expr(_SEG_CROSS), 1).otherwise(0),
+        )
+        .drop("cell", "_gx", "_gy")
+    )
+
+
+@register(
+    "q_geo_segment_join",
+    # NOTE the bbox bounds are PRE-COMPUTED columns in the CTEs: DuckDB
+    # 1.0.0 hits an internal assertion ("requires a flat vector") when
+    # LEAST/GREATEST over derived columns appear directly in a cross
+    # join's filter; hoisting them into the projection sidesteps it and
+    # mirrors the Spark side's alx/ahx/... columns anyway.
+    oracle=f"""
+WITH roads AS (
+  SELECT *, LEAST(ax1, ax2) AS alx, GREATEST(ax1, ax2) AS ahx,
+         LEAST(ay1, ay2) AS aly, GREATEST(ay1, ay2) AS ahy
+  FROM (
+    SELECT s_suppkey, s_nationkey,
+           {_RD_X1} AS ax1, {_RD_Y1} AS ay1,
+           {_RD_X1} + {_RD_DX} AS ax2,
+           {_RD_Y1} + {_seg_nudge(_RD_DX, _RD_DY)} AS ay2
+    FROM supplier)
+),
+ways AS (
+  SELECT *, LEAST(bx1, bx2) AS blx, GREATEST(bx1, bx2) AS bhx,
+         LEAST(by1, by2) AS bly, GREATEST(by1, by2) AS bhy
+  FROM (
+    SELECT o_orderkey,
+           {_WY_X1} AS bx1, {_WY_Y1} AS by1,
+           {_WY_X1} + {_WY_DX} AS bx2,
+           {_WY_Y1} + {_seg_nudge(_WY_DX, _WY_DY)} AS by2
+    FROM orders WHERE o_orderkey % {_WY_SAMPLE} = 0)
+),
+cand AS (
+  SELECT s_nationkey, o_orderkey,
+         CASE WHEN {_SEG_CROSS} THEN 1 ELSE 0 END AS crossing
+  FROM roads CROSS JOIN ways
+  WHERE {_SEG_BBOX_OVERLAP}
+)
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cand,
+       CAST(SUM(crossing) AS BIGINT) AS n_cross,
+       CAST(COALESCE(SUM(CASE WHEN crossing = 1 THEN o_orderkey END), 0)
+            AS BIGINT) AS sum_okey
+FROM cand
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def q_geo_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-intersection join (every road against every sampled way:
+    which cross?) — the road-network overlay shape of the reference's
+    OSM domain — WITHOUT the cross join: both sides explode to their
+    bbox's covered cells (<= 2x2 at the fixture's 800-wide cells), hash
+    equi-join on the packed cell id, PBSM reference-point filter so
+    each pair is counted exactly once with NO distinct, then the exact
+    integer orientation test (segment_crossing_pairs above; the CLRS
+    test with all four collinear endpoint-touch cases — the fixture
+    genuinely exercises a collinear touch at every gate scale,
+    measured). The oracle is the naive cross join with IDENTICAL
+    predicate text, so the dual-scale hash match proves both the cell
+    blocking AND the duplicate-avoidance rule lossless.
+
+    Scale shape: fan-out <= 4x per side into one equi-join; census is
+    one combinable aggregate. Cited parity: the reference's production
+    tables are OSM geometry tables (OMTZHModifier.java:40-43); overlay
+    joins are the queries run against them."""
+    roads = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        "s_nationkey",
+        f"{_RD_X1} AS ax1",
+        f"{_RD_Y1} AS ay1",
+        f"{_RD_X1} + {_RD_DX} AS ax2",
+        f"{_RD_Y1} + {_seg_nudge(_RD_DX, _RD_DY)} AS ay2",
+    )
+    ways = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % _WY_SAMPLE == 0)
+        .selectExpr(
+            "o_orderkey",
+            f"{_WY_X1} AS bx1",
+            f"{_WY_Y1} AS by1",
+            f"{_WY_X1} + {_WY_DX} AS bx2",
+            f"{_WY_Y1} + {_seg_nudge(_WY_DX, _WY_DY)} AS by2",
+        )
+    )
+    pairs = segment_crossing_pairs(roads, ways)
+    return (
+        pairs.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum("crossing").alias("n_cross"),
+            F.coalesce(
+                F.sum(F.when(F.col("crossing") == 1, F.col("o_orderkey"))),
+                F.lit(0),
+            ).alias("sum_okey"),
+        )
+        .orderBy("s_nationkey")
+    )

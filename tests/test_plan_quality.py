@@ -257,3 +257,13 @@ def test_geo_dbscan_single_scan_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("documents.parquet") <= 1
+
+
+def test_geo_segment_join_is_equi_join(spark, sf_dir):
+    """The segment overlay join must stay a hash EQUI-join on the
+    blocking cell (never a nested loop), with bbox overlap, the
+    reference-point owner rule, and the orientation test as post-join
+    filters."""
+    plan = _plan(QUERIES["q_geo_segment_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
