@@ -1102,3 +1102,120 @@ def _zc_measure(spark: SparkSession, root: str, v_after: int) -> DataFrame:
             F.col("skipped_after").cast("double") / F.col("files_after"), 4
         ).alias("skip_frac_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution measured through the manifest (round 10): add-column
+# is metadata-only, pre-evolution files serve NULL via the manifest
+# schema (operators/cow_table.py cow_append(evolve_schema=True)).
+# ---------------------------------------------------------------------------
+
+# (applicationId, sf_dir) -> (root, latest version); stale sessions
+# evicted on new-app-id arrival, as in _ZC_TABLES.
+_SE_TABLES: dict[tuple, tuple[str, int]] = {}
+
+
+def _se_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    import tempfile
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_append,
+        cow_create,
+    )
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    hit = _SE_TABLES.get(key)
+    if hit is not None:
+        return hit
+    if not any(k[0] == app for k in _SE_TABLES):
+        _SE_TABLES.clear()
+
+    orders = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="omt-se-") + "/t"
+    cow_create(
+        spark,
+        root,
+        orders.where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_custkey"
+        ),
+    )
+    for chunk in (1, 2):
+        v = cow_append(
+            spark,
+            root,
+            orders.where(F.col("o_orderkey") % 3 == chunk).select(
+                "o_orderkey", "o_custkey", "o_orderpriority"
+            ),
+            evolve_schema=True,
+        )
+    _SE_TABLES[key] = (root, v)
+    return root, v
+
+
+@register(
+    "q_cow_schema_evolution",
+    oracle="""
+SELECT * FROM (
+  SELECT CAST(2 AS BIGINT) AS version,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pri_null,
+         CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 3 = 1
+                             THEN o_orderpriority END)
+              AS BIGINT) AS n_pri_distinct,
+         CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+  FROM orders WHERE o_orderkey % 3 <= 1
+  UNION ALL
+  SELECT CAST(3 AS BIGINT),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 3 <> 0
+                             THEN o_orderpriority END)
+              AS BIGINT),
+         CAST(SUM(o_custkey) AS BIGINT)
+  FROM orders
+)
+ORDER BY version
+""",
+)
+def q_cow_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution, measured through real manifests:
+    the table ingests a 2-column chunk (v1), then two appends that ADD
+    o_orderpriority with evolve_schema=True (v2, v3). Because readers
+    project every file through the MANIFEST schema — the Delta/Iceberg
+    add-column contract; no data file is rewritten — the v1 files must
+    serve NULL for the new column in every post-evolution snapshot, and
+    a time-travel read of v2 must see v2's schema with exactly the v1
+    rows NULL. The oracle replays the version arithmetic from the
+    source table, so the hash match proves the per-version NULL census
+    lands exactly where append-order promised.
+
+    Scale shape: evolution cost is ONE manifest write regardless of
+    table size (the 100 TB property that matters); reads stay
+    pruned-by-manifest as in q_cow_compact_zorder. The table build is
+    memoized per (session, sf_dir); each call prices only the two
+    snapshot reads (lazy plans over the committed files)."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_read
+
+    root, v_latest = _se_table(spark, sf_dir)
+
+    def census(version: int) -> DataFrame:
+        df = cow_read(spark, root, version=version)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+            ).alias("n_pri_null"),
+            F.count_distinct("o_orderpriority").alias("n_pri_distinct"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        ).select(
+            F.lit(version).cast("long").alias("version"),
+            "n_rows",
+            "n_pri_null",
+            "n_pri_distinct",
+            "sum_custkey",
+        )
+
+    return census(2).unionByName(census(v_latest)).orderBy("version")

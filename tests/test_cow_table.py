@@ -339,3 +339,22 @@ def test_cow_vacuum_reclaims_manifest_orphans(spark, tmp_path):
     assert removed == 1 and not os.path.exists(orphan)
     # the live table is untouched
     assert cow_read(spark, root).count() == 5
+
+
+def test_schema_evolution_query_versions(spark, sf_dir):
+    """q_cow_schema_evolution's build: a v1 time-travel read must see
+    the PRE-evolution schema (no o_orderpriority at all — evolution is
+    forward-only metadata), while v2 sees the evolved schema with
+    exactly the v1 rows NULL."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_read
+    from openmaptiles_zh_modifier_spark.queries_scale import _se_table
+
+    root, v_latest = _se_table(spark, sf_dir)
+    assert v_latest == 3
+    v1 = cow_read(spark, root, version=1)
+    assert "o_orderpriority" not in v1.columns
+    v2 = cow_read(spark, root, version=2)
+    assert "o_orderpriority" in v2.columns
+    n_v1 = v1.count()
+    nulls_v2 = v2.where(v2.o_orderpriority.isNull()).count()
+    assert nulls_v2 == n_v1  # exactly the pre-evolution rows serve NULL
