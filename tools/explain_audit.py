@@ -83,6 +83,9 @@ HEADLINE = [
     "q_geo_polygon_join",
     "q_tile_rollup",
     "q_cow_compact_zorder",
+    "q_geo_dbscan",
+    "q_geo_segment_join",
+    "q_cow_schema_evolution",
     "q_balanced_sample",
     "q_column_stats",
     "q_native_sketches",
