@@ -1552,3 +1552,272 @@ def q_geo_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Polygon-polygon overlay (late round 10): building footprints x admin
+# areas — the third leg of the OSM overlay trilogy (point-in-polygon,
+# segment x segment, polygon x polygon). The reference's production
+# tables are osm_*_polygon (OMTZHModifier.java:40-43); assigning
+# building footprints to admin polygons — and flagging the ones that
+# STRADDLE a boundary — is the conflation/QA query those tables imply.
+# ---------------------------------------------------------------------------
+
+# Building footprints: one axis-aligned square per customer (center +
+# half-width, integer centi-degrees), scattered over the admin-polygon
+# domain. A square IS a polygon; the star x box pairing keeps the
+# exact verify tractable for a SQL oracle while exercising the general
+# overlay decomposition (boundary-intersects OR containment).
+_BX_RULE = "(-15000 + (c_custkey * 7717) % 30000)"
+_BY_RULE = "(-3500 + (c_custkey * 4373) % 7000)"
+_BW_RULE = "(20 + (c_custkey * 13) % 100)"  # half-width 20..119
+
+# Overlay decision, exact and closed over the fixture family:
+#   straddle  <=> some star edge intersects the box (an edge that
+#                 enters the box must cross a side or end inside it)
+#   inside    <=> box center in star AND NOT straddle (box min extent
+#                 40 << star min extent 2000, so box-contains-star is
+#                 impossible by construction — asserted in tests)
+#   disjoint  <=> neither (bbox-overlap candidates only)
+_EDGE_VALUES = ", ".join(
+    f"({ox1}, {oy1}, {ox2}, {oy2})"
+    for (ox1, oy1), (ox2, oy2) in _STAR_EDGES
+)
+_EDGE_STRUCTS = ", ".join(
+    f"named_struct('ox1', {ox1}, 'oy1', {oy1}, 'ox2', {ox2}, 'oy2', {oy2})"
+    for (ox1, oy1), (ox2, oy2) in _STAR_EDGES
+)
+
+
+def _edge_box_hit() -> str:
+    """Does star edge ``e`` (offsets e.ox1.. scaled by s around cx, cy)
+    intersect the axis-aligned box [blx, bhx] x [bly, bhy]? An edge
+    intersects the box iff an endpoint lies inside it or it crosses one
+    of the four sides — all exact int64 (coords < 36e3, s < 250, cross
+    products < 2^40). The SAME text runs as a Spark higher-order-
+    function lambda body (e = array element) and inside the oracle's
+    correlated EXISTS (e = VALUES alias), so the two engines evaluate
+    one predicate, not two translations."""
+    ex1, ey1 = "(cx + s * e.ox1)", "(cy + s * e.oy1)"
+    ex2, ey2 = "(cx + s * e.ox2)", "(cy + s * e.oy2)"
+    sides = [
+        ("blx", "bly", "blx", "bhy"),  # left
+        ("bhx", "bly", "bhx", "bhy"),  # right
+        ("blx", "bly", "bhx", "bly"),  # bottom
+        ("blx", "bhy", "bhx", "bhy"),  # top
+    ]
+    crossings = " OR ".join(
+        _seg_intersect(ex1, ey1, ex2, ey2, *side) for side in sides
+    )
+    return (
+        f"(({ex1} BETWEEN blx AND bhx AND {ey1} BETWEEN bly AND bhy)"
+        f" OR ({ex2} BETWEEN blx AND bhx AND {ey2} BETWEEN bly AND bhy)"
+        f" OR {crossings})"
+    )
+
+
+def polygon_box_overlay_pairs(poly: DataFrame, boxes: DataFrame) -> DataFrame:
+    """Cell-blocked star-polygon x box overlay: bbox-overlap candidate
+    pairs (each EXACTLY once, PBSM reference-point rule — both sides
+    are extended objects, so both explode to covered cells and a pair
+    would otherwise surface in every shared cell) with exact
+    ``center_inside`` and ``edge_hit`` 0/1 flags.
+
+    ``poly`` carries (s, cx, cy) + id columns; ``boxes`` carries
+    (bcx, bcy, w) + id columns. The verify is flat and in-row: the
+    12-edge ray-cast for the center, and ONE exists() higher-order
+    function over the 12 edge-offset structs for the boundary test —
+    no explode, no re-shuffle, no UDF; candidate rows stream through
+    both predicates map-side.
+
+    Scale shape: fan-out <= 16x on the polygon side (bbox/cell bound),
+    <= 4x on the box side, into one hash equi-join on the packed cell
+    id; flags are in-row; the census downstream is one combinable
+    aggregate. A hot cell is a hot equi-key — saltable as usual."""
+    pc = (
+        poly.withColumn("_plx", F.col("cx") - _OXMAX * F.col("s"))
+        .withColumn("_phx", F.col("cx") + _OXMAX * F.col("s"))
+        .withColumn("_ply", F.col("cy") - _OYMAX * F.col("s"))
+        .withColumn("_phy", F.col("cy") + _OYMAX * F.col("s"))
+        .withColumn(
+            "_gx",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("_plx") + 18000) / _PCELL).cast("int"),
+                    F.floor((F.col("_phx") + 18000) / _PCELL).cast("int"),
+                )
+            ),
+        )
+        .withColumn(
+            "_gy",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("_ply") + 6000) / _PCELL).cast("int"),
+                    F.floor((F.col("_phy") + 6000) / _PCELL).cast("int"),
+                )
+            ),
+        )
+        .withColumn("cell", F.col("_gy") * (_PNX + 2) + F.col("_gx"))
+    )
+    bc = (
+        boxes.withColumn("blx", F.col("bcx") - F.col("w"))
+        .withColumn("bhx", F.col("bcx") + F.col("w"))
+        .withColumn("bly", F.col("bcy") - F.col("w"))
+        .withColumn("bhy", F.col("bcy") + F.col("w"))
+        .withColumn(
+            "_bgx",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("blx") + 18000) / _PCELL).cast("int"),
+                    F.floor((F.col("bhx") + 18000) / _PCELL).cast("int"),
+                )
+            ),
+        )
+        .withColumn(
+            "_bgy",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("bly") + 6000) / _PCELL).cast("int"),
+                    F.floor((F.col("bhy") + 6000) / _PCELL).cast("int"),
+                )
+            ),
+        )
+        .withColumn("cell", F.col("_bgy") * (_PNX + 2) + F.col("_bgx"))
+        .drop("_bgx", "_bgy")
+    )
+    return (
+        bc.join(pc, "cell")
+        .where(
+            (F.col("blx") <= F.col("_phx"))
+            & (F.col("_plx") <= F.col("bhx"))
+            & (F.col("bly") <= F.col("_phy"))
+            & (F.col("_ply") <= F.col("bhy"))
+        )
+        # reference point: report only in the unique cell holding the
+        # bbox-intersection's low corner (pure filter, no distinct)
+        .where(
+            (
+                F.col("_gx")
+                == F.floor(
+                    (F.greatest("_plx", "blx") + 18000) / _PCELL
+                ).cast("int")
+            )
+            & (
+                F.col("_gy")
+                == F.floor(
+                    (F.greatest("_ply", "bly") + 6000) / _PCELL
+                ).cast("int")
+            )
+        )
+        .withColumn(
+            "center_inside",
+            F.when(
+                F.expr(_raycast_inside("bcx", "bcy", "cx", "cy", "s")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "edge_hit",
+            F.when(
+                F.expr(
+                    f"exists(array({_EDGE_STRUCTS}), e -> {_edge_box_hit()})"
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .drop("cell", "_gx", "_gy", "_plx", "_phx", "_ply", "_phy")
+    )
+
+
+@register(
+    "q_geo_polygon_overlay",
+    oracle=f"""
+WITH polys AS (
+  SELECT n_nationkey, n_name, {_PG_S} AS s, {_PG_CX} AS cx, {_PG_CY} AS cy
+  FROM nation
+),
+pb AS (
+  SELECT *, cx - {_OXMAX} * s AS plx, cx + {_OXMAX} * s AS phx,
+         cy - {_OYMAX} * s AS ply, cy + {_OYMAX} * s AS phy
+  FROM polys
+),
+boxes AS (
+  SELECT c_custkey, {_BX_RULE} AS bcx, {_BY_RULE} AS bcy, {_BW_RULE} AS w
+  FROM customer
+),
+bb AS (
+  SELECT *, bcx - w AS blx, bcx + w AS bhx, bcy - w AS bly, bcy + w AS bhy
+  FROM boxes
+),
+cand AS (
+  SELECT n_nationkey, n_name, c_custkey,
+         CASE WHEN {_raycast_inside('bcx', 'bcy', 'cx', 'cy', 's')}
+              THEN 1 ELSE 0 END AS center_inside,
+         CASE WHEN EXISTS (
+             SELECT 1
+             FROM (VALUES {_EDGE_VALUES}) AS e(ox1, oy1, ox2, oy2)
+             WHERE {_edge_box_hit()}
+           ) THEN 1 ELSE 0 END AS edge_hit
+  FROM bb CROSS JOIN pb
+  WHERE blx <= phx AND plx <= bhx AND bly <= phy AND ply <= bhy
+)
+SELECT n_nationkey, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_cand,
+       CAST(SUM(CASE WHEN center_inside = 1 AND edge_hit = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       CAST(SUM(edge_hit) AS BIGINT) AS n_straddle,
+       CAST(COALESCE(SUM(CASE WHEN edge_hit = 1 THEN c_custkey END), 0)
+            AS BIGINT) AS sum_straddle_cust
+FROM cand
+GROUP BY n_nationkey, n_name
+ORDER BY n_nationkey
+""",
+)
+def q_geo_polygon_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon overlay join (building footprints x admin
+    areas): which buildings sit fully inside each admin polygon, and
+    which STRADDLE its boundary — per-admin census over the exact
+    classification. The decomposition is the general one (boundary
+    intersection OR containment, decided here by edge-box tests + the
+    center ray-cast; box-contains-polygon excluded by the fixture's
+    size separation); blocking, dedup, and the verify run in one
+    equi-join pipeline with in-row flags (polygon_box_overlay_pairs).
+    The oracle is the naive cross join evaluating the IDENTICAL
+    predicate text (the edge test via a correlated EXISTS over the
+    same 12 offset rows Spark folds into an exists() HOF), so the
+    dual-scale hash match proves the cell blocking and the
+    reference-point rule lossless over an overlay with ~16x polygon
+    fan-out. Cited parity: OMTZHModifier.java:40-43 discovers
+    osm_*_polygon tables; boundary-straddle QA is the conflation query
+    run against them."""
+    poly = load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey",
+        "n_name",
+        f"{_PG_S} AS s",
+        f"{_PG_CX} AS cx",
+        f"{_PG_CY} AS cy",
+    )
+    boxes = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_BX_RULE} AS bcx",
+        f"{_BY_RULE} AS bcy",
+        f"{_BW_RULE} AS w",
+    )
+    pairs = polygon_box_overlay_pairs(poly, boxes)
+    return (
+        pairs.groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(
+                F.when(
+                    (F.col("center_inside") == 1) & (F.col("edge_hit") == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("n_inside"),
+            F.sum("edge_hit").alias("n_straddle"),
+            F.coalesce(
+                F.sum(F.when(F.col("edge_hit") == 1, F.col("c_custkey"))),
+                F.lit(0),
+            ).alias("sum_straddle_cust"),
+        )
+        .orderBy("n_nationkey")
+    )

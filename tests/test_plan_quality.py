@@ -267,3 +267,13 @@ def test_geo_segment_join_is_equi_join(spark, sf_dir):
     plan = _plan(QUERIES["q_geo_segment_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_polygon_overlay_is_equi_join(spark, sf_dir):
+    """The polygon-polygon overlay must stay a hash EQUI-join on the
+    blocking cell (never a nested loop / cartesian), with bbox
+    overlap, the reference-point owner rule, the center ray-cast, and
+    the exists() edge test all evaluated as post-join row expressions."""
+    plan = _plan(QUERIES["q_geo_polygon_overlay"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -85,6 +85,7 @@ HEADLINE = [
     "q_cow_compact_zorder",
     "q_geo_dbscan",
     "q_geo_segment_join",
+    "q_geo_polygon_overlay",
     "q_cow_schema_evolution",
     "q_balanced_sample",
     "q_column_stats",

@@ -376,7 +376,15 @@ def main() -> None:
     print(json.dumps({"results": results, "reps": REPS, "skew_pct": SKEW_PCT}))
 
 
-LATE10_QUERIES = ["q_geo_dbscan", "q_geo_segment_join", "q_cow_schema_evolution"]
+# q_geo_polygon_overlay is NOT here: both its inputs (customer, nation)
+# are dims the skew replica copies as-is, so a 3x "anchor" would be
+# trivially flat. Its volume anchor is the sf0.01 -> sf0.1 pair (10x
+# boxes), measured directly (BASELINE.md late-round-10 table).
+LATE10_QUERIES = [
+    "q_geo_dbscan",
+    "q_geo_segment_join",
+    "q_cow_schema_evolution",
+]
 
 
 def main_late10() -> None:
