@@ -1067,20 +1067,30 @@ def polygon_contains_pairs(poly: DataFrame, pts: DataFrame) -> DataFrame:
         )
         .select(
             *poly.columns,
+            "_gx",
+            "_gy",
             (F.col("_gy") * (_PNX + 2) + F.col("_gx")).alias("cell"),
         )
     )
-    keyed = pts.withColumn(
-        "cell",
-        (
-            F.floor((F.col("py") + 6000) / _PCELL).cast("int")
-            * (_PNX + 2)
-            + F.floor((F.col("px") + 18000) / _PCELL).cast("int")
-        ),
+    keyed = (
+        pts.withColumn(
+            "_kgx", F.floor((F.col("px") + 18000) / _PCELL).cast("int")
+        )
+        .withColumn(
+            "_kgy", F.floor((F.col("py") + 6000) / _PCELL).cast("int")
+        )
+        .withColumn("cell", F.col("_kgy") * (_PNX + 2) + F.col("_kgx"))
     )
     return (
         keyed.join(cells, "cell")
+        # packed-id collision guard (see polygon_box_overlay_pairs): raw
+        # index equality keeps the candidate set duplicate-free at any
+        # coordinate range, not just inside the fixture domain
+        .where(
+            (F.col("_kgx") == F.col("_gx")) & (F.col("_kgy") == F.col("_gy"))
+        )
         .where(F.expr(_PG_BBOX))
+        .drop("_kgx", "_kgy", "_gx", "_gy")
         .withColumn(
             "inside",
             F.when(
@@ -1155,6 +1165,8 @@ def dbscan_labels(
         F.col("id").alias("b"),
         F.col("px").alias("bx"),
         F.col("py").alias("by"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
         (F.col("cy") * 36002 + F.col("cx")).alias("cell"),
     )
     probes = (
@@ -1165,6 +1177,8 @@ def dbscan_labels(
             "px",
             "py",
             "eps2",
+            (F.col("cx") + F.col("_dx")).alias("qcx"),
+            (F.col("cy") + F.col("_dy")).alias("qcy"),
             ((F.col("cy") + F.col("_dy")) * 36002 + F.col("cx") + F.col("_dx")).alias(
                 "cell"
             ),
@@ -1179,6 +1193,16 @@ def dbscan_labels(
     # loop itself uses.
     pairs = (
         probes.join(partner, "cell")
+        # packed-id alias guard: a probe's nine packed ids are mutually
+        # distinct at ANY coordinate range ((dy1-dy2)*36002 = dx2-dx1 is
+        # unsatisfiable for |dx| <= 2) and partners key ONE cell, so
+        # duplicates cannot arise here — but beyond the 36002 row stride
+        # a FAR partner can alias one probe cell; raw-index equality
+        # prunes those false candidates before the distance multiply
+        # instead of after
+        .where(
+            (F.col("qcx") == F.col("bcx")) & (F.col("qcy") == F.col("bcy"))
+        )
         .where(
             (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx"))
             + (F.col("py") - F.col("by")) * (F.col("py") - F.col("by"))
@@ -1434,15 +1458,27 @@ def segment_crossing_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
         .withColumn("ahy", F.greatest("ay1", "ay2")),
         "alx", "ahx", "aly", "ahy",
     )
-    bc = with_cells(
-        b.withColumn("blx", F.least("bx1", "bx2"))
-        .withColumn("bhx", F.greatest("bx1", "bx2"))
-        .withColumn("bly", F.least("by1", "by2"))
-        .withColumn("bhy", F.greatest("by1", "by2")),
-        "blx", "bhx", "bly", "bhy",
-    ).drop("_gx", "_gy")
+    bc = (
+        with_cells(
+            b.withColumn("blx", F.least("bx1", "bx2"))
+            .withColumn("bhx", F.greatest("bx1", "bx2"))
+            .withColumn("bly", F.least("by1", "by2"))
+            .withColumn("bhy", F.greatest("by1", "by2")),
+            "blx", "bhx", "bly", "bhy",
+        )
+        .withColumnRenamed("_gx", "_bgx")
+        .withColumnRenamed("_gy", "_bgy")
+    )
     return (
         ac.join(bc, "cell")
+        # packed-id collision guard (see polygon_box_overlay_pairs): equal
+        # packed cells imply equal raw (gx, gy) only inside the fixture's
+        # coordinate domain; raw-index equality keeps exactly-once
+        # collision-proof at any coordinate range
+        .where(
+            (F.col("_bgx") == F.col("_gx")) & (F.col("_bgy") == F.col("_gy"))
+        )
+        .drop("_bgx", "_bgy")
         .where(F.expr(_SEG_BBOX_OVERLAP))
         # reference point: the pair's owner cell is the one holding the
         # bbox-intersection corner (max of lows) — report there only
@@ -1683,10 +1719,17 @@ def polygon_box_overlay_pairs(poly: DataFrame, boxes: DataFrame) -> DataFrame:
             ),
         )
         .withColumn("cell", F.col("_bgy") * (_PNX + 2) + F.col("_bgx"))
-        .drop("_bgx", "_bgy")
     )
     return (
         bc.join(pc, "cell")
+        # packed-id collision guard: equal packed cells imply equal raw
+        # (gx, gy) only inside the fixture's coordinate domain; checking
+        # the raw indices too makes exactly-once COLLISION-PROOF at any
+        # coordinate range (out-of-range gx can wrap the row stride and
+        # alias another cell — a real pair would then surface twice)
+        .where(
+            (F.col("_bgx") == F.col("_gx")) & (F.col("_bgy") == F.col("_gy"))
+        )
         .where(
             (F.col("blx") <= F.col("_phx"))
             & (F.col("_plx") <= F.col("bhx"))
@@ -1709,6 +1752,7 @@ def polygon_box_overlay_pairs(poly: DataFrame, boxes: DataFrame) -> DataFrame:
                 ).cast("int")
             )
         )
+        .drop("_bgx", "_bgy")
         .withColumn(
             "center_inside",
             F.when(

@@ -244,3 +244,30 @@ def test_query_census_on_sf0001(spark, sf_dir):
     assert all(
         r.n_cand >= r.n_inside + r.n_straddle >= 0 for r in rows
     )  # classes partition candidates (disjoint remainder)
+
+
+def test_out_of_domain_coordinates_stay_exactly_once(spark):
+    # beyond the fixture domain the packed cell id (gy * 20 + gx) can
+    # alias two different raw cells; a polygon wide enough to span >= 20
+    # x-cells would then surface a pair through two join rows. The raw
+    # (gx, gy) equality guard must keep the blocked join a multiset
+    # match of the brute force even with coordinates far outside
+    # [-18000, 18000] and polygons spanning many cells.
+    poly_rows = [
+        (2400, 90000, 41000),   # bbox 48000 wide: 25 x-cells
+        (150, -87000, -39000),
+        (2400, -90000, 40000),
+    ]
+    box_rows = [
+        (88000 + (j * 3001) % 8000, 39000 + (j * 1709) % 6000, 20 + j * 7)
+        for j in range(25)
+    ] + [
+        (-87000 + (j * 911) % 4000, -39000 + (j * 501) % 3000, 30 + j * 5)
+        for j in range(25)
+    ]
+    got = _blocked(spark, poly_rows, box_rows)
+    want = _brute(spark, poly_rows, box_rows)
+    assert got == want
+    keys = [(b, p) for b, p, _, _ in got]
+    assert len(keys) == len(set(keys))
+    assert len(keys) > 0

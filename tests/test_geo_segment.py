@@ -143,3 +143,32 @@ def test_negative_coordinates_block_losslessly(spark):
     want = _brute(spark, a_rows, b_rows)
     assert got == want
     assert got[0] == (0, 0, 1)
+
+
+def test_out_of_domain_coordinates_stay_exactly_once(spark):
+    # beyond the fixture domain the packed cell id ((gy+1)*64 + gx+1)
+    # can alias two different raw cells (x past 64 cells * 800 = 51200
+    # wraps the row stride); a long segment spanning >= 64 x-cells
+    # would then surface a pair through two join rows. The raw (gx, gy)
+    # equality guard must keep the blocked join a multiset match of
+    # the brute force at any coordinate range.
+    a_rows = [
+        (0, 0, 60000, 600),            # spans ~75 x-cells
+        (55000, -900, 55000, 900),     # far right, vertical
+        (-3000, 100, -3000 + 58000, 220),
+    ]
+    b_rows = [
+        (54000 + (j * 977) % 4000, -800 + (j * 391) % 1600,
+         54000 + (j * 977) % 4000 + 300, -800 + (j * 391) % 1600 + 300)
+        for j in range(30)
+    ] + [
+        ((j * 2003) % 60000, (j * 157) % 700, (j * 2003) % 60000 + 400,
+         (j * 157) % 700 - 350)
+        for j in range(30)
+    ]
+    got = _blocked(spark, a_rows, b_rows)
+    want = _brute(spark, a_rows, b_rows)
+    assert got == want
+    keys = [(a, b) for a, b, _ in got]
+    assert len(keys) == len(set(keys))
+    assert any(c == 1 for _, _, c in got)
