@@ -1453,3 +1453,126 @@ def q_stream_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming geofence (late round 10): point-in-polygon alerts on the
+# event stream — the production deployment of the containment join.
+# ---------------------------------------------------------------------------
+
+# Ping positions: planar centi-degrees over the admin-star domain
+# (queries_geo fixture family), derived from event_id so the stream and
+# the batch oracle see identical geometry. int64-safe (event_id < 2^53
+# by fixture; * 6661 stays far inside int64).
+_GF_PX = "(-15000 + (event_id * 6661) % 30000)"
+_GF_PY = "(-3500 + (event_id * 3209) % 7000)"
+
+
+def geofence_alert_stream(pings: DataFrame, poly: DataFrame) -> DataFrame:
+    """Pings inside an admin polygon, classified by the SAME blocked
+    containment pipeline as the batch operator: polygon_contains_pairs
+    is stateless (cell key derivation, a static-side explode, one
+    stream-static hash equi-join, in-row bbox + ray-cast), so the
+    identical function runs on an unbounded DataFrame unchanged — the
+    blocked spatial join IS the streaming plan, not a broadcast
+    theta-join rewrite. Spark re-plans the static polygon side per
+    micro-batch (picking up boundary updates, the geofence-editing
+    shape) and broadcasts it under the join threshold.
+
+    Scale shape: per micro-batch cost is the batch operator's (bounded
+    cell fan-out into one equi-join, flat in-row verify); no state
+    store for the join itself — downstream aggregates own the only
+    state. Cited parity: OMTZHModifier.java:40-43's osm_*_polygon
+    tables; geofence alerting is the streaming query run against
+    them."""
+    from openmaptiles_zh_modifier_spark.queries_geo import (
+        polygon_contains_pairs,
+    )
+
+    return polygon_contains_pairs(poly, pings).where(F.col("inside") == 1)
+
+
+@register(
+    "q_stream_geofence",
+    oracle="""
+WITH polys AS (
+  SELECT n_nationkey, n_name,
+         (100 + (n_nationkey * 89) % 150) AS s,
+         (-15000 + (n_nationkey * 6073) % 30000) AS cx,
+         (-3500 + (n_nationkey * 2741) % 7000) AS cy
+  FROM nation
+),
+pings AS (
+  SELECT event_id, value,
+         (-15000 + (event_id * 6661) % 30000) AS px,
+         (-3500 + (event_id * 3209) % 7000) AS py
+  FROM events
+),
+hits AS (
+  SELECT n_nationkey, n_name, event_id, value
+  FROM pings CROSS JOIN polys
+  WHERE px BETWEEN cx - 10 * s AND cx + 10 * s
+    AND py BETWEEN cy - 9 * s AND cy + 9 * s
+    AND __RAYCAST__
+)
+SELECT n_nationkey, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_pings,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid
+FROM hits
+GROUP BY n_nationkey, n_name
+ORDER BY n_nationkey
+""",
+)
+def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-polygon census: which admin areas are
+    receiving pings, how many, and their value — the geofence-alert
+    deployment of q_geo_polygon_join, running the IDENTICAL blocked
+    containment pipeline on the unbounded event stream (see
+    geofence_alert_stream). The oracle is the batch cross join with
+    the same ray-cast text, so the gate proves micro-batch execution
+    changes nothing. Money is quantized to integer cents PER ROW
+    before the sum (stream and batch add in different orders; integer
+    addition is associative, float addition is not)."""
+    from openmaptiles_zh_modifier_spark.queries_geo import (
+        _PG_CX,
+        _PG_CY,
+        _PG_S,
+    )
+
+    poly = load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey",
+        "n_name",
+        f"{_PG_S} AS s",
+        f"{_PG_CX} AS cx",
+        f"{_PG_CY} AS cy",
+    )
+    pings = read_events_stream(spark, sf_dir).selectExpr(
+        "event_id",
+        "value",
+        f"{_GF_PX} AS px",
+        f"{_GF_PY} AS py",
+    )
+    alerts = geofence_alert_stream(pings, poly)
+    agg = alerts.groupBy("n_nationkey", "n_name").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.sum(
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+        ).alias("value_cents"),
+        F.sum("event_id").alias("sum_eid"),
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("n_nationkey")
+
+
+# splice the exact ray-cast text into the geofence oracle (single source
+# of truth: the same _raycast_inside that the Spark plan evaluates)
+def _patch_geofence_oracle() -> None:
+    from openmaptiles_zh_modifier_spark.queries_geo import _raycast_inside
+
+    ORACLE_SQL["q_stream_geofence"] = ORACLE_SQL["q_stream_geofence"].replace(
+        "__RAYCAST__", _raycast_inside("px", "py", "cx", "cy", "s")
+    )
+
+
+_patch_geofence_oracle()

@@ -183,3 +183,63 @@ def test_trajectory_multibatch_matches_batch(spark, sf_dir, tmp_path):
     assert got.agg(F.sum("n_legs")).first()[0] == want.agg(
         F.sum("n_legs")
     ).first()[0]
+
+
+def test_geofence_multibatch_matches_batch(spark, sf_dir, tmp_path):
+    # geofence alerts: the blocked containment join is STATELESS, so a
+    # 4-file replay must land on exactly the batch census (complete
+    # mode re-emits the whole aggregate; the last snapshot is final).
+    from openmaptiles_zh_modifier_spark.queries_geo import (
+        _PG_CX,
+        _PG_CY,
+        _PG_S,
+        polygon_contains_pairs,
+    )
+    from openmaptiles_zh_modifier_spark.streaming.events import (
+        _GF_PX,
+        _GF_PY,
+        geofence_alert_stream,
+    )
+
+    src, batch = _split_source(spark, sf_dir, "events", False, tmp_path)
+    poly = spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+        "n_nationkey",
+        "n_name",
+        f"{_PG_S} AS s",
+        f"{_PG_CX} AS cx",
+        f"{_PG_CY} AS cy",
+    )
+
+    def census(frame):
+        return frame.groupBy("n_nationkey", "n_name").agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.sum(
+                F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+            ).alias("value_cents"),
+        )
+
+    sel = [
+        "event_id",
+        "value",
+        f"{_GF_PX} AS px",
+        f"{_GF_PY} AS py",
+    ]
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .selectExpr(*sel)
+    )
+    assert stream.isStreaming
+    out, n_batches = _run_stream(
+        census(geofence_alert_stream(stream, poly)), "complete"
+    )
+    assert n_batches >= 3, f"only {n_batches} micro-batches — not a replay"
+    expected = census(
+        polygon_contains_pairs(poly, batch.selectExpr(*sel)).where(
+            F.col("inside") == 1
+        )
+    )
+    diff = out.exceptAll(expected).union(expected.exceptAll(out))
+    assert diff.count() == 0
+    assert out.count() > 0

@@ -162,6 +162,10 @@ BENCH_QUERIES = [
     "q_geo_dbscan",
     "q_geo_segment_join",
     "q_cow_schema_evolution",
+    # streaming geofence: stateless blocked containment on the event
+    # stream — scan-bound, so 3x events ride ~linearly (the stateful
+    # stream ops flatten on their state floor instead)
+    "q_stream_geofence",
 ]
 
 
