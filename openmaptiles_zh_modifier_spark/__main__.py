@@ -85,13 +85,26 @@ def _build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from openmaptiles_zh_modifier_spark.plans.pipeline import (
         run_backfill,
         run_backfill_jdbc,
     )
-    from openmaptiles_zh_modifier_spark.session import get_spark
+    from openmaptiles_zh_modifier_spark.session import (
+        apply_semantic_confs,
+        get_spark,
+    )
 
-    spark = get_spark(master=args.master)
+    # Adopt a live session untouched (Spark's getOrCreate APPLIES the
+    # builder's non-static confs to an existing session — rebuilding
+    # here would silently stomp the caller's runtime tuning, e.g.
+    # shuffle-partition counts). --master only matters when we create.
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        spark = get_spark(master=args.master)
+    else:
+        apply_semantic_confs(spark)
     if args.parquet:
         report = run_backfill(
             spark,

@@ -102,7 +102,14 @@ def get_spark(
     If a session already exists (e.g. the driver handed us one), the
     semantic confs are applied to it at runtime — they are all
     runtime-settable — so engine code behaves identically either way.
-    """
+
+    CAVEAT (measured, round 10): when a session already exists,
+    ``getOrCreate`` ALSO applies this builder's non-static confs to it
+    — including PERF_CONFS like ``spark.sql.shuffle.partitions`` — so
+    calling ``get_spark`` inside someone else's session OVERWRITES
+    their runtime tuning. Code that should adopt a caller's session
+    untouched must use ``SparkSession.getActiveSession()`` +
+    ``apply_semantic_confs`` instead (see ``__main__.main``)."""
     spark = session_builder(app_name, master, extra).getOrCreate()
     for k, v in SEMANTIC_CONFS.items():
         spark.conf.set(k, v)

@@ -43,3 +43,21 @@ def test_jdbc_defaults_pin_the_reference_connection():
     assert args.password == "openmaptiles"
     assert args.jdbc_driver == "org.postgresql.Driver"
     assert not args.compat_names_typo
+
+
+def test_main_adopts_live_session_without_stomping_confs(spark, tmp_path):
+    # Spark's getOrCreate applies the builder's non-static confs to an
+    # EXISTING session, so a naive get_spark() inside main would reset
+    # the caller's runtime tuning (found: shuffle partitions 8 -> 32,
+    # which broke an AQE skew test downstream). main must adopt the
+    # live session untouched.
+    from openmaptiles_zh_modifier_spark.__main__ import main
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    lake = str(tmp_path / "lake2")
+    spark.createDataFrame(
+        [(1, "北京市", {"name": "北京市"})],
+        "osm_id long, name string, tags map<string,string>",
+    ).write.mode("overwrite").parquet(f"{lake}/osm_point.parquet")
+    assert main(["--parquet", lake]) == 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
