@@ -99,8 +99,12 @@ def main(argv: list[str] | None = None) -> int:
     # Adopt a live session untouched (Spark's getOrCreate APPLIES the
     # builder's non-static confs to an existing session — rebuilding
     # here would silently stomp the caller's runtime tuning, e.g.
-    # shuffle-partition counts). --master only matters when we create.
-    spark = SparkSession.getActiveSession()
+    # shuffle-partition counts). getActiveSession is THREAD-LOCAL, so
+    # also check the process-wide instantiated session (one created on
+    # another thread — PySpark exposes no public getDefaultSession;
+    # _instantiatedSession is what getOrCreate itself consults) before
+    # falling back to get_spark. --master only matters when we create.
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if spark is None:
         spark = get_spark(master=args.master)
     else:

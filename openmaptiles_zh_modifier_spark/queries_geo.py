@@ -1026,6 +1026,35 @@ def q_geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pg_grid_x(c) -> "F.Column":
+    """Raw x cell index of a coordinate expression on the _PCELL grid."""
+    return F.floor((c + 18000) / _PCELL).cast("int")
+
+
+def _pg_grid_y(c) -> "F.Column":
+    return F.floor((c + 6000) / _PCELL).cast("int")
+
+
+def _explode_covered_cells(
+    df: DataFrame, lx, hx, ly, hy, gx: str = "_gx", gy: str = "_gy"
+) -> DataFrame:
+    """Explode each row to every _PCELL-grid cell its [lx, hx] x
+    [ly, hy] bbox covers, adding the raw indices (``gx``, ``gy``) and
+    the packed ``cell`` id. The single shared implementation of the
+    blocking grid: the containment and overlay joins both derive their
+    candidate cells (and their alias-guard raw indices) from here, so
+    a grid-offset or cell-size change cannot drift between them."""
+    return (
+        df.withColumn(
+            gx, F.explode(F.sequence(_pg_grid_x(lx), _pg_grid_x(hx)))
+        )
+        .withColumn(
+            gy, F.explode(F.sequence(_pg_grid_y(ly), _pg_grid_y(hy)))
+        )
+        .withColumn("cell", F.col(gy) * (_PNX + 2) + F.col(gx))
+    )
+
+
 def polygon_contains_pairs(poly: DataFrame, pts: DataFrame) -> DataFrame:
     """Cell-blocked candidate join + bbox prefilter + ray-cast verify.
 
@@ -1034,51 +1063,16 @@ def polygon_contains_pairs(poly: DataFrame, pts: DataFrame) -> DataFrame:
     bbox-surviving candidate pairs with an exact ``inside`` 0/1 flag.
     Blocking is lossless BY CONSTRUCTION: a point's single cell always
     lies within the cell range covered by any bbox containing it."""
-    cells = (
-        poly.withColumn(
-            "_cxlo",
-            F.floor(
-                (F.col("cx") - _OXMAX * F.col("s") + 18000) / _PCELL
-            ).cast("int"),
-        )
-        .withColumn(
-            "_cxhi",
-            F.floor(
-                (F.col("cx") + _OXMAX * F.col("s") + 18000) / _PCELL
-            ).cast("int"),
-        )
-        .withColumn(
-            "_cylo",
-            F.floor(
-                (F.col("cy") - _OYMAX * F.col("s") + 6000) / _PCELL
-            ).cast("int"),
-        )
-        .withColumn(
-            "_cyhi",
-            F.floor(
-                (F.col("cy") + _OYMAX * F.col("s") + 6000) / _PCELL
-            ).cast("int"),
-        )
-        .withColumn(
-            "_gx", F.explode(F.sequence(F.col("_cxlo"), F.col("_cxhi")))
-        )
-        .withColumn(
-            "_gy", F.explode(F.sequence(F.col("_cylo"), F.col("_cyhi")))
-        )
-        .select(
-            *poly.columns,
-            "_gx",
-            "_gy",
-            (F.col("_gy") * (_PNX + 2) + F.col("_gx")).alias("cell"),
-        )
-    )
+    cells = _explode_covered_cells(
+        poly,
+        F.col("cx") - _OXMAX * F.col("s"),
+        F.col("cx") + _OXMAX * F.col("s"),
+        F.col("cy") - _OYMAX * F.col("s"),
+        F.col("cy") + _OYMAX * F.col("s"),
+    ).select(*poly.columns, "_gx", "_gy", "cell")
     keyed = (
-        pts.withColumn(
-            "_kgx", F.floor((F.col("px") + 18000) / _PCELL).cast("int")
-        )
-        .withColumn(
-            "_kgy", F.floor((F.col("py") + 6000) / _PCELL).cast("int")
-        )
+        pts.withColumn("_kgx", _pg_grid_x(F.col("px")))
+        .withColumn("_kgy", _pg_grid_y(F.col("py")))
         .withColumn("cell", F.col("_kgy") * (_PNX + 2) + F.col("_kgx"))
     )
     return (
@@ -1670,55 +1664,27 @@ def polygon_box_overlay_pairs(poly: DataFrame, boxes: DataFrame) -> DataFrame:
     <= 4x on the box side, into one hash equi-join on the packed cell
     id; flags are in-row; the census downstream is one combinable
     aggregate. A hot cell is a hot equi-key — saltable as usual."""
-    pc = (
+    pc = _explode_covered_cells(
         poly.withColumn("_plx", F.col("cx") - _OXMAX * F.col("s"))
         .withColumn("_phx", F.col("cx") + _OXMAX * F.col("s"))
         .withColumn("_ply", F.col("cy") - _OYMAX * F.col("s"))
-        .withColumn("_phy", F.col("cy") + _OYMAX * F.col("s"))
-        .withColumn(
-            "_gx",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("_plx") + 18000) / _PCELL).cast("int"),
-                    F.floor((F.col("_phx") + 18000) / _PCELL).cast("int"),
-                )
-            ),
-        )
-        .withColumn(
-            "_gy",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("_ply") + 6000) / _PCELL).cast("int"),
-                    F.floor((F.col("_phy") + 6000) / _PCELL).cast("int"),
-                )
-            ),
-        )
-        .withColumn("cell", F.col("_gy") * (_PNX + 2) + F.col("_gx"))
+        .withColumn("_phy", F.col("cy") + _OYMAX * F.col("s")),
+        F.col("_plx"),
+        F.col("_phx"),
+        F.col("_ply"),
+        F.col("_phy"),
     )
-    bc = (
+    bc = _explode_covered_cells(
         boxes.withColumn("blx", F.col("bcx") - F.col("w"))
         .withColumn("bhx", F.col("bcx") + F.col("w"))
         .withColumn("bly", F.col("bcy") - F.col("w"))
-        .withColumn("bhy", F.col("bcy") + F.col("w"))
-        .withColumn(
-            "_bgx",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("blx") + 18000) / _PCELL).cast("int"),
-                    F.floor((F.col("bhx") + 18000) / _PCELL).cast("int"),
-                )
-            ),
-        )
-        .withColumn(
-            "_bgy",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("bly") + 6000) / _PCELL).cast("int"),
-                    F.floor((F.col("bhy") + 6000) / _PCELL).cast("int"),
-                )
-            ),
-        )
-        .withColumn("cell", F.col("_bgy") * (_PNX + 2) + F.col("_bgx"))
+        .withColumn("bhy", F.col("bcy") + F.col("w")),
+        F.col("blx"),
+        F.col("bhx"),
+        F.col("bly"),
+        F.col("bhy"),
+        gx="_bgx",
+        gy="_bgy",
     )
     return (
         bc.join(pc, "cell")

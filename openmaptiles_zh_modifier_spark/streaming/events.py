@@ -1494,25 +1494,29 @@ def geofence_alert_stream(pings: DataFrame, poly: DataFrame) -> DataFrame:
 
 @register(
     "q_stream_geofence",
-    oracle="""
+    # single source of truth: every fixture rule and extent interpolates
+    # from the SAME constants the Spark plan uses (queries_geo._PG_* /
+    # _OXMAX / _OYMAX spliced below alongside the ray-cast — this module
+    # loads before queries_geo registers, hence the deferred patch)
+    oracle=f"""
 WITH polys AS (
   SELECT n_nationkey, n_name,
-         (100 + (n_nationkey * 89) % 150) AS s,
-         (-15000 + (n_nationkey * 6073) % 30000) AS cx,
-         (-3500 + (n_nationkey * 2741) % 7000) AS cy
+         __PG_S__ AS s,
+         __PG_CX__ AS cx,
+         __PG_CY__ AS cy
   FROM nation
 ),
 pings AS (
   SELECT event_id, value,
-         (-15000 + (event_id * 6661) % 30000) AS px,
-         (-3500 + (event_id * 3209) % 7000) AS py
+         {_GF_PX} AS px,
+         {_GF_PY} AS py
   FROM events
 ),
 hits AS (
   SELECT n_nationkey, n_name, event_id, value
   FROM pings CROSS JOIN polys
-  WHERE px BETWEEN cx - 10 * s AND cx + 10 * s
-    AND py BETWEEN cy - 9 * s AND cy + 9 * s
+  WHERE px BETWEEN cx - __OXMAX__ * s AND cx + __OXMAX__ * s
+    AND py BETWEEN cy - __OYMAX__ * s AND cy + __OYMAX__ * s
     AND __RAYCAST__
 )
 SELECT n_nationkey, n_name,
@@ -1565,14 +1569,31 @@ def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="complete").orderBy("n_nationkey")
 
 
-# splice the exact ray-cast text into the geofence oracle (single source
-# of truth: the same _raycast_inside that the Spark plan evaluates)
+# splice the polygon-fixture constants and the exact ray-cast text into
+# the geofence oracle (single source of truth: the same queries_geo
+# definitions the Spark plan evaluates — a fixture tweak there cannot
+# silently diverge the oracle)
 def _patch_geofence_oracle() -> None:
-    from openmaptiles_zh_modifier_spark.queries_geo import _raycast_inside
-
-    ORACLE_SQL["q_stream_geofence"] = ORACLE_SQL["q_stream_geofence"].replace(
-        "__RAYCAST__", _raycast_inside("px", "py", "cx", "cy", "s")
+    from openmaptiles_zh_modifier_spark.queries_geo import (
+        _OXMAX,
+        _OYMAX,
+        _PG_CX,
+        _PG_CY,
+        _PG_S,
+        _raycast_inside,
     )
+
+    sql = ORACLE_SQL["q_stream_geofence"]
+    for ph, text in (
+        ("__PG_S__", _PG_S),
+        ("__PG_CX__", _PG_CX),
+        ("__PG_CY__", _PG_CY),
+        ("__OXMAX__", str(_OXMAX)),
+        ("__OYMAX__", str(_OYMAX)),
+        ("__RAYCAST__", _raycast_inside("px", "py", "cx", "cy", "s")),
+    ):
+        sql = sql.replace(ph, text)
+    ORACLE_SQL["q_stream_geofence"] = sql
 
 
 _patch_geofence_oracle()

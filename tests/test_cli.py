@@ -61,3 +61,30 @@ def test_main_adopts_live_session_without_stomping_confs(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{lake}/osm_point.parquet")
     assert main(["--parquet", lake]) == 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_main_from_worker_thread_finds_the_session(spark, tmp_path):
+    # getActiveSession is thread-local; a worker thread must still adopt
+    # the process-wide session instead of rebuilding one (which would
+    # stomp runtime confs, see the test above).
+    import threading
+
+    from openmaptiles_zh_modifier_spark.__main__ import main
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    lake = str(tmp_path / "lake3")
+    spark.createDataFrame(
+        [(1, "北京市", {"name": "北京市"})],
+        "osm_id long, name string, tags map<string,string>",
+    ).write.mode("overwrite").parquet(f"{lake}/osm_point.parquet")
+
+    result: dict = {}
+
+    def run():
+        result["rc"] = main(["--parquet", lake])
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    assert result["rc"] == 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

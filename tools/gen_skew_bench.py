@@ -364,6 +364,11 @@ def main() -> None:
         for name in BENCH_QUERIES:
             best = None
             for _ in range(2):  # min-of-2: co-tenant variance guard
+                if name in MEMOIZING_QUERIES:
+                    # rep 2 would otherwise time a memo hit (build
+                    # cached per session+sf_dir) — evict so both reps
+                    # price the same cold quantity
+                    _clear_query_memos()
                 t0 = time.monotonic()
                 n = QUERIES[name](spark, sf_dir).count()
                 dt = time.monotonic() - t0
@@ -380,6 +385,27 @@ def main() -> None:
     print(json.dumps({"results": results, "reps": REPS, "skew_pct": SKEW_PCT}))
 
 
+# Queries whose expensive build memoizes per (session, sf_dir): a warm
+# min-of-2 on these times a cache hit, not the query, so EVERY timed rep
+# must evict their memos first. Covers the frame cache (registry) AND
+# the cow-table build memos (queries_scale keeps real temp tables per
+# app+sf_dir, which registry.clear_frame_cache cannot see).
+MEMOIZING_QUERIES = {
+    "q_geo_dbscan",
+    "q_cow_schema_evolution",
+    "q_cow_compact_zorder",
+}
+
+
+def _clear_query_memos() -> None:
+    from openmaptiles_zh_modifier_spark import queries_scale
+    from openmaptiles_zh_modifier_spark.registry import clear_frame_cache
+
+    clear_frame_cache()
+    queries_scale._SE_TABLES.clear()
+    queries_scale._ZC_TABLES.clear()
+
+
 # q_geo_polygon_overlay is NOT here: both its inputs (customer, nation)
 # are dims the skew replica copies as-is, so a 3x "anchor" would be
 # trivially flat. Its volume anchor is the sf0.01 -> sf0.1 pair (10x
@@ -394,14 +420,16 @@ LATE10_QUERIES = [
 def main_late10() -> None:
     """Anchor ONLY the late round-10 trio. These memoize their expensive
     build per (session, sf_dir), so a warm min-of-2 would time an empty
-    cache hit on rep 2 — instead every rep clears the frame cache first
+    cache hit on rep 2 — instead every rep clears the query memos first
     (min-of-2 COLD: each rep prices the full build + census at both
     scales, which is the comparable quantity)."""
-    from openmaptiles_zh_modifier_spark.registry import QUERIES, clear_frame_cache
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
     from openmaptiles_zh_modifier_spark.session import get_spark
 
     spark = get_spark(app_name="late10-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--regen" in sys.argv and os.path.isdir(OUT):
+        shutil.rmtree(OUT)
     if not os.path.isdir(OUT):
         generate(spark)
     for d in (SRC, OUT):
@@ -414,7 +442,7 @@ def main_late10() -> None:
         for name in LATE10_QUERIES:
             best = None
             for _ in range(2):
-                clear_frame_cache()
+                _clear_query_memos()
                 t0 = time.monotonic()
                 n = QUERIES[name](spark, sf_dir).count()
                 dt = time.monotonic() - t0
