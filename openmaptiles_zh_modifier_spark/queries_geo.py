@@ -612,12 +612,16 @@ ORDER BY c_mktsegment
 def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs-within-radius (every sampled customer point to every
     POI within 150 km) WITHOUT the cross join: geohash-cell blocking
-    with 8-neighbor probing (geo_radius_pairs above — grid sized so the
-    3x3 neighborhood provably covers the radius, longitude probed
-    modulo the antimeridian). The oracle is the naive O(n*m) cross
-    join, so the hash match is a losslessness proof over the whole
-    fixture lattice — the same candidates-only discipline as
-    q_record_linkage's blocking and q_band_join's buckets, in 2D.
+    with a PER-ROW ADAPTIVE longitude probe neighborhood
+    (geo_radius_pairs above — each query row derives its own lossless
+    probe width from its latitude via the haversine bound, degrading to
+    a full deduplicated ring at the poles; longitude is probed modulo
+    the antimeridian; on the fixture band this reproduces a 3x3
+    neighborhood, but that is the special case, not the invariant).
+    The oracle is the naive O(n*m) cross join, so the hash match is a
+    losslessness proof over the whole fixture lattice — the same
+    candidates-only discipline as q_record_linkage's blocking and
+    q_band_join's buckets, in 2D.
 
     Scale shape: no broadcast REQUIRED on either side — the join is an
     ordinary equi-join on the cell id, so it hash-shuffles both sides
@@ -1149,7 +1153,15 @@ def dbscan_labels(
     stats = pts.agg(F.count(F.lit(1)).alias("n"))
     base = (
         pts.crossJoin(F.broadcast(stats))
-        .withColumn("eps2", F.expr(f"CAST({eps2_budget} div n AS BIGINT)"))
+        # floor at 1: past n = budget points, integer division reaches 0
+        # and cw = ceil(sqrt(0)) = 0 would NULL every cell (px div 0) —
+        # all points silently labeled noise while the oracle still pairs
+        # coincident points. eps2 = 1 keeps only exact-coincidence pairs
+        # (the correct degenerate limit of shrinking density radius).
+        .withColumn(
+            "eps2",
+            F.greatest(F.expr(f"CAST({eps2_budget} div n AS BIGINT)"), F.lit(1)),
+        )
         .withColumn("cw", F.ceil(F.sqrt(F.col("eps2"))).cast("long"))
         .withColumn("cx", F.expr("px div cw"))
         .withColumn("cy", F.expr("py div cw"))
@@ -1250,7 +1262,9 @@ def dbscan_labels(
     oracle=f"""
 WITH RECURSIVE
 pts AS (SELECT doc_id, {_DB_PX} AS px, {_DB_PY} AS py FROM documents),
-eps AS (SELECT {_DB_EPS2_BUDGET} // COUNT(*) AS eps2 FROM pts),
+eps AS (
+  SELECT GREATEST({_DB_EPS2_BUDGET} // COUNT(*), 1) AS eps2 FROM pts
+),
 pairs AS (
   SELECT a.doc_id AS a, b.doc_id AS b
   FROM pts a, pts b, eps

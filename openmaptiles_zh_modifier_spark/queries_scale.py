@@ -11,6 +11,8 @@ across engines by construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -987,12 +989,45 @@ def q_cow_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _zc_measure(spark, root, v_after)
 
 
-# (applicationId, sf_dir) -> (table root, post-compaction version);
-# stale sessions evicted on new-app-id arrival, as in operators.salted
+def _app_scoped_table_memo(
+    spark: SparkSession, memo: dict, sf_dir: str, builder
+) -> tuple[str, int]:
+    """ONE implementation of the app-scoped build-table memo the COW
+    measurement queries share: get-or-build (root, version) per
+    (applicationId, sf_dir); when a NEW app id arrives every stale
+    session's entry is evicted AND its temp table deleted from disk
+    (the builders mkdtemp real parquet — without the rmtree a
+    long-lived process restarting sessions leaks tables).
+    operators.salted keeps its own differently-shaped memo (per-plan
+    stats rows + a public invalidate API) but follows the same
+    new-app-evicts discipline."""
+    import shutil
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    if not any(k[0] == app for k in memo):
+        for root, _ in memo.values():
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        memo.clear()
+    val = builder()
+    memo[key] = val
+    return val
+
+
+# (applicationId, sf_dir) -> (table root, post-compaction version)
 _ZC_TABLES: dict[tuple, tuple[str, int]] = {}
 
 
 def _zc_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    return _app_scoped_table_memo(
+        spark, _ZC_TABLES, sf_dir, lambda: _zc_build(spark, sf_dir)
+    )
+
+
+def _zc_build(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     import tempfile
 
     from openmaptiles_zh_modifier_spark.operators.cow_table import (
@@ -1000,14 +1035,6 @@ def _zc_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         cow_compact,
         cow_create,
     )
-
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    hit = _ZC_TABLES.get(key)
-    if hit is not None:
-        return hit
-    if not any(k[0] == app for k in _ZC_TABLES):
-        _ZC_TABLES.clear()
 
     orders = load(spark, sf_dir, "orders")
     bounds = orders.agg(
@@ -1048,7 +1075,6 @@ def _zc_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         zorder_files=ZC_FILES,
         zorder_bits=ZC_BITS,
     )
-    _ZC_TABLES[key] = (root, v_after)
     return root, v_after
 
 
@@ -1110,26 +1136,23 @@ def _zc_measure(spark: SparkSession, root: str, v_after: int) -> DataFrame:
 # schema (operators/cow_table.py cow_append(evolve_schema=True)).
 # ---------------------------------------------------------------------------
 
-# (applicationId, sf_dir) -> (root, latest version); stale sessions
-# evicted on new-app-id arrival, as in _ZC_TABLES.
+# (applicationId, sf_dir) -> (root, latest version)
 _SE_TABLES: dict[tuple, tuple[str, int]] = {}
 
 
 def _se_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    return _app_scoped_table_memo(
+        spark, _SE_TABLES, sf_dir, lambda: _se_build(spark, sf_dir)
+    )
+
+
+def _se_build(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     import tempfile
 
     from openmaptiles_zh_modifier_spark.operators.cow_table import (
         cow_append,
         cow_create,
     )
-
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    hit = _SE_TABLES.get(key)
-    if hit is not None:
-        return hit
-    if not any(k[0] == app for k in _SE_TABLES):
-        _SE_TABLES.clear()
 
     orders = load(spark, sf_dir, "orders")
     root = tempfile.mkdtemp(prefix="omt-se-") + "/t"
@@ -1149,7 +1172,6 @@ def _se_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
             ),
             evolve_schema=True,
         )
-    _SE_TABLES[key] = (root, v)
     return root, v
 
 

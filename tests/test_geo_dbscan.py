@@ -146,3 +146,21 @@ def test_dbscan_roles_partition_the_input(spark):
     assert set(got) == set(ids)  # every point labeled exactly once
     for i, (c, role) in got.items():
         assert (c == -1) == (role == 0)
+
+
+def test_dbscan_eps2_floors_at_one_past_the_budget(spark):
+    # n > eps2_budget drives the integer division to 0; without the
+    # floor, cw = ceil(sqrt(0)) = 0 NULLs every cell (px div 0) and the
+    # whole input silently labels noise while the declarative oracle
+    # still pairs coincident points. eps2 = 1 is the correct degenerate
+    # limit: only exact-coincidence pairs survive.
+    ids = list(range(8))
+    px = [100, 100, 100, 100, 500, 900, 1300, 1700]  # 4 coincident
+    py = [100, 100, 100, 100, 500, 900, 1300, 1700]
+    got = _spark_labels(spark, ids, px, py, 4, 4)  # budget 4 < n=8 -> eps2=1
+    want = _brute_labels(ids, px, py, 1, 4)
+    assert got == want
+    # the coincident quadruple clusters (deg 4 incl. self); the rest is noise
+    assert got[0] == (0, 2)
+    assert all(got[i] == (0, 2) for i in (1, 2, 3))
+    assert all(got[i] == (-1, 0) for i in (4, 5, 6, 7))

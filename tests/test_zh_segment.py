@@ -158,11 +158,21 @@ def test_fmm_vs_fold_full_vocab_equivalence(spark):
     def gap_rule_fires(w: str) -> bool:
         # verb rules (separable infixes) AND context rules (open-class
         # positional senses like X后) are both regex-pass mechanisms a
-        # contiguous lexicon cannot reproduce
-        return any(
+        # contiguous lexicon cannot reproduce. The rule DOMAIN includes
+        # guard-SUPPRESSED occurrences too (皇后面前: the guard keeps 后
+        # — FMM, blind to context, still greedily converts 后面), so a
+        # word also classifies when a context rule's unguarded twin
+        # (negated class relaxed to '.') would rewrite it.
+        if any(
             re.sub(pat, repl, w) != w
             for pat, _, repl in SEP_VERB_RULES_S2T + S2T_CONTEXT_RULES
-        )
+        ):
+            return True
+        for pat, _, repl in S2T_CONTEXT_RULES:
+            unguarded = re.sub(r"\[\^[^\]]*\]", ".", pat)
+            if unguarded != pat and re.sub(unguarded, repl, w) != w:
+                return True
+        return False
 
     diffs, bad_agree, twin_drift = [], [], []
     for i, w in enumerate(words):
