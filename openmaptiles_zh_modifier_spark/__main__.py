@@ -102,9 +102,13 @@ def main(argv: list[str] | None = None) -> int:
     # shuffle-partition counts). getActiveSession is THREAD-LOCAL, so
     # also check the process-wide instantiated session (one created on
     # another thread — PySpark exposes no public getDefaultSession;
-    # _instantiatedSession is what getOrCreate itself consults) before
-    # falling back to get_spark. --master only matters when we create.
-    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    # _instantiatedSession is what getOrCreate itself consults). The
+    # attribute is private with no stability guarantee, so read it via
+    # getattr: if a PySpark upgrade renames it we degrade to creating a
+    # session rather than crashing before argument handling.
+    spark = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if spark is None:
         spark = get_spark(master=args.master)
     else:

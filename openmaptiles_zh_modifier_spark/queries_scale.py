@@ -1017,6 +1017,22 @@ def _app_scoped_table_memo(
     return val
 
 
+def evict_table_memos() -> None:
+    """Drop every memoized COW build table AND its on-disk temp dir.
+
+    The bench harness must call this (not ``memo.clear()`` directly)
+    before a cold rep: clearing the dicts alone leaks the mkdtemp
+    parquet trees for the life of the process, because the
+    new-app-evicts path in :func:`_app_scoped_table_memo` never fires
+    within one application."""
+    import shutil
+
+    for memo in (_ZC_TABLES, _SE_TABLES):
+        for root, _ in memo.values():
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        memo.clear()
+
+
 # (applicationId, sf_dir) -> (table root, post-compaction version)
 _ZC_TABLES: dict[tuple, tuple[str, int]] = {}
 

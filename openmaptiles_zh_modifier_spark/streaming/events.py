@@ -1462,10 +1462,14 @@ def q_stream_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Ping positions: planar centi-degrees over the admin-star domain
 # (queries_geo fixture family), derived from event_id so the stream and
-# the batch oracle see identical geometry. int64-safe (event_id < 2^53
-# by fixture; * 6661 stays far inside int64).
-_GF_PX = "(-15000 + (event_id * 6661) % 30000)"
-_GF_PY = "(-3500 + (event_id * 3209) % 7000)"
+# the batch oracle see identical geometry. event_id is reduced mod the
+# modulus BEFORE the multiply — (a*b) mod m == ((a mod m)*b) mod m for
+# a >= 0, so the value is unchanged while the intermediate stays below
+# 30000*6661 ~ 2e8 for ANY non-negative int64 event_id (the raw
+# event_id*6661 form would wrap int64 past event_id ~ 1.38e15, where
+# Spark wraps silently but DuckDB errors — the two sides would fork).
+_GF_PX = "(-15000 + ((event_id % 30000) * 6661) % 30000)"
+_GF_PY = "(-3500 + ((event_id % 7000) * 3209) % 7000)"
 
 
 def geofence_alert_stream(pings: DataFrame, poly: DataFrame) -> DataFrame:

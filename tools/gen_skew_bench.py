@@ -392,6 +392,7 @@ def main() -> None:
 # app+sf_dir, which registry.clear_frame_cache cannot see).
 MEMOIZING_QUERIES = {
     "q_geo_dbscan",
+    "q_geo_segment_join",
     "q_cow_schema_evolution",
     "q_cow_compact_zorder",
 }
@@ -402,8 +403,10 @@ def _clear_query_memos() -> None:
     from openmaptiles_zh_modifier_spark.registry import clear_frame_cache
 
     clear_frame_cache()
-    queries_scale._SE_TABLES.clear()
-    queries_scale._ZC_TABLES.clear()
+    # evict_table_memos rmtrees each memoized table's temp dir before
+    # clearing — clearing the dicts directly would orphan the mkdtemp
+    # parquet trees for the life of the bench process
+    queries_scale.evict_table_memos()
 
 
 # q_geo_polygon_overlay is NOT here: both its inputs (customer, nation)
