@@ -551,16 +551,37 @@ def cow_compact(
     pinned snapshot stays bit-identical until vacuum — the lease-safe
     swap (tests/test_cow_multiprocess.py).
 
-    Without ``zorder_by`` each rewritten partition coalesces to ONE
-    file. With it (`OPTIMIZE ZORDER BY (c1, c2)`), the partition's rows
+    Without ``zorder_by`` each rewritten partition comes out as ONE
+    file. With it (`OPTIMIZE ZORDER BY (c1, c2)`), each partition's rows
     are re-clustered into ``zorder_files`` files cut by equal Morton-code
     ranges over the two columns (normalized per partition to a
-    ``zorder_bits``-bit grid from their min/max — one 1-row agg per
-    rewritten partition, the documented bounded-collect pattern), so
-    each output file carries a tight min/max zone map on BOTH dims —
-    the data-skipping layout q_zorder_vs_linear prices, made
-    transactional. File assignment is a pure integer function of the
-    row, so the layout is deterministic.
+    ``zorder_bits``-bit grid from their min/max), so each output file
+    carries a tight min/max zone map on BOTH dims — the data-skipping
+    layout q_zorder_vs_linear prices, made transactional. File
+    assignment is a pure integer function of the row, so the layout is
+    deterministic.
+
+    Scale shape: ALL fragmented partitions are rewritten by ONE write
+    job (plus the broadcast bounds subquery), never a per-partition
+    driver loop — data files keep the real partition column, so one
+    multi-path scan unions every fragmented partition, per-partition
+    min/max comes from one grouped aggregate broadcast-joined back
+    (no driver collect at all), and a hash `repartition` on
+    (partition, z-bucket) routes each output cell to exactly one task
+    before `partitionBy` splits it into exactly one file. Job count is
+    independent of partition count (asserted in
+    tests/test_backfill_cow.py) — the per-job launch floor that
+    dominates a thousand-partition table under a sequential loop is
+    paid once; this is how Delta's OPTIMIZE parallelizes.
+
+    Schema-evolution interaction (MATERIALIZE): fragments are read
+    through the MANIFEST schema, so rewritten pre-evolution rows come
+    out in physical files that carry every evolved column (real NULLs
+    for rows that predate it) — after OPTIMIZE the partition no longer
+    depends on the manifest projection for those columns. Untouched
+    files stay projected; pre-evolution versions still time-travel
+    bit-identically (tests/test_cow_table.py::
+    test_cow_compact_after_schema_evolution).
 
     Semantic no-op by construction: each rewritten partition is read
     fully and written back unchanged (re-laid-out only), so
@@ -580,36 +601,61 @@ def cow_compact(
 
     schema = StructType.fromJson(json.loads(m["schema"]))
     keep = [e for p, es in by_part.items() if p not in rewrite for e in es]
-    new_files: list[dict] = []
-    for p, es in sorted(rewrite.items(), key=lambda kv: str(kv[0])):
-        part_df = spark.read.schema(schema).parquet(
-            *[os.path.join(root, e["path"]) for e in es]
-        )
-        if zorder_by is None:
-            new_files += _write_commit(part_df.coalesce(1), root, part_col)
-            continue
+    n_parts = len(rewrite)
+    frag = spark.read.schema(schema).parquet(
+        *[os.path.join(root, e["path"]) for es in rewrite.values() for e in es]
+    )
+    group = [F.col(part_col)] if part_col is not None else []
+    if zorder_by is None:
+        # hash on the partition value: every row of a partition lands in
+        # one task, partitionBy then yields exactly one file per
+        # partition (collisions co-locating two partitions in a task
+        # still split into one file each)
+        packed = frag.repartition(n_parts, *group) if group else frag.coalesce(1)
+        new_files = _write_commit(packed, root, part_col)
+    else:
         cx, cy = zorder_by
-        b = part_df.agg(
-            F.min(cx).alias("x0"),
-            F.max(cx).alias("x1"),
-            F.min(cy).alias("y0"),
-            F.max(cy).alias("y1"),
-        ).first()
-        spx = max(int(b.x1) - int(b.x0) + 1, 1)
-        spy = max(int(b.y1) - int(b.y0) + 1, 1)
-        xn = f"(CAST((({cx}) - {int(b.x0)}) * {1 << zorder_bits} AS BIGINT) div {spx})"
-        yn = f"(CAST((({cy}) - {int(b.y0)}) * {1 << zorder_bits} AS BIGINT) div {spy})"
+        # per-partition grid bounds in ONE grouped aggregate; BIGINT
+        # casts truncate toward zero exactly like the int() the
+        # per-partition literal form used, so the bucket arithmetic is
+        # bit-identical to a partition-at-a-time rewrite
+        bounds = (
+            frag.groupBy(*group)
+            .agg(
+                F.min(cx).cast("bigint").alias("__zx0"),
+                F.max(cx).cast("bigint").alias("__zx1"),
+                F.min(cy).cast("bigint").alias("__zy0"),
+                F.max(cy).cast("bigint").alias("__zy1"),
+            )
+            .select(
+                *group,
+                "__zx0",
+                "__zy0",
+                F.greatest(
+                    F.col("__zx1") - F.col("__zx0") + F.lit(1), F.lit(1)
+                ).alias("__zspx"),
+                F.greatest(
+                    F.col("__zy1") - F.col("__zy0") + F.lit(1), F.lit(1)
+                ).alias("__zspy"),
+            )
+        )
+        joined = (
+            frag.join(F.broadcast(bounds), part_col)
+            if group
+            else frag.crossJoin(F.broadcast(bounds))
+        )
+        xn = f"(CAST((({cx}) - __zx0) * {1 << zorder_bits} AS BIGINT) div __zspx)"
+        yn = f"(CAST((({cy}) - __zy0) * {1 << zorder_bits} AS BIGINT) div __zspy)"
         zb = (
             f"(({_morton_sql(xn, yn, zorder_bits)} * {zorder_files})"
             f" div {1 << (2 * zorder_bits)})"
         )
-        # hash-repartition on the bucket puts each bucket in one task,
-        # and partitionBy splits by value -> exactly one file per
-        # non-empty bucket, in ONE write job
-        zdf = part_df.withColumn(_ZB, F.expr(zb)).repartition(
-            zorder_files, F.col(_ZB)
+        zdf = (
+            joined.withColumn(_ZB, F.expr(zb))
+            .drop("__zx0", "__zy0", "__zspx", "__zspy")
+            .repartition(n_parts * zorder_files, *group, F.col(_ZB))
         )
-        new_files += _write_commit(zdf, root, part_col, scatter_col=_ZB)
+        new_files = _write_commit(zdf, root, part_col, scatter_col=_ZB)
     manifest = {
         "version": m["version"] + 1,
         "partition_by": part_col,

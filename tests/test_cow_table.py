@@ -280,6 +280,120 @@ def test_cow_compact_is_a_semantic_noop(spark, tmp_path):
     assert cow_compact(spark, root, min_files_per_partition=2) in (4, 5)
 
 
+def _frag_table(spark, root, nparts, ncols_extra=0):
+    """Create a partitioned table and fragment EVERY partition with two
+    appends (3 files per partition)."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_append
+
+    sch = "id long, bal double, x long, y long, region string"
+    rows = [
+        (i, float(i), i % 97, (i * 7) % 89, f"p{i % nparts}")
+        for i in range(nparts * 30)
+    ]
+    cow_create(spark, root, spark.createDataFrame(rows, sch), partition_by="region")
+    for j in range(2):
+        extra = [
+            (10_000 + j * nparts + k, 1.0, (j * 13 + k) % 97, (j * 17 + k) % 89,
+             f"p{k}")
+            for k in range(nparts)
+        ]
+        cow_append(spark, root, spark.createDataFrame(extra, sch))
+
+
+def test_cow_compact_job_count_is_partition_independent(spark, tmp_path):
+    """VERDICT r10 #2: OPTIMIZE must not pay a per-partition job-launch
+    floor — all fragmented partitions are rewritten by ONE batched write
+    (bounds via one grouped aggregate, scatter by (partition, z-bucket)),
+    so the Spark job count is a small constant regardless of how many
+    partitions are fragmented. The sequential loop this replaces cost
+    ~2 jobs PER partition (a .first() bounds probe + a write each)."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_compact
+
+    sc = spark.sparkContext
+
+    def jobs(nparts, label, **kw):
+        root = str(tmp_path / f"t{label}{nparts}")
+        _frag_table(spark, root, nparts)
+        group = f"compact-{label}-{nparts}"
+        sc.setJobGroup(group, group)
+        try:
+            cow_compact(spark, root, min_files_per_partition=2, **kw)
+        finally:
+            sc.setJobGroup(None, None)
+        n_files = {
+            e["partition"]: 0 for e in _read_manifest(root)["files"]
+        }
+        for e in _read_manifest(root)["files"]:
+            n_files[e["partition"]] += 1
+        return len(sc.statusTracker().getJobIdsForGroup(group)), n_files
+
+    j4, f4 = jobs(4, "plain")
+    j12, f12 = jobs(12, "plain")
+    assert j4 == j12 <= 5          # constant, not O(partitions)
+    assert set(f4.values()) == {1} and set(f12.values()) == {1}  # bin-packed
+    zj4, _ = jobs(4, "z", zorder_by=("x", "y"))
+    zj12, zf12 = jobs(12, "z", zorder_by=("x", "y"))
+    assert zj4 == zj12 <= 6        # AQE stage jobs, independent of nparts
+    assert all(v >= 1 for v in zf12.values())
+
+
+def test_cow_compact_after_schema_evolution(spark, tmp_path):
+    """VERDICT r10 #6: evolve, then compact. The pick is MATERIALIZE —
+    compaction reads fragments through the MANIFEST schema, so rewritten
+    pre-evolution rows come out in physical files that carry the evolved
+    column (as real NULLs), while untouched versions stay projected.
+    Time travel to the pre-evolution version must remain bit-identical
+    (compaction never deletes files)."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_append,
+        cow_changes,
+        cow_compact,
+    )
+
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    v1_rows = _rows(cow_read(spark, root, version=1))
+    # evolve with a post-evolution file in US, then fragment US more
+    cow_append(
+        spark, root,
+        spark.createDataFrame(
+            [(6, "f", 60.0, "US", "gold")],
+            "id long, name string, bal double, region string, tier string",
+        ),
+        evolve_schema=True,
+    )
+    cow_append(
+        spark, root,
+        spark.createDataFrame(
+            [(7, "g", 70.0, "US", None)],
+            "id long, name string, bal double, region string, tier string",
+        ),
+    )
+    before = {r.id: (r.name, r.bal, r.tier)
+              for r in cow_read(spark, root).collect()}
+
+    v = cow_compact(spark, root, min_files_per_partition=2)
+    m = _read_manifest(root, v)
+    us = [e for e in m["files"] if e["partition"] == "US"]
+    assert len(us) == 1
+    # the rewritten file PHYSICALLY carries the evolved column: read its
+    # footer schema directly, no manifest projection
+    raw = spark.read.parquet(os.path.join(root, us[0]["path"]))
+    assert "tier" in raw.columns
+    by_id = {r.id: r.tier for r in raw.collect()}
+    assert by_id[1] is None and by_id[2] is None   # materialized NULLs
+    assert by_id[6] == "gold" and by_id[7] is None  # evolved values survive
+    # semantic no-op + CDF cancel in the evolved schema space
+    after = {r.id: (r.name, r.bal, r.tier)
+             for r in cow_read(spark, root).collect()}
+    assert after == before
+    assert cow_changes(spark, root, v - 1, v).count() == 0
+    # pre-evolution time travel is bit-identical (narrow schema, old rows)
+    v1 = cow_read(spark, root, version=1)
+    assert "tier" not in v1.columns
+    assert _rows(v1) == v1_rows
+
+
 def test_cow_merge_preserves_evolved_columns(spark, tmp_path):
     """Review regression: a partition rewrite must project pre-evolution
     files through the manifest schema, not a sampled footer — otherwise
