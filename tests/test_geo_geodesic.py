@@ -1,0 +1,165 @@
+"""Geodesic containment join (VERDICT r10 #3): the lat/lon polygon
+machinery with per-row adaptive-latitude lon spans must equal the
+brute-force cross join — including at 75°N+ (where the lon stretch
+forces a multi-cell probe span) and across the antimeridian (where the
+signed lon difference wraps). Ground truth is an independent float
+winding-number test in the polygon's local anisotropic frame."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.queries_geo import (
+    _GP_BBOX,
+    _GP_DX,
+    _STAR_OFFS,
+    _gp_w,
+    _raycast_inside_xy,
+    geodesic_polygon_contains_pairs,
+)
+
+
+def _poly(spark, rows):
+    """rows: (gid, clat, clon, s); w derived by the fixture rule."""
+    df = spark.createDataFrame(
+        rows, "gid long, clat long, clon long, s long"
+    )
+    return df.selectExpr("*", f"{_gp_w('s', 'clat')} AS w")
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "pid long, px long, py long")
+
+
+def _brute(poly, pts):
+    return (
+        pts.crossJoin(poly)
+        .where(F.expr(_GP_BBOX))
+        .withColumn(
+            "inside",
+            F.when(
+                F.expr(
+                    _raycast_inside_xy(_GP_DX, "py", "0", "clat", "w", "s")
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.pid, r.gid, r.inside)
+        for r in df.select("pid", "gid", "inside").collect()
+    )
+
+
+def _winding_inside(dx, py, w, s, clat):
+    """Independent float ground truth in the recentred frame: vertices
+    at (w*ox, clat + s*oy), point at (dx, py). Boundary excluded."""
+    total = 0.0
+    verts = [(w * ox, clat + s * oy) for ox, oy in _STAR_OFFS]
+    for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+        a1 = math.atan2(y1 - py, x1 - dx)
+        a2 = math.atan2(y2 - py, x2 - dx)
+        d = a2 - a1
+        while d > math.pi:
+            d -= 2 * math.pi
+        while d < -math.pi:
+            d += 2 * math.pi
+        total += d
+    return abs(total) > math.pi
+
+
+def test_high_latitude_polygon_is_lossless_and_correct(spark):
+    """A 75°N and an 85°N polygon: the stretched lon bbox spans many
+    probe cells; the blocked join must equal brute force AND the float
+    winding ground truth on every probed point."""
+    polys = [(1, 7500, 3000, 150), (2, 8500, -12000, 200)]
+    pw = {g: (150 * 36000) // (36600 - 4 * 7500) if g == 1
+          else (200 * 36000) // (36600 - 4 * 8500) for g, *_ in polys}
+    # probe a ring of points around each center: some inside arms, some
+    # in concavities, some far outside
+    pts, expected = [], {}
+    pid = 0
+    for gid, clat, clon, s in polys:
+        w = pw[gid]
+        for fx, fy in [(0.0, 0.0), (0.5, 0.1), (9.5, 0.0), (0.0, 3.9),
+                       (2.0, 2.0), (6.0, 6.0), (-4.0, -6.0), (0.0, -3.9),
+                       (-9.9, 0.0), (3.0, -8.0), (11.0, 0.0), (0.0, 9.5)]:
+            dx, dy = int(fx * w), int(fy * s)
+            px = ((clon + dx + 54000) % 36000) - 18000
+            py = clat + dy
+            if abs(py) >= 9000:
+                continue
+            pid += 1
+            pts.append((pid, px, py))
+            # cylinder semantics: a probe past the half-ring wraps to
+            # the polygon's other side (the 85° polygon's 10*w exceeds
+            # 18000, so its (11, 0) probe re-enters from the west) —
+            # the ground truth must evaluate the WRAPPED offset
+            dx_eff = ((dx + 54000) % 36000) - 18000
+            expected[(pid, gid)] = _winding_inside(dx_eff, py, w, s, clat)
+    poly_df = _poly(spark, polys)
+    pts_df = _pts(spark, pts)
+    got = _rows(geodesic_polygon_contains_pairs(poly_df, pts_df))
+    assert got == _rows(_brute(poly_df, pts_df))
+    for pid_, gid_, inside in got:
+        if (pid_, gid_) in expected:
+            assert bool(inside) == expected[(pid_, gid_)], (pid_, gid_)
+
+
+def test_antimeridian_polygon_contains_across_the_seam(spark):
+    """Polygon centered at 179.5°E whose bbox wraps: points just west
+    of -180° must be found (and classified) despite living at the far
+    end of the raw coordinate range."""
+    s = 200
+    clat, clon = 2000, 17950
+    w = (s * 36000) // (36600 - 4 * clat)
+    poly_df = _poly(spark, [(7, clat, clon, s)])
+    # dx = +0.3*w lies EAST of the seam (raw px negative after wrap)
+    pts, expected = [], {}
+    for pid, fdx in [(1, 0.3), (2, 9.9), (3, -0.3), (4, 5.0)]:
+        dx = int(fdx * w)
+        px = ((clon + dx + 54000) % 36000) - 18000
+        pts.append((pid, px, clat))
+        expected[pid] = _winding_inside(dx, clat, w, s, clat)
+    assert any(px < 0 for _, px, _ in pts)  # the seam is actually crossed
+    pts_df = _pts(spark, pts)
+    got = _rows(geodesic_polygon_contains_pairs(poly_df, pts_df))
+    assert got == _rows(_brute(poly_df, pts_df))
+    assert len(got) == 4  # every probe survives the wrapped bbox
+    for pid_, _gid, inside in got:
+        assert bool(inside) == expected[pid_], pid_
+
+
+def test_full_ring_polygon_probes_every_lon_cell(spark):
+    """Above ~80° the stretch makes 10*w exceed the half-ring: the probe
+    must degrade to the full 18-cell ring (not silently truncate), so a
+    point on the OPPOSITE meridian still pairs when the bbox allows."""
+    s = 249
+    clat = 8176  # nation-8 latitude: w = 1958, 10*w = 19580 > 18000
+    clon = 0
+    w = (s * 36000) // (36600 - 4 * clat)
+    assert 10 * w > 18000
+    poly_df = _poly(spark, [(8, clat, clon, s)])
+    pts_df = _pts(spark, [(1, 17999, clat), (2, -17999, clat), (3, 0, clat)])
+    got = _rows(geodesic_polygon_contains_pairs(poly_df, pts_df))
+    assert got == _rows(_brute(poly_df, pts_df))
+    assert {p for p, _, _ in got} == {1, 2, 3}
+
+
+def test_blocking_lossless_on_probe_cell_boundaries(spark):
+    """Points and bbox edges sitting exactly on _GP_CELL boundaries must
+    not fall between probe cells."""
+    s = 100
+    clat, clon = 0, 0
+    poly_df = _poly(spark, [(1, clat, clon, s)])
+    w = (s * 36000) // 36600
+    pts = [(1, 10 * w, 0), (2, -10 * w, 0), (3, 0, 9 * s), (4, 0, -9 * s),
+           (5, 2000, 0), (6, -2000, 0), (7, 0, 2000), (8, 1999, 1999)]
+    pts_df = _pts(spark, pts)
+    got = _rows(geodesic_polygon_contains_pairs(poly_df, pts_df))
+    assert got == _rows(_brute(poly_df, pts_df))

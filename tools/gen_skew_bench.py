@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     # while the point side triples; candidates grow ~3x, bounded by
     # bbox-covered cells x point density per cell
     "q_geo_polygon_join",
+    # round-11: geodesic containment — same shape with a per-row
+    # latitude-derived lon span; the high-latitude polygons' full-ring
+    # probes are the stress case (fan-out capped at the 18-cell ring)
+    "q_geo_polygon_join_geodesic",
     # OPTIMIZE end-to-end: 3x orders triple every append + the rewrite,
     # so the whole ingest->compact->probe loop should scale ~linearly
     "q_cow_compact_zorder",
