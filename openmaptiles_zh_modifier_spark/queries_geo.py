@@ -1132,10 +1132,19 @@ _DB_EPS2_BUDGET = 250_000_000  # eps2 = budget // n
 _DB_MINPTS = 4  # eps-neighbors including self
 
 
+class DbscanEdgeBudgetError(RuntimeError):
+    """Core-core edge count exceeds ``max_core_edges`` — the chosen eps
+    is supercritical for this corpus density; the component loop would
+    pay O(edges) per pointer-jumping round. Shrink eps (or raise the
+    budget deliberately)."""
+
+
 def dbscan_labels(
     pts: DataFrame,
     eps2_budget: int = _DB_EPS2_BUDGET,
     min_pts: int = _DB_MINPTS,
+    eps2: int | None = None,
+    max_core_edges: int | None = None,
 ) -> DataFrame:
     """Grid-blocked DBSCAN over ``pts(id, px, py)`` (integer planar
     coordinates): returns (id, cluster, role) with role 2=core,
@@ -1156,28 +1165,53 @@ def dbscan_labels(
          deterministic tie-break where standard DBSCAN is
          order-dependent); the rest is noise.
 
+    eps policy: by default eps^2 = ``eps2_budget`` / n (the
+    density-invariant rule above — the GATE path). Passing ``eps2``
+    pins the radius as a DOMAIN parameter instead (fixed-eps DBSCAN,
+    the form a real caller wants when eps means meters, not a budget).
+    PERCOLATION CAVEAT: a fixed eps is supercritical once corpus
+    density crosses ~1/eps^2 — the eps-graph condenses into one giant
+    component and the pointer-jumping loop pays O(edges) per round
+    over a near-complete neighbor graph (measured: eps=400 at sf0.1
+    yields a 4365-point cluster of diameter 160). ``max_core_edges``
+    is the capped-triangles discipline for that risk: the core-core
+    edge count is measured BEFORE the loop (one count over the
+    already-checkpointed pair stream) and :class:`DbscanEdgeBudgetError`
+    reports the blowup instead of the cluster discovering it as a
+    stalled job.
+
     Scale shape: one shuffle per side on the cell key for the pair
     stream; degree and border assignment are combinable aggregates; the
     iterative component loop touches core-core EDGES only (subcritical
     by fixture design; a denser corpus pays the same O(edges) per round
     the near-dup clustering pays). A hot cell is a hot equi-key —
     visible in the geohash census and saltable like any other."""
-    stats = pts.agg(F.count(F.lit(1)).alias("n"))
-    base = (
-        pts.crossJoin(F.broadcast(stats))
-        # floor at 1: past n = budget points, integer division reaches 0
-        # and cw = ceil(sqrt(0)) = 0 would NULL every cell (px div 0) —
-        # all points silently labeled noise while the oracle still pairs
-        # coincident points. eps2 = 1 keeps only exact-coincidence pairs
-        # (the correct degenerate limit of shrinking density radius).
-        .withColumn(
-            "eps2",
-            F.greatest(F.expr(f"CAST({eps2_budget} div n AS BIGINT)"), F.lit(1)),
+    if eps2 is not None:
+        if eps2 < 1:
+            raise ValueError(f"dbscan_labels: eps2 must be >= 1, got {eps2}")
+        base = pts.withColumn("eps2", F.lit(int(eps2)).cast("bigint"))
+    else:
+        stats = pts.agg(F.count(F.lit(1)).alias("n"))
+        base = (
+            pts.crossJoin(F.broadcast(stats))
+            # floor at 1: past n = budget points, integer division
+            # reaches 0 and cw = ceil(sqrt(0)) = 0 would NULL every cell
+            # (px div 0) — all points silently labeled noise while the
+            # oracle still pairs coincident points. eps2 = 1 keeps only
+            # exact-coincidence pairs (the correct degenerate limit of
+            # shrinking density radius).
+            .withColumn(
+                "eps2",
+                F.greatest(
+                    F.expr(f"CAST({eps2_budget} div n AS BIGINT)"), F.lit(1)
+                ),
+            )
+            .drop("n")
         )
-        .withColumn("cw", F.ceil(F.sqrt(F.col("eps2"))).cast("long"))
+    base = (
+        base.withColumn("cw", F.ceil(F.sqrt(F.col("eps2"))).cast("long"))
         .withColumn("cx", F.expr("px div cw"))
         .withColumn("cy", F.expr("py div cw"))
-        .drop("n")
     )
     partner = base.select(
         F.col("id").alias("b"),
@@ -1236,6 +1270,17 @@ def dbscan_labels(
         .join(core.select(F.col("id").alias("b")), "b")
         .select(F.col("id").alias("a"), "b")
     )
+    if max_core_edges is not None:
+        # measure the blowup before the loop pays it: one count over
+        # the checkpointed pair stream, not a new lineage
+        n_core_edges = core_edges.count()
+        if n_core_edges > max_core_edges:
+            raise DbscanEdgeBudgetError(
+                f"dbscan_labels: {n_core_edges} core-core edges exceed "
+                f"max_core_edges={max_core_edges}; eps is supercritical "
+                "for this density (the component loop would pay "
+                "O(edges) per round). Shrink eps2 or raise the budget."
+            )
     from openmaptiles_zh_modifier_spark.operators.graph import (
         connected_components,
     )

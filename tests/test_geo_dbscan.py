@@ -164,3 +164,45 @@ def test_dbscan_eps2_floors_at_one_past_the_budget(spark):
     assert got[0] == (0, 2)
     assert all(got[i] == (0, 2) for i in (1, 2, 3))
     assert all(got[i] == (-1, 0) for i in (4, 5, 6, 7))
+
+
+def test_dbscan_fixed_eps_matches_brute_force(spark):
+    """VERDICT r10 #4: eps as a DOMAIN parameter (eps2 passed directly)
+    must reproduce the same textbook labels as the budget policy at the
+    equivalent radius — the budget is policy, not geometry."""
+    ids = list(range(60))
+    px = [(i * i % 9973) * 271 % 3000 for i in ids]
+    py = [(i * i % 9967) * 331 % 3000 for i in ids]
+    pts = spark.createDataFrame(
+        list(zip(ids, px, py)), "id long, px long, py long"
+    )
+    out = dbscan_labels(pts, eps2=150_000, min_pts=4)
+    got = {int(r.id): (int(r.cluster), int(r.role)) for r in out.collect()}
+    assert got == _brute_labels(ids, px, py, 150_000, 4)
+    # and the fixed-eps path equals the budget path at the same radius
+    assert got == _spark_labels(spark, ids, px, py, 60 * 150_000, 4)
+
+
+def test_dbscan_core_edge_guard_reports_supercritical_eps(spark):
+    """The percolation guard: a supercritical eps (every point within
+    eps of every other) must raise with the measured core-edge count
+    BEFORE the component loop runs — not stall inside it."""
+    import pytest
+
+    from openmaptiles_zh_modifier_spark.queries_geo import (
+        DbscanEdgeBudgetError,
+    )
+
+    ids = list(range(20))
+    px = [i * 3 for i in ids]     # 20 points inside a 60-unit span
+    py = [0] * 20
+    pts = spark.createDataFrame(
+        list(zip(ids, px, py)), "id long, px long, py long"
+    )
+    # eps = 1000 >> span: complete graph, 190 core-core edges
+    with pytest.raises(DbscanEdgeBudgetError, match="190 core-core"):
+        dbscan_labels(pts, eps2=1_000_000, min_pts=4, max_core_edges=50)
+    # under the cap the same call completes and labels one cluster
+    out = dbscan_labels(pts, eps2=1_000_000, min_pts=4, max_core_edges=200)
+    got = {int(r.id): (int(r.cluster), int(r.role)) for r in out.collect()}
+    assert all(v == (0, 2) for v in got.values())
