@@ -778,11 +778,40 @@ def q_stream_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_bucket_registry(docs: DataFrame) -> DataFrame:
+def minhash_bucket_registry(
+    docs: DataFrame,
+    state_ttl: str | None = None,
+    arrival_ts: str | None = None,
+) -> DataFrame:
     """Per-row MinHash signature -> LSH band keys -> ``dropDuplicates``
     bucket registry, as a reusable transform over any documents frame
     (streaming or batch — the multi-batch replay test drives it over a
-    split file source with maxFilesPerTrigger=1)."""
+    split file source with maxFilesPerTrigger=1).
+
+    State lifecycle (VERDICT r10 #7, the trajectory TTL discipline on
+    the built-in operator): the (band, bkey) key domain is UNBOUNDED —
+    a continuous deployment grows dropDuplicates state forever.
+    ``state_ttl`` (an interval string, e.g. ``"6 hours"``) switches to
+    Spark's own eviction primitive for exactly this shape:
+    ``dropDuplicatesWithinWatermark`` over an INGESTION-time column, so
+    a bucket unseen for longer than the TTL is evicted and its next
+    claimant re-registers (the session-gap analog of the trajectory
+    TTL; near-dup suppression then holds within the window, which is
+    the guarantee an ingestion dedup actually needs — Spark's contract
+    is exactly that: duplicates within the delay are suppressed,
+    farther apart they may re-emit). ``arrival_ts`` names the source's
+    own ingestion-time column when it has one (a Kafka source's
+    ``timestamp`` — preferable because the watermark then tracks the
+    log, not the executor clock); left ``None``, processing time is
+    synthesized per row. Deployment-scoped default ``state_ttl=None``
+    keeps plain ``dropDuplicates``: the availableNow gate drain is
+    run-to-completion, so its state is bounded by the run's lifetime
+    and the gate plan/hashes stay byte-stable; eviction semantics are
+    pinned by tests/test_streaming_multibatch.py (note the one-batch
+    watermark lag there: a duplicate in the batch right after its
+    original is still suppressed even past the TTL, because eviction
+    happens once the COMMITTED watermark passes the bucket's
+    expiry)."""
     from openmaptiles_zh_modifier_spark.functions.text import (
         LSH_BANDS,
         NUM_PERM,
@@ -819,9 +848,10 @@ def minhash_bucket_registry(docs: DataFrame) -> DataFrame:
         )
         for b in range(LSH_BANDS)
     ]
-    return (
+    extra = [arrival_ts] if (state_ttl is not None and arrival_ts) else []
+    keyed = (
         docs.where(F.size(toks) >= 3)
-        .select("doc_id", sig_arr.alias("sig"))
+        .select("doc_id", sig_arr.alias("sig"), *extra)
         .select(
             "doc_id",
             F.explode(
@@ -834,9 +864,19 @@ def minhash_bucket_registry(docs: DataFrame) -> DataFrame:
                     ]
                 )
             ).alias("bb"),
+            *extra,
         )
-        .select("doc_id", "bb.band", "bb.bkey")
-        .dropDuplicates(["band", "bkey"])
+        .select("doc_id", "bb.band", "bb.bkey", *extra)
+    )
+    if state_ttl is None:
+        return keyed.dropDuplicates(["band", "bkey"])
+    ts_col = arrival_ts or "_arrival_ts"
+    if not arrival_ts:
+        keyed = keyed.withColumn(ts_col, F.current_timestamp())
+    return (
+        keyed.withWatermark(ts_col, state_ttl)
+        .dropDuplicatesWithinWatermark(["band", "bkey"])
+        .drop(ts_col)
     )
 
 

@@ -243,3 +243,83 @@ def test_geofence_multibatch_matches_batch(spark, sf_dir, tmp_path):
     diff = out.exceptAll(expected).union(expected.exceptAll(out))
     assert diff.count() == 0
     assert out.count() > 0
+
+
+def test_minhash_buckets_ttl_evicts_and_reregisters(spark, sf_dir, tmp_path):
+    """VERDICT r10 #7: state_ttl bounds the bucket registry's unbounded
+    key domain via dropDuplicatesWithinWatermark over the source's
+    ingestion-time column. Measured eviction timing (pinned by the
+    probe this test encodes): state purge at the end of batch K uses
+    the watermark computed at K's START, so eviction lags TWO batches —
+    hence the shape here: main docs at T0, two disjoint filler batches
+    at +3h/+6h advance the watermark past the 1-hour TTL, and the main
+    replay at +9h RE-REGISTERS every main bucket. With plain
+    dropDuplicates (no TTL) the replay stays suppressed."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    from openmaptiles_zh_modifier_spark.streaming.events import (
+        minhash_bucket_registry,
+    )
+
+    main = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    fill1 = spark.range(10).selectExpr(
+        "id + 1000000 AS doc_id",
+        "concat_ws(' ', 'axq', 'bxq', 'cxq', CAST(id AS STRING),"
+        " CAST(id * 7 AS STRING), CAST(id * 13 AS STRING)) AS text",
+        "'xx' AS lang", "'f1' AS source", "CAST(20 AS BIGINT) AS n_chars",
+    )
+    fill2 = spark.range(10).selectExpr(
+        "id + 2000000 AS doc_id",
+        "concat_ws(' ', 'dzq', 'ezq', 'fzq', CAST(id AS STRING),"
+        " CAST(id * 11 AS STRING), CAST(id * 17 AS STRING)) AS text",
+        "'xx' AS lang", "'f2' AS source", "CAST(20 AS BIGINT) AS n_chars",
+    )
+    t0 = datetime.datetime(2026, 1, 1)
+    src = str(tmp_path / "docs_ttl")
+    os.makedirs(src)
+    now = time.time()
+    batches = [(main, 0), (fill1, 3), (fill2, 6), (main, 9)]
+    for i, (df, hours) in enumerate(batches):
+        out = str(tmp_path / f"b{i}")
+        df.select(main.columns).withColumn(
+            "ingest_ts",
+            F.lit(t0 + datetime.timedelta(hours=hours)).cast("timestamp"),
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        dest = f"{src}/part-{i}.parquet"
+        shutil.copy(glob.glob(f"{out}/part-*.parquet")[0], dest)
+        os.utime(dest, (now - 60 + i, now - 60 + i))
+    schema = spark.read.parquet(src).schema
+
+    def sets(df):
+        return {
+            (r.band, r.bkey)
+            for r in minhash_bucket_registry(df).select("band", "bkey").collect()
+        }
+
+    m, f1, f2 = sets(main), sets(fill1), sets(fill2)
+    assert not (m & f1) and not (m & f2) and not (f1 & f2)
+
+    def run(ttl):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out, n_batches = _run_stream(
+            minhash_bucket_registry(
+                stream, state_ttl=ttl,
+                arrival_ts="ingest_ts" if ttl else None,
+            ),
+            "append",
+        )
+        assert n_batches == 4, f"{n_batches} micro-batches"
+        return out.count()
+
+    # no TTL: the replay is suppressed forever (unbounded state)
+    assert run(None) == len(m) + len(f1) + len(f2)
+    # 1-hour TTL: main buckets evicted before batch 4 -> re-register
+    assert run("1 hour") == 2 * len(m) + len(f1) + len(f2)
