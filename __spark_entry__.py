@@ -38,16 +38,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
-# dict ordering decides what gets externally verified. Round-10 window
-# (VERDICT r9 item #1, extended to ALL round-10 additions): the full
-# never-driver-sampled class — the 18 the verdict named plus this
-# round's seven (q_geo_polygon_join, q_cow_compact_zorder, q_geo_dbscan,
-# q_geo_segment_join, q_cow_schema_evolution, q_geo_polygon_overlay,
-# q_stream_geofence; judge-green is not driver-green — external
-# verification is the point of the gate) — then the 25 stalest r04
-# greens. 25+25 fills the 50-slot window; after CORRECTNESS_r10 the
-# never-sampled class is retired and only 17 r04 rows remain for the
-# r11 window. Generated by ``python tools/gate_coverage.py --window``.
+# dict ordering decides what gets externally verified. Round-11 window
+# (VERDICT r10 #1): the 17 remaining r04 rows (finishing the freshness
+# retirement — q_stream_minhash_buckets is both an r04 row AND a bench
+# mover), the five other >1.3x r9->r10 bench movers for their
+# driver-vs-driver confirmation read after the BASELINE.md settlement
+# (all six adjudicated environment-band in isolation), the round-11
+# addition (q_geo_polygon_join_geodesic), and the 27 stalest r06 rows.
+# Base list from ``python tools/gate_coverage.py --window``.
+_R11_WINDOW = [
+    # 17 r04 rows — after this window, no row is older than r06
+    "q_rolling_median",
+    "q_semdedup",
+    "q_ses_forecast",
+    "q_session_bounce",
+    "q_setops_nations",
+    "q_skyline_parts",
+    "q_sliding_distinct_hll",
+    "q_source_kl",
+    "q_stream_minhash_buckets",
+    "q_stream_running_totals",
+    "q_stream_stream_left",
+    "q_substring_dupfrac",
+    "q_tfidf_topk",
+    "q_theta_set_algebra",
+    "q_time_weighted_avg",
+    "q_top3_parts_per_brand",
+    "q_variant_json",
+    # the other five settled bench movers (confirmation read)
+    "q_stream_zh_backfill",
+    "q_stream_cusum",
+    "q_stream_stream_join",
+    "q_rank_fusion_rrf",
+    "q_geo_nearest",
+    # round-11 addition
+    "q_geo_polygon_join_geodesic",
+    # 27 stalest r06 rows
+    "q1_pricing_summary",
+    "q_anomaly_residual",
+    "q_balanced_shards",
+    "q_boilerplate_cleaned",
+    "q_boilerplate_segments",
+    "q_bootstrap_ci",
+    "q_bpe_apply",
+    "q_char_entropy",
+    "q_corpus_datasheet",
+    "q_cross_source_overlap",
+    "q_cusum_changepoint",
+    "q_dsir_selection",
+    "q_embed_class_drift",
+    "q_embed_covariance",
+    "q_embed_matryoshka",
+    "q_embed_pca_power",
+    "q_embed_pq_adc",
+    "q_embed_rand_projection",
+    "q_gopher_rules",
+    "q_hard_negatives",
+    "q_hits_scores",
+    "q_holt_linear",
+    "q_kanonymity",
+    "q_kcore",
+    "q_km_survival",
+    "q_label_balance",
+    "q_link_prediction",
+]
+
+# retained for provenance (round-10 ordering)
 _R10_WINDOW = [
     "q_band_join",
     "q_multimodal_scene_cut",
@@ -101,65 +157,8 @@ _R10_WINDOW = [
     "q_rfm_segmentation",
 ]
 
-# retained for provenance (round-9 ordering)
-_R09_WINDOW = [
-    "q19_disjunctive_predicate",
-    "q20_part_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_approx_sketches",
-    "q_bloom_join_prune",
-    "q_decimal_exact",
-    "q_dedup_minhash_lsh",
-    "q_explode_tokens",
-    "q_gdpr_cascade",
-    "q_grouping_sets",
-    "q_histogram_equidepth",
-    "q_histogram_price",
-    "q_incremental_agg",
-    "q_interval_join",
-    "q_lateral_topn",
-    "q_mad_dispersion",
-    "q_map_hofs",
-    "q_merge_upsert",
-    "q_outliers_iqr",
-    "q_pagerank_nations",
-    "q_percentiles",
-    "q_salted_skew_join",
-    "q_stat_aggregates",
-    "q_stream_dedup",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_tumbling",
-    "q_stream_zh_backfill",
-    "q_tablediff_checksum",
-    "q_triangle_count",
-    "q_udaf_mode",
-    "q_udtf_sentences",
-    "q_window_frames",
-    "q_zorder_layout",
-    "zh_backfill",
-    "q_assign_ids",
-    "q_attribution",
-    "q_balanced_sample",
-    "q_benford_audit",
-    "q_bfs_reachability",
-    "q_chisq_independence",
-    "q_column_stats",
-    "q_connected_components",
-]
-
-
-
-
 def _gate_order(names) -> list[str]:
-    head = [n for n in _R10_WINDOW if n in names]
+    head = [n for n in _R11_WINDOW if n in names]
     return head + [n for n in names if n not in set(head)]
 
 

@@ -363,9 +363,16 @@ def main() -> None:
         ).count().count()
     spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
 
+    # --only a,b,c: anchor a subset (e.g. one new operator) without
+    # re-timing the whole suite
+    names = BENCH_QUERIES
+    if "--only" in sys.argv:
+        want = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        names = [n for n in BENCH_QUERIES if n in want]
+
     results: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.1", SRC), ("sf0.3skew", OUT)):
-        for name in BENCH_QUERIES:
+        for name in names:
             best = None
             for _ in range(2):  # min-of-2: co-tenant variance guard
                 if name in MEMOIZING_QUERIES:
@@ -382,7 +389,7 @@ def main() -> None:
 
     print("| query | sf0.1 s | sf0.3skew s | ratio |")
     print("|---|---|---|---|")
-    for name in BENCH_QUERIES:
+    for name in names:
         a = results[name]["sf0.1"]
         b = results[name]["sf0.3skew"]
         print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.2f}x |")
