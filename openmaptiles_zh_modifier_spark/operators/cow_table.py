@@ -26,6 +26,15 @@ ConcurrentAppendException) and must re-read + retry. Old manifests and
 files remain: every historical version stays readable (time travel)
 until ``cow_vacuum`` drops unreferenced files.
 
+Column mapping (round 11): an optional manifest ``column_mapping``
+(logical name -> stable PHYSICAL file column name) makes RENAME and
+DROP COLUMN pure metadata commits — ``cow_rename_column`` /
+``cow_drop_column``. Files never change; readers alias physical to
+logical; writers (append/merge/compact/DSv2) emit physical names;
+``retired_physical`` prevents a re-added logical name from resurrecting
+dropped data. Tables that never rename keep no mapping and take the
+original single-scan fast path unchanged.
+
 Scale notes: the only driver-side materialization is the DISTINCT
 partition values of the merge source (bounded by partition count, the
 same collect ``write_back_merge`` does); the merge itself is ONE
@@ -203,6 +212,59 @@ def cow_create(
     return 1
 
 
+def _logical_schema(m: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(m["schema"]))
+
+
+def _read_files(spark: SparkSession, root: str, m: dict, entries) -> DataFrame:
+    """Read manifest ``entries`` projected to the manifest's LOGICAL
+    schema. Without a column mapping this is the original fast path
+    (one schema-pinned multi-path scan — pre-evolution files project
+    missing columns as NULL). With a mapping (a rename or drop
+    happened), files are scanned under their stable PHYSICAL names and
+    aliased to the logical names — Delta's column-mapping idea: the
+    files never change, only the manifest's name indirection does."""
+    schema = _logical_schema(m)
+    if not entries:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(root, e["path"]) for e in entries]
+    cmap = m.get("column_mapping")
+    if not cmap:
+        return spark.read.schema(schema).parquet(*paths)
+    from pyspark.sql.types import StructField, StructType
+
+    phys = StructType(
+        [StructField(cmap[f.name], f.dataType, f.nullable) for f in schema.fields]
+    )
+    df = spark.read.schema(phys).parquet(*paths)
+    return df.select(
+        *[F.col(cmap[f.name]).alias(f.name) for f in schema.fields]
+    )
+
+
+def _to_physical(df: DataFrame, m: dict, extra_cols: tuple = ()) -> DataFrame:
+    """Rename a logical-schema frame to the manifest's physical column
+    names before writing (identity when no mapping). ``extra_cols``
+    (e.g. compaction's Z-bucket) pass through unrenamed."""
+    cmap = m.get("column_mapping")
+    if not cmap:
+        return df
+    keep = [F.col(c) for c in extra_cols if c in df.columns]
+    return df.select(
+        *[F.col(f.name).alias(cmap[f.name]) for f in _logical_schema(m).fields],
+        *keep,
+    )
+
+
+def _physical_name(m: dict, logical: str | None) -> str | None:
+    cmap = m.get("column_mapping")
+    if logical is None or not cmap:
+        return logical
+    return cmap[logical]
+
+
 def cow_read(
     spark: SparkSession,
     root: str,
@@ -213,21 +275,14 @@ def cow_read(
     ``partition_values`` is given, only manifest entries whose partition
     matches are scanned — file pruning decided from metadata alone, no
     directory listing, no footer reads of dead files."""
-    from pyspark.sql.types import StructType
-
     m = _read_manifest(root, version)
-    schema = StructType.fromJson(json.loads(m["schema"]))
     files = m["files"]
     if partition_values is not None:
         wanted = {str(v) for v in partition_values}
         files = [e for e in files if e["partition"] in wanted]
-    if not files:
-        return spark.createDataFrame([], schema)
     # the MANIFEST schema is authoritative: files written before a schema
     # evolution lack the later columns and project them as NULL
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(root, e["path"]) for e in files]
-    )
+    return _read_files(spark, root, m, files)
 
 
 def cow_merge(
@@ -271,7 +326,7 @@ def cow_merge(
         merged = merge_into(
             base, source, on, matched_update, matched_delete, not_matched_insert
         )
-        new_files = _write_commit(merged, root, None)
+        new_files = _write_commit(_to_physical(merged, m), root, None)
         keep: list[dict] = []
     else:
         # bounded collect: one value per touched partition
@@ -282,25 +337,19 @@ def cow_merge(
                 " a NULL partition cannot be pruned or routed; clean or"
                 " default them upstream"
             )
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(m["schema"]))
         touched = {str(v) for v in vals}
         affected = [e for e in m["files"] if e["partition"] in touched]
         keep = [e for e in m["files"] if e["partition"] not in touched]
-        if affected:
-            # manifest schema is authoritative (not a sampled footer):
-            # pre-evolution files must project their missing columns as
-            # NULL, or a rewrite would silently drop evolved columns
-            base = spark.read.schema(schema).parquet(
-                *[os.path.join(root, e["path"]) for e in affected]
-            )
-        else:
-            base = spark.createDataFrame([], schema)
+        # manifest schema is authoritative (not a sampled footer):
+        # pre-evolution files must project their missing columns as
+        # NULL, or a rewrite would silently drop evolved columns
+        base = _read_files(spark, root, m, affected)
         merged = merge_into(
             base, source, on, matched_update, matched_delete, not_matched_insert
         )
-        new_files = _write_commit(merged, root, part_col)
+        new_files = _write_commit(
+            _to_physical(merged, m), root, _physical_name(m, part_col)
+        )
 
     manifest = {
         "version": next_version,
@@ -308,6 +357,9 @@ def cow_merge(
         "files": keep + new_files,
         "schema": m["schema"],
     }
+    for k in ("column_mapping", "retired_physical"):
+        if k in m:
+            manifest[k] = m[k]
     _commit_manifest(root, manifest)
     return next_version
 
@@ -437,11 +489,10 @@ def cow_changes(
     to_schema = StructType.fromJson(json.loads(m_to["schema"]))
 
     def read_paths(paths: set[str]) -> DataFrame:
-        if not paths:
-            return spark.createDataFrame([], to_schema)
-        return spark.read.schema(to_schema).parquet(
-            *[os.path.join(root, p) for p in sorted(paths)]
-        )
+        # project through the TO-version manifest (schema AND mapping):
+        # a renamed column diffs under its current logical name
+        entries = [{"path": p} for p in sorted(paths)]
+        return _read_files(spark, root, m_to, entries)
 
     added = read_paths(paths_to - paths_from)
     removed = read_paths(paths_from - paths_to)
@@ -502,14 +553,113 @@ def cow_append(
     if part_col is not None and df.where(F.col(part_col).isNull()).limit(1).count():
         raise ValueError(f"cow_append: NULL {part_col!r} partition values")
 
-    # column order normalized to the evolved schema so the files are uniform
-    ordered = df.select(*[f.name for f in new_schema.fields])
-    new_files = _write_commit(ordered, root, part_col)
     manifest = {
         "version": m["version"] + 1,
         "partition_by": part_col,
-        "files": m["files"] + new_files,
+        "files": m["files"],  # new files appended below
         "schema": new_schema.json(),
+    }
+    cmap = m.get("column_mapping")
+    if cmap is not None:
+        # physical names for evolved columns must never collide with a
+        # CURRENT or RETIRED physical name — a dropped column's data
+        # would otherwise resurface under a re-added logical name
+        # (Delta's unique-physical-name rule, deterministic here)
+        cmap = dict(cmap)
+        taken = set(cmap.values()) | set(m.get("retired_physical", []))
+        for f in extra:
+            phys = f.name
+            while phys in taken:
+                phys = f"{phys}__v{manifest['version']}"
+            cmap[f.name] = phys
+            taken.add(phys)
+        manifest["column_mapping"] = cmap
+        if "retired_physical" in m:
+            manifest["retired_physical"] = m["retired_physical"]
+
+    # column order normalized to the evolved schema so the files are uniform
+    ordered = df.select(*[f.name for f in new_schema.fields])
+    new_files = _write_commit(
+        _to_physical(ordered, manifest), root, _physical_name(manifest, part_col)
+    )
+    manifest["files"] = m["files"] + new_files
+    _commit_manifest(root, manifest)
+    return manifest["version"]
+
+
+def _identity_mapping(m: dict) -> dict:
+    """The mapping a mapping-less table implicitly has: every logical
+    name IS its physical name (how all pre-rename files were written)."""
+    return {f.name: f.name for f in _logical_schema(m).fields}
+
+
+def cow_rename_column(root: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a pure metadata commit (Delta column-mapping
+    semantics): no data file changes — the manifest's logical schema
+    renames the field while the column mapping keeps pointing at the
+    STABLE physical name the files were written under. Readers of the
+    new version see ``new``; time travel to prior versions still sees
+    ``old``; every append/merge/compact after the rename keeps writing
+    the physical name, so files from before and after the rename mix
+    freely in one scan. Concurrency: same optimistic version race as
+    every other commit (CowConflictError on loss)."""
+    from pyspark.sql.types import StructField, StructType
+
+    m = _read_manifest(root)
+    schema = _logical_schema(m)
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"cow_rename_column: no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"cow_rename_column: column {new!r} already exists")
+    cmap = dict(m.get("column_mapping") or _identity_mapping(m))
+    cmap[new] = cmap.pop(old)
+    fields = [
+        StructField(new, f.dataType, f.nullable) if f.name == old else f
+        for f in schema.fields
+    ]
+    manifest = {
+        "version": m["version"] + 1,
+        "partition_by": new if m["partition_by"] == old else m["partition_by"],
+        "files": m["files"],
+        "schema": StructType(fields).json(),
+        "column_mapping": cmap,
+    }
+    if "retired_physical" in m:
+        manifest["retired_physical"] = m["retired_physical"]
+    _commit_manifest(root, manifest)
+    return manifest["version"]
+
+
+def cow_drop_column(root: str, name: str) -> int:
+    """DROP COLUMN as a pure metadata commit: the field leaves the
+    logical schema and its physical name is RETIRED — files keep the
+    data (time travel to prior versions still serves it), current-
+    version readers project it away, and a later evolve-add of the same
+    logical name gets a FRESH physical name so the dropped values can
+    never resurface (the Delta unique-physical-name rule; pinned by
+    tests/test_cow_column_mapping.py)."""
+    from pyspark.sql.types import StructType
+
+    m = _read_manifest(root)
+    schema = _logical_schema(m)
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"cow_drop_column: no column {name!r} (have {names})")
+    if name == m["partition_by"]:
+        raise ValueError("cow_drop_column: cannot drop the partition column")
+    cmap = dict(m.get("column_mapping") or _identity_mapping(m))
+    retired = list(m.get("retired_physical", []))
+    retired.append(cmap.pop(name))
+    manifest = {
+        "version": m["version"] + 1,
+        "partition_by": m["partition_by"],
+        "files": m["files"],
+        "schema": StructType(
+            [f for f in schema.fields if f.name != name]
+        ).json(),
+        "column_mapping": cmap,
+        "retired_physical": retired,
     }
     _commit_manifest(root, manifest)
     return manifest["version"]
@@ -597,13 +747,10 @@ def cow_compact(
     }
     if not rewrite:
         return m["version"]  # nothing fragmented; no version burned
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(m["schema"]))
     keep = [e for p, es in by_part.items() if p not in rewrite for e in es]
     n_parts = len(rewrite)
-    frag = spark.read.schema(schema).parquet(
-        *[os.path.join(root, e["path"]) for es in rewrite.values() for e in es]
+    frag = _read_files(
+        spark, root, m, [e for es in rewrite.values() for e in es]
     )
     group = [F.col(part_col)] if part_col is not None else []
     if zorder_by is None:
@@ -612,7 +759,9 @@ def cow_compact(
         # partition (collisions co-locating two partitions in a task
         # still split into one file each)
         packed = frag.repartition(n_parts, *group) if group else frag.coalesce(1)
-        new_files = _write_commit(packed, root, part_col)
+        new_files = _write_commit(
+            _to_physical(packed, m), root, _physical_name(m, part_col)
+        )
     else:
         cx, cy = zorder_by
         # per-partition grid bounds in ONE grouped aggregate; BIGINT
@@ -655,12 +804,20 @@ def cow_compact(
             .drop("__zx0", "__zy0", "__zspx", "__zspy")
             .repartition(n_parts * zorder_files, *group, F.col(_ZB))
         )
-        new_files = _write_commit(zdf, root, part_col, scatter_col=_ZB)
+        new_files = _write_commit(
+            _to_physical(zdf, m, extra_cols=(_ZB,)),
+            root,
+            _physical_name(m, part_col),
+            scatter_col=_ZB,
+        )
     manifest = {
         "version": m["version"] + 1,
         "partition_by": part_col,
         "files": keep + new_files,
         "schema": m["schema"],
     }
+    for k in ("column_mapping", "retired_physical"):
+        if k in m:
+            manifest[k] = m[k]
     _commit_manifest(root, manifest)
     return manifest["version"]

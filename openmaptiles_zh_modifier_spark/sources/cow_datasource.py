@@ -87,26 +87,35 @@ def _schema_of(manifest: dict) -> StructType:
     return StructType.fromJson(json.loads(manifest["schema"]))
 
 
-def _read_file_batches(path: str, schema: StructType) -> Iterator:
+def _read_file_batches(
+    path: str, schema: StructType, cmap: dict | None = None
+) -> Iterator:
     """Yield Arrow RecordBatches for one parquet file, column-aligned to
     the table schema (parquet writers may reorder; Spark maps by
     position for Arrow results). The MANIFEST schema is authoritative:
     files written before an add-column schema evolution lack the newer
     columns and must serve them as NULL — requesting an absent column
     from pq.read_table would raise instead, so read the intersection and
-    null-pad the rest."""
+    null-pad the rest. ``cmap`` is the manifest's column mapping
+    (logical -> PHYSICAL file column) after a rename/drop; files are
+    read under physical names and served under logical ones, same as
+    operators.cow_table._read_files."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    def phys(n: str) -> str:
+        return cmap.get(n, n) if cmap else n
+
     target = to_arrow_schema(schema)
     present = set(pq.ParquetFile(path).schema_arrow.names)
     table = pq.read_table(
-        path, columns=[n for n in schema.fieldNames() if n in present]
+        path,
+        columns=[phys(n) for n in schema.fieldNames() if phys(n) in present],
     )
     cols = [
-        table.column(f.name).cast(f.type)
-        if f.name in table.column_names
+        table.column(phys(f.name)).cast(f.type)
+        if phys(f.name) in table.column_names
         else pa.nulls(table.num_rows, type=f.type)
         for f in target
     ]
@@ -120,6 +129,7 @@ class CowBatchReader(DataSourceReader):
         self._manifest = _read_manifest(root, version)
         self._part_col = self._manifest.get("partition_by")
         self._schema = _schema_of(self._manifest)
+        self._cmap = self._manifest.get("column_mapping")
         self._wanted: set[str] | None = None  # None = no pruning
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -160,7 +170,7 @@ class CowBatchReader(DataSourceReader):
         # Spark worker then substitutes [None] and still calls read once
         if partition is None:
             return
-        yield from _read_file_batches(partition.path, self._schema)
+        yield from _read_file_batches(partition.path, self._schema, self._cmap)
 
 
 class CowStreamReader(DataSourceStreamReader):
@@ -170,7 +180,9 @@ class CowStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, starting_version: int) -> None:
         self._root = root
         self._start = starting_version
-        self._schema = _schema_of(_read_manifest(root))
+        m = _read_manifest(root)
+        self._schema = _schema_of(m)
+        self._cmap = m.get("column_mapping")
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -195,7 +207,7 @@ class CowStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: CowFilePartition) -> Iterator:
-        yield from _read_file_batches(partition.path, self._schema)
+        yield from _read_file_batches(partition.path, self._schema, self._cmap)
 
     def commit(self, end: dict) -> None:
         pass  # manifests are immutable; nothing to acknowledge
@@ -243,9 +255,13 @@ class CowBatchWriter(DataSourceArrowWriter):
         # creating a new table? capture existing state at plan time for
         # validation only — versioning reads the LATEST manifest in
         # commit() so concurrent writers conflict correctly
+        self._cmap: dict | None = None
+        self._retired: list | None = None
         try:
             m = _read_manifest(root)
             self._partition_by = m["partition_by"]
+            self._cmap = m.get("column_mapping")
+            self._retired = m.get("retired_physical")
             if partition_by is not None and partition_by != self._partition_by:
                 raise ValueError(
                     f"cowtable at {root} is partitioned by "
@@ -287,6 +303,12 @@ class CowBatchWriter(DataSourceArrowWriter):
         table = pa.Table.from_batches(batches)
         if table.num_rows == 0:
             return CowCommitMessage(entries=[])
+        if self._cmap:
+            # renamed/dropped table: files are written under the STABLE
+            # physical names so they mix with pre-rename files in one scan
+            table = table.rename_columns(
+                [self._cmap.get(n, n) for n in table.column_names]
+            )
 
         def _emit(tbl, part: str | None) -> None:
             # the manifest stores the RAW partition value (matching
@@ -307,12 +329,17 @@ class CowBatchWriter(DataSourceArrowWriter):
             pq.write_table(tbl, os.path.join(self._root, rel))
             entries.append({"path": rel, "partition": part})
 
-        if self._partition_by is None:
+        part_name = (
+            self._cmap.get(self._partition_by, self._partition_by)
+            if self._cmap
+            else self._partition_by
+        )
+        if part_name is None:
             _emit(table, None)
         else:
             import pyarrow.compute as pc
 
-            col = table.column(self._partition_by)
+            col = table.column(part_name)
             if col.null_count:
                 raise ValueError(
                     f"cowtable write: NULL {self._partition_by!r} partition"
@@ -338,15 +365,17 @@ class CowBatchWriter(DataSourceArrowWriter):
             files = new_entries
             schema_json = self._schema.json()
             part_col = self._partition_by
-        _commit_manifest(
-            self._root,
-            {
-                "version": version,
-                "partition_by": part_col,
-                "files": files,
-                "schema": schema_json,
-            },
-        )
+        manifest = {
+            "version": version,
+            "partition_by": part_col,
+            "files": files,
+            "schema": schema_json,
+        }
+        if self._cmap is not None:
+            manifest["column_mapping"] = self._cmap
+        if self._retired is not None:
+            manifest["retired_physical"] = self._retired
+        _commit_manifest(self._root, manifest)
 
     def abort(self, messages):
         for m in messages:
@@ -431,16 +460,18 @@ class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
             files = new_entries
             schema_json = self._schema.json()
             part_col = self._partition_by
-        _commit_manifest(
-            self._root,
-            {
-                "version": version,
-                "partition_by": part_col,
-                "files": files,
-                "schema": schema_json,
-                "stream_txns": {**stamps, self._txn_key: batchId},
-            },
-        )
+        manifest = {
+            "version": version,
+            "partition_by": part_col,
+            "files": files,
+            "schema": schema_json,
+            "stream_txns": {**stamps, self._txn_key: batchId},
+        }
+        if self._cmap is not None:
+            manifest["column_mapping"] = self._cmap
+        if self._retired is not None:
+            manifest["retired_physical"] = self._retired
+        _commit_manifest(self._root, manifest)
         self._exists = True
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803

@@ -1,0 +1,192 @@
+"""Column mapping (round 11): RENAME/DROP COLUMN as metadata-only
+commits over stable physical file names — Delta's column-mapping idea on
+the manifest format. The load-bearing properties: no data file changes,
+time travel serves each version under ITS schema, pre- and post-rename
+files mix in one scan, and a dropped-then-re-added column can never
+resurrect the dropped values (retired physical names)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmaptiles_zh_modifier_spark.operators.cow_table import (
+    _read_manifest,
+    cow_append,
+    cow_changes,
+    cow_compact,
+    cow_create,
+    cow_drop_column,
+    cow_merge,
+    cow_read,
+    cow_rename_column,
+)
+
+
+def _base_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0, "US"), (2, "b", 20.0, "US"),
+         (3, "c", 30.0, "DE"), (4, "d", 40.0, "DE")],
+        "id long, name string, bal double, region string",
+    )
+
+
+def _files_of(root, version=None):
+    return sorted(e["path"] for e in _read_manifest(root, version)["files"])
+
+
+def test_rename_is_metadata_only_and_mixes_file_generations(spark, tmp_path):
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    v1_files = _files_of(root)
+
+    v = cow_rename_column(root, "bal", "balance")
+    assert v == 2
+    assert _files_of(root) == v1_files          # no file was touched
+    cur = cow_read(spark, root)
+    assert "balance" in cur.columns and "bal" not in cur.columns
+    assert {r.id: r.balance for r in cur.collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0,
+    }
+    # time travel: version 1 still speaks its own schema
+    v1 = cow_read(spark, root, version=1)
+    assert "bal" in v1.columns and "balance" not in v1.columns
+
+    # append AFTER the rename: the new file stores the PHYSICAL name,
+    # so both file generations serve one logical scan
+    cow_append(
+        spark, root,
+        spark.createDataFrame(
+            [(5, "e", 50.0, "JP")],
+            "id long, name string, balance double, region string",
+        ),
+    )
+    rows = {r.id: r.balance for r in cow_read(spark, root).collect()}
+    assert rows[5] == 50.0 and rows[1] == 10.0
+    # physically, the new file carries the original column name
+    new_file = (set(_files_of(root)) - set(v1_files)).pop()
+    raw = spark.read.parquet(os.path.join(root, new_file))
+    assert "bal" in raw.columns and "balance" not in raw.columns
+
+
+def test_merge_and_compact_after_rename(spark, tmp_path):
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    cow_rename_column(root, "bal", "balance")
+    v = cow_merge(
+        spark, root,
+        spark.createDataFrame(
+            [(1, 11.0, "US"), (9, 90.0, "US")],
+            "id long, balance double, region string",
+        ),
+        on="id",
+        matched_update={"balance": F.col("s.balance")},
+        not_matched_insert={
+            "id": F.col("s.id"), "name": F.lit("new"),
+            "balance": F.col("s.balance"), "region": F.col("s.region"),
+        },
+    )
+    rows = {r.id: r.balance for r in cow_read(spark, root, version=v).collect()}
+    assert rows[1] == 11.0 and rows[9] == 90.0 and rows[3] == 30.0
+    # CDF across the rename span speaks the TO-version (renamed) schema
+    ch = cow_changes(spark, root, 1, v)
+    assert "balance" in ch.columns
+    # fragment US and compact: the rewrite must keep the mapping sound
+    cow_append(
+        spark, root,
+        spark.createDataFrame(
+            [(10, "j", 100.0, "US")],
+            "id long, name string, balance double, region string",
+        ),
+    )
+    before = sorted(
+        (r.id, r.balance) for r in cow_read(spark, root).collect()
+    )
+    cow_compact(spark, root, min_files_per_partition=2)
+    after = sorted(
+        (r.id, r.balance) for r in cow_read(spark, root).collect()
+    )
+    assert after == before
+
+
+def test_drop_then_readd_never_resurrects_values(spark, tmp_path):
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    v = cow_drop_column(root, "name")
+    assert "name" not in cow_read(spark, root).columns
+    # time travel still serves the dropped column
+    assert {r.id: r.name for r in cow_read(spark, root, version=1).collect()}[
+        1
+    ] == "a"
+    # re-add the SAME logical name: every pre-add row must be NULL —
+    # the old files still contain a physical 'name' column, but the
+    # retired-physical rule forces a fresh physical name for the new one
+    cow_append(
+        spark, root,
+        spark.createDataFrame(
+            [(6, 60.0, "US", "fresh")],
+            "id long, bal double, region string, name string",
+        ),
+        evolve_schema=True,
+    )
+    rows = {r.id: r.name for r in cow_read(spark, root).collect()}
+    assert rows[6] == "fresh"
+    assert all(rows[i] is None for i in (1, 2, 3, 4))  # NOT 'a', 'b', ...
+    m = _read_manifest(root)
+    assert m["column_mapping"]["name"] != "name"  # fresh physical id
+    assert "name" in m["retired_physical"]
+    assert v == 2
+
+
+def test_rename_partition_column_and_guards(spark, tmp_path):
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    with pytest.raises(ValueError, match="partition column"):
+        cow_drop_column(root, "region")
+    with pytest.raises(ValueError, match="already exists"):
+        cow_rename_column(root, "bal", "name")
+    with pytest.raises(ValueError, match="no column"):
+        cow_rename_column(root, "nope", "x")
+    cow_rename_column(root, "region", "country")
+    assert _read_manifest(root)["partition_by"] == "country"
+    # partition pruning still works under the new logical name
+    us = cow_read(spark, root, partition_values=["US"])
+    assert sorted(r.id for r in us.collect()) == [1, 2]
+    # and a merge routed by the renamed partition column
+    cow_merge(
+        spark, root,
+        spark.createDataFrame(
+            [(2, 22.0, "US")], "id long, bal double, country string"
+        ),
+        on="id",
+        matched_update={"bal": F.col("s.bal")},
+    )
+    assert {r.id: r.bal for r in cow_read(spark, root).collect()}[2] == 22.0
+
+
+def test_datasource_reads_and_writes_renamed_table(spark, tmp_path):
+    from openmaptiles_zh_modifier_spark.sources.cow_datasource import (
+        register_cow_datasource,
+    )
+
+    register_cow_datasource(spark)
+    root = str(tmp_path / "t")
+    cow_create(spark, root, _base_df(spark), partition_by="region")
+    cow_rename_column(root, "bal", "balance")
+
+    got = spark.read.format("cowtable").load(root)
+    assert "balance" in got.columns
+    assert {r.id: r.balance for r in got.collect()}[3] == 30.0
+
+    # DSv2 append to the renamed table: logical schema in, physical
+    # names on disk, mapping carried forward on the commit
+    spark.createDataFrame(
+        [(7, "g", 70.0, "DE")],
+        "id long, name string, balance double, region string",
+    ).write.format("cowtable").mode("append").save(root)
+    m = _read_manifest(root)
+    assert m["column_mapping"]["balance"] == "bal"
+    rows = {r.id: r.balance for r in cow_read(spark, root).collect()}
+    assert rows[7] == 70.0 and rows[1] == 10.0
