@@ -665,6 +665,67 @@ def cow_drop_column(root: str, name: str) -> int:
     return manifest["version"]
 
 
+# Value-preserving type promotions the parquet readers upcast natively
+# (verified on this Spark: schema-pinned scans read int32 files as long,
+# float as double, int as decimal; the Arrow DSv2 path casts per batch).
+# Deliberately conservative — Delta's type-widening table minus the
+# date/timestamp and decimal-rescale rows this format doesn't need.
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"), ("integer", "double"),
+    ("float", "double"),
+}
+
+
+def cow_widen_column(root: str, name: str, new_type) -> int:
+    """WIDEN COLUMN TYPE as a pure metadata commit: the manifest schema
+    adopts the wider type, no data file changes — readers project every
+    file through the manifest schema and the parquet scan upcasts the
+    narrower stored type natively (int32 files serve long, float files
+    serve double), the same authoritative-manifest rule add-column
+    evolution rides. Only the value-preserving promotions in
+    ``_WIDENINGS`` are allowed; narrowing or cross-kind changes raise.
+    Appends/merges after the widen must carry the wider type (the
+    ordinary append type check enforces it), so new files store wide
+    while old files stay narrow — OPTIMIZE materializes them wide when
+    it rewrites. Time travel to pre-widen versions serves the narrow
+    type (each manifest speaks its own schema)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    if isinstance(new_type, str):
+        new_type = _parse_datatype_string(new_type)
+    m = _read_manifest(root)
+    schema = _logical_schema(m)
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"cow_widen_column: no column {name!r} (have {names})")
+    old_type = next(f.dataType for f in schema.fields if f.name == name)
+    if old_type == new_type:
+        return m["version"]  # no-op; no version burned
+    pair = (old_type.typeName(), new_type.typeName())
+    if pair not in _WIDENINGS:
+        raise ValueError(
+            f"cow_widen_column: {pair[0]} -> {pair[1]} is not a"
+            f" value-preserving widening (allowed: {sorted(_WIDENINGS)})"
+        )
+    fields = [
+        StructField(f.name, new_type, f.nullable) if f.name == name else f
+        for f in schema.fields
+    ]
+    manifest = {
+        "version": m["version"] + 1,
+        "partition_by": m["partition_by"],
+        "files": m["files"],
+        "schema": StructType(fields).json(),
+    }
+    for k in ("column_mapping", "retired_physical"):
+        if k in m:
+            manifest[k] = m[k]
+    _commit_manifest(root, manifest)
+    return manifest["version"]
+
+
 _ZB = "__cow_zb"  # compaction's Z-bucket directory label
 
 

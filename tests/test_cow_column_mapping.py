@@ -190,3 +190,97 @@ def test_datasource_reads_and_writes_renamed_table(spark, tmp_path):
     assert m["column_mapping"]["balance"] == "bal"
     rows = {r.id: r.balance for r in cow_read(spark, root).collect()}
     assert rows[7] == 70.0 and rows[1] == 10.0
+
+
+def test_widen_column_is_metadata_only(spark, tmp_path):
+    """Type widening (round 11): int->long / float->double as pure
+    manifest commits — old files stay narrow and upcast at scan time,
+    post-widen writes store wide, both generations serve one scan."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_widen_column,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, 1.5, "US"), (2, 20, 2.5, "US")],
+        "id long, n int, x float, region string",
+    )
+    cow_create(spark, root, df, partition_by="region")
+    v1_files = _files_of(root)
+
+    cow_widen_column(root, "n", "long")
+    v = cow_widen_column(root, "x", "double")
+    assert _files_of(root) == v1_files            # no file touched
+    cur = cow_read(spark, root)
+    assert dict(cur.dtypes)["n"] == "bigint"
+    assert dict(cur.dtypes)["x"] == "double"
+    assert {r.id: (r.n, r.x) for r in cur.collect()} == {
+        1: (10, 1.5), 2: (20, 2.5),
+    }
+    # time travel: v1 still speaks the narrow schema
+    old = cow_read(spark, root, version=1)
+    assert dict(old.dtypes)["n"] == "int" and dict(old.dtypes)["x"] == "float"
+
+    # post-widen append stores values only the WIDE type can hold
+    big = 3_000_000_000  # > int32 max
+    cow_append(
+        spark, root,
+        spark.createDataFrame(
+            [(3, big, 3.5, "DE")],
+            "id long, n long, x double, region string",
+        ),
+    )
+    rows = {r.id: r.n for r in cow_read(spark, root).collect()}
+    assert rows[3] == big and rows[1] == 10
+    # a narrow append is now rejected (type check speaks the wide schema)
+    with pytest.raises(ValueError, match="type mismatch"):
+        cow_append(
+            spark, root,
+            spark.createDataFrame(
+                [(4, 40, 4.5, "DE")],
+                "id long, n int, x float, region string",
+            ),
+        )
+    # merge across narrow and wide file generations
+    cow_merge(
+        spark, root,
+        spark.createDataFrame(
+            [(1, big + 7, "US")], "id long, n long, region string"
+        ),
+        on="id",
+        matched_update={"n": F.col("s.n")},
+    )
+    assert {r.id: r.n for r in cow_read(spark, root).collect()}[1] == big + 7
+    # narrowing and cross-kind changes refuse
+    with pytest.raises(ValueError, match="not a value-preserving"):
+        cow_widen_column(root, "id", "int")
+    with pytest.raises(ValueError, match="not a value-preserving"):
+        cow_widen_column(root, "region", "long")
+    assert v == 3
+
+
+def test_widen_after_rename_composes(spark, tmp_path):
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_widen_column,
+    )
+
+    root = str(tmp_path / "t")
+    cow_create(
+        spark, root,
+        spark.createDataFrame([(1, 10, "US")], "id long, n int, region string"),
+        partition_by="region",
+    )
+    cow_rename_column(root, "n", "count_n")
+    cow_widen_column(root, "count_n", "long")
+    cur = cow_read(spark, root)
+    assert dict(cur.dtypes)["count_n"] == "bigint"
+    assert cur.collect()[0].count_n == 10
+    # DSv2 read composes both (physical name 'n', int32 file, long logical)
+    from openmaptiles_zh_modifier_spark.sources.cow_datasource import (
+        register_cow_datasource,
+    )
+
+    register_cow_datasource(spark)
+    got = spark.read.format("cowtable").load(root)
+    assert dict(got.dtypes)["count_n"] == "bigint"
+    assert got.collect()[0].count_n == 10
