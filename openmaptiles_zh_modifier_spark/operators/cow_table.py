@@ -748,6 +748,7 @@ def cow_compact(
     zorder_by: tuple[str, str] | None = None,
     zorder_files: int = 8,
     zorder_bits: int = 6,
+    max_rows_per_file: int | None = None,
 ) -> int:
     """OPTIMIZE: bin-pack each partition's small files, published as a
     new version (old versions still time-travel; vacuum reclaims the
@@ -763,7 +764,10 @@ def cow_compact(
     swap (tests/test_cow_multiprocess.py).
 
     Without ``zorder_by`` each rewritten partition comes out as ONE
-    file. With it (`OPTIMIZE ZORDER BY (c1, c2)`), each partition's rows
+    file — unless ``max_rows_per_file`` is set, which bin-packs each
+    partition into ceil(rows / max_rows_per_file) hash-scattered files
+    instead (the at-scale form: a partition larger than one task's
+    working set must not funnel through one writer). With it (`OPTIMIZE ZORDER BY (c1, c2)`), each partition's rows
     are re-clustered into ``zorder_files`` files cut by equal Morton-code
     ranges over the two columns (normalized per partition to a
     ``zorder_bits``-bit grid from their min/max), so each output file
@@ -814,7 +818,39 @@ def cow_compact(
         spark, root, m, [e for es in rewrite.values() for e in es]
     )
     group = [F.col(part_col)] if part_col is not None else []
-    if zorder_by is None:
+    if zorder_by is None and max_rows_per_file is not None:
+        # size-targeted bin-pack (Delta OPTIMIZE's real behavior): one
+        # file per partition is wrong once a partition outgrows a task —
+        # a 1 TB partition must NOT funnel through one writer. Target
+        # file count per partition = ceil(rows / max_rows_per_file) from
+        # ONE grouped count broadcast-joined back; rows scatter to
+        # buckets by a deterministic row-content hash (approximate
+        # balance, multinomial spread — the file-count guarantee is
+        # exact, the per-file row bound is a target, same contract as
+        # byte-targeted OPTIMIZE). Write parallelism now scales with
+        # total rewrite volume, not partition count.
+        counts = frag.groupBy(*group).agg(F.count(F.lit(1)).alias("__bpn"))
+        joined = (
+            frag.join(F.broadcast(counts), part_col)
+            if group
+            else frag.crossJoin(F.broadcast(counts))
+        )
+        k = F.ceil(F.col("__bpn") / F.lit(int(max_rows_per_file))).cast("int")
+        cols = [c for c in frag.columns]
+        bdf = (
+            joined.withColumn(
+                _ZB, F.pmod(F.hash(*[F.col(c) for c in cols]), k).cast("int")
+            )
+            .drop("__bpn")
+            .repartition(n_parts * 4, *group, F.col(_ZB))
+        )
+        new_files = _write_commit(
+            _to_physical(bdf, m, extra_cols=(_ZB,)),
+            root,
+            _physical_name(m, part_col),
+            scatter_col=_ZB,
+        )
+    elif zorder_by is None:
         # hash on the partition value: every row of a partition lands in
         # one task, partitionBy then yields exactly one file per
         # partition (collisions co-locating two partitions in a task

@@ -472,3 +472,37 @@ def test_schema_evolution_query_versions(spark, sf_dir):
     n_v1 = v1.count()
     nulls_v2 = v2.where(v2.o_orderpriority.isNull()).count()
     assert nulls_v2 == n_v1  # exactly the pre-evolution rows serve NULL
+
+
+def test_cow_compact_size_targeted_binpack(spark, tmp_path):
+    """max_rows_per_file: a large partition bin-packs into
+    ceil(rows/max) files via deterministic row-hash scatter instead of
+    funneling through one writer — content identical, CDF cancels."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_append,
+        cow_changes,
+        cow_compact,
+    )
+
+    root = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"n{i}", float(i), "US") for i in range(lo, hi)],
+        "id long, name string, bal double, region string",
+    )
+    cow_create(spark, root, mk(0, 40), partition_by="region")
+    cow_append(spark, root, mk(40, 70))
+    cow_append(spark, root, mk(70, 100))
+    before = _rows(cow_read(spark, root))
+
+    v = cow_compact(spark, root, min_files_per_partition=2,
+                    max_rows_per_file=30)
+    m = _read_manifest(root, v)
+    us = [e for e in m["files"] if e["partition"] == "US"]
+    assert len(us) == 4  # ceil(100/30), every hash bucket non-empty
+    assert _rows(cow_read(spark, root)) == before
+    assert cow_changes(spark, root, v - 1, v).count() == 0
+    # approximate balance: no file holds more than ~2x the target
+    sizes = [
+        spark.read.parquet(os.path.join(root, e["path"])).count() for e in us
+    ]
+    assert sum(sizes) == 100 and max(sizes) <= 60
