@@ -700,6 +700,12 @@ def cow_widen_column(root: str, name: str, new_type) -> int:
     names = [f.name for f in schema.fields]
     if name not in names:
         raise ValueError(f"cow_widen_column: no column {name!r} (have {names})")
+    if name == m["partition_by"]:
+        # manifest entries store partition VALUES as strings of the
+        # narrow type ('5'); post-widen writers would route '5.0' —
+        # the same logical partition would split into two tokens and
+        # merge/pruning would silently miss the pre-widen files
+        raise ValueError("cow_widen_column: cannot widen the partition column")
     old_type = next(f.dataType for f in schema.fields if f.name == name)
     if old_type == new_type:
         return m["version"]  # no-op; no version burned
@@ -802,6 +808,11 @@ def cow_compact(
     fully and written back unchanged (re-laid-out only), so
     ``cow_changes`` across a compaction cancels to empty — asserted in
     the test, and the property that distinguishes OPTIMIZE from MERGE."""
+    if zorder_by is not None and max_rows_per_file is not None:
+        raise ValueError(
+            "cow_compact: max_rows_per_file applies to the bin-pack path"
+            " only; the zorder path sizes files via zorder_files"
+        )
     m = _read_manifest(root)
     part_col = m["partition_by"]
     by_part: dict = {}

@@ -1001,20 +1001,28 @@ def _app_scoped_table_memo(
     operators.salted keeps its own differently-shaped memo (per-plan
     stats rows + a public invalidate API) but follows the same
     new-app-evicts discipline."""
-    import shutil
-
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     hit = memo.get(key)
     if hit is not None:
         return hit
     if not any(k[0] == app for k in memo):
-        for root, _ in memo.values():
-            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
-        memo.clear()
+        _evict_memo(memo)
     val = builder()
     memo[key] = val
     return val
+
+
+def _evict_memo(memo: dict) -> None:
+    """The one rmtree-then-clear eviction path (dirname(root) is the
+    builder's mkdtemp dir) — shared by the new-app eviction above and
+    the bench harness's :func:`evict_table_memos`, so a temp-dir layout
+    change cannot leave one copy deleting the wrong directory."""
+    import shutil
+
+    for root, _ in memo.values():
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    memo.clear()
 
 
 def evict_table_memos() -> None:
@@ -1025,12 +1033,8 @@ def evict_table_memos() -> None:
     parquet trees for the life of the process, because the
     new-app-evicts path in :func:`_app_scoped_table_memo` never fires
     within one application."""
-    import shutil
-
     for memo in (_ZC_TABLES, _SE_TABLES):
-        for root, _ in memo.values():
-            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
-        memo.clear()
+        _evict_memo(memo)
 
 
 # (applicationId, sf_dir) -> (table root, post-compaction version)

@@ -105,7 +105,10 @@ def _read_file_batches(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     def phys(n: str) -> str:
-        return cmap.get(n, n) if cmap else n
+        # STRICT like operators._read_files: an incomplete mapping must
+        # error, never fall back to the logical name — the fallback
+        # would silently read a RETIRED physical column's old values
+        return cmap[n] if cmap else n
 
     target = to_arrow_schema(schema)
     present = set(pq.ParquetFile(path).schema_arrow.names)
@@ -359,6 +362,13 @@ class CowBatchWriter(DataSourceArrowWriter):
             files = new_entries if self._overwrite else m["files"] + new_entries
             schema_json = m["schema"]
             part_col = m["partition_by"]
+            # mapping keys must come from the SAME manifest as the
+            # schema: a rename/drop/evolve committed while tasks ran
+            # would otherwise pair the new schema with the PLAN-time
+            # mapping and tear the table metadata (schema column with
+            # no mapping entry, or a renamed schema with no mapping)
+            self._cmap = m.get("column_mapping")
+            self._retired = m.get("retired_physical")
         else:
             os.makedirs(self._root, exist_ok=True)
             version = 1
@@ -453,6 +463,8 @@ class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
             files = m["files"] + new_entries
             schema_json = m["schema"]
             part_col = m["partition_by"]
+            self._cmap = m.get("column_mapping")
+            self._retired = m.get("retired_physical")
         else:
             os.makedirs(self._root, exist_ok=True)
             stamps = {}

@@ -848,6 +848,13 @@ def minhash_bucket_registry(
         )
         for b in range(LSH_BANDS)
     ]
+    if arrival_ts is not None and state_ttl is None:
+        raise ValueError(
+            "minhash_bucket_registry: arrival_ts without state_ttl —"
+            " the ingestion-time column only exists to bound state; a"
+            " silent fallback to plain dropDuplicates would keep the"
+            " unbounded-state problem the caller is configuring away"
+        )
     extra = [arrival_ts] if (state_ttl is not None and arrival_ts) else []
     keyed = (
         docs.where(F.size(toks) >= 3)

@@ -251,10 +251,12 @@ def test_widen_column_is_metadata_only(spark, tmp_path):
         matched_update={"n": F.col("s.n")},
     )
     assert {r.id: r.n for r in cow_read(spark, root).collect()}[1] == big + 7
-    # narrowing and cross-kind changes refuse
+    # narrowing and cross-kind changes refuse; so does the partition col
     with pytest.raises(ValueError, match="not a value-preserving"):
         cow_widen_column(root, "id", "int")
     with pytest.raises(ValueError, match="not a value-preserving"):
+        cow_widen_column(root, "x", "string")
+    with pytest.raises(ValueError, match="partition column"):
         cow_widen_column(root, "region", "long")
     assert v == 3
 
@@ -284,3 +286,44 @@ def test_widen_after_rename_composes(spark, tmp_path):
     got = spark.read.format("cowtable").load(root)
     assert dict(got.dtypes)["count_n"] == "bigint"
     assert got.collect()[0].count_n == 10
+
+
+def test_review_guards_round11(spark, tmp_path):
+    """Self-review pins: (a) widening the partition column refuses
+    (post-widen writers would route '5.0' next to the old '5' token and
+    split the logical partition); (b) max_rows_per_file with zorder_by
+    refuses instead of being silently ignored; (c) a DSv2 commit pairs
+    the mapping with the SAME manifest it read, so a rename committed
+    while tasks ran cannot tear schema from mapping."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_compact,
+        cow_widen_column,
+    )
+    from openmaptiles_zh_modifier_spark.sources.cow_datasource import (
+        CowBatchWriter,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 5)], "id long, name string, bal double, part int"
+    )
+    cow_create(spark, root, df, partition_by="part")
+    with pytest.raises(ValueError, match="partition column"):
+        cow_widen_column(root, "part", "double")
+    with pytest.raises(ValueError, match="bin-pack path only"):
+        cow_compact(spark, root, zorder_by=("id", "id"),
+                    max_rows_per_file=100)
+
+    # (c): plan a writer against the UNMAPPED v1, rename concurrently,
+    # then commit — the published manifest must carry v2's mapping
+    writer = CowBatchWriter(root, df.schema, overwrite=False,
+                            partition_by=None)
+    assert writer._cmap is None                 # plan-time state
+    cow_rename_column(root, "bal", "balance")   # concurrent DDL
+    writer.commit([])                           # no files; metadata only
+    m = _read_manifest(root)
+    assert "balance" in m["schema"]
+    assert m["column_mapping"]["balance"] == "bal"   # pairing preserved
+    assert {r.id: r.balance for r in cow_read(spark, root).collect()} == {
+        1: 10.0
+    }

@@ -323,3 +323,18 @@ def test_minhash_buckets_ttl_evicts_and_reregisters(spark, sf_dir, tmp_path):
     assert run(None) == len(m) + len(f1) + len(f2)
     # 1-hour TTL: main buckets evicted before batch 4 -> re-register
     assert run("1 hour") == 2 * len(m) + len(f1) + len(f2)
+
+
+def test_minhash_arrival_ts_without_ttl_refuses(spark, sf_dir):
+    """Self-review pin: arrival_ts without state_ttl must raise — a
+    silent fallback to plain dropDuplicates would keep exactly the
+    unbounded-state problem the caller is configuring away."""
+    import pytest
+
+    from openmaptiles_zh_modifier_spark.streaming.events import (
+        minhash_bucket_registry,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    with pytest.raises(ValueError, match="arrival_ts without state_ttl"):
+        minhash_bucket_registry(docs, arrival_ts="ingest_ts")

@@ -367,7 +367,15 @@ def main() -> None:
     # re-timing the whole suite
     names = BENCH_QUERIES
     if "--only" in sys.argv:
-        want = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        idx = sys.argv.index("--only") + 1
+        if idx >= len(sys.argv):
+            raise SystemExit("--only requires a comma-separated name list")
+        want = set(sys.argv[idx].split(","))
+        unknown = want - set(BENCH_QUERIES)
+        if unknown:
+            # a typo must not silently time zero queries and read as a
+            # clean no-regression run
+            raise SystemExit(f"--only: not in BENCH_QUERIES: {sorted(unknown)}")
         names = [n for n in BENCH_QUERIES if n in want]
 
     results: dict[str, dict[str, float]] = {}
