@@ -342,6 +342,22 @@ def main() -> None:
     from openmaptiles_zh_modifier_spark.registry import QUERIES
     from openmaptiles_zh_modifier_spark.session import get_spark
 
+    # --only a,b,c: anchor a subset (e.g. one new operator) without
+    # re-timing the whole suite. Validated BEFORE the (expensive)
+    # replica generation so a typo fails in milliseconds.
+    names = BENCH_QUERIES
+    if "--only" in sys.argv:
+        idx = sys.argv.index("--only") + 1
+        if idx >= len(sys.argv):
+            raise SystemExit("--only requires a comma-separated name list")
+        want = set(sys.argv[idx].split(","))
+        unknown = want - set(BENCH_QUERIES)
+        if unknown:
+            # a typo must not silently time zero queries and read as a
+            # clean no-regression run
+            raise SystemExit(f"--only: not in BENCH_QUERIES: {sorted(unknown)}")
+        names = [n for n in BENCH_QUERIES if n in want]
+
     spark = get_spark(app_name="skew-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -362,21 +378,6 @@ def main() -> None:
             "event_type"
         ).count().count()
     spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
-
-    # --only a,b,c: anchor a subset (e.g. one new operator) without
-    # re-timing the whole suite
-    names = BENCH_QUERIES
-    if "--only" in sys.argv:
-        idx = sys.argv.index("--only") + 1
-        if idx >= len(sys.argv):
-            raise SystemExit("--only requires a comma-separated name list")
-        want = set(sys.argv[idx].split(","))
-        unknown = want - set(BENCH_QUERIES)
-        if unknown:
-            # a typo must not silently time zero queries and read as a
-            # clean no-regression run
-            raise SystemExit(f"--only: not in BENCH_QUERIES: {sorted(unknown)}")
-        names = [n for n in BENCH_QUERIES if n in want]
 
     results: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.1", SRC), ("sf0.3skew", OUT)):
