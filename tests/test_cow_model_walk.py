@@ -1,0 +1,307 @@
+"""Model-based random walk over the COW table format (round 11).
+
+A seeded pseudo-random sequence of DDL + DML operations (append,
+evolve-append, rename, drop, widen, merge-update, compact, vacuum) runs
+against a real table AND an in-memory reference model (rows + schema +
+per-version history). After every step the table must equal the model;
+at the end, every still-vacuum-safe historical version must time-travel
+to its model snapshot. This is the sequence coverage the hand-written
+column-mapping tests can't give: interactions like rename -> drop ->
+re-add -> rename-again -> compact are reached by the walk, not by
+enumeration. Values are chosen exactly representable (ints, halves) so
+widening never moves a bit."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from openmaptiles_zh_modifier_spark.operators.cow_table import (
+    cow_append,
+    cow_compact,
+    cow_create,
+    cow_drop_column,
+    cow_merge,
+    cow_read,
+    cow_rename_column,
+    cow_widen_column,
+)
+
+_TYPES = {"int": "int", "long": "bigint", "float": "float", "double": "double",
+          "string": "string"}
+_WIDEN = {"int": "long", "float": "double"}
+
+
+class Model:
+    """Reference state: ordered {name: type_tag}, rows as dicts keyed by
+    logical name, and a per-version (schema, rows) history."""
+
+    def __init__(self):
+        self.cols: dict[str, str] = {}
+        self.rows: list[dict] = []
+        self.history: dict[int, tuple[dict, list]] = {}
+
+    def snap(self, version: int) -> None:
+        self.history[version] = (
+            dict(self.cols),
+            [dict(r) for r in self.rows],
+        )
+
+
+def _spark_type(tag: str) -> str:
+    return _TYPES[tag]
+
+
+def _df(spark, cols: dict, rows: list[dict]):
+    ddl = ", ".join(f"{n} {_spark_type(t)}" for n, t in cols.items())
+    data = [tuple(r[n] for n in cols) for r in rows]
+    return spark.createDataFrame(data, ddl)
+
+
+def _read_as_model(df) -> tuple[dict, list]:
+    type_of = dict(df.dtypes)
+    inv = {v: k for k, v in _TYPES.items()}
+    cols = {n: inv[type_of[n]] for n in df.columns}
+    rows = sorted(
+        ({n: r[n] for n in df.columns} for r in df.collect()),
+        key=lambda r: r["id"],
+    )
+    return cols, rows
+
+
+def _check(spark, root, model: Model, version=None):
+    got_cols, got_rows = _read_as_model(
+        cow_read(spark, root, version=version)
+    )
+    if version is None:
+        want_cols, want_rows = model.cols, model.rows
+    else:
+        want_cols, want_rows = model.history[version]
+    assert got_cols == want_cols, (version, got_cols, want_cols)
+    assert got_rows == sorted(
+        (dict(r) for r in want_rows), key=lambda r: r["id"]
+    ), (version, got_rows)
+
+
+def test_cow_model_walk(spark, tmp_path):
+    rng = random.Random(42)
+    root = str(tmp_path / "t")
+    model = Model()
+    model.cols = {"id": "long", "v_int": "int", "v_flt": "float",
+                  "tag": "string", "part": "string"}
+    next_id = 0
+
+    def fresh_rows(n):
+        nonlocal next_id
+        out = []
+        for _ in range(n):
+            out.append({
+                "id": next_id,
+                **{
+                    c: _value_for(t, next_id)
+                    for c, t in model.cols.items()
+                    if c not in ("id", "part")
+                },
+                "part": f"p{next_id % 3}",
+            })
+            next_id += 1
+        return out
+
+    def _value_for(tag, seed):
+        if tag in ("int", "long"):
+            return seed * 3 + 1
+        if tag in ("float", "double"):
+            return seed + 0.5
+        return f"s{seed}"
+
+    model.rows = fresh_rows(6)
+    v = cow_create(
+        spark, root, _df(spark, model.cols, model.rows), partition_by="part"
+    )
+    model.snap(v)
+    _check(spark, root, model)
+
+    renamed_n = 0
+    for step in range(28):
+        op = rng.choice(
+            ["append", "evolve", "rename", "drop", "widen", "merge",
+             "compact", "append", "merge"]
+        )
+        if op == "append":
+            new = fresh_rows(rng.randint(1, 3))
+            v = cow_append(spark, root, _df(spark, model.cols, new))
+            model.rows.extend(new)
+        elif op == "evolve":
+            renamed_n += 1
+            name = f"c{renamed_n}"
+            tag = rng.choice(["int", "float", "string"])
+            model.cols[name] = tag
+            for r in model.rows:
+                r[name] = None
+            new = fresh_rows(2)
+            v = cow_append(
+                spark, root, _df(spark, model.cols, new), evolve_schema=True
+            )
+            model.rows.extend(new)
+        elif op == "rename":
+            cands = [c for c in model.cols if c not in ("id", "part")]
+            if not cands:
+                continue
+            old = rng.choice(cands)
+            renamed_n += 1
+            new_name = f"c{renamed_n}"
+            v = cow_rename_column(root, old, new_name)
+            model.cols = {
+                (new_name if k == old else k): t
+                for k, t in model.cols.items()
+            }
+            for r in model.rows:
+                r[new_name] = r.pop(old)
+        elif op == "drop":
+            cands = [c for c in model.cols if c not in ("id", "part")]
+            if len(cands) < 2:
+                continue
+            name = rng.choice(cands)
+            v = cow_drop_column(root, name)
+            del model.cols[name]
+            for r in model.rows:
+                del r[name]
+        elif op == "widen":
+            cands = [c for c, t in model.cols.items() if t in _WIDEN
+                     and c != "part"]
+            if not cands:
+                continue
+            name = rng.choice(cands)
+            wide = _WIDEN[model.cols[name]]
+            v = cow_widen_column(root, name, _spark_type(wide))
+            model.cols[name] = wide
+            if wide == "double":
+                for r in model.rows:
+                    if r[name] is not None:
+                        r[name] = float(r[name])
+        elif op == "merge":
+            if not model.rows:
+                continue
+            from pyspark.sql import functions as F
+
+            target = rng.choice(model.rows)
+            tcols = [c for c, t in model.cols.items()
+                     if t == "string" and c != "part"]
+            if not tcols:
+                continue
+            col = rng.choice(tcols)
+            newval = f"m{step}"
+            src = spark.createDataFrame(
+                [(target["id"], newval, target["part"])],
+                f"id long, {col} string, part string",
+            )
+            v = cow_merge(
+                spark, root, src, on="id",
+                matched_update={col: F.col(f"s.{col}")},
+            )
+            for r in model.rows:
+                if r["id"] == target["id"]:
+                    r[col] = newval
+        elif op == "compact":
+            v = cow_compact(spark, root, min_files_per_partition=2)
+        model.snap(v)
+        _check(spark, root, model)
+
+    # time travel: every recorded version still matches its snapshot
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_history
+
+    for version in cow_history(root):
+        if version in model.history:
+            _check(spark, root, model, version=version)
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_cow_model_walk_more_seeds(spark, tmp_path, seed):
+    """Two shorter walks on other seeds — different op interleavings."""
+    rng = random.Random(seed)
+    root = str(tmp_path / "t")
+    from pyspark.sql import functions as F
+
+    cols = {"id": "long", "a": "int", "b": "string", "part": "string"}
+    rows = [
+        {"id": i, "a": i * 2, "b": f"b{i}", "part": f"p{i % 2}"}
+        for i in range(4)
+    ]
+    model = Model()
+    model.cols, model.rows = cols, rows
+    cow_create(spark, root, _df(spark, cols, rows), partition_by="part")
+    _check(spark, root, model)
+    nid = 4
+    for step in range(12):
+        op = rng.choice(["rename", "drop-add", "widen", "append", "merge"])
+        if op == "rename":
+            cands = [c for c in model.cols if c not in ("id", "part")]
+            old = rng.choice(cands)
+            nn = f"r{step}"
+            cow_rename_column(root, old, nn)
+            model.cols = {(nn if k == old else k): t
+                          for k, t in model.cols.items()}
+            for r in model.rows:
+                r[nn] = r.pop(old)
+        elif op == "drop-add":
+            # the resurrection hazard: drop then immediately re-add the
+            # SAME logical name via evolve
+            cands = [c for c in model.cols if c not in ("id", "part")]
+            if len(cands) < 2:
+                continue
+            name = rng.choice(cands)
+            cow_drop_column(root, name)
+            del model.cols[name]
+            for r in model.rows:
+                del r[name]
+            model.cols[name] = "string"
+            for r in model.rows:
+                r[name] = None
+            new = {"id": nid, **{c: (f"x{nid}" if t == "string" else nid)
+                                 for c, t in model.cols.items()
+                                 if c not in ("id", "part")},
+                   "part": f"p{nid % 2}"}
+            nid += 1
+            cow_append(spark, root, _df(spark, model.cols, [new]),
+                       evolve_schema=True)
+            model.rows.append(new)
+        elif op == "widen":
+            cands = [c for c, t in model.cols.items() if t in _WIDEN]
+            if not cands:
+                continue
+            name = rng.choice(cands)
+            wide = _WIDEN[model.cols[name]]
+            cow_widen_column(root, name, _spark_type(wide))
+            model.cols[name] = wide
+            if wide == "double":
+                for r in model.rows:
+                    if r[name] is not None:
+                        r[name] = float(r[name])
+        elif op == "append":
+            new = {"id": nid, **{c: (f"x{nid}" if t == "string"
+                                     else (nid + 0.5) if t in ("float", "double")
+                                     else nid)
+                                 for c, t in model.cols.items()
+                                 if c not in ("id", "part")},
+                   "part": f"p{nid % 2}"}
+            nid += 1
+            cow_append(spark, root, _df(spark, model.cols, [new]))
+            model.rows.append(new)
+        elif op == "merge":
+            tcols = [c for c, t in model.cols.items()
+                     if t == "string" and c != "part"]
+            if not tcols or not model.rows:
+                continue
+            col = rng.choice(tcols)
+            target = rng.choice(model.rows)
+            src = spark.createDataFrame(
+                [(target["id"], f"m{step}", target["part"])],
+                f"id long, {col} string, part string",
+            )
+            cow_merge(spark, root, src, on="id",
+                      matched_update={col: F.col(f"s.{col}")})
+            for r in model.rows:
+                if r["id"] == target["id"]:
+                    r[col] = f"m{step}"
+        _check(spark, root, model)
