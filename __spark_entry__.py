@@ -71,9 +71,10 @@ _R11_WINDOW = [
     "q_stream_stream_join",
     "q_rank_fusion_rrf",
     "q_geo_nearest",
-    # round-11 addition
+    # round-11 additions
     "q_geo_polygon_join_geodesic",
-    # 27 stalest r06 rows
+    "q_geo_segment_join_geodesic",
+    # 26 stalest r06 rows
     "q1_pricing_summary",
     "q_anomaly_residual",
     "q_balanced_shards",
@@ -100,7 +101,6 @@ _R11_WINDOW = [
     "q_kcore",
     "q_km_survival",
     "q_label_balance",
-    "q_link_prediction",
 ]
 
 # retained for provenance (round-10 ordering)

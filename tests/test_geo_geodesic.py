@@ -163,3 +163,134 @@ def test_blocking_lossless_on_probe_cell_boundaries(spark):
     pts_df = _pts(spark, pts)
     got = _rows(geodesic_polygon_contains_pairs(poly_df, pts_df))
     assert got == _rows(_brute(poly_df, pts_df))
+
+
+# ---------------------------------------------------------------------------
+# Geodesic segment-intersection join
+# ---------------------------------------------------------------------------
+
+
+def _wrap(x):
+    return (x + 54000) % 36000 - 18000
+
+
+def _py_seg_cross(a1, a2, b1, b2):
+    """Pure-int planar segment intersection (incl. collinear touches) —
+    the independent reference for the recentred predicate."""
+    def x(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+    def onseg(d, p, u, v):
+        return (d == 0 and min(u[0], v[0]) <= p[0] <= max(u[0], v[0])
+                and min(u[1], v[1]) <= p[1] <= max(u[1], v[1]))
+
+    d1, d2 = x(b1, b2, a1), x(b1, b2, a2)
+    d3, d4 = x(a1, a2, b1), x(a1, a2, b2)
+    if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 and \
+       ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0:
+        return True
+    return (onseg(d1, a1, b1, b2) or onseg(d2, a2, b1, b2)
+            or onseg(d3, b1, a1, a2) or onseg(d4, b2, a1, a2))
+
+
+def _py_geodesic_cross(a, b):
+    """Recentre into a's frame (modular anchor + linear offsets) and run
+    the planar test — the operator's documented semantics."""
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+    relax2 = _wrap(ax2 - ax1)
+    relbx1 = _wrap(bx1 - ax1)
+    relbx2 = relbx1 + _wrap(bx2 - bx1)
+    # bbox prefilter in the same frame
+    if not (min(0, relax2) <= max(relbx1, relbx2)
+            and min(relbx1, relbx2) <= max(0, relax2)
+            and min(ay1, ay2) <= max(by1, by2)
+            and min(by1, by2) <= max(ay1, ay2)):
+        return None  # not a candidate
+    return _py_seg_cross(
+        (0, ay1), (relax2, ay2), (relbx1, by1), (relbx2, by2)
+    )
+
+
+def _seg_frames(spark, roads, ways):
+    a = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(roads)],
+        "rid long, ax1 long, ay1 long, ax2 long, ay2 long",
+    )
+    b = spark.createDataFrame(
+        [(j, *w) for j, w in enumerate(ways)],
+        "wid long, bx1 long, by1 long, bx2 long, by2 long",
+    )
+    return a, b
+
+
+def test_geodesic_segments_cross_the_seam(spark):
+    """Segments with genuinely wrapped endpoints: a road from 179.5°E
+    into -179.5°E must cross a meridian-ish way sitting AT the seam, and
+    must NOT cross one a few cells east. Every pair verified against the
+    pure-python recentred reference."""
+    from openmaptiles_zh_modifier_spark.queries_geo import (
+        geodesic_segment_crossing_pairs,
+    )
+
+    roads = [
+        (17950, 0, _wrap(17950 + 500), 100),    # crosses the seam
+        (17900, 5000, _wrap(17900 + 300), 5050),  # seam, different lat
+        (0, 0, 300, 200),                        # far from the seam
+    ]
+    ways = [
+        (17999, -200, -17990, 250),   # straddles the seam, steep
+        (-17800, -100, -17700, 150),  # just east of the seam
+        (100, 150, 200, -50),         # near origin
+        (9000, 0, 9100, 100),         # unrelated
+    ]
+    a, b = _seg_frames(spark, roads, ways)
+    got = {
+        (r.rid, r.wid): r.crossing
+        for r in geodesic_segment_crossing_pairs(a, b).collect()
+    }
+    want = {}
+    for i, rr in enumerate(roads):
+        for j, ww in enumerate(ways):
+            res = _py_geodesic_cross(rr, ww)
+            if res is not None:
+                want[(i, j)] = int(res)
+    assert got == want
+    assert want[(0, 0)] == 1      # the seam crossing is REAL and found
+    assert want.get((2, 2)) == 1  # the plain planar case still works
+
+
+def test_geodesic_segments_exactly_once_and_boundaries(spark):
+    """Bbox corners exactly on cell boundaries and multi-cell overlaps:
+    every candidate pair appears exactly once (the modular
+    reference-point rule), matching the brute-force recentred census."""
+    import itertools
+
+    from openmaptiles_zh_modifier_spark.queries_geo import (
+        _GS_CELL,
+        geodesic_segment_crossing_pairs,
+    )
+
+    c = _GS_CELL
+    roads = [
+        (0, 0, c, c),                 # spans a 2x2 cell block exactly
+        (-c, -c, c - 1, c - 1),       # crosses the origin cell corner
+        (17950, -c, _wrap(17950 + 2 * c), c),  # seam, 2 lon cells
+    ]
+    ways = [
+        (c, 0, 0, c),                 # anti-diagonal of road 0
+        (0, -c, 0, c),                # vertical through the corner
+        (18000 - c, 0, _wrap(18000 + c), 1),  # seam-straddler
+        (2 * c, 2 * c, 3 * c, 3 * c),  # disjoint
+    ]
+    a, b = _seg_frames(spark, roads, ways)
+    rows = geodesic_segment_crossing_pairs(a, b).collect()
+    seen = [(r.rid, r.wid) for r in rows]
+    assert len(seen) == len(set(seen)), "duplicate pair emitted"
+    got = {(r.rid, r.wid): r.crossing for r in rows}
+    want = {}
+    for i, j in itertools.product(range(len(roads)), range(len(ways))):
+        res = _py_geodesic_cross(roads[i], ways[j])
+        if res is not None:
+            want[(i, j)] = int(res)
+    assert got == want

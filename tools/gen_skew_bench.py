@@ -149,8 +149,12 @@ BENCH_QUERIES = [
     "q_geo_polygon_join",
     # round-11: geodesic containment — same shape with a per-row
     # latitude-derived lon span; the high-latitude polygons' full-ring
-    # probes are the stress case (fan-out capped at the 18-cell ring)
+    # probes are the stress case (fan-out capped at the 18-cell ring);
+    # the geodesic segment join triples its way side (orders) while
+    # roads (supplier, copied as-is) stay fixed — the planar twin's
+    # scaling with modular cells
     "q_geo_polygon_join_geodesic",
+    "q_geo_segment_join_geodesic",
     # OPTIMIZE end-to-end: 3x orders triple every append + the rewrite,
     # so the whole ingest->compact->probe loop should scale ~linearly
     "q_cow_compact_zorder",
@@ -413,6 +417,7 @@ def main() -> None:
 MEMOIZING_QUERIES = {
     "q_geo_dbscan",
     "q_geo_segment_join",
+    "q_geo_segment_join_geodesic",
     "q_cow_schema_evolution",
     "q_cow_compact_zorder",
 }
