@@ -74,7 +74,8 @@ _R11_WINDOW = [
     # round-11 additions
     "q_geo_polygon_join_geodesic",
     "q_geo_segment_join_geodesic",
-    # 26 stalest r06 rows
+    "q_geo_polygon_overlay_geodesic",
+    # 25 stalest r06 rows
     "q1_pricing_summary",
     "q_anomaly_residual",
     "q_balanced_shards",
@@ -100,7 +101,6 @@ _R11_WINDOW = [
     "q_kanonymity",
     "q_kcore",
     "q_km_survival",
-    "q_label_balance",
 ]
 
 # retained for provenance (round-10 ordering)

@@ -1690,17 +1690,22 @@ _EDGE_STRUCTS = ", ".join(
 )
 
 
-def _edge_box_hit() -> str:
-    """Does star edge ``e`` (offsets e.ox1.. scaled by s around cx, cy)
+def _edge_box_hit(
+    cx: str = "cx", cy: str = "cy", sx: str = "s", sy: str = "s"
+) -> str:
+    """Does star edge ``e`` (offsets e.ox1.. scaled around the center)
     intersect the axis-aligned box [blx, bhx] x [bly, bhy]? An edge
     intersects the box iff an endpoint lies inside it or it crosses one
-    of the four sides — all exact int64 (coords < 36e3, s < 250, cross
-    products < 2^40). The SAME text runs as a Spark higher-order-
+    of the four sides — all exact int64 (coords < 36e3, scales < 2100,
+    cross products < 2^42). The SAME text runs as a Spark higher-order-
     function lambda body (e = array element) and inside the oracle's
     correlated EXISTS (e = VALUES alias), so the two engines evaluate
-    one predicate, not two translations."""
-    ex1, ey1 = "(cx + s * e.ox1)", "(cy + s * e.oy1)"
-    ex2, ey2 = "(cx + s * e.ox2)", "(cy + s * e.oy2)"
+    one predicate, not two translations. The default arguments emit the
+    planar overlay's original isotropic text byte-for-byte; the
+    geodesic overlay passes the anisotropic (w, s) scales with the
+    recentred frame's center."""
+    ex1, ey1 = f"({cx} + {sx} * e.ox1)", f"({cy} + {sy} * e.oy1)"
+    ex2, ey2 = f"({cx} + {sx} * e.ox2)", f"({cy} + {sy} * e.oy2)"
     sides = [
         ("blx", "bly", "blx", "bhy"),  # left
         ("bhx", "bly", "bhx", "bhy"),  # right
@@ -1959,6 +1964,47 @@ _GP_CELL = 2000  # probe grid: 18 lon cells (modular ring) x 9 lat cells
 _GP_NX = 36000 // _GP_CELL
 
 
+def _gp_poly_cells(poly: DataFrame) -> DataFrame:
+    """Explode a geodesic polygon frame (clat, clon, s, w + ids) to its
+    probe cells on the _GP_CELL grid: the lon span derives PER ROW from
+    the polygon's stretch w (floor(10w/cell)+1 half-cells, capped at the
+    full ring so >=80-degree polygons probe every lon cell), latitude
+    straight off the bbox. Shared by the containment and overlay joins
+    so the span derivation cannot drift between them. Emits distinct
+    (_gx pmod ring, _gy) pairs and the packed ``cell``."""
+    hx = F.least(
+        (F.floor(_OXMAX * F.col("w") / _GP_CELL) + 1).cast("int"),
+        F.lit(_GP_NX // 2),
+    )
+    n_cells = F.least(hx * 2 + 1, F.lit(_GP_NX))
+    dxlo = (-F.floor(n_cells / 2)).cast("int")
+    cgx = F.floor((F.col("clon") + 18000) / _GP_CELL).cast("int")
+    return (
+        poly.withColumn("_cgx", cgx)
+        .withColumn("_dxlo", dxlo)
+        .withColumn("_dxhi", (dxlo + n_cells - 1).cast("int"))
+        .withColumn(
+            "_off", F.explode(F.sequence(F.col("_dxlo"), F.col("_dxhi")))
+        )
+        .withColumn("_gx", F.pmod(F.col("_cgx") + F.col("_off"), F.lit(_GP_NX)))
+        .withColumn(
+            "_gy",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        (F.col("clat") - _OYMAX * F.col("s") + 9000) / _GP_CELL
+                    ).cast("int"),
+                    F.floor(
+                        (F.col("clat") + _OYMAX * F.col("s") + 9000) / _GP_CELL
+                    ).cast("int"),
+                )
+            ),
+        )
+        .withColumn("cell", F.col("_gy") * 64 + F.col("_gx"))
+        .select(*poly.columns, "_gx", "_gy", "cell")
+    )
+
+
 def geodesic_polygon_contains_pairs(
     poly: DataFrame, pts: DataFrame
 ) -> DataFrame:
@@ -1984,37 +2030,7 @@ def geodesic_polygon_contains_pairs(
     cell, so every candidate pair is produced at most once — no
     distinct shuffle. The packed cell id is alias-guarded on the raw
     indices like every blocking join in this file."""
-    hx = F.least(
-        (F.floor(_OXMAX * F.col("w") / _GP_CELL) + 1).cast("int"),
-        F.lit(_GP_NX // 2),
-    )
-    n_cells = F.least(hx * 2 + 1, F.lit(_GP_NX))
-    dxlo = (-F.floor(n_cells / 2)).cast("int")
-    cgx = F.floor((F.col("clon") + 18000) / _GP_CELL).cast("int")
-    cells = (
-        poly.withColumn("_cgx", cgx)
-        .withColumn("_dxlo", dxlo)
-        .withColumn("_dxhi", (dxlo + n_cells - 1).cast("int"))
-        .withColumn(
-            "_off", F.explode(F.sequence(F.col("_dxlo"), F.col("_dxhi")))
-        )
-        .withColumn("_gx", F.pmod(F.col("_cgx") + F.col("_off"), F.lit(_GP_NX)))
-        .withColumn(
-            "_gy",
-            F.explode(
-                F.sequence(
-                    F.floor(
-                        (F.col("clat") - _OYMAX * F.col("s") + 9000) / _GP_CELL
-                    ).cast("int"),
-                    F.floor(
-                        (F.col("clat") + _OYMAX * F.col("s") + 9000) / _GP_CELL
-                    ).cast("int"),
-                )
-            ),
-        )
-        .withColumn("cell", F.col("_gy") * 64 + F.col("_gx"))
-        .select(*poly.columns, "_gx", "_gy", "cell")
-    )
+    cells = _gp_poly_cells(poly)
     keyed = (
         pts.withColumn(
             "_kgx", F.floor((F.col("px") + 18000) / _GP_CELL).cast("int")
@@ -2364,4 +2380,242 @@ def q_geo_segment_join_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_okey"),
         )
         .orderBy("s_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geodesic polygon-box overlay (round 11): the trilogy's third leg —
+# building footprints x geodesic admin polygons on the lon ring
+# ---------------------------------------------------------------------------
+
+# Geodesic building footprints: one axis-aligned (lon/lat) square per
+# customer anywhere on the ring, up to ±86°, seam-straddlers included.
+# half-width 20..119 << polygon extent (20*w >= 1960 lon, 18*s >= 1800
+# lat), so box-contains-polygon stays impossible and the planar
+# classification decomposition (edge-hit OR center-inside) is closed.
+_GB_LON = "(-18000 + (c_custkey * 7717) % 36000)"
+_GB_LAT = "(-8600 + (c_custkey * 4373) % 17200)"
+_GB_W = "(20 + (c_custkey * 13) % 100)"
+
+# box bounds in the POLYGON's recentred frame: rbcx = rel(box lon,
+# polygon lon); the box unwraps coherently around its own center
+# (width << ring), so frame bounds are anchor + linear half-widths
+_GB_REL = _gs_rel("bclon", "clon")
+_GB_BOUNDS = (
+    f"{_GB_REL} - wb AS blx, {_GB_REL} + wb AS bhx,"
+    " bclat - wb AS bly, bclat + wb AS bhy"
+)
+
+
+def geodesic_polygon_box_overlay_pairs(
+    poly: DataFrame, boxes: DataFrame
+) -> DataFrame:
+    """Cell-blocked geodesic star-polygon x box overlay:
+    bbox-overlapping candidates (each exactly once) with exact
+    ``center_inside`` and ``edge_hit`` 0/1 flags, evaluated in the
+    polygon's recentred anisotropic frame.
+
+    ``poly`` carries (clat, clon, s, w) + ids (the geodesic containment
+    family); ``boxes`` carries (bclat, bclon, wb) + ids. Both sides are
+    extended: polygons explode through the shared per-row span builder
+    (ring-capped), boxes to their <= 2x2 pmod cells. The box recentres
+    into the polygon's frame (one modular anchor + linear half-widths);
+    the polygon's frame bbox is [-10w, 10w] x [clat ± 9s], which for a
+    full-ring polygon (10w >= 18000) correctly overlaps EVERY box in
+    its latitude band. The PBSM reference point is the recentred
+    intersection corner mapped back through the wrap to its physical
+    cell — present in both probe sets, unique, no distinct. The verify
+    is the anisotropic center ray-cast plus ONE exists() HOF over the
+    12 edge structs with (w, s)-scaled endpoints — in-row, no UDF.
+
+    Scale shape: the planar overlay's (<= 16x/4x fan-outs into one hash
+    equi-join, combinable census) with modular cell indices; the
+    >= 80-degree polygons' full-ring probes are bounded by ring size x
+    their lat cells."""
+    pc = _gp_poly_cells(poly)
+    bc = (
+        boxes.withColumn(
+            "_bcx", F.floor((F.col("bclon") + 18000) / _GP_CELL).cast("int")
+        )
+        .withColumn(
+            "_bxlo",
+            F.floor(
+                (F.col("bclon") - F.col("wb") + 18000) / _GP_CELL
+            ).cast("int"),
+        )
+        .withColumn(
+            "_bxhi",
+            F.floor(
+                (F.col("bclon") + F.col("wb") + 18000) / _GP_CELL
+            ).cast("int"),
+        )
+        .withColumn(
+            "_bxr", F.explode(F.sequence(F.col("_bxlo"), F.col("_bxhi")))
+        )
+        .withColumn("_bgx", F.pmod(F.col("_bxr"), F.lit(_GP_NX)).cast("int"))
+        .withColumn(
+            "_bgy",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        (F.col("bclat") - F.col("wb") + 9000) / _GP_CELL
+                    ).cast("int"),
+                    F.floor(
+                        (F.col("bclat") + F.col("wb") + 9000) / _GP_CELL
+                    ).cast("int"),
+                )
+            ),
+        )
+        .withColumn("cell", F.col("_bgy") * 64 + F.col("_bgx"))
+        .drop("_bcx", "_bxlo", "_bxhi", "_bxr")
+    )
+    owner_corner_x = "GREATEST(-10 * w, blx)"
+    owner_gx = (
+        f"CAST(FLOOR(({_gs_wrap(f'clon + {owner_corner_x}')} + 18000)"
+        f" / {_GP_CELL}) AS INT)"
+    )
+    owner_gy = (
+        f"CAST(FLOOR((GREATEST(clat - {_OYMAX} * s, bly) + 9000)"
+        f" / {_GP_CELL}) AS INT)"
+    )
+    return (
+        bc.join(pc, "cell")
+        .where(
+            (F.col("_bgx") == F.col("_gx")) & (F.col("_bgy") == F.col("_gy"))
+        )
+        .withColumn("blx", F.expr(f"{_GB_REL} - wb"))
+        .withColumn("bhx", F.expr(f"{_GB_REL} + wb"))
+        .withColumn("bly", F.col("bclat") - F.col("wb"))
+        .withColumn("bhy", F.col("bclat") + F.col("wb"))
+        .where(
+            F.expr(
+                f"blx <= 10 * w AND -10 * w <= bhx"
+                f" AND bly <= clat + {_OYMAX} * s"
+                f" AND clat - {_OYMAX} * s <= bhy"
+            )
+        )
+        .where(F.expr(f"_gx = {owner_gx} AND _gy = {owner_gy}"))
+        .withColumn("_rbcx", F.expr(_GB_REL))
+        .withColumn(
+            "center_inside",
+            F.when(
+                F.expr(
+                    _raycast_inside_xy("_rbcx", "bclat", "0", "clat", "w", "s")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "edge_hit",
+            F.when(
+                F.expr(
+                    f"exists(array({_EDGE_STRUCTS}),"
+                    f" e -> {_edge_box_hit(cx='0', cy='clat', sx='w', sy='s')})"
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .drop("cell", "_gx", "_gy", "_bgx", "_bgy", "_rbcx",
+              "blx", "bhx", "bly", "bhy")
+    )
+
+
+def _gbo_oracle() -> str:
+    cross_hit = _edge_box_hit(cx="0", cy="clat", sx="w", sy="s")
+    return f"""
+WITH polys AS (
+  SELECT n_nationkey, n_name, s,
+         {_gp_w('s', 'clat', '//')} AS w, clat, clon
+  FROM (
+    SELECT n_nationkey, n_name, {_PG_S} AS s,
+           {_GP_CLAT} AS clat, {_GP_CLON} AS clon
+    FROM nation
+  )
+),
+boxes AS (
+  SELECT c_custkey, {_GB_LAT} AS bclat, {_GB_LON} AS bclon, {_GB_W} AS wb
+  FROM customer
+),
+cand AS (
+  SELECT n_nationkey, n_name, c_custkey, clat, s, w, bclat, wb,
+         {_GB_REL} AS rbcx,
+         {_GB_REL} - wb AS blx, {_GB_REL} + wb AS bhx,
+         bclat - wb AS bly, bclat + wb AS bhy
+  FROM boxes CROSS JOIN polys
+  WHERE ({_GB_REL} - wb) <= 10 * w AND -10 * w <= ({_GB_REL} + wb)
+    AND (bclat - wb) <= clat + {_OYMAX} * s
+    AND clat - {_OYMAX} * s <= (bclat + wb)
+),
+marked AS (
+  SELECT n_nationkey, n_name, c_custkey,
+         CASE WHEN {_raycast_inside_xy('rbcx', 'bclat', '0', 'clat', 'w', 's')}
+              THEN 1 ELSE 0 END AS center_inside,
+         CASE WHEN EXISTS (
+             SELECT 1
+             FROM (VALUES {_EDGE_VALUES}) AS e(ox1, oy1, ox2, oy2)
+             WHERE {cross_hit}
+           ) THEN 1 ELSE 0 END AS edge_hit
+  FROM cand
+)
+SELECT n_nationkey, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_cand,
+       CAST(SUM(CASE WHEN center_inside = 1 AND edge_hit = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       CAST(SUM(edge_hit) AS BIGINT) AS n_straddle,
+       CAST(COALESCE(SUM(CASE WHEN edge_hit = 1 THEN c_custkey END), 0)
+            AS BIGINT) AS sum_straddle_cust
+FROM marked
+GROUP BY n_nationkey, n_name
+ORDER BY n_nationkey
+"""
+
+
+@register("q_geo_polygon_overlay_geodesic", oracle=_gbo_oracle())
+def q_geo_polygon_overlay_geodesic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Geodesic building-footprint x admin-polygon overlay — the
+    trilogy's third leg composed with the modular-frame discipline:
+    high-latitude admin polygons (the containment fixture family, three
+    >= 75°, one full-ring), boxes anywhere on the ring incl. seam
+    straddlers, classification (inside / straddle) in the polygon's
+    recentred anisotropic frame. The oracle is the naive cross join
+    evaluating the IDENTICAL recentred predicate text (edge test via
+    correlated EXISTS over the same 12 offset rows Spark folds into an
+    exists() HOF), so the dual-scale hash match proves modular blocking
+    + reference-point dedup lossless over the overlay's two-sided
+    fan-out. Cited parity: OMTZHModifier.java:40-43 — osm_*_polygon
+    boundary-straddle QA on real (geodesic) coordinates."""
+    poly = load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey",
+        "n_name",
+        f"{_PG_S} AS s",
+        f"{_GP_CLAT} AS clat",
+        f"{_GP_CLON} AS clon",
+    )
+    poly = poly.selectExpr("*", f"{_gp_w('s', 'clat')} AS w")
+    boxes = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_GB_LAT} AS bclat",
+        f"{_GB_LON} AS bclon",
+        f"{_GB_W} AS wb",
+    )
+    pairs = geodesic_polygon_box_overlay_pairs(poly, boxes)
+    return (
+        pairs.groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(
+                F.when(
+                    (F.col("center_inside") == 1) & (F.col("edge_hit") == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("n_inside"),
+            F.sum("edge_hit").alias("n_straddle"),
+            F.coalesce(
+                F.sum(F.when(F.col("edge_hit") == 1, F.col("c_custkey"))),
+                F.lit(0),
+            ).alias("sum_straddle_cust"),
+        )
+        .orderBy("n_nationkey")
     )

@@ -294,3 +294,103 @@ def test_geodesic_segments_exactly_once_and_boundaries(spark):
         if res is not None:
             want[(i, j)] = int(res)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Geodesic polygon-box overlay
+# ---------------------------------------------------------------------------
+
+
+def _py_edge_box_hit(clat, w, s, box):
+    """Pure-int reference: does any (w, s)-scaled star edge intersect
+    the axis-aligned box (frame coords)?"""
+    blx, bhx, bly, bhy = box
+    sides = [((blx, bly), (blx, bhy)), ((bhx, bly), (bhx, bhy)),
+             ((blx, bly), (bhx, bly)), ((blx, bhy), (bhx, bhy))]
+    for (ox1, oy1), (ox2, oy2) in zip(_STAR_OFFS,
+                                      _STAR_OFFS[1:] + _STAR_OFFS[:1]):
+        p1 = (w * ox1, clat + s * oy1)
+        p2 = (w * ox2, clat + s * oy2)
+        if (blx <= p1[0] <= bhx and bly <= p1[1] <= bhy) or \
+           (blx <= p2[0] <= bhx and bly <= p2[1] <= bhy):
+            return True
+        for u, v in sides:
+            if _py_seg_cross(p1, p2, u, v):
+                return True
+    return False
+
+
+def _py_overlay(polys, boxes):
+    """(gid, bid) -> (center_inside, edge_hit) for bbox-overlap
+    candidates, via the recentred-frame reference."""
+    out = {}
+    for gid, clat, clon, s in polys:
+        w = (s * 36000) // (36600 - 4 * abs(clat))
+        for bid, bclat, bclon, wb in boxes:
+            rbcx = _wrap(bclon - clon)
+            blx, bhx = rbcx - wb, rbcx + wb
+            bly, bhy = bclat - wb, bclat + wb
+            if not (blx <= 10 * w and -10 * w <= bhx
+                    and bly <= clat + 9 * s and clat - 9 * s <= bhy):
+                continue
+            ci = _winding_inside(rbcx, bclat, w, s, clat)
+            eh = _py_edge_box_hit(clat, w, s, (blx, bhx, bly, bhy))
+            out[(gid, bid)] = (int(ci), int(eh))
+    return out
+
+
+def test_geodesic_overlay_matches_reference_incl_seam_and_poles(spark):
+    from openmaptiles_zh_modifier_spark.queries_geo import (
+        geodesic_polygon_box_overlay_pairs,
+    )
+
+    polys = [
+        (1, 7500, 17800, 150),    # 75°N, straddling the seam
+        (2, 0, 0, 200),           # equator control
+        (3, 8500, -12000, 249),   # 85°N, near-full-ring stretch
+    ]
+    boxes = []
+    bid = 0
+    for gid, clat, clon, s in polys:
+        w = (s * 36000) // (36600 - 4 * abs(clat))
+        # boxes at the center, on an arm tip, in a concavity, on the
+        # boundary band, outside the bbox, and ACROSS the seam from the
+        # polygon center
+        for fx, fy, wb in [(0.0, 0.0, 60), (9.8, 0.0, 80), (6.0, 6.0, 50),
+                           (10.0, 0.0, 119), (0.0, 9.2, 40),
+                           (-9.9, 0.0, 100)]:
+            bid += 1
+            bclon = _wrap(clon + int(fx * w))
+            bclat = clat + int(fy * s)
+            if abs(bclat) >= 8900:
+                continue
+            boxes.append((bid, bclat, bclon, wb))
+    poly_df = spark.createDataFrame(
+        polys, "gid long, clat long, clon long, s long"
+    ).selectExpr("*", f"{_gp_w('s', 'clat')} AS w")
+    box_df = spark.createDataFrame(
+        boxes, "bid long, bclat long, bclon long, wb long"
+    )
+    rows = geodesic_polygon_box_overlay_pairs(poly_df, box_df).collect()
+    seen = [(r.gid, r.bid) for r in rows]
+    assert len(seen) == len(set(seen)), "duplicate pair emitted"
+    got = {(r.gid, r.bid): (r.center_inside, r.edge_hit) for r in rows}
+    want = _py_overlay(polys, boxes)
+    # the float winding reference is only authoritative off-boundary;
+    # compare edge_hit exactly everywhere and center_inside where the
+    # box center is not ON the star boundary (edge_hit=0 pairs)
+    assert set(got) == set(want)
+    for k, (ci, eh) in got.items():
+        assert eh == want[k][1], (k, "edge_hit")
+        if eh == 0:
+            assert ci == want[k][0], (k, "center_inside")
+    # the seam polygon really pairs with a box across the seam
+    seam_pairs = [k for k in got if k[0] == 1]
+    assert any(
+        b[2] * 17800 < 0  # box lon sign opposite the polygon's
+        for k in seam_pairs for b in [boxes[[x[0] for x in boxes].index(k[1])]]
+    )
+    # and classification exercises all three outcomes
+    flags = set(got.values())
+    assert (1, 0) in flags and (0, 1) in flags or (1, 1) in flags
+    assert (0, 0) in flags

@@ -83,6 +83,7 @@ HEADLINE = [
     "q_geo_polygon_join",
     "q_geo_polygon_join_geodesic",
     "q_geo_segment_join_geodesic",
+    "q_geo_polygon_overlay_geodesic",
     "q_tile_rollup",
     "q_cow_compact_zorder",
     "q_geo_dbscan",
