@@ -43,9 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # retirement — q_stream_minhash_buckets is both an r04 row AND a bench
 # mover), the five other >1.3x r9->r10 bench movers for their
 # driver-vs-driver confirmation read after the BASELINE.md settlement
-# (all six adjudicated environment-band in isolation), the round-11
-# addition (q_geo_polygon_join_geodesic), and the 27 stalest r06 rows.
-# Base list from ``python tools/gate_coverage.py --window``.
+# (all six adjudicated environment-band in isolation), the THREE
+# round-11 additions (the geodesic trilogy), and the 25 stalest r06
+# rows. Base list from ``python tools/gate_coverage.py --window``.
 _R11_WINDOW = [
     # 17 r04 rows — after this window, no row is older than r06
     "q_rolling_median",

@@ -2397,14 +2397,11 @@ _GB_LON = "(-18000 + (c_custkey * 7717) % 36000)"
 _GB_LAT = "(-8600 + (c_custkey * 4373) % 17200)"
 _GB_W = "(20 + (c_custkey * 13) % 100)"
 
-# box bounds in the POLYGON's recentred frame: rbcx = rel(box lon,
-# polygon lon); the box unwraps coherently around its own center
-# (width << ring), so frame bounds are anchor + linear half-widths
+# the box's lon anchor in the POLYGON's recentred frame: the box
+# unwraps coherently around its own center (width << ring), so its
+# frame bounds are this anchor +- linear half-widths (built identically
+# in the operator's withColumns and the oracle's projections)
 _GB_REL = _gs_rel("bclon", "clon")
-_GB_BOUNDS = (
-    f"{_GB_REL} - wb AS blx, {_GB_REL} + wb AS bhx,"
-    " bclat - wb AS bly, bclat + wb AS bhy"
-)
 
 
 def geodesic_polygon_box_overlay_pairs(
@@ -2435,9 +2432,6 @@ def geodesic_polygon_box_overlay_pairs(
     pc = _gp_poly_cells(poly)
     bc = (
         boxes.withColumn(
-            "_bcx", F.floor((F.col("bclon") + 18000) / _GP_CELL).cast("int")
-        )
-        .withColumn(
             "_bxlo",
             F.floor(
                 (F.col("bclon") - F.col("wb") + 18000) / _GP_CELL
@@ -2467,9 +2461,9 @@ def geodesic_polygon_box_overlay_pairs(
             ),
         )
         .withColumn("cell", F.col("_bgy") * 64 + F.col("_bgx"))
-        .drop("_bcx", "_bxlo", "_bxhi", "_bxr")
+        .drop("_bxlo", "_bxhi", "_bxr")
     )
-    owner_corner_x = "GREATEST(-10 * w, blx)"
+    owner_corner_x = f"GREATEST(-{_OXMAX} * w, blx)"
     owner_gx = (
         f"CAST(FLOOR(({_gs_wrap(f'clon + {owner_corner_x}')} + 18000)"
         f" / {_GP_CELL}) AS INT)"
@@ -2489,7 +2483,7 @@ def geodesic_polygon_box_overlay_pairs(
         .withColumn("bhy", F.col("bclat") + F.col("wb"))
         .where(
             F.expr(
-                f"blx <= 10 * w AND -10 * w <= bhx"
+                f"blx <= {_OXMAX} * w AND -{_OXMAX} * w <= bhx"
                 f" AND bly <= clat + {_OYMAX} * s"
                 f" AND clat - {_OYMAX} * s <= bhy"
             )
@@ -2542,7 +2536,7 @@ cand AS (
          {_GB_REL} - wb AS blx, {_GB_REL} + wb AS bhx,
          bclat - wb AS bly, bclat + wb AS bhy
   FROM boxes CROSS JOIN polys
-  WHERE ({_GB_REL} - wb) <= 10 * w AND -10 * w <= ({_GB_REL} + wb)
+  WHERE ({_GB_REL} - wb) <= {_OXMAX} * w AND -{_OXMAX} * w <= ({_GB_REL} + wb)
     AND (bclat - wb) <= clat + {_OYMAX} * s
     AND clat - {_OYMAX} * s <= (bclat + wb)
 ),

@@ -4,8 +4,9 @@ A seeded pseudo-random sequence of DDL + DML operations (append,
 evolve-append, rename, drop, widen, merge-update, compact, vacuum) runs
 against a real table AND an in-memory reference model (rows + schema +
 per-version history). After every step the table must equal the model;
-at the end, every still-vacuum-safe historical version must time-travel
-to its model snapshot. This is the sequence coverage the hand-written
+vacuum steps trim the model's history to the manifests that survive;
+at the end, every surviving historical version must time-travel to its
+model snapshot. This is the sequence coverage the hand-written
 column-mapping tests can't give: interactions like rename -> drop ->
 re-add -> rename-again -> compact are reached by the walk, not by
 enumeration. Values are chosen exactly representable (ints, halves) so
@@ -122,11 +123,16 @@ def test_cow_model_walk(spark, tmp_path):
     model.snap(v)
     _check(spark, root, model)
 
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_history,
+        cow_vacuum,
+    )
+
     renamed_n = 0
     for step in range(28):
         op = rng.choice(
             ["append", "evolve", "rename", "drop", "widen", "merge",
-             "compact", "append", "merge"]
+             "compact", "append", "merge", "vacuum"]
         )
         if op == "append":
             new = fresh_rows(rng.randint(1, 3))
@@ -205,12 +211,19 @@ def test_cow_model_walk(spark, tmp_path):
                     r[col] = newval
         elif op == "compact":
             v = cow_compact(spark, root, min_files_per_partition=2)
+        elif op == "vacuum":
+            # no version burned; drops history older than the newest 2
+            # manifests — the model forgets what the table forgot
+            cow_vacuum(root, keep_versions=2, orphan_grace_seconds=0)
+            survivors = set(cow_history(root))
+            model.history = {
+                k: vdata for k, vdata in model.history.items()
+                if k in survivors
+            }
         model.snap(v)
         _check(spark, root, model)
 
-    # time travel: every recorded version still matches its snapshot
-    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_history
-
+    # time travel: every SURVIVING version still matches its snapshot
     for version in cow_history(root):
         if version in model.history:
             _check(spark, root, model, version=version)
