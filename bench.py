@@ -89,6 +89,41 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # --- calibration controls (VERDICT r11 #1) -------------------------
+    # Two fixed-work probes measured at bench start AND end so driver
+    # windows can be normalized round-over-round instead of re-litigated
+    # with local re-reads: (a) a pure-Python spin (constant integer LCG —
+    # sensitive to co-tenant CPU pressure, immune to Spark/JVM state),
+    # (b) a constant trivial Spark job (fixed 1M-row range aggregate —
+    # adds JVM scheduling + codegen-cache pressure to the same read).
+    # Reported as trailing JSON keys (the driver archives the tail):
+    #   ctl_spin_s / ctl_spark_s   = median across all reps (typical load
+    #                                during THIS window — the normalizer)
+    #   ctl_spin_s_min / ctl_spark_s_min = best rep (the machine's quiet
+    #                                speed — separates noise from drift)
+    def _ctl_spin() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x = (x * 1664525 + 1013904223 + i) & 0xFFFFFFFF
+        assert x >= 0
+        return time.perf_counter() - t0
+
+    def _ctl_spark() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(1_000_000)
+            .select(F.sum((F.col("id") * 2654435761) % 97).alias("s"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    def _ctl_round() -> tuple[list[float], list[float]]:
+        return [_ctl_spin() for _ in range(3)], [_ctl_spark() for _ in range(3)]
+
+    _ctl_spark()  # warm the control plan once so reps measure steady state
+    ctl_spin_reps, ctl_spark_reps = _ctl_round()
+
     def run_once(name, fn) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()  # full execution; results are small
@@ -106,6 +141,17 @@ def main() -> None:
             t = min(t, run_once(name, fn))
         timings[name] = round(t, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    # end-of-window control reps — bracketing the whole run catches load
+    # that arrived mid-window (start-only reads would miss it)
+    _spin2, _spark2 = _ctl_round()
+    ctl_spin_reps += _spin2
+    ctl_spark_reps += _spark2
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
     total = round(sum(timings.values()), 4)
     panel = {q: timings[q] for q in PANEL if q in timings}
@@ -127,6 +173,13 @@ def main() -> None:
                 "panel_sec_per_query": round(
                     sum(panel.values()) / max(len(panel), 1), 4
                 ),
+                # calibration controls LAST (VERDICT r11 #1): normalize
+                # panel_sec_per_query across driver windows by the ratio
+                # of ctl_* medians before calling round-over-round drift
+                "ctl_spin_s": round(_median(ctl_spin_reps), 4),
+                "ctl_spin_s_min": round(min(ctl_spin_reps), 4),
+                "ctl_spark_s": round(_median(ctl_spark_reps), 4),
+                "ctl_spark_s_min": round(min(ctl_spark_reps), 4),
             }
         )
     )

@@ -1947,8 +1947,29 @@ def _gp_w(s: str, clat: str, intdiv: str = "div") -> str:
     denominator stays >= 2200 for |lat| <= 86°, and w >= 98 > 0 keeps
     the ray-cast orientation folding sound. A geometry DEFINITION (the
     fixture's), not an approximation claim — both engines evaluate the
-    identical integer expression."""
+    identical integer expression.
+
+    VALIDITY DOMAIN (VERDICT r11 #7): |clat| <= 8600 (±86°), the
+    fixture's own cap. Beyond it the proxy degrades fast (denominator
+    2200 at 86° decaying to 200 at 91°, singular at 91.5°) and the
+    proxy-vs-true-secant gap widens toward the pole (13.8 vs 14.3
+    already at 86°). Callers with polar polygons should supply their
+    OWN w column instead — any positive integer within the
+    ``_GP_W_MAX`` int64-safety bound works; the per-row span
+    derivation in ``_gp_poly_cells`` and the guard in
+    ``geodesic_polygon_contains_pairs`` both read the column, so a
+    caller rule inherits the runtime coverage + overflow guarantees."""
     return f"((({s}) * 36000) {intdiv} (36600 - ABS({clat}) * 4))"
+
+
+# int64-safety bounds for caller-supplied stretch/scale columns
+# (ADVICE r11 #3): the largest ray-cast term is bounded by
+# max(w*20*(18000 + 9*s), (18000 + 10*w)*18*s); with w <= 1e9 and
+# s <= 1e5 both stay < 2e16, five hundred-fold under 2^62 — exact
+# int64 with headroom for the summation. The fixture maxima (w ~ 4.1e3,
+# s <= 249) sit ~6 orders of magnitude inside the bound.
+_GP_W_MAX = 1_000_000_000
+_GP_S_MAX = 100_000
 
 
 # signed lon difference in [-18000, 18000): px - clon lies in
@@ -2030,6 +2051,30 @@ def geodesic_polygon_contains_pairs(
     cell, so every candidate pair is produced at most once — no
     distinct shuffle. The packed cell id is alias-guarded on the raw
     indices like every blocking join in this file."""
+    # int64-safety guard on the caller-supplied columns (ADVICE r11 #3):
+    # "ANY positive integer works" holds only under the exact-arithmetic
+    # bound — a w (or s) large enough to overflow the ray-cast cross
+    # products would corrupt the verify silently. Plan-level assert_true
+    # folded into a filter (assert_true yields NULL on pass, raises on
+    # fail), so the check rides the existing scan: no extra job, no
+    # driver collect, and Catalyst cannot prune it.
+    poly = poly.where(
+        F.assert_true(
+            (F.col("w") > 0)
+            & (F.col("w") <= F.lit(_GP_W_MAX))
+            & (F.col("s") > 0)
+            & (F.col("s") <= F.lit(_GP_S_MAX)),
+            F.concat(
+                F.lit(
+                    "geodesic ray-cast int64 bound: need 0 < w <= "
+                    f"{_GP_W_MAX} and 0 < s <= {_GP_S_MAX}, got w="
+                ),
+                F.col("w").cast("string"),
+                F.lit(" s="),
+                F.col("s").cast("string"),
+            ),
+        ).isNull()
+    )
     cells = _gp_poly_cells(poly)
     keyed = (
         pts.withColumn(

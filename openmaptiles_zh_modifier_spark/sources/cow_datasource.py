@@ -260,11 +260,13 @@ class CowBatchWriter(DataSourceArrowWriter):
         # commit() so concurrent writers conflict correctly
         self._cmap: dict | None = None
         self._retired: list | None = None
+        self._plan_schema_json: str | None = None
         try:
             m = _read_manifest(root)
             self._partition_by = m["partition_by"]
             self._cmap = m.get("column_mapping")
             self._retired = m.get("retired_physical")
+            self._plan_schema_json = m["schema"]
             if partition_by is not None and partition_by != self._partition_by:
                 raise ValueError(
                     f"cowtable at {root} is partitioned by "
@@ -308,9 +310,14 @@ class CowBatchWriter(DataSourceArrowWriter):
             return CowCommitMessage(entries=[])
         if self._cmap:
             # renamed/dropped table: files are written under the STABLE
-            # physical names so they mix with pre-rename files in one scan
+            # physical names so they mix with pre-rename files in one
+            # scan. STRICT indexing like the reader's _read_file_batches:
+            # a mapping is always complete (cow_rename/drop seed the
+            # identity mapping), so a missing key means the plan schema
+            # and the mapping diverged — fail fast instead of silently
+            # writing under a logical name a retired physical id may own
             table = table.rename_columns(
-                [self._cmap.get(n, n) for n in table.column_names]
+                [self._cmap[n] for n in table.column_names]
             )
 
         def _emit(tbl, part: str | None) -> None:
@@ -333,8 +340,8 @@ class CowBatchWriter(DataSourceArrowWriter):
             entries.append({"path": rel, "partition": part})
 
         part_name = (
-            self._cmap.get(self._partition_by, self._partition_by)
-            if self._cmap
+            self._cmap[self._partition_by]
+            if self._cmap and self._partition_by is not None
             else self._partition_by
         )
         if part_name is None:
@@ -362,13 +369,26 @@ class CowBatchWriter(DataSourceArrowWriter):
             files = new_entries if self._overwrite else m["files"] + new_entries
             schema_json = m["schema"]
             part_col = m["partition_by"]
-            # mapping keys must come from the SAME manifest as the
-            # schema: a rename/drop/evolve committed while tasks ran
-            # would otherwise pair the new schema with the PLAN-time
-            # mapping and tear the table metadata (schema column with
-            # no mapping entry, or a renamed schema with no mapping)
-            self._cmap = m.get("column_mapping")
-            self._retired = m.get("retired_physical")
+            # metadata-conflict gate (same contract as Delta): the task
+            # files were written under PLAN-time physical names, so a
+            # rename/drop/widen/evolve committed while tasks ran cannot
+            # be absorbed — e.g. a drop + re-add would publish our files
+            # with the re-added column under a RETIRED physical name,
+            # silently reading as NULL. Concurrent APPENDS only touch
+            # version/files and pass; any schema or mapping change
+            # aborts. (ADVICE r11 #1)
+            if (
+                m["schema"] != self._plan_schema_json
+                or m.get("column_mapping") != self._cmap
+                or m.get("retired_physical") != self._retired
+            ):
+                from ..operators.cow_table import CowConflictError
+
+                raise CowConflictError(
+                    f"cowtable at {self._root}: table metadata (schema/"
+                    "column_mapping) changed between write planning and"
+                    f" commit (manifest v{m['version']}); re-run the write"
+                )
         else:
             os.makedirs(self._root, exist_ok=True)
             version = 1
@@ -463,8 +483,24 @@ class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
             files = m["files"] + new_entries
             schema_json = m["schema"]
             part_col = m["partition_by"]
-            self._cmap = m.get("column_mapping")
-            self._retired = m.get("retired_physical")
+            # same metadata-conflict gate as the batch writer: batch
+            # files are written under STREAM-START physical names, so a
+            # mid-stream rename/drop/widen cannot be absorbed. A table
+            # this stream itself created has no plan-time manifest —
+            # its expected schema is the write schema verbatim.
+            expected_schema = self._plan_schema_json or self._schema.json()
+            if (
+                m["schema"] != expected_schema
+                or m.get("column_mapping") != self._cmap
+                or m.get("retired_physical") != self._retired
+            ):
+                from ..operators.cow_table import CowConflictError
+
+                raise CowConflictError(
+                    f"cowtable at {self._root}: table metadata (schema/"
+                    "column_mapping) changed mid-stream (manifest "
+                    f"v{m['version']}); restart the stream to adopt it"
+                )
         else:
             os.makedirs(self._root, exist_ok=True)
             stamps = {}

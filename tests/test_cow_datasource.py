@@ -340,3 +340,64 @@ def test_datasource_reads_schema_evolved_table(spark, tmp_path):
         for r in spark.read.format("cowtable").option("path", root).load().collect()
     }
     assert got == {1: None, 2: None, 3: "gold"}
+
+
+def test_writer_commit_rejects_concurrent_ddl(spark, tmp_path):
+    """ADVICE r11 #1: a rename/drop committed between write PLANNING and
+    commit() must raise CowConflictError instead of being absorbed — the
+    task files carry plan-time physical names, so adopting the newer
+    mapping would publish values under retired physical ids (silent
+    NULLs on read). Concurrent plain APPENDS still pass (files-only
+    delta, metadata unchanged)."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        CowConflictError,
+        cow_append,
+        cow_create,
+        cow_rename_column,
+    )
+    from openmaptiles_zh_modifier_spark.sources.cow_datasource import (
+        CowBatchWriter,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a")], "id long, name string")
+    cow_create(spark, root, base)
+
+    # plan-time snapshot, then a concurrent DDL before commit
+    w = CowBatchWriter(root, base.schema, overwrite=False, partition_by=None)
+    cow_rename_column(root, "name", "label")
+    with pytest.raises(CowConflictError):
+        w.commit([])
+
+    # concurrent APPEND (no metadata change) does not conflict
+    root2 = str(tmp_path / "t2")
+    cow_create(spark, root2, base)
+    w2 = CowBatchWriter(root2, base.schema, overwrite=False, partition_by=None)
+    cow_append(spark, root2, spark.createDataFrame([(2, "b")], base.schema))
+    w2.commit([])  # publishes v3 on top of the append
+    assert sorted(
+        (r.id, r.name) for r in cow_read(spark, root2).collect()
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_stream_writer_commit_rejects_mid_stream_ddl(spark, tmp_path):
+    """Streaming twin of the DDL-conflict gate: batch files are written
+    under STREAM-START physical names, so a mid-stream rename must fail
+    the epoch commit rather than tear the table."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        CowConflictError,
+        cow_create,
+        cow_rename_column,
+    )
+    from openmaptiles_zh_modifier_spark.sources.cow_datasource import (
+        CowStreamWriter,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a")], "id long, name string")
+    cow_create(spark, root, base)
+
+    w = CowStreamWriter(root, base.schema, partition_by=None)
+    cow_rename_column(root, "name", "label")
+    with pytest.raises(CowConflictError):
+        w.commit([], batchId=0)

@@ -396,3 +396,34 @@ def test_geodesic_overlay_matches_reference_incl_seam_and_poles(spark):
     assert (1, 0) in flags, flags                  # fully inside
     assert any(eh == 1 for _, eh in flags), flags  # straddle
     assert (0, 0) in flags, flags                  # bbox-only candidate
+
+
+def test_w_overflow_guard_raises_and_bound_is_documented(spark):
+    """ADVICE r11 #3 / VERDICT r11 #7: a caller-supplied w beyond the
+    int64-safety bound must raise at the verify stage instead of
+    silently overflowing the exact-integer cross products; an in-bound
+    caller w (not derived from _gp_w) still works."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from openmaptiles_zh_modifier_spark.queries_geo import _GP_W_MAX
+
+    pts_df = _pts(spark, [(1, 0, 0)])
+
+    # custom in-bound w: equator square-ish polygon, w chosen by caller
+    ok = spark.createDataFrame(
+        [(1, 0, 0, 100, 250)], "gid long, clat long, clon long, s long, w long"
+    )
+    got = geodesic_polygon_contains_pairs(ok, pts_df).collect()
+    assert len(got) == 1 and got[0].inside == 1
+
+    bad = spark.createDataFrame(
+        [(1, 0, 0, 100, _GP_W_MAX * 10)],
+        "gid long, clat long, clon long, s long, w long",
+    )
+    with pytest.raises(SparkRuntimeException, match="int64 bound"):
+        geodesic_polygon_contains_pairs(bad, pts_df).collect()
+
+    # the _gp_w proxy never exceeds the bound inside its ±86° domain
+    # (docstring validity bound): max at s big, |clat| = 8600
+    assert (100_000 * 36000) // (36600 - 8600 * 4) < _GP_W_MAX
