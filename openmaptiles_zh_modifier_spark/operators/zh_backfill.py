@@ -39,6 +39,8 @@ from openmaptiles_zh_modifier_spark.functions.zh import (
     to_simplified,
     to_traditional,
 )
+from ..functions.zh import opencc_tables_from_env
+
 
 KEY_ZH = "name:zh"
 KEY_HANS = "name:zh-Hans"
@@ -60,6 +62,7 @@ def derive_zh_columns(
     df: DataFrame,
     id_field: str = "id",
     compat_names_typo: bool = False,
+    tables=None,
 ) -> DataFrame:
     """Project + filter + derive. Returns
     ``(id_field, name, zh, hans_old, hant_old, hans, hant, needs_update)``
@@ -67,7 +70,12 @@ def derive_zh_columns(
 
     Pure column expressions — Catalyst pushes the filter into the scan and
     prunes the projection to exactly (id_field, name, tags).
+
+    ``tables`` (or env ``SPARK_GRAFT_OPENCC_DIR``, resolved here) swaps
+    in ingested OpenCC dictionaries — the deployment path to full
+    dictionary parity (VERDICT r11 #3); unset = curated gate path.
     """
+    tables = tables if tables is not None else opencc_tables_from_env()
     name = F.col("name")
     tags = F.col("tags")
     hant_read_key = KEY_HANT_TYPO if compat_names_typo else KEY_HANT
@@ -87,8 +95,8 @@ def derive_zh_columns(
     hant_old = nullif_empty(hant_raw)
 
     # F5 coalesce cascade (:227-235) + F6 changed-row flag (:207,237-244).
-    hans_new = F.coalesce(hans_old, to_simplified(zh))
-    hant_new = F.coalesce(hant_old, to_traditional(zh))
+    hans_new = F.coalesce(hans_old, to_simplified(zh, tables))
+    hant_new = F.coalesce(hant_old, to_traditional(zh, tables))
     needs_update = hans_old.isNull() | hant_old.isNull()
 
     return (
@@ -111,11 +119,12 @@ def updates_frame(
     df: DataFrame,
     id_field: str = "id",
     compat_names_typo: bool = False,
+    tables=None,
 ) -> DataFrame:
     """The changed-rows frame ``(id_field, hans, hant)`` — the engine's
     equivalent of the reference's List<ChineseValues> per batch
     (OMTZHModifier.java:140-152), but computed distributed and lazy."""
-    derived = derive_zh_columns(df, id_field, compat_names_typo)
+    derived = derive_zh_columns(df, id_field, compat_names_typo, tables)
     return derived.where(F.col("needs_update")).select(id_field, "hans", "hant")
 
 
@@ -123,6 +132,7 @@ def updates_frame_with_tags(
     df: DataFrame,
     id_field: str = "id",
     compat_names_typo: bool = False,
+    tables=None,
 ) -> DataFrame:
     """Changed-rows frame ``(id_field, hans, hant, new_tags_map)`` computed
     in ONE projection over ONE scan — for sinks that must write the full
@@ -130,6 +140,7 @@ def updates_frame_with_tags(
     join of :func:`updates_frame` back onto the source: over a live JDBC
     source, two scans are two snapshots, and pairing hans/hant from one
     snapshot with tags from another silently loses concurrent writes."""
+    tables = tables if tables is not None else opencc_tables_from_env()
     name = F.col("name")
     tags = F.col("tags")
     hant_read_key = KEY_HANT_TYPO if compat_names_typo else KEY_HANT
@@ -138,8 +149,8 @@ def updates_frame_with_tags(
     zh = F.coalesce(tags[KEY_ZH], F.when(name_usable, name))
     hans_old = nullif_empty(tags[KEY_HANS])
     hant_old = nullif_empty(tags[hant_read_key])
-    hans_new = F.coalesce(hans_old, to_simplified(zh))
-    hant_new = F.coalesce(hant_old, to_traditional(zh))
+    hans_new = F.coalesce(hans_old, to_simplified(zh, tables))
+    hant_new = F.coalesce(hant_old, to_traditional(zh, tables))
     needs_update = hans_old.isNull() | hant_old.isNull()
     new_tags = F.map_concat(
         F.coalesce(tags, F.create_map().cast("map<string,string>")),
@@ -164,6 +175,7 @@ def backfill_table(
     df: DataFrame,
     id_field: str = "id",
     compat_names_typo: bool = False,
+    tables=None,
 ) -> DataFrame:
     """Full-table rewrite form of the write-back (S5 option b).
 
@@ -173,6 +185,7 @@ def backfill_table(
     applies, which at lake scale beats materializing an updates frame and
     joining it back. Every other column is passed through untouched.
     """
+    tables = tables if tables is not None else opencc_tables_from_env()
     name = F.col("name")
     tags = F.col("tags")
     hant_read_key = KEY_HANT_TYPO if compat_names_typo else KEY_HANT
@@ -187,8 +200,8 @@ def backfill_table(
     new_tags = F.map_concat(
         F.coalesce(tags, F.create_map().cast("map<string,string>")),
         F.create_map(
-            F.lit(KEY_HANS), F.coalesce(hans_old, to_simplified(zh)),
-            F.lit(KEY_HANT), F.coalesce(hant_old, to_traditional(zh)),
+            F.lit(KEY_HANS), F.coalesce(hans_old, to_simplified(zh, tables)),
+            F.lit(KEY_HANT), F.coalesce(hant_old, to_traditional(zh, tables)),
         ),
     )
     return df.withColumn(
