@@ -122,12 +122,32 @@ def _commit_manifest(root: str, manifest: dict) -> None:
     Protocol: write to a temp file in the SAME directory (rename must not
     cross filesystems), then link+rename onto the final name. ``os.link``
     fails with EEXIST if the target exists — unlike plain rename, which
-    silently replaces — so exactly one concurrent writer can win."""
+    silently replaces — so exactly one concurrent writer can win.
+
+    Every commit is stamped with a wall-clock ``commit_ts`` (VERDICT r11
+    #4) so ``cow_read(as_of_ts=...)`` can resolve timestamp time travel
+    (Delta ``timestampAsOf``); resolution MONOTONIZES the stamps, so
+    clock skew between concurrent writers cannot reorder history."""
+    import time
+
     mdir = os.path.join(root, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     txns = _merged_stream_txns(root, manifest)
     if txns:
         manifest = {**manifest, "stream_txns": txns}
+    if "commit_ts" not in manifest:
+        ts = time.time()
+        if manifest["version"] > 1:
+            # never regress below the predecessor (Delta's in-commit
+            # timestamp monotonicity): clock skew between writers makes
+            # ties, not reordering. Reader-side monotonization in
+            # cow_resolve_as_of_ts still guards legacy/external
+            # manifests that carry raw regressing stamps.
+            try:
+                ts = max(ts, _effective_commit_ts(root, manifest["version"] - 1))
+            except (FileNotFoundError, OSError, json.JSONDecodeError):
+                pass  # predecessor vacuumed — nothing to anchor to
+        manifest = {**manifest, "commit_ts": ts}
     final = _manifest_path(root, manifest["version"])
     fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
     try:
@@ -270,11 +290,18 @@ def cow_read(
     root: str,
     version: int | None = None,
     partition_values: list | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Read a cow table at ``version`` (default latest). When
     ``partition_values`` is given, only manifest entries whose partition
     matches are scanned — file pruning decided from metadata alone, no
-    directory listing, no footer reads of dead files."""
+    directory listing, no footer reads of dead files. ``as_of_ts``
+    (epoch seconds) is timestamp time travel — resolved to a version by
+    :func:`cow_resolve_as_of_ts`; mutually exclusive with ``version``."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of_ts, not both")
+        version = cow_resolve_as_of_ts(root, as_of_ts)
     m = _read_manifest(root, version)
     files = m["files"]
     if partition_values is not None:
@@ -362,6 +389,46 @@ def cow_merge(
             manifest[k] = m[k]
     _commit_manifest(root, manifest)
     return next_version
+
+
+def _effective_commit_ts(root: str, version: int) -> float:
+    """Wall-clock stamp for ``version``: the manifest's recorded
+    ``commit_ts``, else the manifest FILE's mtime (legacy pre-round-12
+    tables — the same fallback Delta uses for commits predating
+    in-commit timestamps)."""
+    m = _read_manifest(root, version)
+    ts = m.get("commit_ts")
+    return (
+        float(ts)
+        if ts is not None
+        else os.path.getmtime(_manifest_path(root, version))
+    )
+
+
+def cow_resolve_as_of_ts(root: str, as_of_ts: float) -> int:
+    """Latest version whose MONOTONIZED commit timestamp is <= as_of_ts
+    (Delta ``timestampAsOf`` semantics). Raw per-version stamps can
+    regress under clock skew between concurrent writers; the effective
+    stamp is the running max over version order, so resolution is
+    order-consistent (v <= w implies eff(v) <= eff(w)) and several
+    versions sharing one effective stamp resolve to the LATEST of them.
+    Raises ValueError for a timestamp before the first commit (nothing
+    existed to read — same contract as Delta). Driver-side metadata
+    scan, O(versions) manifest reads, no data I/O."""
+    best: int | None = None
+    eff = float("-inf")
+    for v in cow_history(root):
+        eff = max(eff, _effective_commit_ts(root, v))
+        if eff <= as_of_ts:
+            best = v
+        else:
+            break  # monotone: every later version is strictly after ts
+    if best is None:
+        raise ValueError(
+            f"as_of_ts={as_of_ts} predates the first commit of cow table"
+            f" {root}"
+        )
+    return best
 
 
 def cow_history(root: str) -> list[int]:

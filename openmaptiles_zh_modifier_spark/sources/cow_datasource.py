@@ -23,7 +23,8 @@ Batch read (``CowBatchReader``):
   (pruning is file-granular, rows inside a kept file still need the
   residual filter) by returning them from pushFilters.
 - options: ``path`` (table root, required), ``version`` (time travel,
-  default latest).
+  default latest), ``as_of_ts`` (epoch seconds — timestamp time travel,
+  resolved via cow_resolve_as_of_ts; exclusive with ``version``).
 
 Streaming read (``CowStreamReader``):
 - offset = committed version number: each micro-batch processes the
@@ -540,16 +541,29 @@ class CowDataSource(DataSource):
             raise ValueError("cowtable requires .option('path', <table root>)")
         return root
 
-    def schema(self) -> StructType:
+    def _version_option(self) -> int | None:
+        """``version`` / ``as_of_ts`` (epoch seconds, Delta's
+        timestampAsOf) time-travel options — mutually exclusive."""
         version = self.options.get("version")
-        m = _read_manifest(self._root(), int(version) if version else None)
+        as_of_ts = self.options.get("as_of_ts")
+        if version is not None and as_of_ts is not None:
+            raise ValueError(
+                "cowtable: pass either 'version' or 'as_of_ts', not both"
+            )
+        if as_of_ts is not None:
+            from openmaptiles_zh_modifier_spark.operators.cow_table import (
+                cow_resolve_as_of_ts,
+            )
+
+            return cow_resolve_as_of_ts(self._root(), float(as_of_ts))
+        return int(version) if version else None
+
+    def schema(self) -> StructType:
+        m = _read_manifest(self._root(), self._version_option())
         return _schema_of(m)
 
     def reader(self, schema: StructType) -> CowBatchReader:
-        version = self.options.get("version")
-        return CowBatchReader(
-            self._root(), int(version) if version else None
-        )
+        return CowBatchReader(self._root(), self._version_option())
 
     def streamReader(self, schema: StructType) -> CowStreamReader:
         return CowStreamReader(

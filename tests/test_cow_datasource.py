@@ -401,3 +401,40 @@ def test_stream_writer_commit_rejects_mid_stream_ddl(spark, tmp_path):
     cow_rename_column(root, "name", "label")
     with pytest.raises(CowConflictError):
         w.commit([], batchId=0)
+
+
+def test_as_of_ts_option(spark, cow_root):
+    """DSv2 twin of cow_read(as_of_ts=...): the option resolves through
+    cow_resolve_as_of_ts and is exclusive with 'version'."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        _effective_commit_ts,
+        cow_merge,
+    )
+
+    v1_rows = _rows(spark.read.format("cowtable").option("path", cow_root).load())
+    ts1 = _effective_commit_ts(cow_root, 1)
+    cow_merge(
+        spark, cow_root,
+        spark.createDataFrame(
+            [(0, "RENAMED", 0)],
+            "n_nationkey long, n_name string, n_regionkey int",
+        ),
+        on="n_nationkey",
+        matched_update={"n_name": F.col("s.n_name")},
+    )
+    pinned = (
+        spark.read.format("cowtable")
+        .option("path", cow_root)
+        .option("as_of_ts", str(ts1))
+        .load()
+    )
+    assert _rows(pinned) == v1_rows
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("cowtable")
+            .option("path", cow_root)
+            .option("version", "1")
+            .option("as_of_ts", str(ts1))
+            .load()
+            .collect()
+        )

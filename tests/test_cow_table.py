@@ -506,3 +506,118 @@ def test_cow_compact_size_targeted_binpack(spark, tmp_path):
         spark.read.parquet(os.path.join(root, e["path"])).count() for e in us
     ]
     assert sum(sizes) == 100 and max(sizes) <= 60
+
+
+def test_as_of_ts_resolution_ties_skew_and_fallback(spark, tmp_path):
+    """Timestamp time travel (VERDICT r11 #4): Delta timestampAsOf
+    semantics — latest version with monotonized commit_ts <= ts; ties
+    resolve to the LATEST such version; raw stamp regressions (clock
+    skew in external/legacy manifests) are monotonized at read; a
+    manifest with no commit_ts falls back to file mtime."""
+    import json as _json
+
+    import pytest
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        _manifest_path,
+        cow_append,
+        cow_create,
+        cow_read,
+        cow_resolve_as_of_ts,
+    )
+
+    root = str(tmp_path / "t")
+    cow_create(spark, root, spark.createDataFrame([(1,)], "id long"))
+    cow_append(spark, root, spark.createDataFrame([(2,)], "id long"))
+    cow_append(spark, root, spark.createDataFrame([(3,)], "id long"))
+
+    def set_ts(version, ts):
+        p = _manifest_path(root, version)
+        m = _json.load(open(p))
+        if ts is None:
+            m.pop("commit_ts", None)
+        else:
+            m["commit_ts"] = ts
+        _json.dump(m, open(p, "w"))
+
+    # injected stamps: v1=50, v2=100, v3=90 (regression — simulated skew)
+    set_ts(1, 50.0)
+    set_ts(2, 100.0)
+    set_ts(3, 90.0)
+    assert cow_resolve_as_of_ts(root, 50.0) == 1
+    assert cow_resolve_as_of_ts(root, 75.0) == 1
+    assert cow_resolve_as_of_ts(root, 99.0) == 1  # v2 eff=100 > 99
+    # v3's effective stamp monotonizes to 100 -> tie with v2 -> latest
+    assert cow_resolve_as_of_ts(root, 100.0) == 3
+    assert cow_resolve_as_of_ts(root, 1e12) == 3
+    with pytest.raises(ValueError, match="predates"):
+        cow_resolve_as_of_ts(root, 49.9)
+
+    # data read at a historical stamp = that version's content
+    assert [r.id for r in cow_read(spark, root, as_of_ts=75.0).collect()] == [1]
+    with pytest.raises(ValueError, match="not both"):
+        cow_read(spark, root, version=1, as_of_ts=75.0)
+
+    # legacy manifest without commit_ts: mtime fallback keeps it readable
+    set_ts(1, None)
+    import os as _os
+
+    mt = _os.path.getmtime(_manifest_path(root, 1))
+    assert cow_resolve_as_of_ts(root, mt) >= 1
+
+
+def test_as_of_ts_two_writer_race(spark, tmp_path):
+    """Two writers race one version: the loser gets CowConflictError;
+    after its retry commits with a SKEWED-EARLY explicit stamp, the
+    monotonized timeline still resolves order-consistently."""
+    import json as _json
+
+    import pytest
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        CowConflictError,
+        _commit_manifest,
+        _effective_commit_ts,
+        _read_manifest,
+        cow_create,
+        cow_resolve_as_of_ts,
+    )
+
+    root = str(tmp_path / "t")
+    cow_create(spark, root, spark.createDataFrame([(1,)], "id long"))
+    m1 = _read_manifest(root)
+
+    def manifest_v(version, ts=None):
+        m = {
+            "version": version,
+            "partition_by": None,
+            "files": m1["files"],
+            "schema": m1["schema"],
+        }
+        if ts is not None:
+            m["commit_ts"] = ts
+        return m
+
+    _commit_manifest(root, manifest_v(2))  # writer A wins v2
+    with pytest.raises(CowConflictError):
+        _commit_manifest(root, manifest_v(2))  # writer B loses the race
+
+    ts2 = _effective_commit_ts(root, 2)
+    # spread v1 back so the regression window below has room
+    p1 = __import__(
+        "openmaptiles_zh_modifier_spark.operators.cow_table",
+        fromlist=["_manifest_path"],
+    )._manifest_path(root, 1)
+    m1_json = _json.load(open(p1))
+    m1_json["commit_ts"] = ts2 - 100.0
+    _json.dump(m1_json, open(p1, "w"))
+    # B retries as v3, carrying a clock 10s BEHIND A's
+    _commit_manifest(root, manifest_v(3, ts=ts2 - 10.0))
+    # reader monotonization: v3's effective stamp is ts2 (tie -> latest)
+    assert cow_resolve_as_of_ts(root, ts2) == 3
+    # a timestamp inside the raw regression window resolves below v2
+    assert cow_resolve_as_of_ts(root, ts2 - 5.0) == 1
+
+    # an UNSTAMPED commit after the skewed one monotonizes at write time
+    _commit_manifest(root, manifest_v(4))
+    assert _effective_commit_ts(root, 4) >= ts2 - 10.0
