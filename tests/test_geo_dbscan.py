@@ -206,3 +206,145 @@ def test_dbscan_core_edge_guard_reports_supercritical_eps(spark):
     out = dbscan_labels(pts, eps2=1_000_000, min_pts=4, max_core_edges=200)
     got = {int(r.id): (int(r.cluster), int(r.role)) for r in out.collect()}
     assert all(v == (0, 2) for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Geodesic DBSCAN (round 12, VERDICT r11 #6)
+# ---------------------------------------------------------------------------
+
+
+def _hav_mm_py(lat1, lon1, lat2, lon2):
+    import math
+
+    d = (
+        2
+        * 6371000.0
+        * math.asin(
+            math.sqrt(
+                math.sin(math.radians((lat2 - lat1) / 2.0)) ** 2
+                + math.cos(math.radians(lat1))
+                * math.cos(math.radians(lat2))
+                * math.sin(math.radians((lon2 - lon1) / 2.0)) ** 2
+            )
+        )
+    )
+    return round(d * 1000)
+
+
+def _brute_labels_geo(ids, latc, lonc, eps_mm, min_pts):
+    """Reference geodesic DBSCAN over the haversine-mm metric, same
+    label contract as the planar brute force."""
+    n = len(ids)
+    adj = np.zeros((n, n), dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            adj[i, j] = (
+                _hav_mm_py(
+                    latc[i] / 100.0, lonc[i] / 100.0,
+                    latc[j] / 100.0, lonc[j] / 100.0,
+                )
+                <= eps_mm
+            )
+    core = adj.sum(1) >= min_pts
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        if core[i]:
+            for j in np.nonzero(adj[i])[0]:
+                if core[j]:
+                    ri, rj = find(i), find(int(j))
+                    if ri != rj:
+                        parent[ri] = rj
+    cluster = {}
+    for i in range(n):
+        if core[i]:
+            root = find(i)
+            members = [ids[k] for k in range(n) if core[k] and find(k) == root]
+            cluster[ids[i]] = (min(members), 2)
+    for i in range(n):
+        if core[i]:
+            continue
+        neigh = [
+            cluster[ids[j]][0]
+            for j in np.nonzero(adj[i])[0]
+            if j != i and core[j]
+        ]
+        cluster[ids[i]] = (min(neigh), 1) if neigh else (-1, 0)
+    return {int(k): (int(v[0]), v[1]) for k, v in cluster.items()}
+
+
+def test_geodesic_dbscan_antimeridian_and_polar_clusters(spark):
+    """The two shapes a planar grid cannot cluster: a blob straddling
+    ±180° (pairs exist only through the modular lon ring) and a blob at
+    82°N whose lon extent exceeds one probe cell ONLY because the probe
+    width stretches with latitude. Plus nearby-but-outside noise."""
+    from openmaptiles_zh_modifier_spark.queries_geo import (
+        dbscan_labels_geodesic,
+    )
+
+    rows = []
+    # antimeridian blob: lon 179.9°..180° and -180°..-179.9°, lat ~0
+    for k in range(4):
+        rows.append((k, 0 + k, 17990 + k * 5))          # east of the seam
+        rows.append((10 + k, 0 + k, -18000 + k * 5))    # west of the seam
+    # 82°N blob: lon spread 3° wide ~= 46 km east-west at that latitude
+    for k in range(6):
+        rows.append((20 + k, 8200 + k, 3000 + k * 60))
+    # noise: same lons at the EQUATOR, where 3° of lon = 334 km >> eps
+    for k in range(3):
+        rows.append((30 + k, 0, 3000 + k * 160))
+
+    ids = [r[0] for r in rows]
+    latc = [r[1] for r in rows]
+    lonc = [r[2] for r in rows]
+    eps_mm = 50_000_000
+    want = _brute_labels_geo(ids, latc, lonc, eps_mm, min_pts=4)
+
+    pts = spark.createDataFrame(rows, "id long, latc long, lonc long")
+    got = {
+        int(r.id): (int(r.cluster), int(r.role))
+        for r in dbscan_labels_geodesic(pts, eps_mm=eps_mm).collect()
+    }
+    assert got == want
+    # the seam blob really is ONE cluster spanning both hemispheres
+    assert got[0][0] == got[10][0] != -1
+    # the 82° blob is one cluster; the equator twins are noise
+    assert len({got[20 + k][0] for k in range(6)}) == 1
+    assert all(got[30 + k] == (-1, 0) for k in range(3))
+
+
+def test_geodesic_dbscan_fixture_has_the_mandated_shapes(spark, sf_dir):
+    """The registered query's fixture must actually exercise what the
+    oracle certifies: a >=75° cluster and an antimeridian-straddling
+    cluster, both labeled as clusters (not noise)."""
+    from openmaptiles_zh_modifier_spark.queries_geo import (
+        _GDB_LAT,
+        _GDB_LON,
+        dbscan_labels_geodesic,
+    )
+    from openmaptiles_zh_modifier_spark.registry import load
+
+    pts = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id AS id", f"{_GDB_LAT} AS latc", f"{_GDB_LON} AS lonc"
+    )
+    labeled = dbscan_labels_geodesic(pts).join(pts, "id")
+    rows = labeled.where("cluster >= 0").collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert len(by_cluster) == 2
+    polar = [
+        c for c, ms in by_cluster.items() if all(m.latc >= 7500 for m in ms)
+    ]
+    seam = [
+        c
+        for c, ms in by_cluster.items()
+        if {m.lonc >= 0 for m in ms} == {True, False}
+    ]
+    assert len(polar) == 1 and len(seam) == 1 and polar != seam

@@ -168,6 +168,13 @@ BENCH_QUERIES = [
     # their build per (session, sf_dir), so anchor reps must
     # clear_frame_cache() first — see --late10 below.
     "q_geo_dbscan",
+    # round-12: geodesic DBSCAN — the pair stream is the radius join
+    # (documents x documents), so 3x docs means ~9x pairs INSIDE the
+    # two implanted blobs (quadratic by design: a denser blob is more
+    # pairs, not more clusters) and ~3x scatter candidates; the
+    # component loop stays on the blob edges. Expect super-linear but
+    # bounded growth, dominated by the blob pair verify.
+    "q_geo_dbscan_geodesic",
     "q_geo_segment_join",
     "q_cow_schema_evolution",
     # streaming geofence: stateless blocked containment on the event
@@ -416,6 +423,7 @@ def main() -> None:
 # app+sf_dir, which registry.clear_frame_cache cannot see).
 MEMOIZING_QUERIES = {
     "q_geo_dbscan",
+    "q_geo_dbscan_geodesic",
     "q_geo_segment_join",
     "q_geo_segment_join_geodesic",
     "q_cow_schema_evolution",
@@ -440,6 +448,13 @@ def _clear_query_memos() -> None:
 # boxes), measured directly (BASELINE.md late-round-10 table).
 LATE10_QUERIES = [
     "q_geo_dbscan",
+    # round-12: geodesic DBSCAN — the pair stream is the radius join
+    # (documents x documents), so 3x docs means ~9x pairs INSIDE the
+    # two implanted blobs (quadratic by design: a denser blob is more
+    # pairs, not more clusters) and ~3x scatter candidates; the
+    # component loop stays on the blob edges. Expect super-linear but
+    # bounded growth, dominated by the blob pair verify.
+    "q_geo_dbscan_geodesic",
     "q_geo_segment_join",
     "q_cow_schema_evolution",
 ]
