@@ -26,6 +26,14 @@ ConcurrentAppendException) and must re-read + retry. Old manifests and
 files remain: every historical version stays readable (time travel)
 until ``cow_vacuum`` drops unreferenced files.
 
+Deletion vectors (round 12): ``cow_delete`` publishes sidecar parquet
+rows (fname, pos) instead of rewriting data files (Delta's DV /
+merge-on-read delete); readers drop marked positions with one
+anti-join; ``cow_compact`` materializes vectors; ``cow_changes`` diffs
+(path, dv) pairs so DV commits surface as CDF deletes; vacuum tracks
+sidecar liveness by directory. ``cow_delete(rewrite=True)`` is the
+copy-on-write form for large deletes.
+
 Column mapping (round 11): an optional manifest ``column_mapping``
 (logical name -> stable PHYSICAL file column name) makes RENAME and
 DROP COLUMN pure metadata commits — ``cow_rename_column`` /
@@ -200,7 +208,17 @@ def _write_commit(
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(dirpath, fn), root)
+            # make the BASENAME globally unique: Spark's partitionBy
+            # writer reuses part-<taskid>-<jobuuid> across partition
+            # directories, and deletion vectors key rows by file name
+            # (_metadata.file_name — the only spelling that is identical
+            # between the JVM scan and the pyarrow DSv2 reader). A
+            # same-directory rename is atomic on a local FS; an
+            # object-store deployment would instead configure unique
+            # writer filenames up front.
+            ufn = f"{fn[: -len('.parquet')]}-{uuid.uuid4().hex[:12]}.parquet"
+            os.rename(os.path.join(dirpath, fn), os.path.join(dirpath, ufn))
+            rel = os.path.relpath(os.path.join(dirpath, ufn), root)
             part = None
             for seg in rel.split(os.sep):
                 if seg.startswith(_PV + "="):
@@ -238,30 +256,80 @@ def _logical_schema(m: dict):
     return StructType.fromJson(json.loads(m["schema"]))
 
 
-def _read_files(spark: SparkSession, root: str, m: dict, entries) -> DataFrame:
+_DV_FN = "__cow_fn"
+_DV_POS = "__cow_pos"
+
+
+def _read_files(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    entries,
+    with_lineage: bool = False,
+) -> DataFrame:
     """Read manifest ``entries`` projected to the manifest's LOGICAL
     schema. Without a column mapping this is the original fast path
     (one schema-pinned multi-path scan — pre-evolution files project
     missing columns as NULL). With a mapping (a rename or drop
     happened), files are scanned under their stable PHYSICAL names and
     aliased to the logical names — Delta's column-mapping idea: the
-    files never change, only the manifest's name indirection does."""
+    files never change, only the manifest's name indirection does.
+
+    Deletion vectors (round 12): an entry may carry ``dv`` — a sidecar
+    parquet directory of (fname, pos) rows marking logically-deleted
+    positions in that file. DV'd reads scan with the engine-native
+    ``_metadata.file_name``/``row_index`` hidden columns and drop the
+    marked rows with ONE anti-join against the union of the referenced
+    sidecars — no sidecar scoping needed: a dv directory only ever
+    holds rows for files whose entries were repointed to it in the same
+    commit, so within any one version's entry set every (fname, pos) it
+    contributes is a true deletion for that version (see cow_delete).
+    The join side carries parquet size stats, so AQE broadcasts the
+    (small) sidecars; a pathological DV bigger than the table is the
+    signal to run cow_delete(rewrite=True) instead.
+
+    ``with_lineage=True`` keeps the (fname, pos) columns on the result
+    (post-DV-filter) as ``__cow_fn``/``__cow_pos`` — cow_delete's hook."""
     schema = _logical_schema(m)
     if not entries:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if with_lineage:
+            out = out.withColumn(_DV_FN, F.lit(None).cast("string")).withColumn(
+                _DV_POS, F.lit(None).cast("bigint")
+            )
+        return out
     paths = [os.path.join(root, e["path"]) for e in entries]
+    dv_dirs = sorted({e["dv"] for e in entries if e.get("dv")})
     cmap = m.get("column_mapping")
     if not cmap:
-        return spark.read.schema(schema).parquet(*paths)
-    from pyspark.sql.types import StructField, StructType
+        df = spark.read.schema(schema).parquet(*paths)
+        logical = [F.col(f.name) for f in schema.fields]
+    else:
+        from pyspark.sql.types import StructField, StructType
 
-    phys = StructType(
-        [StructField(cmap[f.name], f.dataType, f.nullable) for f in schema.fields]
+        phys = StructType(
+            [
+                StructField(cmap[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(phys).parquet(*paths)
+        logical = [F.col(cmap[f.name]).alias(f.name) for f in schema.fields]
+    if not dv_dirs and not with_lineage:
+        return df.select(*logical)
+    df = df.select(
+        *logical,
+        F.col("_metadata.file_name").alias(_DV_FN),
+        F.col("_metadata.row_index").alias(_DV_POS),
     )
-    df = spark.read.schema(phys).parquet(*paths)
-    return df.select(
-        *[F.col(cmap[f.name]).alias(f.name) for f in schema.fields]
-    )
+    if dv_dirs:
+        dv = spark.read.parquet(*[os.path.join(root, d) for d in dv_dirs])
+        df = df.join(
+            dv,
+            (F.col(_DV_FN) == dv["fname"]) & (F.col(_DV_POS) == dv["pos"]),
+            "left_anti",
+        )
+    return df if with_lineage else df.drop(_DV_FN, _DV_POS)
 
 
 def _to_physical(df: DataFrame, m: dict, extra_cols: tuple = ()) -> DataFrame:
@@ -486,15 +554,24 @@ def cow_vacuum(
         )
     dropped_vs = [v for v in versions if v not in set(kept_vs)]
     live: set[str] = set()
+    live_dv_dirs: set[str] = set()
     for v in kept_vs:
-        live |= {e["path"] for e in _read_manifest(root, v)["files"]}
+        for e in _read_manifest(root, v)["files"]:
+            live.add(e["path"])
+            if e.get("dv"):
+                live_dv_dirs.add(e["dv"])
     # files referenced by the manifests we are about to delete: once
     # those manifests are gone these are provably dead (not orphans of
     # an in-flight writer), so no mtime grace applies to them
     dropped_refs: set[str] = set()
+    dropped_dv_dirs: set[str] = set()
     for v in dropped_vs:
-        dropped_refs |= {e["path"] for e in _read_manifest(root, v)["files"]}
+        for e in _read_manifest(root, v)["files"]:
+            dropped_refs.add(e["path"])
+            if e.get("dv"):
+                dropped_dv_dirs.add(e["dv"])
     dropped_refs -= live
+    dropped_dv_dirs -= live_dv_dirs
     removed = 0
     for v in dropped_vs:
         os.unlink(_manifest_path(root, v))
@@ -513,8 +590,15 @@ def cow_vacuum(
             rel = os.path.relpath(full, root)
             if rel in live:
                 continue
+            # deletion-vector sidecars are referenced by DIRECTORY: a
+            # part file under a live dv dir is live; under a dv dir
+            # only dropped manifests referenced, provably dead
+            top = rel.split(os.sep, 1)[0]
+            if top in live_dv_dirs:
+                continue
+            provably_dead = rel in dropped_refs or top in dropped_dv_dirs
             try:
-                if rel not in dropped_refs and os.path.getmtime(full) > cutoff:
+                if not provably_dead and os.path.getmtime(full) > cutoff:
                     continue  # possibly an in-flight commit — keep
                 os.unlink(full)
                 removed += 1
@@ -548,21 +632,30 @@ def cow_changes(
 
     m_from = _read_manifest(root, from_version)
     m_to = _read_manifest(root, to_version)
-    paths_from = {e["path"] for e in m_from["files"]}
-    paths_to = {e["path"] for e in m_to["files"]}
+    # the diff unit is (path, dv): a deletion-vector commit changes no
+    # file set, but repointing an entry's sidecar changes its LIVE ROWS
+    # — diffing the pair makes the file contribute its from-state to
+    # "removed" and its to-state to "added", and exceptAll cancels the
+    # surviving rows so exactly the newly-deleted rows emerge as CDF
+    # deletes (tests/test_cow_deletion_vectors.py)
+    pairs_from = {(e["path"], e.get("dv")) for e in m_from["files"]}
+    pairs_to = {(e["path"], e.get("dv")) for e in m_to["files"]}
     # compare in the TO-version's schema space: pre-evolution files on
     # either side project missing columns as NULL, keeping exceptAll's
     # arity aligned across a schema evolution inside the span
     to_schema = StructType.fromJson(json.loads(m_to["schema"]))
 
-    def read_paths(paths: set[str]) -> DataFrame:
+    def read_pairs(pairs: set) -> DataFrame:
         # project through the TO-version manifest (schema AND mapping):
         # a renamed column diffs under its current logical name
-        entries = [{"path": p} for p in sorted(paths)]
+        entries = [
+            {"path": p, **({"dv": d} if d else {})}
+            for p, d in sorted(pairs, key=lambda x: (x[0], x[1] or ""))
+        ]
         return _read_files(spark, root, m_to, entries)
 
-    added = read_paths(paths_to - paths_from)
-    removed = read_paths(paths_from - paths_to)
+    added = read_pairs(pairs_to - pairs_from)
+    removed = read_pairs(pairs_from - pairs_to)
     inserts = added.exceptAll(removed).withColumn(
         "_change_type", F.lit("insert")
     )
@@ -570,6 +663,113 @@ def cow_changes(
         "_change_type", F.lit("delete")
     )
     return inserts.unionByName(deletes)
+
+
+def cow_delete(
+    spark: SparkSession,
+    root: str,
+    condition,
+    rewrite: bool = False,
+) -> int:
+    """DELETE WHERE ``condition`` (a Column or SQL string over the
+    LOGICAL schema; NULL predicate rows are kept, SQL DELETE semantics).
+
+    Default mode is a DELETION-VECTOR commit (Delta's DV / merge-on-read
+    delete): no data file is rewritten — the commit publishes sidecar
+    parquet rows (fname, pos) marking the deleted positions, and every
+    reader drops them with one anti-join (see _read_files). The write
+    cost tracks the DELETED rows, not the touched files' sizes: deleting
+    10 rows from a 1 GB file costs a 10-row sidecar, where copy-on-write
+    would re-encode the gigabyte. Sidecars accumulate by UNION: a
+    second delete touching the same file writes that file's full
+    deleted set into the new sidecar and repoints the entry, so each
+    entry references exactly ONE sidecar (reads stay one anti-join) and
+    a sidecar's rows are valid for every version whose entries point at
+    it. ``cow_compact`` naturally MATERIALIZES vectors (fragments are
+    read through the DV filter; rewritten entries carry no dv), and
+    ``cow_changes`` diffs (path, dv) pairs so a DV commit surfaces its
+    rows as CDF deletes.
+
+    ``rewrite=True`` is the copy-on-write form: touched files are
+    rewritten without the matching rows (and with any PRIOR vectors
+    applied, so it also materializes them for those files) — the right
+    mode when the delete is a large fraction of the data and the DV
+    anti-join side would rival the table.
+
+    Scale shape: one scan of the live files evaluates the predicate
+    (file-level stats pruning would narrow this; the manifest carries
+    no column stats yet — documented gap), the hit positions come back
+    as a distributed frame, and the only driver-side materialization is
+    the touched FILE NAME list (bounded by file count, the same
+    metadata-scale collect cow_merge does for partition values). Both
+    modes commit under the optimistic version race.
+
+    Streaming caveat (same as Delta without ignoreDeletes): the
+    cowtable streaming source replays ADDED files, so a DV commit adds
+    nothing and its deletions do not flow into downstream streams."""
+    import uuid as _uuid
+
+    m = _read_manifest(root)
+    entries = m["files"]
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    cond_true = F.coalesce(cond.cast("boolean"), F.lit(False))
+    live = _read_files(spark, root, m, entries, with_lineage=True)
+    # materialize the hit positions once: the touched-file collect AND
+    # the sidecar write both consume them, and the predicate must be
+    # evaluated against ONE snapshot of the scan
+    hits = (
+        live.where(cond_true)
+        .select(F.col(_DV_FN).alias("fname"), F.col(_DV_POS).alias("pos"))
+        .localCheckpoint(eager=True)
+    )
+    touched = {r.fname for r in hits.select("fname").distinct().collect()}
+    if not touched:
+        return m["version"]  # nothing matched; no version burned
+
+    def _fname(e: dict) -> str:
+        return os.path.basename(e["path"])
+
+    if rewrite:
+        keep_entries = [e for e in entries if _fname(e) not in touched]
+        touched_entries = [e for e in entries if _fname(e) in touched]
+        survivors = _read_files(
+            spark, root, m, touched_entries, with_lineage=False
+        ).where(~cond_true)
+        new_files = _write_commit(
+            _to_physical(survivors, m),
+            root,
+            _physical_name(m, m["partition_by"]),
+        )
+        files = keep_entries + new_files
+    else:
+        # the new sidecar carries each touched file's FULL deleted set:
+        # fresh hits unioned with the touched files' prior vectors
+        prior_dirs = sorted(
+            {e["dv"] for e in entries if e.get("dv") and _fname(e) in touched}
+        )
+        dv_rows = hits
+        if prior_dirs:
+            prior = spark.read.parquet(
+                *[os.path.join(root, d) for d in prior_dirs]
+            ).where(F.col("fname").isin(list(touched)))
+            dv_rows = dv_rows.unionByName(prior)
+        dv_rel = f"dv-{_uuid.uuid4().hex[:12]}"
+        dv_rows.write.parquet(os.path.join(root, dv_rel))
+        files = [
+            ({**e, "dv": dv_rel} if _fname(e) in touched else e)
+            for e in entries
+        ]
+    manifest = {
+        "version": m["version"] + 1,
+        "partition_by": m["partition_by"],
+        "files": files,
+        "schema": m["schema"],
+    }
+    for k in ("column_mapping", "retired_physical"):
+        if k in m:
+            manifest[k] = m[k]
+    _commit_manifest(root, manifest)
+    return manifest["version"]
 
 
 def cow_append(

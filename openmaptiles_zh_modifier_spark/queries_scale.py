@@ -1033,7 +1033,7 @@ def evict_table_memos() -> None:
     parquet trees for the life of the process, because the
     new-app-evicts path in :func:`_app_scoped_table_memo` never fires
     within one application."""
-    for memo in (_ZC_TABLES, _SE_TABLES):
+    for memo in (_ZC_TABLES, _SE_TABLES, _DV_TABLES):
         _evict_memo(memo)
 
 
@@ -1261,3 +1261,102 @@ def q_cow_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return census(2).unionByName(census(v_latest)).orderBy("version")
+
+
+# (applicationId, sf_dir) -> (table root, post-delete version)
+_DV_TABLES: dict[tuple, tuple[str, int]] = {}
+
+
+def _dv_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    return _app_scoped_table_memo(
+        spark, _DV_TABLES, sf_dir, lambda: _dv_build(spark, sf_dir)
+    )
+
+
+def _dv_build(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    import tempfile
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_create,
+        cow_delete,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="omt-dv-") + "/t"
+    cow_create(
+        spark,
+        root,
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        ),
+        partition_by="o_orderpriority",
+    )
+    cow_delete(spark, root, "o_orderkey % 10 = 0")        # v2: dv commit
+    v = cow_delete(spark, root, "o_custkey % 7 = 0")      # v3: dv union
+    return root, v
+
+
+@register(
+    "q_cow_delete_dv",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS version,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+         CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+  FROM base
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey) AS BIGINT), CAST(SUM(o_custkey) AS BIGINT)
+  FROM base WHERE NOT (o_orderkey % 10 = 0)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey) AS BIGINT), CAST(SUM(o_custkey) AS BIGINT)
+  FROM base WHERE NOT (o_orderkey % 10 = 0) AND NOT (o_custkey % 7 = 0)
+)
+ORDER BY version
+""",
+)
+def q_cow_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE measured through real manifests (round
+    12): the table ingests half of orders, then two DV deletes land as
+    sidecar-only commits — v2 marks an orderkey slice, v3 a custkey
+    slice whose touched files overlap v2's (exercising the
+    sidecar-union repointing). No data file is rewritten by either
+    (pinned in tests/test_cow_deletion_vectors.py); every version's
+    census must equal the declarative filter algebra the oracle
+    replays, INCLUDING time travel back through both deletes.
+
+    Scale shape: a DV delete costs one predicate scan + a sidecar whose
+    size tracks the DELETED rows (deleting 10 rows from a 1 GB file is
+    a 10-row sidecar, not a 1 GB re-encode); reads pay one anti-join
+    whose build side is the sidecar union — AQE broadcasts it. The
+    table build is memoized per (session, sf_dir); each call prices
+    three lazy census reads."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_read
+
+    root, v_latest = _dv_table(spark, sf_dir)
+
+    def census(version: int) -> DataFrame:
+        return (
+            cow_read(spark, root, version=version)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_orderkey"),
+                F.sum("o_custkey").alias("sum_custkey"),
+            )
+            .select(
+                F.lit(version).cast("long").alias("version"),
+                "n_rows",
+                "sum_orderkey",
+                "sum_custkey",
+            )
+        )
+
+    return (
+        census(1).unionByName(census(2)).unionByName(census(v_latest))
+        .orderBy("version")
+    )

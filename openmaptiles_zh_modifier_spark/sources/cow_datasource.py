@@ -78,10 +78,13 @@ FORMAT_NAME = "cowtable"
 
 @dataclass
 class CowFilePartition(InputPartition):
-    """One live data file (absolute path kept picklable as str)."""
+    """One live data file (absolute path kept picklable as str).
+    ``dv`` is the file's deletion-vector sidecar directory (absolute),
+    or None — positions listed there are masked out at read."""
 
     path: str
     partition: str | None
+    dv: str | None = None
 
 
 def _schema_of(manifest: dict) -> StructType:
@@ -89,7 +92,10 @@ def _schema_of(manifest: dict) -> StructType:
 
 
 def _read_file_batches(
-    path: str, schema: StructType, cmap: dict | None = None
+    path: str,
+    schema: StructType,
+    cmap: dict | None = None,
+    dv_dir: str | None = None,
 ) -> Iterator:
     """Yield Arrow RecordBatches for one parquet file, column-aligned to
     the table schema (parquet writers may reorder; Spark maps by
@@ -123,7 +129,23 @@ def _read_file_batches(
         else pa.nulls(table.num_rows, type=f.type)
         for f in target
     ]
-    for batch in pa.table(cols, schema=target).to_batches():
+    out = pa.table(cols, schema=target)
+    if dv_dir is not None:
+        # deletion vector: sidecar (fname, pos) rows for THIS file mask
+        # its deleted positions; pq.read_table preserves file row order,
+        # so positions index directly into the table
+        import numpy as np
+
+        fname = os.path.basename(path)
+        dv = pq.read_table(
+            dv_dir, columns=["fname", "pos"],
+            filters=[("fname", "==", fname)],
+        )
+        if dv.num_rows:
+            mask = np.ones(out.num_rows, dtype=bool)
+            mask[dv.column("pos").to_numpy()] = False
+            out = out.filter(pa.array(mask))
+    for batch in out.to_batches():
         yield batch
 
 
@@ -164,7 +186,9 @@ class CowBatchReader(DataSourceReader):
             files = [e for e in files if e["partition"] in self._wanted]
         return [
             CowFilePartition(
-                os.path.join(self._root, e["path"]), e["partition"]
+                os.path.join(self._root, e["path"]),
+                e["partition"],
+                os.path.join(self._root, e["dv"]) if e.get("dv") else None,
             )
             for e in files
         ]
@@ -174,12 +198,19 @@ class CowBatchReader(DataSourceReader):
         # Spark worker then substitutes [None] and still calls read once
         if partition is None:
             return
-        yield from _read_file_batches(partition.path, self._schema, self._cmap)
+        yield from _read_file_batches(
+            partition.path, self._schema, self._cmap, dv_dir=partition.dv
+        )
 
 
 class CowStreamReader(DataSourceStreamReader):
     """Commit-log replay: one micro-batch per span of newly committed
-    versions; the unit of progress is the manifest version number."""
+    versions; the unit of progress is the manifest version number.
+
+    Deletion-vector caveat (same as Delta without ignoreDeletes): the
+    source replays files ADDED per version span, so a cow_delete DV
+    commit adds nothing and its deletions do NOT flow downstream —
+    documented divergence, matching the operator's own docstring."""
 
     def __init__(self, root: str, starting_version: int) -> None:
         self._root = root

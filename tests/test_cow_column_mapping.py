@@ -292,10 +292,14 @@ def test_review_guards_round11(spark, tmp_path):
     """Self-review pins: (a) widening the partition column refuses
     (post-widen writers would route '5.0' next to the old '5' token and
     split the logical partition); (b) max_rows_per_file with zorder_by
-    refuses instead of being silently ignored; (c) a DSv2 commit pairs
-    the mapping with the SAME manifest it read, so a rename committed
-    while tasks ran cannot tear schema from mapping."""
+    refuses instead of being silently ignored; (c) [superseded round 12
+    per ADVICE r11 #1] a rename committed while a DSv2 write's tasks ran
+    is a METADATA CONFLICT — the commit raises instead of absorbing the
+    newer mapping, because the task files carry plan-time physical
+    names (Delta's contract); the writer retried against the renamed
+    snapshot succeeds and pairs schema with mapping correctly."""
     from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        CowConflictError,
         cow_compact,
         cow_widen_column,
     )
@@ -314,13 +318,26 @@ def test_review_guards_round11(spark, tmp_path):
         cow_compact(spark, root, zorder_by=("id", "id"),
                     max_rows_per_file=100)
 
-    # (c): plan a writer against the UNMAPPED v1, rename concurrently,
-    # then commit — the published manifest must carry v2's mapping
+    # (c): plan a writer against the UNMAPPED v1, rename concurrently —
+    # commit must CONFLICT, not absorb
     writer = CowBatchWriter(root, df.schema, overwrite=False,
                             partition_by=None)
     assert writer._cmap is None                 # plan-time state
     cow_rename_column(root, "bal", "balance")   # concurrent DDL
-    writer.commit([])                           # no files; metadata only
+    with pytest.raises(CowConflictError, match="metadata"):
+        writer.commit([])
+    # the retry (re-planned against the renamed snapshot) goes through
+    # and the mapping pairing is intact
+    from pyspark.sql.types import StructType as _St
+
+    m = _read_manifest(root)
+    retry = CowBatchWriter(
+        root,
+        _St.fromJson(__import__("json").loads(m["schema"])),
+        overwrite=False,
+        partition_by=None,
+    )
+    retry.commit([])
     m = _read_manifest(root)
     assert "balance" in m["schema"]
     assert m["column_mapping"]["balance"] == "bal"   # pairing preserved

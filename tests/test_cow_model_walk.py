@@ -22,6 +22,7 @@ from openmaptiles_zh_modifier_spark.operators.cow_table import (
     cow_append,
     cow_compact,
     cow_create,
+    cow_delete,
     cow_drop_column,
     cow_merge,
     cow_read,
@@ -139,7 +140,7 @@ def test_cow_model_walk(spark, tmp_path):
     for step in range(28):
         op = rng.choice(
             ["append", "evolve", "rename", "drop", "widen", "merge",
-             "compact", "append", "merge", "vacuum"]
+             "compact", "append", "merge", "vacuum", "delete", "delete"]
         )
         if op == "append":
             new = fresh_rows(rng.randint(1, 3))
@@ -216,6 +217,20 @@ def test_cow_model_walk(spark, tmp_path):
             for r in model.rows:
                 if r["id"] == target["id"]:
                     r[col] = newval
+        elif op == "delete":
+            if len(model.rows) < 2:
+                continue
+            target = rng.choice(model.rows)
+            # alternate the deletion-vector and copy-on-write forms so
+            # the walk reaches dv-then-rewrite, dv-then-compact,
+            # dv-then-rename interleavings
+            v = cow_delete(
+                spark,
+                root,
+                f"id = {target['id']}",
+                rewrite=rng.random() < 0.4,
+            )
+            model.rows = [r for r in model.rows if r["id"] != target["id"]]
         elif op == "compact":
             v = cow_compact(spark, root, min_files_per_partition=2)
         elif op == "vacuum":
