@@ -353,6 +353,14 @@ def _physical_name(m: dict, logical: str | None) -> str | None:
     return cmap[logical]
 
 
+def _entry_pcol(e: dict, m: dict) -> str | None:
+    """The partition column an entry's recorded value belongs to:
+    entries written before a partition-spec change carry an explicit
+    ``pcol`` stamp (set by cow_set_partition_spec at evolution time);
+    unstamped entries are current-spec by invariant."""
+    return e.get("pcol", m["partition_by"])
+
+
 def cow_read(
     spark: SparkSession,
     root: str,
@@ -374,7 +382,17 @@ def cow_read(
     files = m["files"]
     if partition_values is not None:
         wanted = {str(v) for v in partition_values}
-        files = [e for e in files if e["partition"] in wanted]
+        # spec-evolution safety: only CURRENT-spec entries can be
+        # pruned by value — an old-spec entry's recorded value belongs
+        # to a different column, so it must be scanned (lossless,
+        # Iceberg's cross-spec behavior; its rows still pass the
+        # caller's row-level filter)
+        files = [
+            e
+            for e in files
+            if _entry_pcol(e, m) != m["partition_by"]
+            or e["partition"] in wanted
+        ]
     # the MANIFEST schema is authoritative: files written before a schema
     # evolution lack the later columns and project them as NULL
     return _read_files(spark, root, m, files)
@@ -433,8 +451,17 @@ def cow_merge(
                 " default them upstream"
             )
         touched = {str(v) for v in vals}
-        affected = [e for e in m["files"] if e["partition"] in touched]
-        keep = [e for e in m["files"] if e["partition"] not in touched]
+        # old-spec entries (pre-partition-evolution) cannot be pruned by
+        # the current column's values — they join the rewrite, which
+        # also MIGRATES them to the current spec (Iceberg's progressive
+        # rewrite-to-new-spec behavior)
+        affected = [
+            e
+            for e in m["files"]
+            if _entry_pcol(e, m) != part_col or e["partition"] in touched
+        ]
+        _aff = {e["path"] for e in affected}
+        keep = [e for e in m["files"] if e["path"] not in _aff]
         # manifest schema is authoritative (not a sampled footer):
         # pre-evolution files must project their missing columns as
         # NULL, or a rewrite would silently drop evolved columns
@@ -663,6 +690,58 @@ def cow_changes(
         "_change_type", F.lit("delete")
     )
     return inserts.unionByName(deletes)
+
+
+def cow_set_partition_spec(root: str, new_partition_by: str | None) -> int:
+    """Partition-spec evolution as a METADATA-ONLY commit (Iceberg's
+    partition evolution; round 12): the manifest's ``partition_by``
+    flips to ``new_partition_by`` (or None = unpartitioned) and every
+    existing entry is stamped with the column its recorded partition
+    value belongs to (``pcol``), so the value is never misread under
+    the new spec. No data file is touched — files carry ALL columns
+    (the partition column is duplicated into the directory key, never
+    removed from the data), which is exactly what makes evolution free:
+
+    - new writes route and record by the NEW spec;
+    - metadata pruning (cow_read partition_values, DSv2 pushFilters)
+      applies only to entries whose spec matches the current one —
+      old-spec entries are conservatively scanned (lossless);
+    - MERGE treats old-spec entries as always-affected and its rewrite
+      emits new-spec files; OPTIMIZE groups old-spec entries by their
+      own (col, value) and migrates qualifying groups — the table
+      converges to the new spec through normal maintenance, Iceberg's
+      progressive-rewrite story.
+
+    The new column must exist in the table schema. Same-column call is
+    rejected (no version burned for a no-op)."""
+    m = _read_manifest(root)
+    if new_partition_by == m["partition_by"]:
+        raise ValueError(
+            f"cow_set_partition_spec: table already partitioned by"
+            f" {new_partition_by!r}"
+        )
+    if new_partition_by is not None:
+        schema_cols = [f.name for f in _logical_schema(m).fields]
+        if new_partition_by not in schema_cols:
+            raise ValueError(
+                f"cow_set_partition_spec: {new_partition_by!r} is not a"
+                f" table column ({schema_cols})"
+            )
+    files = [
+        (e if "pcol" in e else {**e, "pcol": m["partition_by"]})
+        for e in m["files"]
+    ]
+    manifest = {
+        "version": m["version"] + 1,
+        "partition_by": new_partition_by,
+        "files": files,
+        "schema": m["schema"],
+    }
+    for k in ("column_mapping", "retired_physical"):
+        if k in m:
+            manifest[k] = m[k]
+    _commit_manifest(root, manifest)
+    return manifest["version"]
 
 
 def cow_delete(
@@ -1084,7 +1163,11 @@ def cow_compact(
     part_col = m["partition_by"]
     by_part: dict = {}
     for e in m["files"]:
-        by_part.setdefault(e["partition"], []).append(e)
+        # group key includes the entry's SPEC: after a partition-spec
+        # change, old-spec entries fragment per their own (col, value)
+        # for the threshold decision, and a qualifying rewrite emits
+        # CURRENT-spec files — OPTIMIZE doubles as spec migration
+        by_part.setdefault((_entry_pcol(e, m), e["partition"]), []).append(e)
     rewrite = {
         p: es for p, es in by_part.items() if len(es) >= min_files_per_partition
     }

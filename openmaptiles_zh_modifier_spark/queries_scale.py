@@ -1033,7 +1033,7 @@ def evict_table_memos() -> None:
     parquet trees for the life of the process, because the
     new-app-evicts path in :func:`_app_scoped_table_memo` never fires
     within one application."""
-    for memo in (_ZC_TABLES, _SE_TABLES, _DV_TABLES):
+    for memo in (_ZC_TABLES, _SE_TABLES, _DV_TABLES, _PE_TABLES):
         _evict_memo(memo)
 
 
@@ -1359,4 +1359,108 @@ def q_cow_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         census(1).unionByName(census(2)).unionByName(census(v_latest))
         .orderBy("version")
+    )
+
+
+# (applicationId, sf_dir) -> (table root, post-evolution version)
+_PE_TABLES: dict[tuple, tuple[str, int]] = {}
+
+
+def _pe_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    return _app_scoped_table_memo(
+        spark, _PE_TABLES, sf_dir, lambda: _pe_build(spark, sf_dir)
+    )
+
+
+def _pe_build(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    import tempfile
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_append,
+        cow_create,
+        cow_set_partition_spec,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="omt-pe-") + "/t"
+    cow_create(
+        spark,
+        root,
+        orders.where(F.col("o_orderkey") % 3 == 0),
+        partition_by="o_orderpriority",
+    )
+    cow_append(spark, root, orders.where(F.col("o_orderkey") % 3 == 1))
+    cow_set_partition_spec(root, "o_orderstatus")          # v3: metadata only
+    v = cow_append(spark, root, orders.where(F.col("o_orderkey") % 3 == 2))
+    return root, v
+
+
+@register(
+    "q_cow_partition_evolution",
+    oracle="""
+SELECT * FROM (
+  SELECT CAST(2 AS BIGINT) AS version,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+  FROM orders WHERE o_orderkey % 3 <= 1
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_custkey) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT CAST(5 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_custkey) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+  FROM orders WHERE o_orderstatus = 'F'
+)
+ORDER BY version, n_rows
+""",
+)
+def q_cow_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution measured through real manifests (round
+    12, Iceberg semantics): the table ingests two chunks partitioned by
+    o_orderpriority, flips the spec to o_orderstatus as a METADATA-ONLY
+    commit (v3 — no data file touched, entries stamped with their spec),
+    then appends the third chunk routed by the NEW column. The census
+    reads v2 (pre-evolution), v4 (mixed specs), and a
+    partition_values-pruned v4 read filtered to one status — the pruned
+    read keeps ALL old-spec files (their recorded values belong to the
+    old column; conservative, lossless) and row-filters on top, so its
+    result equals the plain declarative filter the oracle replays. The
+    version=5 label is just the census row id for the pruned leg.
+
+    Scale shape: spec evolution costs ONE manifest write at any table
+    size; mixed-spec reads stay one multi-path scan (data files carry
+    every column — the partition column is duplicated into the
+    directory key, never removed); metadata pruning degrades gracefully
+    (current-spec files prune by value, old-spec files scan) and normal
+    MERGE/OPTIMIZE maintenance migrates old files to the new spec."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_read
+
+    root, v_latest = _pe_table(spark, sf_dir)
+
+    def census(label: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_custkey").alias("sum_custkey"),
+            F.count_distinct("o_orderstatus").alias("n_status"),
+        ).select(
+            F.lit(label).cast("long").alias("version"),
+            "n_rows",
+            "sum_custkey",
+            "n_status",
+        )
+
+    pruned = cow_read(spark, root, partition_values=["F"]).where(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        census(2, cow_read(spark, root, version=2))
+        .unionByName(census(4, cow_read(spark, root, version=v_latest)))
+        .unionByName(census(5, pruned))
+        .orderBy("version", "n_rows")
     )

@@ -183,7 +183,16 @@ class CowBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         files = self._manifest["files"]
         if self._wanted is not None:
-            files = [e for e in files if e["partition"] in self._wanted]
+            # spec-evolution safety: only entries whose recorded value
+            # belongs to the CURRENT partition column are pruned by it;
+            # pre-evolution entries (explicit "pcol" stamp) are scanned
+            # and rely on the row-level residual filter
+            cur = self._part_col
+            files = [
+                e
+                for e in files
+                if e.get("pcol", cur) != cur or e["partition"] in self._wanted
+            ]
         return [
             CowFilePartition(
                 os.path.join(self._root, e["path"]),
@@ -413,13 +422,15 @@ class CowBatchWriter(DataSourceArrowWriter):
                 m["schema"] != self._plan_schema_json
                 or m.get("column_mapping") != self._cmap
                 or m.get("retired_physical") != self._retired
+                or m["partition_by"] != self._partition_by
             ):
                 from ..operators.cow_table import CowConflictError
 
                 raise CowConflictError(
                     f"cowtable at {self._root}: table metadata (schema/"
-                    "column_mapping) changed between write planning and"
-                    f" commit (manifest v{m['version']}); re-run the write"
+                    "column_mapping/partition spec) changed between write"
+                    f" planning and commit (manifest v{m['version']});"
+                    " re-run the write"
                 )
         else:
             os.makedirs(self._root, exist_ok=True)
@@ -525,6 +536,7 @@ class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
                 m["schema"] != expected_schema
                 or m.get("column_mapping") != self._cmap
                 or m.get("retired_physical") != self._retired
+                or m["partition_by"] != self._partition_by
             ):
                 from ..operators.cow_table import CowConflictError
 

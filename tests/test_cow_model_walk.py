@@ -23,6 +23,7 @@ from openmaptiles_zh_modifier_spark.operators.cow_table import (
     cow_compact,
     cow_create,
     cow_delete,
+    cow_set_partition_spec,
     cow_drop_column,
     cow_merge,
     cow_read,
@@ -86,6 +87,14 @@ def _check(spark, root, model: Model, version=None):
     ), (version, got_rows)
 
 
+def _read_manifest_spec(root):
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        _read_manifest,
+    )
+
+    return _read_manifest(root)["partition_by"]
+
+
 def test_cow_model_walk(spark, tmp_path):
     rng = random.Random(42)
     root = str(tmp_path / "t")
@@ -140,7 +149,8 @@ def test_cow_model_walk(spark, tmp_path):
     for step in range(28):
         op = rng.choice(
             ["append", "evolve", "rename", "drop", "widen", "merge",
-             "compact", "append", "merge", "vacuum", "delete", "delete"]
+             "compact", "append", "merge", "vacuum", "delete", "delete",
+             "respec"]
         )
         if op == "append":
             new = fresh_rows(rng.randint(1, 3))
@@ -217,6 +227,15 @@ def test_cow_model_walk(spark, tmp_path):
             for r in model.rows:
                 if r["id"] == target["id"]:
                     r[col] = newval
+        elif op == "respec":
+            # partition-spec evolution: toggle partitioned <-> not;
+            # logical content is spec-invariant, so the model needs no
+            # update — the walk checks that routing/pruning under the
+            # flipped spec never loses or duplicates a row
+            current_spec = _read_manifest_spec(root)
+            v = cow_set_partition_spec(
+                root, None if current_spec == "part" else "part"
+            )
         elif op == "delete":
             if len(model.rows) < 2:
                 continue
