@@ -38,14 +38,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
-# dict ordering decides what gets externally verified. Round-11 window
-# (VERDICT r10 #1): the 17 remaining r04 rows (finishing the freshness
-# retirement — q_stream_minhash_buckets is both an r04 row AND a bench
-# mover), the five other >1.3x r9->r10 bench movers for their
-# driver-vs-driver confirmation read after the BASELINE.md settlement
-# (all six adjudicated environment-band in isolation), the THREE
-# round-11 additions (the geodesic trilogy), and the 25 stalest r06
-# rows. Base list from ``python tools/gate_coverage.py --window``.
+# dict ordering decides what gets externally verified. Round-12 window
+# (VERDICT r11 #5, routine rotation): the THREE round-12 additions
+# (geodesic DBSCAN, COW deletion vectors, COW partition-spec
+# evolution), the two zh movers for their driver-vs-driver confirmation
+# read after the BASELINE.md round-12 settlement (both environment-band
+# in isolation), then the 45 stalest rows (all 15 remaining r06 rows +
+# the 30 stalest r07). Base list from
+# ``python tools/gate_coverage.py --window``.
+_R12_WINDOW = [
+    "q_geo_dbscan_geodesic",
+    "q_multimodal_flac_decode",
+    "q_cow_delete_dv",
+    "q_cow_partition_evolution",
+    "q_zh_segment_fmm",
+    "q_zh_convert_audit",
+    "q_label_balance",
+    "q_link_prediction",
+    "q_mannwhitney_u",
+    "q_multimodal_ppm_resize",
+    "q_multimodal_wav_decode",
+    "q_multimodal_y4m_framesample",
+    "q_nb_calibration",
+    "q_nb_source_classifier",
+    "q_ndcg_mrr",
+    "q_neardup_pr_curve",
+    "q_pq_recall",
+    "q_psi_arms",
+    "q_seasonal_decompose",
+    "q_span_corruption",
+    "q_split_leakage",
+    "q_sql_shared_text",
+    "q_stream_heavy_hitters",
+    "q_stream_psi",
+    "q_substring_span_clean",
+    "q_token_zipf",
+    "q_weighted_sample",
+    "q_welch_ttest",
+    "q_window_ranks",
+    "q_winsorized_stats",
+    "q13_customer_distribution",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_advanced_aggregates",
+    "q_annotator_kappa",
+    "q_array_functions",
+    "q_asof_click_purchase",
+    "q_blocklist_filter",
+    "q_bpe_merge_candidates",
+    "q_cms_heavy_hitters",
+    "q_cohort_retention",
+    "q_cube_orders",
+    "q_curation_pipeline",
+    "q_customer_order_running",
+    "q_customers_without_orders",
+    "q_date_functions",
+    "q_decontaminate_ngram",
+    "q_decontamination",
+]
+
+# retained for provenance (round-11 ordering)
 _R11_WINDOW = [
     # 17 r04 rows — after this window, no row is older than r06
     "q_rolling_median",
@@ -103,62 +157,8 @@ _R11_WINDOW = [
     "q_km_survival",
 ]
 
-# retained for provenance (round-10 ordering)
-_R10_WINDOW = [
-    "q_band_join",
-    "q_multimodal_scene_cut",
-    "q_multimodal_vad",
-    "q_image_phash_dedup",
-    "q_snapshot_diff",
-    "q_zorder_vs_linear",
-    "q_cow_compact_zorder",
-    "q_prefix_cache_hits",
-    "q_token_drift",
-    "q_zh_convert_audit",
-    "q_geo_nearest",
-    "q_geo_geohash",
-    "q_geo_bbox_join",
-    "q_tile_pyramid",
-    "q_geo_trajectory",
-    "q_geo_radius_join",
-    "q_tile_rollup",
-    "q_geo_knn_join",
-    "q_geo_polygon_join",
-    "q_geo_dbscan",
-    "q_geo_segment_join",
-    "q_geo_polygon_overlay",
-    "q_cow_schema_evolution",
-    "q_stream_geofence",
-    "q_stream_trajectory",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_prefix_filter",
-    "q_degree_capped_triangles",
-    "q_degree_distribution",
-    "q_delta_join_ivm",
-    "q_embed_centroid_assign",
-    "q_embed_ivf_topk",
-    "q_embed_lsh_buckets",
-    "q_embed_lsh_topk",
-    "q_embed_topk_cosine",
-    "q_event_debounce",
-    "q_funnel_windowed",
-    "q_ks_drift",
-    "q_label_propagation",
-    "q_mixture_weights",
-    "q_multimodal_ppm_decode",
-    "q_native_sketches",
-    "q_ols_trend",
-    "q_perplexity_filter",
-    "q_pit_feature_join",
-    "q_pmi_cooccurrence",
-    "q_quantile_sketch",
-    "q_rank_fusion_rrf",
-    "q_record_linkage",
-    "q_rfm_segmentation",
-]
-
 def _gate_order(names) -> list[str]:
-    head = [n for n in _R11_WINDOW if n in names]
+    head = [n for n in _R12_WINDOW if n in names]
     return head + [n for n in names if n not in set(head)]
 
 

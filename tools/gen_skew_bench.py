@@ -168,6 +168,12 @@ BENCH_QUERIES = [
     # their build per (session, sf_dir), so anchor reps must
     # clear_frame_cache() first — see --late10 below.
     "q_geo_dbscan",
+    # round-12 COW additions: the DV build is two predicate scans +
+    # sidecars sized by deleted rows (3x table -> 3x scan, sidecar
+    # proportional); partition evolution is manifest arithmetic (ONE
+    # metadata write at any size) + three census reads over 3x chunks
+    "q_cow_delete_dv",
+    "q_cow_partition_evolution",
     # round-12: geodesic DBSCAN — the pair stream is the radius join
     # (documents x documents), so 3x docs means ~9x pairs INSIDE the
     # two implanted blobs (quadratic by design: a denser blob is more
@@ -422,6 +428,8 @@ def main() -> None:
 # the cow-table build memos (queries_scale keeps real temp tables per
 # app+sf_dir, which registry.clear_frame_cache cannot see).
 MEMOIZING_QUERIES = {
+    "q_cow_delete_dv",
+    "q_cow_partition_evolution",
     "q_geo_dbscan",
     "q_geo_dbscan_geodesic",
     "q_geo_segment_join",
@@ -448,6 +456,12 @@ def _clear_query_memos() -> None:
 # boxes), measured directly (BASELINE.md late-round-10 table).
 LATE10_QUERIES = [
     "q_geo_dbscan",
+    # round-12 COW additions: the DV build is two predicate scans +
+    # sidecars sized by deleted rows (3x table -> 3x scan, sidecar
+    # proportional); partition evolution is manifest arithmetic (ONE
+    # metadata write at any size) + three census reads over 3x chunks
+    "q_cow_delete_dv",
+    "q_cow_partition_evolution",
     # round-12: geodesic DBSCAN — the pair stream is the radius join
     # (documents x documents), so 3x docs means ~9x pairs INSIDE the
     # two implanted blobs (quadratic by design: a denser blob is more
