@@ -219,6 +219,7 @@ def _write_commit(
             ufn = f"{fn[: -len('.parquet')]}-{uuid.uuid4().hex[:12]}.parquet"
             os.rename(os.path.join(dirpath, fn), os.path.join(dirpath, ufn))
             rel = os.path.relpath(os.path.join(dirpath, ufn), root)
+            stats = _footer_stats(os.path.join(dirpath, ufn))
             part = None
             for seg in rel.split(os.sep):
                 if seg.startswith(_PV + "="):
@@ -227,8 +228,56 @@ def _write_commit(
                     # value so merge routing / pruning compare str(v)
                     # against str(v), never against an escaped token
                     part = unquote(seg.split("=", 1)[1])
-            entries.append({"path": rel, "partition": part})
+            entry = {"path": rel, "partition": part}
+            if stats:
+                entry["stats"] = stats
+            entries.append(entry)
     return entries
+
+
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] zone maps from the parquet FOOTER (metadata
+    only — no data pages read), recorded in the manifest entry so scans
+    can skip whole files on any-column predicates (Delta data skipping /
+    the transactional form of q_zorder_vs_linear's zone-map probe).
+    Columns are the PHYSICAL file names; only JSON-safe scalar types are
+    kept (int/float/str/bool) — anything else simply gets no stats and
+    is never pruned. Best-effort: a stat-less footer keeps the file
+    scannable."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    mins: dict = {}
+    maxs: dict = {}
+    ok: set = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaves: not a top-level zone map
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                ok.discard(name)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except (UnicodeDecodeError, AttributeError):
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            if rg == 0 or name in ok:
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                ok.add(name)
+    return {n: [mins[n], maxs[n]] for n in ok if n in mins and n in maxs}
 
 
 def cow_create(

@@ -33,7 +33,9 @@ Streaming read (``CowStreamReader``):
   copy-on-write table: a MERGE's rewritten files appear as appends of
   their full post-image; documented, not hidden).
 - options: ``path``, ``startingVersion`` (default 0 = everything from
-  the first commit).
+  the first commit) or ``starting_ts`` (epoch seconds — replay begins
+  after the snapshot that timestamp resolves to, Delta's
+  startingTimestamp; a pre-table timestamp replays everything).
 
 Scale notes: planning cost is O(live files) manifest JSON, not O(files
 on disk); reads are embarrassingly parallel per file; Arrow batches
@@ -57,9 +59,13 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
     IsNotNull,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -157,12 +163,18 @@ class CowBatchReader(DataSourceReader):
         self._schema = _schema_of(self._manifest)
         self._cmap = self._manifest.get("column_mapping")
         self._wanted: set[str] | None = None  # None = no pruning
+        self._zone_filters: list = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Consume partition-column predicates for file pruning; every
-        filter is also returned (file pruning keeps whole files, so the
-        row-level residual must still run in Spark — returning a filter
-        marks it unhandled, which is exactly right here)."""
+        """Consume predicates for FILE pruning; every filter is also
+        returned (file pruning keeps whole files, so the row-level
+        residual must still run in Spark — returning a filter marks it
+        unhandled, which is exactly right here). Two pruning sources:
+        partition values (exact) and per-file ZONE MAPS — the footer
+        min/max stats _write_commit records in each manifest entry
+        (Delta data skipping). Zone-map checks are conservative: a file
+        with no stats for the column, an incomparable type, or a
+        deletion vector (stats are a superset of live rows) is KEPT."""
         if self._part_col is not None:
             col = (self._part_col,)
             wanted: set[str] | None = None
@@ -177,8 +189,52 @@ class CowBatchReader(DataSourceReader):
                     continue
                 wanted = vals if wanted is None else (wanted & vals)
             self._wanted = wanted
+        self._zone_filters = [
+            f
+            for f in filters
+            if isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                 LessThanOrEqual, In),
+            )
+            and len(f.attribute) == 1
+        ]
         # every filter still applies row-level
         return iter(filters)
+
+    def _zone_keep(self, e: dict) -> bool:
+        """True unless some pushed predicate PROVABLY excludes every row
+        of the file by its recorded [min, max]."""
+        stats = e.get("stats")
+        if not stats:
+            return True
+        for f in self._zone_filters:
+            logical = f.attribute[0]
+            if self._cmap and logical not in self._cmap:
+                continue  # unknown column: this filter can't prune
+            phys = self._cmap[logical] if self._cmap else logical
+            rng = stats.get(phys)
+            if not rng:
+                continue
+            lo, hi = rng
+            try:
+                if isinstance(f, EqualTo) and (f.value < lo or f.value > hi):
+                    return False
+                if isinstance(f, In) and all(
+                    v < lo or v > hi for v in f.value
+                ):
+                    return False
+                if isinstance(f, GreaterThan) and hi <= f.value:
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and hi < f.value:
+                    return False
+                if isinstance(f, LessThan) and lo >= f.value:
+                    return False
+                if isinstance(f, LessThanOrEqual) and lo > f.value:
+                    return False
+            except TypeError:
+                continue  # incomparable types (e.g. widened column): keep
+        return True
 
     def partitions(self) -> Sequence[InputPartition]:
         files = self._manifest["files"]
@@ -193,6 +249,8 @@ class CowBatchReader(DataSourceReader):
                 for e in files
                 if e.get("pcol", cur) != cur or e["partition"] in self._wanted
             ]
+        if self._zone_filters:
+            files = [e for e in files if self._zone_keep(e)]
         return [
             CowFilePartition(
                 os.path.join(self._root, e["path"]),
@@ -378,7 +436,15 @@ class CowBatchWriter(DataSourceArrowWriter):
             os.makedirs(os.path.join(self._root, sub), exist_ok=True)
             rel = os.path.join(sub, f"part-{uuid.uuid4().hex[:12]}.parquet")
             pq.write_table(tbl, os.path.join(self._root, rel))
-            entries.append({"path": rel, "partition": part})
+            from openmaptiles_zh_modifier_spark.operators.cow_table import (
+                _footer_stats,
+            )
+
+            entry = {"path": rel, "partition": part}
+            stats = _footer_stats(os.path.join(self._root, rel))
+            if stats:
+                entry["stats"] = stats
+            entries.append(entry)
 
         part_name = (
             self._cmap[self._partition_by]
@@ -609,9 +675,28 @@ class CowDataSource(DataSource):
         return CowBatchReader(self._root(), self._version_option())
 
     def streamReader(self, schema: StructType) -> CowStreamReader:
-        return CowStreamReader(
-            self._root(), int(self.options.get("startingversion", 0))
-        )
+        sv = self.options.get("startingversion")
+        st = self.options.get("starting_ts")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "cowtable: pass either 'startingVersion' or 'starting_ts',"
+                " not both"
+            )
+        if st is not None:
+            # Delta startingTimestamp parity: replay begins with the
+            # first commit AT OR AFTER the timestamp, i.e. versions
+            # STRICTLY AFTER the snapshot that timestamp resolves to.
+            # A ts before the first commit replays everything.
+            from openmaptiles_zh_modifier_spark.operators.cow_table import (
+                cow_resolve_as_of_ts,
+            )
+
+            try:
+                start = cow_resolve_as_of_ts(self._root(), float(st))
+            except ValueError:
+                start = 0
+            return CowStreamReader(self._root(), start)
+        return CowStreamReader(self._root(), int(sv or 0))
 
     def writer(self, schema: StructType, overwrite: bool) -> CowBatchWriter:
         return CowBatchWriter(

@@ -87,9 +87,13 @@ HEADLINE = [
     "q_tile_rollup",
     "q_cow_compact_zorder",
     "q_geo_dbscan",
+    "q_geo_dbscan_geodesic",
     "q_geo_segment_join",
     "q_geo_polygon_overlay",
     "q_cow_schema_evolution",
+    "q_cow_delete_dv",
+    "q_cow_partition_evolution",
+    "q_multimodal_flac_decode",
     "q_balanced_sample",
     "q_column_stats",
     "q_native_sketches",
