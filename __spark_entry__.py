@@ -51,6 +51,8 @@ _R12_WINDOW = [
     "q_multimodal_flac_decode",
     "q_cow_delete_dv",
     "q_cow_partition_evolution",
+    "q_cow_agg_ivm",
+    "q_stream_stream_full",
     "q_zh_segment_fmm",
     "q_zh_convert_audit",
     "q_label_balance",
@@ -95,8 +97,6 @@ _R12_WINDOW = [
     "q_customer_order_running",
     "q_customers_without_orders",
     "q_date_functions",
-    "q_decontaminate_ngram",
-    "q_decontamination",
 ]
 
 # retained for provenance (round-11 ordering)

@@ -1464,3 +1464,81 @@ def q_cow_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(5, pruned))
         .orderBy("version", "n_rows")
     )
+
+
+@register(
+    "q_cow_agg_ivm",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+live AS (
+  SELECT * FROM base
+  WHERE NOT (o_orderkey % 10 = 0) AND NOT (o_custkey % 7 = 0)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+FROM live
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_cow_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of an aggregate from the change
+    data feed (round 12): the materialized per-priority census taken at
+    v1 is advanced to v3 by FOLDING IN cow_changes(1, 3) — inserts add,
+    deletes subtract — never rescanning v1's files. Version 2 and 3 are
+    DELETION-VECTOR commits (shared _dv_table build), so this also
+    proves the CDF's (path, dv)-pair diff emits exactly the rows a
+    maintained aggregate needs: the oracle computes the v3 state
+    DIRECTLY from the declarative filter algebra, and the hash matches
+    only if base + delta == truth, group by group.
+
+    Scale shape: the delta side reads ONLY files whose (path, dv) pair
+    changed between the versions — maintenance cost tracks churn, not
+    table size (the IVM promise); both aggregates are map-side
+    combinable; the final merge is a small outer join on the group
+    key."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_changes,
+        cow_read,
+    )
+
+    root, v_latest = _dv_table(spark, sf_dir)
+    base = (
+        cow_read(spark, root, version=1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum("o_custkey").alias("b_sum"),
+        )
+    )
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = (
+        cow_changes(spark, root, 1, v_latest)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(sign).alias("d_n"),
+            F.sum(sign * F.col("o_custkey")).alias("d_sum"),
+        )
+    )
+    return (
+        base.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("b_n"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("b_sum"), F.lit(0))
+                + F.coalesce(F.col("d_sum"), F.lit(0))
+            ).alias("sum_custkey"),
+        )
+        .where(F.col("n_rows") > 0)
+        .orderBy("o_orderpriority")
+    )

@@ -684,6 +684,126 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "click_id", "purchase_id")
 
 
+@register(
+    "q_stream_stream_full",
+    oracle="""
+WITH bounds AS (
+  SELECT least(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 3 HOUR AS cutoff
+),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       ROUND(p.value, 2) AS purchase_value,
+       CASE WHEN c.event_id IS NULL THEN 2
+            WHEN p.event_id IS NULL THEN 0 ELSE 1 END AS matched
+FROM c FULL JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+CROSS JOIN bounds
+WHERE COALESCE(c.ts, p.ts) <= bounds.cutoff
+  AND COALESCE(p.ts, c.ts) <= bounds.cutoff
+ORDER BY user_id, click_id, purchase_id
+""",
+)
+def q_stream_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join (round 12): conversions, abandoned
+    clicks, AND orphan purchases in one result — the reconciliation
+    shape (which side of the funnel is missing). Spark supports full
+    outer stream-stream joins when both sides are watermarked and the
+    join carries the event-time bound; each side's unmatched rows emit
+    only once the watermark proves no partner can arrive.
+
+    Two correctness subtleties pinned here beyond the left join's:
+    (1) the inner/left hot-key bucket guard (purchases exploded into
+    their two reachable hour buckets) is INCOMPATIBLE with full outer —
+    the two copies are independent join-state rows, so a purchase that
+    matched in one bucket would STILL emit an orphan row from its other
+    copy (measured: +13 phantom rows at sf0.01). The full-outer variant
+    therefore joins on the plain user key; the documented tradeoff is
+    that one celebrity user's state lands in one partition — acceptable
+    for the reconciliation shape, which is an audit, not the hot path.
+    (2) finalization: BOTH unmatched directions trail the watermark, so
+    both engines restrict to rows whose present timestamps sit 3h under
+    the min-side max — provably finalized under any eviction-boundary
+    convention, same argument as the left join.
+
+    Scale shape: per-user join state bounded by the 1h bound + 1h delay
+    horizon on both sides, plus held unmatched rows (bounded by the
+    orphan rate times the horizon)."""
+    from openmaptiles_zh_modifier_spark.registry import load, memo_frame_lazy
+
+    def build_cutoff() -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        return (
+            ev.where(F.col("event_type") == "click")
+            .agg(F.max("ts").alias("mc"))
+            .crossJoin(
+                ev.where(F.col("event_type") == "purchase").agg(
+                    F.max("ts").alias("mp")
+                )
+            )
+            .select(
+                (F.least("mc", "mp") - F.expr("INTERVAL 3 HOUR")).alias("cutoff")
+            )
+        )
+
+    cutoff_row = memo_frame_lazy(spark, f"ssfull_cutoff:{sf_dir}", build_cutoff)
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "full_outer",
+        )
+        .crossJoin(F.broadcast(cutoff_row))
+        .where(
+            (F.coalesce("c_ts", "p_ts") <= F.col("cutoff"))
+            & (F.coalesce("p_ts", "c_ts") <= F.col("cutoff"))
+        )
+        .select(
+            F.coalesce("c_user", "p_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.round("value", 2).alias("purchase_value"),
+            F.when(F.col("click_id").isNull(), F.lit(2))
+            .when(F.col("purchase_id").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("matched"),
+        )
+    )
+    return run_to_memory(
+        joined, output_mode="append", state_partitions=2
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
 # ---------------------------------------------------------------------------
 # Streaming near-dup ingestion: MinHash/LSH bucket registry maintenance
 # ---------------------------------------------------------------------------
