@@ -34,6 +34,14 @@ anti-join; ``cow_compact`` materializes vectors; ``cow_changes`` diffs
 sidecar liveness by directory. ``cow_delete(rewrite=True)`` is the
 copy-on-write form for large deletes.
 
+Partition-spec evolution, zone maps, CHECK constraints (round 12):
+``cow_set_partition_spec`` flips the partition column as metadata (old
+entries stamped, conservatively scanned, migrated by maintenance);
+``_write_commit`` records per-file footer [min,max] zone maps that the
+DSv2 reader uses for any-column file skipping; ``cow_add_constraint``
+enforces SQL CHECK semantics on every write path before a manifest
+publishes.
+
 Column mapping (round 11): an optional manifest ``column_mapping``
 (logical name -> stable PHYSICAL file column name) makes RENAME and
 DROP COLUMN pure metadata commits — ``cow_rename_column`` /
@@ -489,6 +497,7 @@ def cow_merge(
             base, source, on, matched_update, matched_delete, not_matched_insert
         )
         new_files = _write_commit(_to_physical(merged, m), root, None)
+        _validate_constraints(spark, root, m, new_files)
         keep: list[dict] = []
     else:
         # bounded collect: one value per touched partition
@@ -521,6 +530,7 @@ def cow_merge(
         new_files = _write_commit(
             _to_physical(merged, m), root, _physical_name(m, part_col)
         )
+        _validate_constraints(spark, root, m, new_files)
 
     manifest = {
         "version": next_version,
@@ -528,7 +538,7 @@ def cow_merge(
         "files": keep + new_files,
         "schema": m["schema"],
     }
-    for k in ("column_mapping", "retired_physical"):
+    for k in ("column_mapping", "retired_physical", "constraints"):
         if k in m:
             manifest[k] = m[k]
     _commit_manifest(root, manifest)
@@ -786,6 +796,100 @@ def cow_set_partition_spec(root: str, new_partition_by: str | None) -> int:
         "files": files,
         "schema": m["schema"],
     }
+    for k in ("column_mapping", "retired_physical", "constraints"):
+        if k in m:
+            manifest[k] = m[k]
+    _commit_manifest(root, manifest)
+    return manifest["version"]
+
+
+class CowConstraintError(ValueError):
+    """A write violates a table CHECK constraint — nothing was published."""
+
+
+def _violation_cond(expr: str):
+    """SQL CHECK semantics: a row violates when the expression evaluates
+    to FALSE; NULL passes (unknown is not a violation)."""
+    return ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+
+
+def _validate_constraints(spark: SparkSession, root: str, m: dict, entries):
+    """Validate freshly-written ``entries`` against the manifest's CHECK
+    constraints BEFORE the manifest is published: cost is one scan of
+    the NEW files only (never the table), and a violation unlinks the
+    staged files and raises — readers never saw them, so enforcement
+    rides the same atomicity the manifest protocol already provides."""
+    cons = m.get("constraints")
+    if not cons or not entries:
+        return
+    df = _read_files(spark, root, m, entries)
+    for name, expr in cons.items():
+        bad = df.where(_violation_cond(expr)).limit(1).collect()
+        if bad:
+            for e in entries:
+                try:
+                    os.unlink(os.path.join(root, e["path"]))
+                except OSError:
+                    pass
+            raise CowConstraintError(
+                f"CHECK constraint {name!r} ({expr}) violated by the"
+                f" write; example row: {bad[0].asDict()}"
+            )
+
+
+def cow_add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ADD CONSTRAINT ``name`` CHECK (``expr``) — Delta parity: the
+    EXISTING data is validated first (one scan; a violating table
+    refuses the constraint), then the constraint lands as a metadata
+    commit and every subsequent append/merge/DSv2 write validates its
+    new rows before publishing. NULL evaluations pass (SQL CHECK)."""
+    m = _read_manifest(root)
+    cons = dict(m.get("constraints") or {})
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    bad = (
+        _read_files(spark, root, m, m["files"])
+        .where(_violation_cond(expr))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise CowConstraintError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing row"
+            f" violates it: {bad[0].asDict()}"
+        )
+    cons[name] = expr
+    manifest = {
+        "version": m["version"] + 1,
+        "partition_by": m["partition_by"],
+        "files": m["files"],
+        "schema": m["schema"],
+        "constraints": cons,
+    }
+    for k in ("column_mapping", "retired_physical"):
+        if k in m:
+            manifest[k] = m[k]
+    _commit_manifest(root, manifest)
+    return manifest["version"]
+
+
+def cow_drop_constraint(root: str, name: str) -> int:
+    """DROP CONSTRAINT — metadata-only commit."""
+    m = _read_manifest(root)
+    cons = dict(m.get("constraints") or {})
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} (have {sorted(cons)})")
+    del cons[name]
+    manifest = {
+        "version": m["version"] + 1,
+        "partition_by": m["partition_by"],
+        "files": m["files"],
+        "schema": m["schema"],
+    }
+    if cons:
+        manifest["constraints"] = cons
     for k in ("column_mapping", "retired_physical"):
         if k in m:
             manifest[k] = m[k]
@@ -893,7 +997,7 @@ def cow_delete(
         "files": files,
         "schema": m["schema"],
     }
-    for k in ("column_mapping", "retired_physical"):
+    for k in ("column_mapping", "retired_physical", "constraints"):
         if k in m:
             manifest[k] = m[k]
     _commit_manifest(root, manifest)
@@ -954,6 +1058,8 @@ def cow_append(
         "files": m["files"],  # new files appended below
         "schema": new_schema.json(),
     }
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     cmap = m.get("column_mapping")
     if cmap is not None:
         # physical names for evolved columns must never collide with a
@@ -977,6 +1083,7 @@ def cow_append(
     new_files = _write_commit(
         _to_physical(ordered, manifest), root, _physical_name(manifest, part_col)
     )
+    _validate_constraints(spark, root, manifest, new_files)
     manifest["files"] = m["files"] + new_files
     _commit_manifest(root, manifest)
     return manifest["version"]
@@ -1022,6 +1129,8 @@ def cow_rename_column(root: str, old: str, new: str) -> int:
     }
     if "retired_physical" in m:
         manifest["retired_physical"] = m["retired_physical"]
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     _commit_manifest(root, manifest)
     return manifest["version"]
 
@@ -1056,6 +1165,8 @@ def cow_drop_column(root: str, name: str) -> int:
         "column_mapping": cmap,
         "retired_physical": retired,
     }
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     _commit_manifest(root, manifest)
     return manifest["version"]
 
@@ -1120,7 +1231,7 @@ def cow_widen_column(root: str, name: str, new_type) -> int:
         "files": m["files"],
         "schema": StructType(fields).json(),
     }
-    for k in ("column_mapping", "retired_physical"):
+    for k in ("column_mapping", "retired_physical", "constraints"):
         if k in m:
             manifest[k] = m[k]
     _commit_manifest(root, manifest)
@@ -1323,7 +1434,7 @@ def cow_compact(
         "files": keep + new_files,
         "schema": m["schema"],
     }
-    for k in ("column_mapping", "retired_physical"):
+    for k in ("column_mapping", "retired_physical", "constraints"):
         if k in m:
             manifest[k] = m[k]
     _commit_manifest(root, manifest)

@@ -359,12 +359,14 @@ class CowBatchWriter(DataSourceArrowWriter):
         # commit() so concurrent writers conflict correctly
         self._cmap: dict | None = None
         self._retired: list | None = None
+        self._constraints: dict | None = None
         self._plan_schema_json: str | None = None
         try:
             m = _read_manifest(root)
             self._partition_by = m["partition_by"]
             self._cmap = m.get("column_mapping")
             self._retired = m.get("retired_physical")
+            self._constraints = m.get("constraints")
             self._plan_schema_json = m["schema"]
             if partition_by is not None and partition_by != self._partition_by:
                 raise ValueError(
@@ -407,6 +409,28 @@ class CowBatchWriter(DataSourceArrowWriter):
         table = pa.Table.from_batches(batches)
         if table.num_rows == 0:
             return CowCommitMessage(entries=[])
+        if self._constraints:
+            # CHECK enforcement at the TASK (the commit hook runs in the
+            # DSv2 runner with no live SparkSession): DuckDB evaluates
+            # the constraint SQL over this task's Arrow batch under the
+            # same ANSI-subset discipline the oracle gate enforces
+            # repo-wide. A violation fails the task -> Spark fails the
+            # job -> abort() unlinks every staged file; the manifest was
+            # never published. NULL evaluations pass (SQL CHECK).
+            import duckdb
+
+            con = duckdb.connect()
+            con.register("__cow_batch", table)
+            for cname, cexpr in self._constraints.items():
+                bad = con.execute(
+                    "SELECT * FROM __cow_batch WHERE NOT COALESCE("
+                    f"CAST(({cexpr}) AS BOOLEAN), TRUE) LIMIT 1"
+                ).fetchall()
+                if bad:
+                    raise ValueError(
+                        f"CHECK constraint {cname!r} ({cexpr}) violated"
+                        f" by the write; example row: {bad[0]}"
+                    )
         if self._cmap:
             # renamed/dropped table: files are written under the STABLE
             # physical names so they mix with pre-rename files in one
@@ -489,15 +513,17 @@ class CowBatchWriter(DataSourceArrowWriter):
                 or m.get("column_mapping") != self._cmap
                 or m.get("retired_physical") != self._retired
                 or m["partition_by"] != self._partition_by
+                or m.get("constraints") != self._constraints
             ):
                 from ..operators.cow_table import CowConflictError
 
                 raise CowConflictError(
                     f"cowtable at {self._root}: table metadata (schema/"
-                    "column_mapping/partition spec) changed between write"
-                    f" planning and commit (manifest v{m['version']});"
-                    " re-run the write"
+                    "column_mapping/partition spec/constraints) changed"
+                    f" between write planning and commit (manifest"
+                    f" v{m['version']}); re-run the write"
                 )
+
         else:
             os.makedirs(self._root, exist_ok=True)
             version = 1
@@ -514,6 +540,8 @@ class CowBatchWriter(DataSourceArrowWriter):
             manifest["column_mapping"] = self._cmap
         if self._retired is not None:
             manifest["retired_physical"] = self._retired
+        if self._constraints is not None:
+            manifest["constraints"] = self._constraints
         _commit_manifest(self._root, manifest)
 
     def abort(self, messages):
@@ -603,14 +631,17 @@ class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
                 or m.get("column_mapping") != self._cmap
                 or m.get("retired_physical") != self._retired
                 or m["partition_by"] != self._partition_by
+                or m.get("constraints") != self._constraints
             ):
                 from ..operators.cow_table import CowConflictError
 
                 raise CowConflictError(
                     f"cowtable at {self._root}: table metadata (schema/"
-                    "column_mapping) changed mid-stream (manifest "
-                    f"v{m['version']}); restart the stream to adopt it"
+                    "column_mapping/partition spec/constraints) changed"
+                    f" mid-stream (manifest v{m['version']}); restart the"
+                    " stream to adopt it"
                 )
+
         else:
             os.makedirs(self._root, exist_ok=True)
             stamps = {}
@@ -629,6 +660,8 @@ class CowStreamWriter(CowBatchWriter, DataSourceStreamArrowWriter):
             manifest["column_mapping"] = self._cmap
         if self._retired is not None:
             manifest["retired_physical"] = self._retired
+        if self._constraints is not None:
+            manifest["constraints"] = self._constraints
         _commit_manifest(self._root, manifest)
         self._exists = True
 
