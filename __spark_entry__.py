@@ -53,6 +53,8 @@ _R12_WINDOW = [
     "q_cow_partition_evolution",
     "q_cow_agg_ivm",
     "q_stream_stream_full",
+    "q_ldiversity",
+    "q_resample_interpolate",
     "q_zh_segment_fmm",
     "q_zh_convert_audit",
     "q_label_balance",
@@ -95,8 +97,7 @@ _R12_WINDOW = [
     "q_cube_orders",
     "q_curation_pipeline",
     "q_customer_order_running",
-    "q_customers_without_orders",
-    "q_date_functions",
+
 ]
 
 # retained for provenance (round-11 ordering)

@@ -1845,3 +1845,146 @@ def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_resample_interpolate",
+    oracle="""
+WITH src AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id % 20 = 0
+),
+obs AS (
+  SELECT user_id, h, SUM(cents) AS obs_cents
+  FROM src GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1)) AS h FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.h, o.obs_cents
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h
+),
+walls AS (
+  SELECT user_id, h, obs_cents,
+         LAST_VALUE(obs_cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN obs_cents IS NOT NULL THEN h END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         FIRST_VALUE(obs_cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN obs_cents IS NOT NULL THEN h END
+                     IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM joined
+),
+filled AS (
+  SELECT user_id, h, obs_cents,
+         CASE WHEN obs_cents IS NOT NULL THEN obs_cents
+              ELSE (pv * (nh - h) + nv * (h - ph)) // (nh - ph)
+         END AS interp_cents
+  FROM walls
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(CASE WHEN obs_cents IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_observed,
+       CAST(SUM(interp_cents) AS BIGINT) AS sum_interp_cents,
+       CAST(SUM(interp_cents * (h % 97)) AS BIGINT) AS order_checksum
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (round 12): per-user hourly resample
+    with LINEAR INTERPOLATION across gaps — the feature-engineering step
+    between raw event streams and fixed-step models (forecasting windows,
+    seasonal decomposition, learned embeddings over regular grids all
+    assume it). Per user: hourly observed totals, a dense hour grid
+    between the first and last observation (sequence + explode), and
+    gap hours filled by the exact-integer weighted mean
+    (pv*(nh-h) + nv*(h-ph)) div (nh-ph) — integer cents with truncating
+    division, which BOTH engines implement identically (verified: -7
+    div 2 = -3 on Spark and DuckDB), so the interpolation is
+    bit-deterministic with no float order sensitivity. Prev/next walls
+    come from ignore-nulls running windows; grid endpoints are always
+    observed so the fill is total. (Oracle pitfall pinned here:
+    DuckDB's CAST(epoch(ts) AS BIGINT) ROUNDS sub-second fractions
+    while Spark's unix_timestamp truncates — one event 0.3 s before an
+    hour boundary lands in different hours; FLOOR(epoch(ts)) restores
+    the shared truncation semantics.) The order_checksum (hour-weighted
+    sum) pins the PLACEMENT of every interpolated value, not just the
+    total.
+
+    Scale shape: one combinable per-(user, hour) aggregate, a bounds
+    aggregate, a sequence-explode whose output is the GRID (bounded by
+    time span, not event count), one hash left join grid<-obs on
+    (user, hour), and two linear window passes per user — all shuffles
+    on the user key, no UDF, no iteration. A user with a years-long gap
+    costs grid rows, not state (the explode is lazy per row)."""
+    src = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") % 20 == 0)
+        .selectExpr(
+            "user_id",
+            "unix_timestamp(ts) div 3600 AS h",
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+        )
+    )
+    obs = src.groupBy("user_id", "h").agg(F.sum("cents").alias("obs_cents"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+        )
+    )
+    joined = grid.join(obs, ["user_id", "h"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("obs_cents").isNotNull(), F.col("h"))
+    walls = (
+        joined.withColumn("pv", F.last("obs_cents", True).over(back))
+        .withColumn("ph", F.last(obs_h, True).over(back))
+        .withColumn("nv", F.first("obs_cents", True).over(fwd))
+        .withColumn("nh", F.first(obs_h, True).over(fwd))
+    )
+    filled = walls.withColumn(
+        "interp_cents",
+        F.when(F.col("obs_cents").isNotNull(), F.col("obs_cents")).otherwise(
+            F.expr("(pv * (nh - h) + nv * (h - ph)) div (nh - ph)")
+        ),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.col("obs_cents").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_observed"),
+            F.sum("interp_cents").alias("sum_interp_cents"),
+            F.sum(F.col("interp_cents") * (F.col("h") % 97)).alias(
+                "order_checksum"
+            ),
+        )
+        .orderBy("user_id")
+    )

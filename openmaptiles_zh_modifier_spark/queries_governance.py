@@ -505,3 +505,107 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+LDIV_L = 3  # minimum distinct sensitive values per equivalence class
+
+
+@register(
+    "q_ldiversity",
+    oracle=f"""
+WITH sens AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(c_acctbal * 100 AS BIGINT) % 10 AS sens
+  FROM customer
+),
+q0 AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT sens) AS n_sens
+  FROM sens GROUP BY 1, 2
+),
+lvl0 AS (
+  SELECT 0 AS level,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violating_classes,
+         CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN class_size ELSE 0 END)
+              AS BIGINT) AS n_exposed_rows,
+         CAST(MIN(n_sens) AS BIGINT) AS min_diversity
+  FROM q0
+),
+q1 AS (
+  SELECT n.n_regionkey, s.c_mktsegment,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT s.sens) AS n_sens
+  FROM sens s JOIN nation n ON n.n_nationkey = s.c_nationkey
+  GROUP BY 1, 2
+),
+lvl1 AS (
+  SELECT 1 AS level,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violating_classes,
+         CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN class_size ELSE 0 END)
+              AS BIGINT) AS n_exposed_rows,
+         CAST(MIN(n_sens) AS BIGINT) AS min_diversity
+  FROM q1
+)
+SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+ORDER BY level
+""",
+)
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (round 12) — k-anonymity's stronger sibling: a
+    class of >= k rows still leaks when every row shares ONE sensitive
+    value (the homogeneity attack), so each equivalence class must
+    carry >= l DISTINCT sensitive values. Sensitive attribute here is
+    the account-balance cents residue (deterministic integer bucket);
+    quasi-identifiers and the one generalization step (nation -> region)
+    mirror q_kanonymity, so the two audits read side by side as the
+    release-review pair.
+
+    Scale shape: per level one combinable count-distinct on the
+    (qid, sens) key (exact distinct via the two-level groupBy Spark
+    plans for COUNT DISTINCT), then a tiny summary; the generalization
+    join is against the broadcast 25-row nation dim."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        ((F.col("c_acctbal") * 100).cast("bigint") % 10).alias("sens"),
+    )
+    n = load(spark, sf_dir, "nation")
+
+    def level(df: DataFrame, lvl: int) -> DataFrame:
+        classes = df.groupBy("qid1", "qid2").agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct("sens").alias("n_sens"),
+        )
+        viol = F.col("n_sens") < LDIV_L
+        return classes.agg(
+            F.lit(lvl).alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(viol.cast("int")).cast("long").alias("n_violating_classes"),
+            F.sum(F.when(viol, F.col("class_size")).otherwise(0))
+            .cast("long")
+            .alias("n_exposed_rows"),
+            F.min("n_sens").cast("long").alias("min_diversity"),
+        )
+
+    lvl0 = level(
+        c.select(
+            F.col("c_nationkey").alias("qid1"),
+            F.col("c_mktsegment").alias("qid2"),
+            "sens",
+        ),
+        0,
+    )
+    lvl1 = level(
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+            F.col("n_regionkey").alias("qid1"),
+            F.col("c_mktsegment").alias("qid2"),
+            "sens",
+        ),
+        1,
+    )
+    return lvl0.unionByName(lvl1).orderBy("level")
