@@ -1413,6 +1413,20 @@ def encode_flac(n_samples: int, sample_rate: int, seed: int) -> bytes:
 
     d = seed % 4096
     samples = [((d + k) % 4096) - 2048 for k in range(n_samples)]
+    return encode_flac_pcm(samples, sample_rate, seed)
+
+
+def encode_flac_pcm(samples, sample_rate: int, type_seed: int = 0) -> bytes:
+    """Encode arbitrary int16 PCM (the property-test entry point —
+    encode_flac wraps it with the ramp fixture). ``type_seed`` offsets
+    the per-frame subframe-type cycle so tests can force any kind onto
+    any content."""
+    import struct
+
+    n_samples = len(samples)
+    samples = [int(x) for x in samples]
+    if any(x < -32768 or x > 32767 for x in samples):
+        raise ValueError("encode_flac_pcm: samples must fit int16")
 
     out = bytearray(b"fLaC")
     si = _FlacBitWriter()
@@ -1448,7 +1462,7 @@ def encode_flac(n_samples: int, sample_rate: int, seed: int) -> bytes:
         w.align()
         header = w.bytes()
         w = _FlacBitWriter()
-        kind = frame_idx % 4
+        kind = (frame_idx + type_seed) % 4
         if kind == 1 or n < 3:
             w.put(0, 1)
             w.put(0b000001, 6)  # VERBATIM
@@ -1490,7 +1504,7 @@ def encode_flac(n_samples: int, sample_rate: int, seed: int) -> bytes:
     return bytes(out)
 
 
-def decode_flac(payload: bytes) -> dict:
+def decode_flac(payload: bytes, return_samples: bool = False) -> dict:
     """A real pure-Python FLAC decoder (mono subset): STREAMINFO +
     metadata walk, frame headers (all block-size/rate codings, UTF-8
     numbers, CRC-8), CONSTANT/VERBATIM/FIXED/LPC subframes with wasted
@@ -1655,6 +1669,8 @@ def decode_flac(payload: bytes) -> dict:
         raise ValueError(
             f"decoded {arr.size} samples, STREAMINFO promised {total}"
         )
+    if return_samples:
+        return {"sample_rate": sr, "samples": arr}
     return {
         "sample_rate": sr,
         "n_samples": int(arr.size),

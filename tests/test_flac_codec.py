@@ -117,3 +117,33 @@ def test_streaminfo_total_mismatch_raises():
     payload[25] ^= 0x01
     with pytest.raises(ValueError):
         decode_flac(bytes(payload))
+
+
+def test_hypothesis_pcm_roundtrip_sample_exact():
+    """Property: ANY int16 PCM round-trips bit-exactly through every
+    subframe-kind cycle offset — this is what 'lossless' means, checked
+    on adversarial content (random data defeats prediction, forcing the
+    Rice escape; constant runs hit tiny residuals; extremes stress the
+    two's-complement paths)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from openmaptiles_zh_modifier_spark.functions.multimodal import (
+        encode_flac_pcm,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        pcm=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=700,
+        ),
+        ts=st.integers(min_value=0, max_value=3),
+    )
+    def prop(pcm, ts):
+        payload = encode_flac_pcm(pcm, 8000, type_seed=ts)
+        got = decode_flac(payload, return_samples=True)
+        assert got["samples"].tolist() == pcm
+
+    prop()
