@@ -55,6 +55,7 @@ _R12_WINDOW = [
     "q_stream_stream_full",
     "q_ldiversity",
     "q_resample_interpolate",
+    "q_cc_star",
     "q_zh_segment_fmm",
     "q_zh_convert_audit",
     "q_label_balance",
@@ -96,8 +97,6 @@ _R12_WINDOW = [
     "q_cohort_retention",
     "q_cube_orders",
     "q_curation_pipeline",
-    "q_customer_order_running",
-
 ]
 
 # retained for provenance (round-11 ordering)

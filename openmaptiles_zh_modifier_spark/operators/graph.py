@@ -96,3 +96,98 @@ def connected_components(
         if n_changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — the published at-scale alternative to label
+    propagation): each round is two grouped aggregates + joins that
+    rewire every node toward its neighborhood minimum, converging to
+    star graphs rooted at component minima in O(log^2 n) rounds with
+    NO per-node state carried between rounds — the edge set IS the
+    state, which is why the algorithm tolerates massive skew (a hot
+    node's neighborhood is one reduce group, never a driver structure).
+
+    large-star: for each u, with m = min(N(u) ∪ {u}), emit (v, m) for
+    every STRICTLY LARGER neighbor v > u. small-star: direct edges
+    large->small; for each u, with m = min(N⁻(u) ∪ {u}), emit (v, m)
+    for v ∈ N⁻(u) ∪ {u}, v ≠ m. Fixpoint when the canonical edge set
+    stops changing; labels then read straight off the final stars.
+
+    Returns (node, component) with component = min node id, identical
+    contract to :func:`connected_components` (the two are cross-checked
+    property-wise in tests/test_graph_ops.py)."""
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # ----- large-star over the symmetrized neighborhoods
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("nm"))
+            .select("u", F.least("u", "nm").alias("m"))
+        )
+        ls = (
+            nbrs.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .where(F.col("x") != F.col("y"))
+            .select(
+                F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+            )
+            .distinct()
+        )
+        # ----- small-star on large->small directed edges (u > v here
+        # by canonical form already)
+        mins2 = (
+            ls.groupBy("u")
+            .agg(F.min("v").alias("nm"))
+            .select("u", F.least("u", "nm").alias("m"))
+        )
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(mins2.select(F.col("u").alias("n"), F.col("m")))
+            .where(F.col("n") != F.col("m"))
+            .select(
+                F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            ss.exceptAll(e).count() + e.exceptAll(ss).count()
+        )
+        e = ss
+        if changed == 0:
+            break
+    # final stars: u -> v=min; roots and isolated nodes label themselves
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        all_nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )

@@ -24,6 +24,7 @@ from openmaptiles_zh_modifier_spark.queries_graph import (
 )
 from openmaptiles_zh_modifier_spark.registry import (
     load,
+    memo_frame,
     memo_frame_lazy,
     register,
 )
@@ -456,4 +457,82 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .orderBy("rk")
         .limit(LP_TOPK)
+    )
+
+
+@register(
+    "q_cc_star",
+    oracle="""
+WITH RECURSIVE
+nodes0 AS (
+  SELECT doc_id,
+         doc_id - (doc_id % 32)
+           + (doc_id * 2654435761) % 32 AS partner
+  FROM documents WHERE doc_id % 4 <> 3
+),
+edges AS (
+  SELECT doc_id AS a, partner AS b FROM nodes0 WHERE doc_id <> partner
+),
+und AS (
+  SELECT a AS u, b AS v FROM edges
+  UNION ALL SELECT b AS u, a AS v FROM edges
+),
+nodes AS (SELECT DISTINCT u AS node FROM und),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, u.v FROM reach r JOIN und u ON u.u = r.lab
+),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_nodes
+FROM comp
+GROUP BY component
+ORDER BY component
+""",
+)
+def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by the LARGE-STAR/SMALL-STAR algorithm
+    (Kiveris et al., SoCC'14) — algorithmic diversity for the one
+    iterative primitive everything clustering-shaped reuses: unlike the
+    pointer-jumping label loop (operators/graph.py
+    connected_components), the star algorithm carries NO per-node label
+    state between rounds — the edge set itself converges to component
+    stars, so a skewed hot node is one reduce group per round, never a
+    growing frontier. Fixture: block-local pseudo-random partner edges
+    (each doc in a 32-id block links to a hashed partner in the SAME
+    block, 75% of docs participate), giving thousands of bounded
+    components whose recursive-CTE closure stays cheap at every scale.
+    The oracle computes the same fixpoint declaratively; the hash match
+    proves the alternating rewiring converges to exactly the
+    reachability minima.
+
+    Scale shape: each round is two grouped MIN aggregates + hash joins
+    on the edge frame (combinable, skew-tolerant); rounds are
+    O(log^2 n); per-round localCheckpoint truncates the iterative
+    lineage like every loop in this repo."""
+    from openmaptiles_zh_modifier_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 != 3)
+    edges = docs.select(
+        F.col("doc_id").alias("a"),
+        (
+            F.col("doc_id")
+            - (F.col("doc_id") % 32)
+            + (F.col("doc_id") * 2654435761) % 32
+        ).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    labels = memo_frame(
+        spark, f"cc_star:{sf_dir}", lambda: connected_components_star(edges)
+    )
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("sum_nodes"),
+        )
+        .orderBy("component")
     )

@@ -105,3 +105,34 @@ def test_degree_cap_guard_properties(spark, sf_dir):
     )
     max_deg = kept_adj.groupBy("u").count().agg(F.max("count")).collect()[0][0]
     assert max_deg <= DEG_CAP
+
+
+def test_star_cc_equals_pointer_jumping_hypothesis(spark):
+    """Property (round 12): the large-star/small-star algorithm and the
+    pointer-jumping label loop compute identical components on random
+    graphs — chains, cliques-with-tails, self-contained stars, isolated
+    pairs all arise across examples."""
+    import random
+
+    from openmaptiles_zh_modifier_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(20240816)
+    for _ in range(4):
+        n = rng.randrange(10, 80)
+        m = rng.randrange(5, 70)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got_pj = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        got_st = {
+            r.node: r.component
+            for r in connected_components_star(df).collect()
+        }
+        assert got_pj == got_st
