@@ -56,6 +56,7 @@ _R12_WINDOW = [
     "q_ldiversity",
     "q_resample_interpolate",
     "q_cc_star",
+    "q_embed_rvq_adc",
     "q_zh_segment_fmm",
     "q_zh_convert_audit",
     "q_label_balance",
@@ -96,7 +97,6 @@ _R12_WINDOW = [
     "q_cms_heavy_hitters",
     "q_cohort_retention",
     "q_cube_orders",
-    "q_curation_pipeline",
 ]
 
 # retained for provenance (round-11 ordering)

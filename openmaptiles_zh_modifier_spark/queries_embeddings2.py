@@ -531,3 +531,172 @@ def q_embed_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nn_id")
     )
     return pq_recall_vs_exact(spark, sf_dir, ann)
+
+
+# -------------------------------------------------------------------------
+# Residual vector quantization (RVQ) + pair-table ADC
+# -------------------------------------------------------------------------
+
+RVQ_K1 = 16  # level-1 codebook entries
+RVQ_K2 = 16  # level-2 (residual) codebook entries
+
+
+@register(
+    "q_embed_rvq_adc",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+cb1 AS (SELECT vec_id AS cid1, e AS c1 FROM v WHERE vec_id < {RVQ_K1}),
+d1 AS (
+  SELECT v.vec_id, v.label, v.e, cb1.cid1, cb1.c1,
+         {_dot_sql('v.e', 'v.e')} - 2 * {_dot_sql('v.e', 'cb1.c1')}
+           + {_dot_sql('cb1.c1', 'cb1.c1')} AS d
+  FROM v CROSS JOIN cb1
+),
+a1 AS (
+  SELECT vec_id, label, e, cid1, c1 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d, cid1) AS rk
+    FROM d1
+  ) WHERE rk = 1
+),
+resid AS (
+  SELECT vec_id, label, cid1,
+         list_transform(list_zip(e, c1), z -> z[1] - z[2]) AS r
+  FROM a1
+),
+cb2 AS (
+  SELECT vec_id AS cid2, r AS c2 FROM resid
+  WHERE vec_id >= {RVQ_K1} AND vec_id < {RVQ_K1 + RVQ_K2}
+),
+d2 AS (
+  SELECT rr.vec_id, rr.label, rr.cid1, cb2.cid2,
+         {_dot_sql('rr.r', 'rr.r')} - 2 * {_dot_sql('rr.r', 'cb2.c2')}
+           + {_dot_sql('cb2.c2', 'cb2.c2')} AS d
+  FROM resid rr CROSS JOIN cb2
+),
+codes AS (
+  SELECT vec_id, label, cid1, cid2 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d, cid2) AS rk
+    FROM d2
+  ) WHERE rk = 1
+),
+pairs AS (
+  SELECT cb1.cid1, cb2.cid2,
+         list_transform(list_zip(cb1.c1, cb2.c2), z -> z[1] + z[2]) AS cc
+  FROM cb1 CROSS JOIN cb2
+),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+qd AS (
+  SELECT q.qid, p.cid1, p.cid2,
+         {_dot_sql('q.qe', 'q.qe')} - 2 * {_dot_sql('q.qe', 'p.cc')}
+           + {_dot_sql('p.cc', 'p.cc')} AS ad
+  FROM q CROSS JOIN pairs p
+),
+cand AS (
+  SELECT qd.qid, c.vec_id AS nn_id, c.label AS nn_label, qd.ad
+  FROM codes c JOIN qd ON qd.cid1 = c.cid1 AND qd.cid2 = c.cid2
+  WHERE c.vec_id <> qd.qid
+)
+SELECT qid, nn_id, nn_label, ROUND(ad, 4) AS approx_dist, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY ad, nn_id) AS rk
+  FROM cand
+) WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
+def q_embed_rvq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual vector quantization ANN (round 12 — the additive-
+    codebook family: RVQ is the quantizer behind modern neural audio
+    codecs and additive-quantization ANN indexes): level 1 assigns each
+    vector to its nearest FULL-dimension centroid; level 2 quantizes the
+    RESIDUAL against a second codebook; the reconstruction is the SUM
+    c1 + c2, so {RVQ_K1} + {RVQ_K2} stored centroids span
+    {RVQ_K1} x {RVQ_K2} effective cells — the expressiveness-per-byte
+    trade PQ makes across subspaces, made across SCALES instead.
+    Queries run pair-table ADC: the {RVQ_K1} x {RVQ_K2} = 256 summed
+    centroids are materialized once (broadcast kilobytes), each query
+    scores all 256 cells exactly, and candidate distance is ONE lookup
+    on (cid1, cid2) — no full-width math per candidate.
+
+    Codebooks are the oracle-checkable deterministic seed (level 1 =
+    first {RVQ_K1} vectors; level 2 = the NEXT {RVQ_K2} vectors'
+    level-1 residuals — real residuals, so level 2 genuinely corrects
+    level 1). Determinism: fixed-order fold dots, elementwise list
+    arithmetic, id tie-breaks; bit-identical cross-engine before the
+    presentation ROUND.
+
+    Scale shape: assignment is a corpus pass against a broadcast
+    codebook per level (map-side argmin); the code table (2 small ints
+    per vector) replaces embeddings for search; the pair table is
+    codebook-sized, never corpus-sized."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e"), "label"
+    )
+    cb1 = v.where(F.col("vec_id") < RVQ_K1).select(
+        F.col("vec_id").alias("cid1"), F.col("e").alias("c1")
+    )
+
+    def assign(frame, vec_col, cb, cid_col, cvec_col):
+        d = (
+            _dot_fold(F.col(vec_col), F.col(vec_col))
+            - 2 * _dot_fold(F.col(vec_col), F.col(cvec_col))
+            + _dot_fold(F.col(cvec_col), F.col(cvec_col))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", cid_col)
+        return (
+            frame.crossJoin(F.broadcast(cb))
+            .withColumn("d", d)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .drop("d", "rk")
+        )
+
+    a1 = assign(v, "e", cb1, "cid1", "c1")
+    resid = a1.select(
+        "vec_id",
+        "label",
+        "cid1",
+        F.zip_with("e", "c1", lambda a, b: a - b).alias("r"),
+    )
+    cb2 = resid.where(
+        (F.col("vec_id") >= RVQ_K1) & (F.col("vec_id") < RVQ_K1 + RVQ_K2)
+    ).select(F.col("vec_id").alias("cid2"), F.col("r").alias("c2"))
+    codes = assign(resid, "r", cb2, "cid2", "c2").select(
+        "vec_id", "label", "cid1", "cid2"
+    )
+    pairs = cb1.crossJoin(F.broadcast(cb2)).select(
+        "cid1",
+        "cid2",
+        F.zip_with("c1", "c2", lambda a, b: a + b).alias("cc"),
+    )
+    q = v.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    qd = q.crossJoin(F.broadcast(pairs)).select(
+        "qid",
+        "cid1",
+        "cid2",
+        (
+            _dot_fold(F.col("qe"), F.col("qe"))
+            - 2 * _dot_fold(F.col("qe"), F.col("cc"))
+            + _dot_fold(F.col("cc"), F.col("cc"))
+        ).alias("ad"),
+    )
+    w = Window.partitionBy("qid").orderBy("ad", "nn_id")
+    return (
+        codes.join(qd, ["cid1", "cid2"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nn_id"),
+            F.col("label").alias("nn_label"),
+            "ad",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("qid", "nn_id", "nn_label", F.round("ad", 4).alias("approx_dist"), "rk")
+        .orderBy("qid", "rk")
+    )
