@@ -39,13 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
 # dict ordering decides what gets externally verified. Round-12 window
-# (VERDICT r11 #5, routine rotation): the THREE round-12 additions
-# (geodesic DBSCAN, COW deletion vectors, COW partition-spec
-# evolution), the two zh movers for their driver-vs-driver confirmation
-# read after the BASELINE.md round-12 settlement (both environment-band
-# in isolation), then the 45 stalest rows (all 15 remaining r06 rows +
-# the 30 stalest r07). Base list from
-# ``python tools/gate_coverage.py --window``.
+# (VERDICT r11 #5, routine rotation): the TEN round-12 additions
+# (geodesic DBSCAN, FLAC decode, COW deletion vectors / partition-spec
+# evolution / aggregate-IVM, full-outer stream join, l-diversity,
+# resample-interpolate, star connected components, RVQ-ADC), the two zh
+# movers for their driver-vs-driver confirmation read after the
+# BASELINE.md round-12 settlement (both environment-band in isolation),
+# then the 38 stalest rows (all 15 remaining r06 + the stalest r07).
+# Base list from ``python tools/gate_coverage.py --window``.
 _R12_WINDOW = [
     "q_geo_dbscan_geodesic",
     "q_multimodal_flac_decode",

@@ -148,10 +148,7 @@ def main() -> None:
     ctl_spin_reps += _spin2
     ctl_spark_reps += _spark2
 
-    def _median(xs: list[float]) -> float:
-        s = sorted(xs)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    from statistics import median as _median
 
     total = round(sum(timings.values()), 4)
     panel = {q: timings[q] for q in PANEL if q in timings}

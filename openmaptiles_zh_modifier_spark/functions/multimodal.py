@@ -1689,14 +1689,14 @@ def flac_roundtrip_features(df: DataFrame) -> DataFrame:
 
     Unlike the numpy-vectorized WAV/JPEG codecs, FLAC is bit-serial
     Python per sample, so the stage is CPU-bound: the input is
-    explicitly scattered before mapInPandas — a small documents table
-    arrives as ONE scan partition, which would serialize ~minutes of
-    codec work onto one core (measured 19.4 s -> ~1.5 s at sf0.1 on
-    local[32]). At lake scale the scan's own splits already provide the
-    parallelism and the repartition is one cheap extra shuffle of ids,
-    not payloads."""
+    explicitly scattered to the session's defaultParallelism before
+    mapInPandas — a small documents table arrives as ONE scan
+    partition, which would serialize ~minutes of codec work onto one
+    core (measured 19.4 s -> 1.3 s at sf0.1 on local[32]). The target
+    tracks the CLUSTER (defaultParallelism), not a literal tuned for
+    this box; the repartition shuffles ids, not payloads."""
 
-    df = df.repartition(32)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

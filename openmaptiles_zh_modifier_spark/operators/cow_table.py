@@ -278,8 +278,17 @@ def _footer_stats(path: str) -> dict:
                 try:
                     lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
                 except (UnicodeDecodeError, AttributeError):
+                    # a later row group failing decode must INVALIDATE
+                    # the column, not leave the earlier groups' narrower
+                    # range in place (review finding: stale-ok hole)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    ok.discard(name)
                     continue
             if not isinstance(lo, (int, float, str, bool)):
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                ok.discard(name)
                 continue
             if rg == 0 or name in ok:
                 mins[name] = lo if name not in mins else min(mins[name], lo)
@@ -849,6 +858,32 @@ def cow_add_constraint(
     cons = dict(m.get("constraints") or {})
     if name in cons:
         raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    # dialect-portability gate (review finding): the DSv2 write path
+    # evaluates constraints with DuckDB (no live SparkSession in its
+    # runner), so an expression only Spark can parse would brick every
+    # later DSv2 write with a parser error instead of a verdict. Reject
+    # it HERE, on a 0-row relation with the table's schema.
+    import duckdb
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    probe = pa.Table.from_arrays(
+        [pa.array([], type=f.type) for f in to_arrow_schema(_logical_schema(m))],
+        schema=to_arrow_schema(_logical_schema(m)),
+    )
+    con = duckdb.connect()
+    con.register("__cow_probe", probe)
+    try:
+        con.execute(
+            "SELECT * FROM __cow_probe WHERE NOT COALESCE("
+            f"CAST(({expr}) AS BOOLEAN), TRUE) LIMIT 1"
+        ).fetchall()
+    except Exception as exc:
+        raise ValueError(
+            f"CHECK constraint {name!r} ({expr}) is not portable to the"
+            f" DuckDB-evaluated DSv2 write path: {exc}. Use the ANSI"
+            " subset both engines parse (the repo-wide oracle dialect)."
+        ) from exc
     bad = (
         _read_files(spark, root, m, m["files"])
         .where(_violation_cond(expr))
@@ -939,8 +974,6 @@ def cow_delete(
     Streaming caveat (same as Delta without ignoreDeletes): the
     cowtable streaming source replays ADDED files, so a DV commit adds
     nothing and its deletions do not flow into downstream streams."""
-    import uuid as _uuid
-
     m = _read_manifest(root)
     entries = m["files"]
     cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -985,7 +1018,7 @@ def cow_delete(
                 *[os.path.join(root, d) for d in prior_dirs]
             ).where(F.col("fname").isin(list(touched)))
             dv_rows = dv_rows.unionByName(prior)
-        dv_rel = f"dv-{_uuid.uuid4().hex[:12]}"
+        dv_rel = f"dv-{uuid.uuid4().hex[:12]}"
         dv_rows.write.parquet(os.path.join(root, dv_rel))
         files = [
             ({**e, "dv": dv_rel} if _fname(e) in touched else e)

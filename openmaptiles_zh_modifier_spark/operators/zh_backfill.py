@@ -39,7 +39,7 @@ from openmaptiles_zh_modifier_spark.functions.zh import (
     to_simplified,
     to_traditional,
 )
-from ..functions.zh import opencc_tables_from_env
+from ..functions.zh import CURATED, opencc_tables_from_env
 
 
 KEY_ZH = "name:zh"
@@ -75,7 +75,11 @@ def derive_zh_columns(
     in ingested OpenCC dictionaries — the deployment path to full
     dictionary parity (VERDICT r11 #3); unset = curated gate path.
     """
-    tables = tables if tables is not None else opencc_tables_from_env()
+    tables = (
+        None
+        if tables is CURATED
+        else (tables if tables is not None else opencc_tables_from_env())
+    )
     name = F.col("name")
     tags = F.col("tags")
     hant_read_key = KEY_HANT_TYPO if compat_names_typo else KEY_HANT
@@ -140,7 +144,11 @@ def updates_frame_with_tags(
     join of :func:`updates_frame` back onto the source: over a live JDBC
     source, two scans are two snapshots, and pairing hans/hant from one
     snapshot with tags from another silently loses concurrent writes."""
-    tables = tables if tables is not None else opencc_tables_from_env()
+    tables = (
+        None
+        if tables is CURATED
+        else (tables if tables is not None else opencc_tables_from_env())
+    )
     name = F.col("name")
     tags = F.col("tags")
     hant_read_key = KEY_HANT_TYPO if compat_names_typo else KEY_HANT
@@ -185,7 +193,11 @@ def backfill_table(
     applies, which at lake scale beats materializing an updates frame and
     joining it back. Every other column is passed through untouched.
     """
-    tables = tables if tables is not None else opencc_tables_from_env()
+    tables = (
+        None
+        if tables is CURATED
+        else (tables if tables is not None else opencc_tables_from_env())
+    )
     name = F.col("name")
     tags = F.col("tags")
     hant_read_key = KEY_HANT_TYPO if compat_names_typo else KEY_HANT

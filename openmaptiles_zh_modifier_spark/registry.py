@@ -344,7 +344,16 @@ def q_zh_backfill_typo_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda k, v: v.isNotNull(),
         ).alias("tags"),
     )
-    out = derive_zh_columns(tagged, "doc_id", compat_names_typo=True)
+    # tables=CURATED pins the gate to the curated dictionaries even on a
+    # box where a deployment exported SPARK_GRAFT_OPENCC_DIR — the
+    # static DuckDB oracle compiles the curated literals, so the Spark
+    # side must too (review finding: env var would hash-mismatch the
+    # gate for correct code)
+    from openmaptiles_zh_modifier_spark.functions.zh import CURATED
+
+    out = derive_zh_columns(
+        tagged, "doc_id", compat_names_typo=True, tables=CURATED
+    )
     return (
         out.where("needs_update")
         .select("doc_id", "hans", "hant")

@@ -212,6 +212,19 @@ class CowBatchReader(DataSourceReader):
             logical = f.attribute[0]
             if self._cmap and logical not in self._cmap:
                 continue  # unknown column: this filter can't prune
+            # NaN hole (review finding): parquet footer min/max EXCLUDE
+            # NaN, but Spark orders NaN above every value — a float
+            # column's zone map can therefore under-cover its rows, so
+            # floating columns never zone-prune (Delta keeps NaN counts
+            # for the same reason; integers/strings have no such hole)
+            fld = next(
+                (x for x in self._schema.fields if x.name == logical), None
+            )
+            if fld is not None and fld.dataType.simpleString() in (
+                "float",
+                "double",
+            ):
+                continue
             phys = self._cmap[logical] if self._cmap else logical
             rng = stats.get(phys)
             if not rng:
@@ -724,10 +737,11 @@ class CowDataSource(DataSource):
                 cow_resolve_as_of_ts,
             )
 
+            ts = float(st)  # malformed input must error, not full-replay
             try:
-                start = cow_resolve_as_of_ts(self._root(), float(st))
+                start = cow_resolve_as_of_ts(self._root(), ts)
             except ValueError:
-                start = 0
+                start = 0  # predates the first commit: replay everything
             return CowStreamReader(self._root(), start)
         return CowStreamReader(self._root(), int(sv or 0))
 
