@@ -58,6 +58,7 @@ _R12_WINDOW = [
     "q_resample_interpolate",
     "q_cc_star",
     "q_embed_rvq_adc",
+    "q_rvq_recall",
     "q_zh_segment_fmm",
     "q_zh_convert_audit",
     "q_label_balance",
@@ -97,7 +98,6 @@ _R12_WINDOW = [
     "q_bpe_merge_candidates",
     "q_cms_heavy_hitters",
     "q_cohort_retention",
-    "q_cube_orders",
 ]
 
 # retained for provenance (round-11 ordering)

@@ -609,6 +609,7 @@ def cow_vacuum(
     keep_versions: int = 1,
     orphan_grace_seconds: float = 600.0,
     pinned_versions=None,
+    keep_newer_than_ts: float | None = None,
 ) -> int:
     """Drop manifests older than the newest ``keep_versions`` and delete
     every data file no surviving manifest references — including
@@ -627,7 +628,11 @@ def cow_vacuum(
     dead (a dropped version is not an in-flight writer) and are removed
     unconditionally, so one vacuum reclaims recently-rewritten versions.
     Pass ``0`` to force-sweep orphans too when no writer can be live
-    (tests, offline maintenance).
+    (tests, offline maintenance). ``keep_newer_than_ts`` adds AGE-based
+    retention on top of ``keep_versions``: every version whose
+    monotonized commit_ts is at or after the cutoff survives, so
+    timestamp time travel stays total inside the retention window
+    (Delta's retention semantics).
 
     ``pinned_versions`` is the reader-lease knob (the versions-domain
     analog of Delta's retention check): an iterable of snapshot versions
@@ -643,6 +648,19 @@ def cow_vacuum(
 
     versions = cow_history(root)
     kept_vs = versions[-keep_versions:]
+    if keep_newer_than_ts is not None:
+        # AGE-based retention (round 12, composes with commit_ts /
+        # timestamp time travel — Delta's retention window): every
+        # version whose MONOTONIZED stamp is >= the cutoff survives,
+        # so `cow_read(as_of_ts=t)` keeps working for any t inside the
+        # retention window regardless of how many versions landed
+        eff = float("-inf")
+        aged = []
+        for v in versions:
+            eff = max(eff, _effective_commit_ts(root, v))
+            if eff >= keep_newer_than_ts:
+                aged.append(v)
+        kept_vs = sorted(set(kept_vs) | set(aged))
     if pinned_versions:
         kept_vs = sorted(
             set(kept_vs) | (set(pinned_versions) & set(versions))

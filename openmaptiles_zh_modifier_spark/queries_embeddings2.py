@@ -700,3 +700,49 @@ def q_embed_rvq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nn_id", "nn_label", F.round("ad", 4).alias("approx_dist"), "rk")
         .orderBy("qid", "rk")
     )
+
+
+@register(
+    "q_rvq_recall",
+    oracle=f"""
+WITH rvq AS ({{RVQ_ORACLE}}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+exd AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nn_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_dot_sql('c.e', 'c.e')} - 2 * {_dot_sql('q.e', 'c.e')},
+                    c.vec_id) AS rk
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ex AS (SELECT qid, nn_id FROM exd WHERE rk <= {TOP_K})
+SELECT rvq.qid,
+       CAST(COUNT(ex.nn_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(ex.nn_id) / {TOP_K}.0, 2) AS recall
+FROM rvq LEFT JOIN ex ON ex.qid = rvq.qid AND ex.nn_id = rvq.nn_id
+GROUP BY rvq.qid
+ORDER BY rvq.qid
+""",
+)
+def q_rvq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the RVQ pair-table index against the exact
+    scan — every ANN method in this repo ships with its recall audit,
+    and the additive-codebook family gets one too: the number that
+    tells a deployment whether two 16-entry levels (256 effective
+    cells) carry enough resolution or whether a third level / larger
+    codebooks are needed. Same composition shape as q_pq_recall: the
+    registered RVQ plan's hits counted against the brute-force exact
+    top-k per query."""
+    from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+    rvq = QUERIES["q_embed_rvq_adc"](spark, sf_dir).select("qid", "nn_id")
+    return pq_recall_vs_exact(spark, sf_dir, rvq)
+
+
+# splice the RVQ oracle text into the recall oracle (same late-binding
+# trick q_pq_recall uses with _ORACLES)
+from openmaptiles_zh_modifier_spark.registry import ORACLE_SQL as _ORC
+
+_ORC["q_rvq_recall"] = _ORC["q_rvq_recall"].replace(
+    "{RVQ_ORACLE}", _ORC["q_embed_rvq_adc"]
+)

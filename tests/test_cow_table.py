@@ -621,3 +621,47 @@ def test_as_of_ts_two_writer_race(spark, tmp_path):
     # an UNSTAMPED commit after the skewed one monotonizes at write time
     _commit_manifest(root, manifest_v(4))
     assert _effective_commit_ts(root, 4) >= ts2 - 10.0
+
+
+def test_vacuum_age_based_retention(spark, tmp_path):
+    """keep_newer_than_ts: versions inside the retention window survive
+    (timestamp time travel stays total there); older ones are reclaimed
+    subject to keep_versions."""
+    import json as _json
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        _manifest_path,
+        cow_append,
+        cow_create,
+        cow_history,
+        cow_read,
+        cow_resolve_as_of_ts,
+        cow_vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    cow_create(spark, root, spark.createDataFrame([(1,)], "id long"))
+    for i in range(2, 6):
+        cow_append(spark, root, spark.createDataFrame([(i,)], "id long"))
+
+    def set_ts(version, ts):
+        p = _manifest_path(root, version)
+        m = _json.load(open(p))
+        m["commit_ts"] = ts
+        _json.dump(m, open(p, "w"))
+
+    for v, ts in ((1, 100.0), (2, 200.0), (3, 300.0), (4, 400.0), (5, 500.0)):
+        set_ts(v, ts)
+
+    cow_vacuum(
+        root, keep_versions=1, orphan_grace_seconds=0,
+        keep_newer_than_ts=300.0,
+    )
+    assert cow_history(root) == [3, 4, 5]
+    # time travel inside the window is total
+    assert cow_resolve_as_of_ts(root, 350.0) == 3
+    assert cow_read(spark, root, as_of_ts=450.0).count() == 4
+    import pytest as _pt
+
+    with _pt.raises((ValueError, FileNotFoundError)):
+        cow_read(spark, root, version=1)
