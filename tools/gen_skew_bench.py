@@ -174,6 +174,12 @@ BENCH_QUERIES = [
     # metadata write at any size) + three census reads over 3x chunks
     "q_cow_delete_dv",
     "q_cow_partition_evolution",
+    # round-12 late wave: star CC is linear in blocks (3x docs = 3x
+    # bounded components, rounds O(log^2 of the largest block)); RVQ is
+    # a corpus pass per level against a broadcast codebook + the
+    # 256-cell pair table (constant)
+    "q_cc_star",
+    "q_embed_rvq_adc",
     # round-12: geodesic DBSCAN — the pair stream is the radius join
     # (documents x documents), so 3x docs means ~9x pairs INSIDE the
     # two implanted blobs (quadratic by design: a denser blob is more
@@ -428,8 +434,15 @@ def main() -> None:
 # the cow-table build memos (queries_scale keeps real temp tables per
 # app+sf_dir, which registry.clear_frame_cache cannot see).
 MEMOIZING_QUERIES = {
+    "q_cc_star",
     "q_cow_delete_dv",
     "q_cow_partition_evolution",
+    # round-12 late wave: star CC is linear in blocks (3x docs = 3x
+    # bounded components, rounds O(log^2 of the largest block)); RVQ is
+    # a corpus pass per level against a broadcast codebook + the
+    # 256-cell pair table (constant)
+    "q_cc_star",
+    "q_embed_rvq_adc",
     "q_geo_dbscan",
     "q_geo_dbscan_geodesic",
     "q_geo_segment_join",
@@ -462,6 +475,12 @@ LATE10_QUERIES = [
     # metadata write at any size) + three census reads over 3x chunks
     "q_cow_delete_dv",
     "q_cow_partition_evolution",
+    # round-12 late wave: star CC is linear in blocks (3x docs = 3x
+    # bounded components, rounds O(log^2 of the largest block)); RVQ is
+    # a corpus pass per level against a broadcast codebook + the
+    # 256-cell pair table (constant)
+    "q_cc_star",
+    "q_embed_rvq_adc",
     # round-12: geodesic DBSCAN — the pair stream is the radius join
     # (documents x documents), so 3x docs means ~9x pairs INSIDE the
     # two implanted blobs (quadratic by design: a denser blob is more
