@@ -65,7 +65,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
@@ -473,6 +473,8 @@ def cow_merge(
     matched_delete=None,
     not_matched_insert: dict | None = None,
     base_version: int | None = None,
+    strategy: str = "cow",
+    dv_matched_threshold: float = 0.2,
 ) -> int:
     """Delta-style ``MERGE INTO`` the cow table: rewrite ONLY the
     partitions whose values appear in the source (plus, when an INSERT
@@ -483,6 +485,30 @@ def cow_merge(
 
     Clause semantics are ``operators.merge.merge_into``'s (t/s aliases).
     Returns the committed version.
+
+    ``strategy`` (round 13 — Delta's deletion-vector MERGE / merge-on-
+    read DML):
+
+    - ``"cow"`` (default): copy-on-write — affected partitions are
+      rewritten in full. Write amplification tracks PARTITION size;
+      right when the matched fraction is large (the rewrite is mostly
+      real work) or as the compaction-time materializer.
+    - ``"dv"``: merge-on-read — matched rows' old images are marked
+      deleted via a deletion-vector sidecar (no data file rewritten) and
+      the updated images + inserts land as ordinary appended files.
+      Write amplification tracks the MATCHED + INSERTED rows, not the
+      partition: updating 10 rows inside a 1 GB partition costs a
+      10-row sidecar + a 10-row file. Reads pay the existing one-DV
+      anti-join; ``cow_compact`` materializes later. The CDF
+      (``cow_changes``) emits IDENTICAL deltas under both strategies —
+      it diffs (path, dv) pairs, so DV'd survivors cancel exactly like
+      rewritten-but-unchanged rows do (hash-pinned in
+      tests/test_cow_merge_dv.py).
+    - ``"auto"``: counts matched rows against the affected files' total
+      (parquet footer row counts, driver-side metadata only) and picks
+      ``dv`` when the fraction is at most ``dv_matched_threshold``,
+      else ``cow`` — the matched-fraction heuristic Delta applies for
+      DV-eligible DML.
 
     ``base_version`` pins the snapshot the merge is computed FROM and
     commits ``base_version + 1``: a caller that read version V, derived
@@ -495,9 +521,26 @@ def cow_merge(
     independently of the table's current contents."""
     from openmaptiles_zh_modifier_spark.operators.merge import merge_into
 
+    if strategy not in ("cow", "dv", "auto"):
+        raise ValueError(f"cow_merge: unknown strategy {strategy!r}")
+
     m = _read_manifest(root, base_version)
     part_col = m["partition_by"]
     next_version = m["version"] + 1
+
+    if strategy != "cow":
+        affected, keep = _merge_affected(source, m)
+        if strategy == "auto":
+            strategy = _pick_merge_strategy(
+                spark, root, m, source, on, affected,
+                matched_update, matched_delete, dv_matched_threshold,
+            )
+        if strategy == "dv":
+            return _merge_dv(
+                spark, root, m, source, on,
+                matched_update, matched_delete, not_matched_insert,
+                affected,
+            )
 
     if part_col is None:
         # unpartitioned: the whole table is one copy-on-write unit
@@ -509,26 +552,7 @@ def cow_merge(
         _validate_constraints(spark, root, m, new_files)
         keep: list[dict] = []
     else:
-        # bounded collect: one value per touched partition
-        vals = [r[0] for r in source.select(part_col).distinct().collect()]
-        if any(v is None for v in vals):
-            raise ValueError(
-                f"cow_merge: source has NULL {part_col!r} partition values —"
-                " a NULL partition cannot be pruned or routed; clean or"
-                " default them upstream"
-            )
-        touched = {str(v) for v in vals}
-        # old-spec entries (pre-partition-evolution) cannot be pruned by
-        # the current column's values — they join the rewrite, which
-        # also MIGRATES them to the current spec (Iceberg's progressive
-        # rewrite-to-new-spec behavior)
-        affected = [
-            e
-            for e in m["files"]
-            if _entry_pcol(e, m) != part_col or e["partition"] in touched
-        ]
-        _aff = {e["path"] for e in affected}
-        keep = [e for e in m["files"] if e["path"] not in _aff]
+        affected, keep = _merge_affected(source, m)
         # manifest schema is authoritative (not a sampled footer):
         # pre-evolution files must project their missing columns as
         # NULL, or a rewrite would silently drop evolved columns
@@ -552,6 +576,270 @@ def cow_merge(
             manifest[k] = m[k]
     _commit_manifest(root, manifest)
     return next_version
+
+
+def _merge_affected(source: DataFrame, m: dict) -> tuple[list, list]:
+    """Partition-prune a merge: (affected entries, untouched entries).
+    Unpartitioned tables treat the whole table as affected. Bounded
+    collect: one value per touched partition."""
+    part_col = m["partition_by"]
+    if part_col is None:
+        return list(m["files"]), []
+    vals = [r[0] for r in source.select(part_col).distinct().collect()]
+    if any(v is None for v in vals):
+        raise ValueError(
+            f"cow_merge: source has NULL {part_col!r} partition values —"
+            " a NULL partition cannot be pruned or routed; clean or"
+            " default them upstream"
+        )
+    touched = {str(v) for v in vals}
+    # old-spec entries (pre-partition-evolution) cannot be pruned by
+    # the current column's values — they join the rewrite/DV pass, which
+    # also MIGRATES them to the current spec (Iceberg's progressive
+    # rewrite-to-new-spec behavior)
+    affected = [
+        e
+        for e in m["files"]
+        if _entry_pcol(e, m) != part_col or e["partition"] in touched
+    ]
+    _aff = {e["path"] for e in affected}
+    keep = [e for e in m["files"] if e["path"] not in _aff]
+    return affected, keep
+
+
+def _merge_key_pairs(on) -> list[tuple[str, str]]:
+    """Normalize ``on`` to [(target_col, source_col)] — merge_into's
+    contract."""
+    if isinstance(on, str):
+        on = [on]
+    return list(on.items()) if isinstance(on, dict) else [(k, k) for k in on]
+
+
+def _pick_merge_strategy(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    source: DataFrame,
+    on,
+    affected: list,
+    matched_update,
+    matched_delete,
+    threshold: float,
+) -> str:
+    """``strategy="auto"``: DV merge pays off when the matched rows are
+    a small fraction of the affected files' rows (sidecar + small append
+    vs whole-partition re-encode). Matched count is one semi-join over
+    the pruned scan; the denominator is driver-side parquet FOOTER row
+    counts (metadata only, bounded by file count — an upper bound that
+    ignores already-DV'd positions, which only biases TOWARD the cow
+    rewrite, the safe side)."""
+    from functools import reduce
+
+    import pyarrow.parquet as pq
+
+    if matched_update is None and matched_delete is None:
+        return "dv"  # insert-only: append either way; never rewrite
+    total = 0
+    for e in affected:
+        try:
+            total += pq.ParquetFile(os.path.join(root, e["path"])).metadata.num_rows
+        except Exception:
+            return "cow"  # unreadable footer: be conservative
+    if total == 0:
+        return "dv"
+    key_pairs = _merge_key_pairs(on)
+    base = _read_files(spark, root, m, affected).alias("t")
+    s = source.alias("s")
+    cond = reduce(
+        Column.__and__,
+        [F.col(f"t.{tc}") == F.col(f"s.{sc}") for tc, sc in key_pairs],
+    )
+    matched = base.join(s, cond, "left_semi").count()
+    return "dv" if matched / total <= threshold else "cow"
+
+
+def _merge_dv(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    source: DataFrame,
+    on,
+    matched_update: dict | None,
+    matched_delete,
+    not_matched_insert: dict | None,
+    affected: list,
+) -> int:
+    """Merge-on-read MERGE (Delta deletion-vector DML): matched rows'
+    positions go to a DV sidecar (old images logically deleted, zero
+    data files rewritten); updated images + not-matched inserts are
+    appended as ordinary files. Semantics mirror merge_into exactly —
+    t/s clause aliases, delete-before-update clause order, source
+    uniqueness validation — so the two strategies are interchangeable
+    and the CDF emits identical deltas.
+
+    Scale shape: ONE inner join of the pruned lineage scan against the
+    source (broadcastable — the source is the small side of a keyed
+    update), a localCheckpoint of only the MATCHED rows, a sidecar
+    sized by matched rows, appends sized by matched-updates + inserts.
+    The only driver-side materializations are the touched FILE NAME
+    list and the partition-value list (both metadata-bounded)."""
+    from functools import reduce
+
+    key_pairs = _merge_key_pairs(on)
+    schema = _logical_schema(m)
+    part_col = m["partition_by"]
+    next_version = m["version"] + 1
+    entries = m["files"]
+
+    base = _read_files(spark, root, m, affected, with_lineage=True)
+    _validate_merge_source_unique(base, source, key_pairs)
+    t = base.alias("t")
+    s = source.alias("s")
+    cond = reduce(
+        Column.__and__,
+        [F.col(f"t.{tc}") == F.col(f"s.{sc}") for tc, sc in key_pairs],
+    )
+
+    appends: list[DataFrame] = []
+    touched: set[str] = set()
+    hits = None
+    if matched_update is not None or matched_delete is not None:
+        upd = matched_update or {}
+        del_cond = (
+            F.coalesce(matched_delete.cast("boolean"), F.lit(False))
+            if matched_delete is not None
+            else F.lit(False)
+        )
+        # one projection carries everything the commit needs: the old
+        # position (for the DV), the delete verdict, and the updated
+        # image — materialized ONCE (matched rows only, the small set)
+        matched = (
+            t.join(s, cond, "inner")
+            .select(
+                F.col(f"t.{_DV_FN}").alias(_DV_FN),
+                F.col(f"t.{_DV_POS}").alias(_DV_POS),
+                del_cond.alias("__del"),
+                *[
+                    (upd.get(f.name, F.col(f"t.{f.name}"))).alias(f.name)
+                    for f in schema.fields
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        if matched_update is not None:
+            # every matched-not-deleted row is rewritten (Delta's DV
+            # MERGE rewrites the full matched set the update clause
+            # touches); no-op updates cancel in the CDF's exceptAll
+            hits = matched.select(
+                F.col(_DV_FN).alias("fname"), F.col(_DV_POS).alias("pos")
+            )
+            appends.append(
+                matched.where(~F.col("__del")).select(
+                    *[F.col(f.name) for f in schema.fields]
+                )
+            )
+        else:
+            hits = matched.where(F.col("__del")).select(
+                F.col(_DV_FN).alias("fname"), F.col(_DV_POS).alias("pos")
+            )
+        touched = {r.fname for r in hits.select("fname").distinct().collect()}
+
+    if not_matched_insert is not None:
+        ins = not_matched_insert
+        base_keys = base.select(
+            *[F.col(tc).alias(f"__bk_{i}") for i, (tc, _) in enumerate(key_pairs)]
+        )
+        anti_cond = reduce(
+            Column.__and__,
+            [
+                F.col(f"s.{sc}") == F.col(f"__bk_{i}")
+                for i, (_, sc) in enumerate(key_pairs)
+            ],
+        )
+        appends.append(
+            s.join(base_keys, anti_cond, "left_anti").select(
+                *[
+                    ins.get(f.name, F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        )
+
+    new_files: list[dict] = []
+    if appends:
+        out = appends[0]
+        for a in appends[1:]:
+            out = out.unionByName(a)
+        if part_col is not None:
+            if out.where(F.col(part_col).isNull()).limit(1).count():
+                raise ValueError(
+                    f"cow_merge(dv): merge produces NULL {part_col!r}"
+                    " partition values — clean or default them upstream"
+                )
+        new_files = _write_commit(
+            _to_physical(out, m), root, _physical_name(m, part_col)
+        )
+        _validate_constraints(spark, root, m, new_files)
+
+    files = entries
+    if touched:
+        # the new sidecar carries each touched file's FULL deleted set
+        # (fresh hits ∪ prior vectors) — same single-sidecar-per-entry
+        # invariant as cow_delete, so reads stay one anti-join
+
+        def _fname(e: dict) -> str:
+            return os.path.basename(e["path"])
+
+        prior_dirs = sorted(
+            {e["dv"] for e in entries if e.get("dv") and _fname(e) in touched}
+        )
+        dv_rows = hits
+        if prior_dirs:
+            prior = spark.read.parquet(
+                *[os.path.join(root, d) for d in prior_dirs]
+            ).where(F.col("fname").isin(list(touched)))
+            dv_rows = dv_rows.unionByName(prior)
+        dv_rel = f"dv-{uuid.uuid4().hex[:12]}"
+        dv_rows.write.parquet(os.path.join(root, dv_rel))
+        files = [
+            ({**e, "dv": dv_rel} if _fname(e) in touched else e)
+            for e in entries
+        ]
+
+    manifest = {
+        "version": next_version,
+        "partition_by": part_col,
+        "files": files + new_files,
+        "schema": m["schema"],
+    }
+    for k in ("column_mapping", "retired_physical", "constraints"):
+        if k in m:
+            manifest[k] = m[k]
+    _commit_manifest(root, manifest)
+    return next_version
+
+
+def _validate_merge_source_unique(base: DataFrame, source: DataFrame, key_pairs):
+    """Delta MERGE contract (same check merge_into runs): more than one
+    source row matching a single target row is an error, not a silent
+    fan-out. Duplicate source keys that match NO target row are fine."""
+    src_keys = [sc for _, sc in key_pairs]
+    base_keys = base.select(*[F.col(tc).alias(sc) for tc, sc in key_pairs])
+    dup = (
+        source.join(base_keys, src_keys, "left_semi")
+        .groupBy(*src_keys)
+        .agg(F.count(F.lit(1)).alias("__merge_nsrc"))
+        .where(F.col("__merge_nsrc") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "cow_merge(dv): source has multiple rows for merge key "
+            f"{tuple(dup[0])[:-1]} — MERGE requires at most one source "
+            "row per matched target row (dedupe or pre-aggregate the "
+            "source)"
+        )
 
 
 def _effective_commit_ts(root: str, version: int) -> float:

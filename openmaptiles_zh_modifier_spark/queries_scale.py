@@ -1542,3 +1542,134 @@ def q_cow_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_rows") > 0)
         .orderBy("o_orderpriority")
     )
+
+
+# (applicationId, sf_dir) -> (table root, post-merge version)
+_MDV_TABLES: dict[tuple, tuple[str, int]] = {}
+
+
+def _mdv_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    return _app_scoped_table_memo(
+        spark, _MDV_TABLES, sf_dir, lambda: _mdv_build(spark, sf_dir)
+    )
+
+
+def _mdv_build(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    import tempfile
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_create,
+        cow_merge,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="omt-mdv-") + "/t"
+    cow_create(
+        spark,
+        root,
+        orders.where(F.col("o_orderkey") % 2 == 0),
+        partition_by="o_orderpriority",
+    )
+    src = orders.where(F.col("o_orderkey") % 3 == 0)
+    v = cow_merge(
+        spark,
+        root,
+        src,
+        on="o_orderkey",
+        matched_update={"o_custkey": F.col("s.o_custkey") + F.lit(1000000)},
+        matched_delete=F.col("s.o_orderkey") % 12 == 0,
+        not_matched_insert={
+            "o_orderkey": F.col("s.o_orderkey"),
+            "o_custkey": F.col("s.o_custkey"),
+            "o_orderpriority": F.col("s.o_orderpriority"),
+        },
+        strategy="dv",
+    )
+    return root, v
+
+
+@register(
+    "q_cow_merge_dv",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+), src AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
+), final AS (
+  SELECT o_custkey FROM base WHERE o_orderkey % 6 <> 0
+  UNION ALL
+  SELECT o_custkey + 1000000 FROM base
+  WHERE o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0
+  UNION ALL
+  SELECT o_custkey FROM src WHERE o_orderkey % 6 = 3
+), cdf_ins AS (
+  SELECT o_custkey + 1000000 AS o_custkey FROM base
+  WHERE o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0
+  UNION ALL
+  SELECT o_custkey FROM src WHERE o_orderkey % 6 = 3
+), cdf_del AS (
+  SELECT o_custkey FROM base WHERE o_orderkey % 6 = 0
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey FROM base
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_custkey) AS BIGINT) FROM final
+  UNION ALL
+  SELECT CAST(90 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_custkey) AS BIGINT) FROM cdf_ins
+  UNION ALL
+  SELECT CAST(91 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_custkey) AS BIGINT) FROM cdf_del
+)
+ORDER BY version
+""",
+)
+def q_cow_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE measured through real manifests (round 13,
+    VERDICT r12 #4 — Delta's deletion-vector DML): the table ingests
+    half of orders, then ONE ``cow_merge(strategy="dv")`` carries all
+    three clauses — matched-DELETE (keys %12==0), matched-UPDATE
+    (+1,000,000 to o_custkey), and not-matched-INSERT (odd multiples of
+    3). No pre-existing data file is rewritten (pinned in
+    tests/test_cow_merge_dv.py): old images die via a DV sidecar, new
+    images + inserts land as appends. The census reads v1, the final
+    v2, AND the CDF's insert/delete legs (labels 90/91) — so the
+    external oracle pins that merge-on-read produces EXACTLY the same
+    change feed the copy-on-write strategy would.
+
+    Scale shape: one inner join of the pruned scan against the source
+    (broadcastable), a sidecar sized by MATCHED rows, appends sized by
+    matched-updates + inserts — write amplification tracks the changed
+    rows, never the partition (updating 10 rows in a 1 GB partition is
+    a 10-row sidecar + 10-row file, where copy-on-write re-encodes the
+    gigabyte). Reads pay the existing one-DV anti-join; cow_compact
+    materializes at maintenance time."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_changes,
+        cow_read,
+    )
+
+    root, v = _mdv_table(spark, sf_dir)
+
+    def census(label: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        ).select(
+            F.lit(label).cast("long").alias("version"),
+            "n_rows",
+            "sum_custkey",
+        )
+
+    cdf = cow_changes(spark, root, 1, v)
+    return (
+        census(1, cow_read(spark, root, version=1))
+        .unionByName(census(2, cow_read(spark, root, version=v)))
+        .unionByName(census(90, cdf.where(F.col("_change_type") == "insert")))
+        .unionByName(census(91, cdf.where(F.col("_change_type") == "delete")))
+        .orderBy("version")
+    )

@@ -287,10 +287,145 @@ class CowStreamReader(DataSourceStreamReader):
     """Commit-log replay: one micro-batch per span of newly committed
     versions; the unit of progress is the manifest version number.
 
-    Deletion-vector caveat (same as Delta without ignoreDeletes): the
+    Deletion-vector caveat (same as Delta WITH ignoreDeletes): the
     source replays files ADDED per version span, so a cow_delete DV
-    commit adds nothing and its deletions do NOT flow downstream —
-    documented divergence, matching the operator's own docstring."""
+    commit adds nothing and its deletions do NOT flow downstream. Round
+    13 (VERDICT r12 #6) turns the caveat into enforced behavior:
+    ``.option("ignore_deletes", "false")`` makes planning RAISE when any
+    version in the span deleted rows (a DV repoint or a file removal) —
+    Delta's default contract — with the fix-forward hint to either
+    accept the divergence (ignore_deletes=true) or stream the CDF
+    (``read_changes=true``, CowChangesStreamReader) which emits the
+    deletes as tagged change rows."""
+
+    def __init__(
+        self,
+        root: str,
+        starting_version: int,
+        ignore_deletes: bool = True,
+    ) -> None:
+        self._root = root
+        self._start = starting_version
+        self._ignore_deletes = ignore_deletes
+        m = _read_manifest(root)
+        self._schema = _schema_of(m)
+        self._cmap = m.get("column_mapping")
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self._root)}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        sv, ev = start["version"], end["version"]
+        if ev <= sv:
+            return []
+        if not self._ignore_deletes:
+            _raise_on_span_deletes(self._root, sv, ev)
+        old: set[str] = set()
+        if sv >= 1:
+            old = {e["path"] for e in _read_manifest(self._root, sv)["files"]}
+        new = _read_manifest(self._root, ev)["files"]
+        return [
+            CowFilePartition(os.path.join(self._root, e["path"]), e["partition"])
+            for e in new
+            if e["path"] not in old
+        ]
+
+    def read(self, partition: CowFilePartition) -> Iterator:
+        yield from _read_file_batches(partition.path, self._schema, self._cmap)
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are immutable; nothing to acknowledge
+
+    def stop(self) -> None:
+        pass
+
+
+def _raise_on_span_deletes(root: str, sv: int, ev: int) -> None:
+    """Walk every version pair in (sv, ev] and raise if any commit
+    deleted rows: a removed live file, or an entry repointed to a new
+    DV sidecar. Per-commit inspection (not an endpoint diff) so an
+    add-then-delete inside the span cannot slip through — the same
+    granularity Delta's source applies to its commit actions. Metadata
+    only: O(span x files) manifest JSON, no data I/O."""
+    prev = None
+    for v in range(max(sv, 1), ev + 1):
+        cur = {e["path"]: e.get("dv") for e in _read_manifest(root, v)["files"]}
+        if prev is not None:
+            removed = [p for p in prev if p not in cur]
+            repointed = [
+                p for p, dv in cur.items()
+                if p in prev and prev[p] != dv
+            ]
+            if removed or repointed:
+                raise ValueError(
+                    f"cowtable streaming source: version {v} deletes rows "
+                    f"({len(removed)} file(s) removed, {len(repointed)} "
+                    "deletion-vector repoint(s)) and ignore_deletes is "
+                    "false. Either set .option('ignore_deletes', 'true') "
+                    "to replay appends only (deletes will NOT flow "
+                    "downstream), or stream the change feed with "
+                    ".option('read_changes', 'true')."
+                )
+        prev = cur
+
+
+@dataclass
+class CowChangePartition(InputPartition):
+    """One file's contribution to a CDF micro-batch. ``kind``:
+
+    - ``insert``: a file added in this span — emit its live rows
+      (minus ``dv``) tagged 'insert'.
+    - ``delete_file``: a file removed — emit its previously-live rows
+      (minus ``dv``, the OLD sidecar) tagged 'delete'.
+    - ``delete_dv``: an entry repointed from ``old_dv`` to ``dv`` —
+      emit exactly the NEWLY-deleted positions (dv minus old_dv)
+      tagged 'delete'."""
+
+    path: str
+    kind: str
+    dv: str | None = None
+    old_dv: str | None = None
+
+
+_CHANGE_TYPE = "_change_type"
+
+
+def _dv_positions(dv_dir: str | None, fname: str):
+    import pyarrow.parquet as pq
+
+    if dv_dir is None:
+        return set()
+    t = pq.read_table(
+        dv_dir, columns=["fname", "pos"], filters=[("fname", "==", fname)]
+    )
+    return set(t.column("pos").to_pylist())
+
+
+class CowChangesStreamReader(DataSourceStreamReader):
+    """Streaming CDF over the commit log (round 13, VERDICT r12 #6 —
+    the ``read_changes`` analog of Delta's ``readChangeFeed``): each
+    micro-batch emits the change rows of the versions it spans, tagged
+    with ``_change_type`` ('insert' | 'delete').
+
+    Exactness contract: for append, DV-delete, and DV-merge commits the
+    emitted multiset IS the batch CDF (``cow_changes``) — appends emit
+    new images, DV repoints emit exactly the newly-deleted positions.
+    For copy-on-write REWRITE commits (cow merge / compact / rewrite
+    deletes) the stream emits the full pre/post images WITHOUT the
+    batch CDF's exceptAll cancellation of rewritten-but-unchanged rows
+    — per-file partitions cannot see each other, and cancellation needs
+    a global multiset diff. Documented superset; downstream can cancel
+    (Delta solves this by persisting change files at commit time, a
+    write-side cost this format chooses not to pay).
+
+    Planning walks version PAIRS (v-1, v), never endpoint diffs, so an
+    add-then-delete inside one span emits both its insert and its
+    delete instead of nothing."""
 
     def __init__(self, root: str, starting_version: int) -> None:
         self._root = root
@@ -311,21 +446,71 @@ class CowStreamReader(DataSourceStreamReader):
         sv, ev = start["version"], end["version"]
         if ev <= sv:
             return []
-        old: set[str] = set()
+        out: list[CowChangePartition] = []
+        prev: dict[str, str | None] = {}
         if sv >= 1:
-            old = {e["path"] for e in _read_manifest(self._root, sv)["files"]}
-        new = _read_manifest(self._root, ev)["files"]
-        return [
-            CowFilePartition(os.path.join(self._root, e["path"]), e["partition"])
-            for e in new
-            if e["path"] not in old
-        ]
+            prev = {
+                e["path"]: e.get("dv")
+                for e in _read_manifest(self._root, sv)["files"]
+            }
+        for v in range(max(sv + 1, 1), ev + 1):
+            cur = {
+                e["path"]: e.get("dv")
+                for e in _read_manifest(self._root, v)["files"]
+            }
+            ap = os.path.join  # noqa: E731 — brevity in the loops below
+            for p, dv in cur.items():
+                if p not in prev:
+                    out.append(CowChangePartition(
+                        ap(self._root, p), "insert",
+                        dv=ap(self._root, dv) if dv else None,
+                    ))
+                elif prev[p] != dv:
+                    out.append(CowChangePartition(
+                        ap(self._root, p), "delete_dv",
+                        dv=ap(self._root, dv) if dv else None,
+                        old_dv=ap(self._root, prev[p]) if prev[p] else None,
+                    ))
+            for p, dv in prev.items():
+                if p not in cur:
+                    out.append(CowChangePartition(
+                        ap(self._root, p), "delete_file",
+                        dv=ap(self._root, dv) if dv else None,
+                    ))
+            prev = cur
+        return out
 
-    def read(self, partition: CowFilePartition) -> Iterator:
-        yield from _read_file_batches(partition.path, self._schema, self._cmap)
+    def read(self, partition: CowChangePartition) -> Iterator:
+        import pyarrow as pa
+
+        tag = "insert" if partition.kind == "insert" else "delete"
+        if partition.kind == "delete_dv":
+            new = _dv_positions(partition.dv, os.path.basename(partition.path))
+            old = _dv_positions(
+                partition.old_dv, os.path.basename(partition.path)
+            )
+            want = sorted(new - old)
+            if not want:
+                return
+            batches = list(_read_file_batches(
+                partition.path, self._schema, self._cmap, dv_dir=None
+            ))
+            tbl = pa.Table.from_batches(batches).take(want)
+        else:
+            batches = list(_read_file_batches(
+                partition.path, self._schema, self._cmap,
+                dv_dir=partition.dv,
+            ))
+            if not batches:
+                return
+            tbl = pa.Table.from_batches(batches)
+        tbl = tbl.append_column(
+            _CHANGE_TYPE, pa.array([tag] * tbl.num_rows, type=pa.string())
+        )
+        yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # manifests are immutable; nothing to acknowledge
+        pass
 
     def stop(self) -> None:
         pass
@@ -713,14 +898,38 @@ class CowDataSource(DataSource):
             return cow_resolve_as_of_ts(self._root(), float(as_of_ts))
         return int(version) if version else None
 
+    def _bool_option(self, key: str, default: bool) -> bool:
+        v = self.options.get(key)
+        if v is None:
+            return default
+        if str(v).lower() in ("true", "1"):
+            return True
+        if str(v).lower() in ("false", "0"):
+            return False
+        raise ValueError(f"cowtable: option {key!r} must be true/false, got {v!r}")
+
     def schema(self) -> StructType:
+        from pyspark.sql.types import StringType, StructField
+
         m = _read_manifest(self._root(), self._version_option())
-        return _schema_of(m)
+        schema = _schema_of(m)
+        if self._bool_option("read_changes", False):
+            schema = StructType(
+                schema.fields + [StructField(_CHANGE_TYPE, StringType(), False)]
+            )
+        return schema
 
     def reader(self, schema: StructType) -> CowBatchReader:
+        if self._bool_option("read_changes", False):
+            raise ValueError(
+                "cowtable: read_changes is a STREAMING option"
+                " (spark.readStream); for batch CDF use the"
+                " operators.cow_table.cow_changes(from_version, to_version)"
+                " operator"
+            )
         return CowBatchReader(self._root(), self._version_option())
 
-    def streamReader(self, schema: StructType) -> CowStreamReader:
+    def streamReader(self, schema: StructType):
         sv = self.options.get("startingversion")
         st = self.options.get("starting_ts")
         if sv is not None and st is not None:
@@ -742,8 +951,15 @@ class CowDataSource(DataSource):
                 start = cow_resolve_as_of_ts(self._root(), ts)
             except ValueError:
                 start = 0  # predates the first commit: replay everything
-            return CowStreamReader(self._root(), start)
-        return CowStreamReader(self._root(), int(sv or 0))
+        else:
+            start = int(sv or 0)
+        if self._bool_option("read_changes", False):
+            return CowChangesStreamReader(self._root(), start)
+        return CowStreamReader(
+            self._root(),
+            start,
+            ignore_deletes=self._bool_option("ignore_deletes", True),
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> CowBatchWriter:
         return CowBatchWriter(
