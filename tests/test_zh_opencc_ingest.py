@@ -123,3 +123,123 @@ def test_curated_path_text_is_independent_of_ingest_feature():
     load_opencc_tables()  # exercise the loader (all-empty is legal)
     after = (to_simplified_sql("x"), to_traditional_sql("x"))
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (VERDICT r12 #7): hypothesis property — the compiled plan
+# (Spark AND the DuckDB SQL twin) over a RANDOM OpenCC dictionary equals
+# a reference Python fold: longest-source-first stable-ordered
+# sequential replace, then 1:1 translate; first-candidate-wins per line,
+# first-LINE-wins for duplicate char sources, identity pairs dropped,
+# multi-char entries spilled to the phrase fold, comments/blanks
+# skipped.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ALPHA = "甲乙丙丁戊己"  # tiny CJK alphabet forces collisions/overlaps
+
+
+def _ref_pairs_from_lines(lines):
+    """Reference parse: (src, first candidate) per data line, identity
+    dropped; then first-wins split into a 1:1 alphabet + phrase spill."""
+    pairs = []
+    for line in lines:
+        body = line.rstrip("\n").rstrip("\r")
+        if not body or body.startswith("#"):
+            continue
+        src, _tab, rest = body.partition("\t")
+        dst = rest.split(" ")[0]
+        if src != dst:
+            pairs.append((src, dst))
+    frm, to, phrases, seen = [], [], [], set()
+    for s, d in pairs:
+        if len(s) == 1 and len(d) == 1:
+            if s not in seen:
+                seen.add(s)
+                frm.append(s)
+                to.append(d)
+        else:
+            phrases.append((s, d))
+    return "".join(frm), "".join(to), phrases
+
+
+def _ref_convert(text, frm, to, phrases):
+    """Reference fold: longest-source-first (stable) sequential
+    str.replace — a replace's OUTPUT is re-scanned by later pairs,
+    exactly like the engine's aggregate-reduce — then one translate."""
+    for s, d in sorted(phrases, key=lambda p: (-len(p[0]), p[0])):
+        text = text.replace(s, d)
+    return text.translate(str.maketrans(frm, to))
+
+
+_token = st.text(alphabet=_ALPHA, min_size=1, max_size=3)
+_line = st.one_of(
+    st.just(""),
+    st.just("# comment"),
+    st.tuples(_token, st.lists(_token, min_size=1, max_size=3)).map(
+        lambda t: f"{t[0]}\t{' '.join(t[1])}"
+    ),
+)
+_texts = st.lists(
+    st.text(alphabet=_ALPHA + "Ax ", min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    ts_lines=st.lists(_line, min_size=0, max_size=10),
+    st_lines=st.lists(_line, min_size=0, max_size=10),
+    texts=_texts,
+)
+def test_ingested_plan_equals_reference_fold(
+    spark, tmp_path_factory, ts_lines, st_lines, texts
+):
+    import duckdb
+
+    d = tmp_path_factory.mktemp("opencc")
+    (d / "TSCharacters.txt").write_text(
+        "".join(ln + "\n" for ln in ts_lines), encoding="utf-8"
+    )
+    (d / "STCharacters.txt").write_text(
+        "".join(ln + "\n" for ln in st_lines), encoding="utf-8"
+    )
+    # phrase files reuse the same generated lines (multi-char sources
+    # land there anyway; char-level lines in a phrase file are legal)
+    (d / "TSPhrases.txt").write_text(
+        "".join(ln + "\n" for ln in st_lines), encoding="utf-8"
+    )
+    t = opencc_tables_from_dir(str(d))
+
+    # parse-level rules hold for the char files
+    frm, to, spill = _ref_pairs_from_lines(ts_lines)
+    assert (t.t2s_from, t.t2s_to) == (frm, to)
+    # t2s phrases = TSPhrases entries ++ char-file spill (order kept)
+    ph_frm, ph_to, ph_phr = _ref_pairs_from_lines(st_lines)
+    expect_phrases = tuple(
+        [(s, d_) for s, d_ in zip(ph_frm, ph_to)] + ph_phr + spill
+    )
+    assert set(t.t2s_phrases) == set(expect_phrases)
+
+    expected = [
+        _ref_convert(x, t.t2s_from, t.t2s_to, list(t.t2s_phrases))
+        for x in texts
+    ]
+    df = spark.createDataFrame([(x,) for x in texts], "txt string")
+    got = [
+        r.out
+        for r in df.select(
+            to_simplified("txt", tables=t).alias("out")
+        ).collect()
+    ]
+    assert got == expected
+    # DuckDB SQL twin compiles to the same function
+    con = duckdb.connect()
+    sql = to_simplified_sql("txt", tables=t)
+    got_sql = [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS txt)", [x]).fetchone()[0]
+        for x in texts
+    ]
+    assert got_sql == expected
