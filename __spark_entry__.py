@@ -38,15 +38,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
-# dict ordering decides what gets externally verified. Round-12 window
-# (VERDICT r11 #5, routine rotation): the TEN round-12 additions
-# (geodesic DBSCAN, FLAC decode, COW deletion vectors / partition-spec
-# evolution / aggregate-IVM, full-outer stream join, l-diversity,
-# resample-interpolate, star connected components, RVQ-ADC), the two zh
-# movers for their driver-vs-driver confirmation read after the
-# BASELINE.md round-12 settlement (both environment-band in isolation),
-# then the 38 stalest rows (all 15 remaining r06 + the stalest r07).
-# Base list from ``python tools/gate_coverage.py --window``.
+# dict ordering decides what gets externally verified. Round-13 window
+# (VERDICT r12 #3, routine rotation): the SEVEN round-13 additions
+# (merge-on-read DV MERGE, mu-law + IMA-ADPCM codecs, Spearman, ACF,
+# Gini, Jaro-Winkler linkage), then the stalest r07 rows, with the last
+# slot swapped for q_dedup_minhash_lsh — the one r11->r12 >1.3x panel
+# mover (VERDICT r12 #1/#2) taking its standard driver-vs-driver
+# confirmation read. Base list from ``python tools/gate_coverage.py
+# --window``.
+_R13_WINDOW = [
+    "q_multimodal_mulaw_roundtrip",
+    "q_multimodal_adpcm_roundtrip",
+    "q_cow_merge_dv",
+    "q_spearman_corr",
+    "q_acf_lags",
+    "q_gini_concentration",
+    "q_jaro_winkler_linkage",
+    "q_cube_orders",
+    "q_curation_pipeline",
+    "q_customer_order_running",
+    "q_customers_without_orders",
+    "q_date_functions",
+    "q_decontaminate_ngram",
+    "q_decontamination",
+    "q_dedup_canonical",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_distinct_agg",
+    "q_doc_chunking",
+    "q_dp_census",
+    "q_embed_binary_hamming",
+    "q_embed_int8_rerank",
+    "q_epoch_shuffle",
+    "q_integrity_audit",
+    "q_langid_confusion",
+    "q_logreg_step",
+    "q_multimodal_bmp_decode",
+    "q_multimodal_png_decode",
+    "q_multimodal_wav_features",
+    "q_nb_auc",
+    "q_negative_sampling",
+    "q_priority_sample",
+    "q_recursive_calendar",
+    "q_rollup_returns",
+    "q_scalar_functions",
+    "q_skew_audit",
+    "q_stratified_sample",
+    "q_token_budget_select",
+    "q_topk_per_group_agg",
+    "q_unigram_apply",
+    "q_unigram_lm_step",
+    "q_unpivot_measures",
+    "q_vocab_coverage",
+    "zh_backfill_typo_compat",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q_dedup_minhash_lsh",
+]
+
+# retained for provenance (round-12 ordering)
 _R12_WINDOW = [
     "q_geo_dbscan_geodesic",
     "q_multimodal_flac_decode",
@@ -159,7 +212,7 @@ _R11_WINDOW = [
 ]
 
 def _gate_order(names) -> list[str]:
-    head = [n for n in _R12_WINDOW if n in names]
+    head = [n for n in _R13_WINDOW if n in names]
     return head + [n for n in names if n not in set(head)]
 
 
