@@ -171,6 +171,21 @@ HEADLINE = [
     "q_tile_rollup",
     "q_zh_convert_audit",
     "q_geo_knn_join",
+    # round-12 late additions (VERDICT r12 #2: the five rows PLANS.md
+    # lacked at the r12 close)
+    "q_cc_star",
+    "q_embed_rvq_adc",
+    "q_rvq_recall",
+    "q_ldiversity",
+    "q_resample_interpolate",
+    # round-13 operators
+    "q_cow_merge_dv",
+    "q_multimodal_mulaw_roundtrip",
+    "q_multimodal_adpcm_roundtrip",
+    "q_spearman_corr",
+    "q_acf_lags",
+    "q_gini_concentration",
+    "q_jaro_winkler_linkage",
 ]
 
 
