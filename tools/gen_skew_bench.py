@@ -50,6 +50,16 @@ KEY_SHIFT = 10_000_000  # > max orderkey at sf0.1 (6e6), keeps copies disjoint
 # the round-3 driver bench tail: most expensive non-trivial queries,
 # spanning iterative graph, skewed join, dedup, text, window, streaming
 BENCH_QUERIES = [
+    # round-13 operators with data-dependent cost (q_jaro_winkler_linkage
+    # is NOT here: its input `part` is a dim the replicas copy as-is, so
+    # a 3x anchor would be trivially flat — its volume anchor is the
+    # sf0.01 -> sf0.1 pair, measured directly like q_geo_polygon_overlay)
+    "q_cow_merge_dv",
+    "q_multimodal_mulaw_roundtrip",
+    "q_multimodal_adpcm_roundtrip",
+    "q_spearman_corr",
+    "q_acf_lags",
+    "q_gini_concentration",
     "q1_pricing_summary",
     "q_window_frames",
     "q_salted_skew_join",
@@ -287,6 +297,15 @@ X10_QUERIES = [
     "q_embed_pq_adc",
     # graph: edge build 10x (orders/lineitem), iteration on 25 nodes
     "q_pagerank_nations",
+    # round-13 (VERDICT r12 #5): separate "flat because designed" from
+    # "flat because small" for the round-12 heavy tail. Geodesic DBSCAN
+    # runs on documents-derived points (documents now 10x-replicated
+    # below); the implanted blobs grow with the corpus, so the in-blob
+    # pair count grows ~quadratically — the anchor reads whether the
+    # BLOCKED join keeps that quadratic confined to the blobs.
+    "q_geo_dbscan_geodesic",
+    "q_embed_rvq_adc",
+    "q_rvq_recall",
 ]
 
 
@@ -306,8 +325,12 @@ def generate_x10(spark) -> None:
         return out
 
     for t in ("region", "nation", "customer", "supplier", "part",
-              "events", "documents"):
+              "events"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{OUT10}/{t}.parquet")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    _write_single_file(
+        copies(docs, {"doc_id": KEY_SHIFT}), f"{OUT10}/documents.parquet"
+    )
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
     _write_single_file(
         copies(orders, {"o_orderkey": KEY_SHIFT}),
@@ -347,6 +370,8 @@ def main_x10() -> None:
         for name in X10_QUERIES:
             best = None
             for _ in range(2):
+                if name in MEMOIZING_QUERIES:
+                    _clear_query_memos()
                 t0 = time.monotonic()
                 n = QUERIES[name](spark, sf_dir).count()
                 dt = time.monotonic() - t0
@@ -434,6 +459,7 @@ def main() -> None:
 # the cow-table build memos (queries_scale keeps real temp tables per
 # app+sf_dir, which registry.clear_frame_cache cannot see).
 MEMOIZING_QUERIES = {
+    "q_cow_merge_dv",
     "q_cc_star",
     "q_cow_delete_dv",
     "q_cow_partition_evolution",
