@@ -39,9 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
 # dict ordering decides what gets externally verified. Round-13 window
-# (VERDICT r12 #3, routine rotation): the SEVEN round-13 additions
-# (merge-on-read DV MERGE, mu-law + IMA-ADPCM codecs, Spearman, ACF,
-# Gini, Jaro-Winkler linkage), then the stalest r07 rows, with the last
+# (VERDICT r12 #3, routine rotation): the NINE round-13 additions
+# (merge-on-read DV MERGE, RESTORE, streaming CDF drain, mu-law +
+# IMA-ADPCM codecs, Spearman, ACF, Gini, Jaro-Winkler linkage), then the stalest r07 rows, with the last
 # slot swapped for q_dedup_minhash_lsh — the one r11->r12 >1.3x panel
 # mover (VERDICT r12 #1/#2) taking its standard driver-vs-driver
 # confirmation read. Base list from ``python tools/gate_coverage.py
@@ -50,10 +50,12 @@ _R13_WINDOW = [
     "q_multimodal_mulaw_roundtrip",
     "q_multimodal_adpcm_roundtrip",
     "q_cow_merge_dv",
+    "q_cow_restore",
     "q_spearman_corr",
     "q_acf_lags",
     "q_gini_concentration",
     "q_jaro_winkler_linkage",
+    "q_stream_cow_changes",
     "q_cube_orders",
     "q_curation_pipeline",
     "q_customer_order_running",
@@ -94,8 +96,6 @@ _R13_WINDOW = [
     "q10_returned_items",
     "q11_important_parts",
     "q12_late_shipments",
-    "q14_promo_share",
-    "q15_top_supplier",
     "q_dedup_minhash_lsh",
 ]
 

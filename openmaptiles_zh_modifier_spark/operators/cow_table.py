@@ -1066,6 +1066,52 @@ def cow_changes(
     return inserts.unionByName(deletes)
 
 
+def cow_restore(root: str, version: int) -> int:
+    """RESTORE TABLE to ``version`` (Delta ``RESTORE ... VERSION AS OF``):
+    the target version's manifest — files, schema, partition spec,
+    column mapping, constraints — is republished as the NEXT version.
+    History is preserved (the bad versions stay readable for forensics);
+    the restore itself is one metadata commit, rolled forward through
+    the same optimistic version race as every other writer.
+
+    The target's data files must still exist — a vacuum that already
+    reclaimed them makes the restore impossible (Delta raises the same
+    way), checked here file-by-file BEFORE publishing so a failed
+    restore commits nothing. The CDF across a restore emits exactly the
+    rows that changed: re-inserts of what the bad versions deleted,
+    deletes of what they added (cow_changes diffs (path, dv) pairs —
+    no special casing needed)."""
+    m_cur = _read_manifest(root)
+    if version == m_cur["version"]:
+        raise ValueError(
+            f"cow_restore: table is already at version {version}"
+        )
+    m_target = _read_manifest(root, version)
+    missing = [
+        e["path"]
+        for e in m_target["files"]
+        if not os.path.exists(os.path.join(root, e["path"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cow_restore: version {version} is not restorable — "
+            f"{len(missing)} data file(s) already vacuumed "
+            f"(first: {missing[0]}); pin versions before vacuuming "
+            "if restores must stay possible"
+        )
+    manifest = {
+        "version": m_cur["version"] + 1,
+        "partition_by": m_target["partition_by"],
+        "files": m_target["files"],
+        "schema": m_target["schema"],
+    }
+    for k in ("column_mapping", "retired_physical", "constraints"):
+        if k in m_target:
+            manifest[k] = m_target[k]
+    _commit_manifest(root, manifest)
+    return manifest["version"]
+
+
 def cow_set_partition_spec(root: str, new_partition_by: str | None) -> int:
     """Partition-spec evolution as a METADATA-ONLY commit (Iceberg's
     partition evolution; round 12): the manifest's ``partition_by``

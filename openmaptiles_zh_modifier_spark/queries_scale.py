@@ -1673,3 +1673,101 @@ def q_cow_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(91, cdf.where(F.col("_change_type") == "delete")))
         .orderBy("version")
     )
+
+
+# (applicationId, sf_dir) -> (table root, post-restore version)
+_RESTORE_TABLES: dict[tuple, tuple[str, int]] = {}
+
+
+def _restore_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    return _app_scoped_table_memo(
+        spark, _RESTORE_TABLES, sf_dir, lambda: _restore_build(spark, sf_dir)
+    )
+
+
+def _restore_build(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    import tempfile
+
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_create,
+        cow_delete,
+        cow_restore,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="omt-restore-") + "/t"
+    cow_create(
+        spark,
+        root,
+        orders.where(F.col("o_orderkey") % 2 == 0),
+        partition_by="o_orderpriority",
+    )
+    cow_delete(spark, root, "o_orderkey % 10 = 0")   # v2: DV delete
+    v = cow_restore(root, 1)                          # v3: restore to v1
+    return root, v
+
+
+@register(
+    "q_cow_restore",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT * FROM (
+  SELECT CAST(2 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
+  FROM base WHERE NOT (o_orderkey % 10 = 0)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey) AS BIGINT) FROM base
+  UNION ALL
+  -- CDF v2 -> v3: the restore re-inserts exactly the DV-deleted rows
+  SELECT CAST(90 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey) AS BIGINT)
+  FROM base WHERE o_orderkey % 10 = 0
+)
+ORDER BY version
+""",
+)
+def q_cow_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE measured through real manifests (round 13 — Delta
+    ``RESTORE ... VERSION AS OF`` parity): the table ingests half of
+    orders, a deletion-vector DELETE drops the %10 slice (v2, sidecar
+    only), then ``cow_restore(root, 1)`` republishes v1's manifest as
+    v3 — ONE metadata commit, no data file touched or copied. The
+    census reads v2 (post-delete), v3 (post-restore == v1 exactly), and
+    the v2→v3 CDF's insert leg, which must be EXACTLY the rows the
+    delete removed (cow_changes diffs (path, dv) pairs, so un-pointing
+    the DV re-surfaces precisely the masked positions — no special
+    restore handling anywhere).
+
+    Scale shape: restore cost is one manifest write at any table size;
+    restorability is a file-existence precondition checked before
+    publish (a vacuumed target raises, Delta's contract). History stays
+    readable for forensics — restore rolls FORWARD."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_changes,
+        cow_read,
+    )
+
+    root, v = _restore_table(spark, sf_dir)
+
+    def census(label: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+        ).select(
+            F.lit(label).cast("long").alias("version"),
+            "n_rows",
+            "sum_orderkey",
+        )
+
+    cdf = cow_changes(spark, root, 2, v)
+    return (
+        census(2, cow_read(spark, root, version=2))
+        .unionByName(census(3, cow_read(spark, root, version=v)))
+        .unionByName(census(90, cdf.where(F.col("_change_type") == "insert")))
+        .orderBy("version")
+    )

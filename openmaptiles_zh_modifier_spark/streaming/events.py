@@ -1768,3 +1768,60 @@ def _patch_geofence_oracle() -> None:
 
 
 _patch_geofence_oracle()
+
+
+@register(
+    "q_stream_cow_changes",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT * FROM (
+  SELECT 'delete' AS change_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
+  FROM base
+  WHERE o_orderkey % 10 = 0
+     OR (NOT o_orderkey % 10 = 0 AND o_custkey % 7 = 0)
+  UNION ALL
+  SELECT 'insert', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+  FROM base
+)
+ORDER BY change_type
+""",
+)
+def q_stream_cow_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change-data-feed over the COW commit log (round 13,
+    VERDICT r12 #6 made externally verified): the DV test table (half
+    of orders; two deletion-vector commits — %10, then %7-of-remaining,
+    the second repointing sidecars the first created) is drained
+    through ``readStream.format("cowtable").option("read_changes",
+    "true")`` with availableNow, and the per-change-type census must
+    match the declarative filter algebra. The delete leg pins that DV
+    repoints stream EXACTLY the newly-deleted positions per commit —
+    the v3 rows are (not orderkey%10) AND custkey%7, proving the sidecar-union diff
+    (new_dv minus old_dv) emitted no duplicates from v2's rows.
+
+    Scale shape: planning walks version PAIRS (metadata only); each
+    change partition reads one file + its sidecar slices via pyarrow
+    and ships Arrow batches; the census is a 2-group aggregate. Table
+    build memoized per (app, sf_dir) — each call prices the drain."""
+    from openmaptiles_zh_modifier_spark.queries_scale import _dv_table
+    from openmaptiles_zh_modifier_spark.sources.cow_datasource import (
+        register_cow_datasource,
+    )
+
+    root, _v = _dv_table(spark, sf_dir)
+    register_cow_datasource(spark)
+    stream = (
+        spark.readStream.format("cowtable")
+        .option("path", root)
+        .option("read_changes", "true")
+        .load()
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+        )
+    )
+    return run_to_memory(stream).orderBy("change_type")

@@ -249,3 +249,57 @@ def test_dv_merge_insert_only_and_delete_only(spark, tmp_path):
     )
     assert _data_files(root) == before  # delete-only: sidecar commit
     assert 100 not in {r.id for r in cow_read(spark, root).collect()}
+
+
+def test_restore_reverts_dv_and_cow_commits(spark, tmp_path):
+    """RESTORE republishes the target manifest: contents revert exactly,
+    history stays readable, CDF emits the re-inserts, appends continue."""
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_append,
+        cow_changes,
+        cow_delete,
+        cow_restore,
+        cow_vacuum,
+    )
+
+    root = str(tmp_path / "r")
+    cow_create(spark, root, _base_df(spark), partition_by="part")
+    cow_delete(spark, root, "id % 4 = 0")                  # v2 (DV)
+    cow_merge(                                             # v3 (COW rewrite)
+        spark, root, _source_df(spark), on="id",
+        strategy="cow", matched_update={"val": F.col("s.val")},
+    )
+    v = cow_restore(root, 1)
+    assert v == 4
+    assert _rows(cow_read(spark, root)) == _rows(cow_read(spark, root, version=1))
+    # history intact
+    assert len(_rows(cow_read(spark, root, version=3))) == 15
+    # CDF v3 -> v4 re-inserts what the delete+merge changed, nothing else
+    cdf = cow_changes(spark, root, 3, 4)
+    ins = {r.id for r in cdf.where(F.col("_change_type") == "insert").collect()}
+    assert {0, 4, 8, 12, 16} <= ins  # the DV-deleted rows come back
+    # appends continue normally after a restore
+    cow_append(
+        spark, root,
+        spark.createDataFrame(
+            [(99, "z", 9.0, "p1")], "id long, val string, amt double, part string"
+        ),
+    )
+    assert 99 in {r.id for r in cow_read(spark, root).collect()}
+    # a restore target whose files were vacuumed is rejected
+    cow_vacuum(root, keep_versions=1, orphan_grace_seconds=0)
+    import pytest as _pytest
+
+    with _pytest.raises((FileNotFoundError, ValueError)):
+        cow_restore(root, 3)
+
+
+def test_restore_rejects_noop_and_missing_target(spark, tmp_path):
+    from openmaptiles_zh_modifier_spark.operators.cow_table import cow_restore
+
+    root = str(tmp_path / "n")
+    cow_create(spark, root, _base_df(spark), partition_by="part")
+    with pytest.raises(ValueError, match="already at version"):
+        cow_restore(root, 1)
+    with pytest.raises(FileNotFoundError):
+        cow_restore(root, 7)
