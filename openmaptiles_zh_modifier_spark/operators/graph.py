@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from openmaptiles_zh_modifier_spark.operators.lineage import eager_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -48,11 +50,13 @@ def connected_components(
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    both = both.localCheckpoint(eager=True)
+    # eager_checkpoint (not plain localCheckpoint): the loop below uses
+    # `labels` twice per round, so an inherited Catalyst size estimate
+    # would be SQUARED every round — see operators/lineage.py for the
+    # 10x-anchor incident this fixed.
+    both = eager_checkpoint(both)
     nodes = both.select(F.col("u").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(
-        eager=True
-    )
+    labels = eager_checkpoint(nodes.withColumn("component", F.col("node")))
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -84,8 +88,8 @@ def connected_components(
                     F.col("component"), F.coalesce("gp", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        updated = eager_checkpoint(updated)
         n_changed = (
             updated.alias("n")
             .join(labels.alias("o"), "node")
@@ -130,13 +134,12 @@ def connected_components_star(
             F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    all_nodes = (
+    e = eager_checkpoint(e)  # fresh stats: the loop re-joins e with itself
+    all_nodes = eager_checkpoint(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -175,8 +178,8 @@ def connected_components_star(
                 F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v")
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        ss = eager_checkpoint(ss)
         changed = (
             ss.exceptAll(e).count() + e.exceptAll(ss).count()
         )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openmaptiles_zh_modifier_spark.registry import load, memo_frame, register
+from openmaptiles_zh_modifier_spark.operators.lineage import eager_checkpoint
 
 # fixture coordinate rules (centi-degrees as integers, then /100)
 #   POIs from documents, stations from nation
@@ -1261,7 +1262,12 @@ def dbscan_labels(
             <= F.col("eps2")
         )
         .select("id", "b")
-    ).localCheckpoint(eager=True)
+    )
+    # eager_checkpoint, not plain localCheckpoint: the blocked join's
+    # Catalyst size estimate is a product over its inputs, and the
+    # component loop downstream would square any inherited estimate
+    # every round (operators/lineage.py).
+    pairs = eager_checkpoint(pairs)
     return _dbscan_assign(pts, pairs, min_pts, max_core_edges)
 
 
@@ -1485,10 +1491,8 @@ def dbscan_labels_geodesic(
         F.col("latc").alias("platc"),
         F.col("lonc").alias("plonc"),
     )
-    pairs = (
-        geo_radius_pairs(q, part, radius_mm=eps_mm)
-        .select("id", "b")
-        .localCheckpoint(eager=True)
+    pairs = eager_checkpoint(
+        geo_radius_pairs(q, part, radius_mm=eps_mm).select("id", "b")
     )
     return _dbscan_assign(pts, pairs, min_pts, max_core_edges)
 
@@ -2838,4 +2842,204 @@ def q_geo_polygon_overlay_geodesic(
             ).alias("sum_straddle_cust"),
         )
         .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Convex hull (round 13): exact-integer Andrew monotone chain per group,
+# verified against an INDEPENDENT O(m^3) support-edge oracle in DuckDB.
+
+
+def _hull_inside_octagon(idiv: str) -> str:
+    """SQL predicate: point (xx, yy) lies STRICTLY inside the octagon of
+    the group's eight directional extremes e0..e7 (encoded points; see
+    q_geo_convex_hull). Degenerate consecutive vertices skip their term
+    (OR-equal branch), which only KEEPS more points — the discard is
+    lossless for hull purposes either way. ``idiv`` is the dialect's
+    integer-division operator ('//' DuckDB, 'div' Spark)."""
+    terms = []
+    for k in range(8):
+        e1, e2 = f"e{k}", f"e{(k + 1) % 8}"
+        vx1 = f"(({e1} {idiv} 100000) - 20000)"
+        vy1 = f"(({e1} % 100000) - 10000)"
+        vx2 = f"(({e2} {idiv} 100000) - 20000)"
+        vy2 = f"(({e2} % 100000) - 10000)"
+        terms.append(
+            f"(({vx1} = {vx2} AND {vy1} = {vy2}) OR "
+            f"(({vx2} - {vx1}) * (yy - {vy1}) "
+            f"- ({vy2} - {vy1}) * (xx - {vx1}) > 0))"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def _monotone_chain(points):
+    """Andrew's monotone chain over integer points, STRICT turns only
+    (collinear boundary points are not vertices). Returns the hull in
+    counterclockwise order. Pure-Python on purpose: runs inside
+    applyInPandas on the (tiny, pre-filtered) per-group candidate set."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and cross(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+_HULL_EXT_DIRS = (
+    "xx", "xx + yy", "yy", "yy - xx", "-xx", "-xx - yy", "-yy", "xx - yy"
+)
+
+_HULL_ORACLE = f"""
+WITH pts AS (
+  SELECT DISTINCT source,
+         ({_POI_LON}) AS xx, ({_POI_LAT}) AS yy,
+         (CAST(({_POI_LON}) + 20000 AS BIGINT) * 100000
+          + (({_POI_LAT}) + 10000)) AS enc
+  FROM documents
+), np AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM pts GROUP BY source
+), ext AS (
+  SELECT source,
+         {', '.join(f'arg_max(enc, {d}) AS e{k}'
+                    for k, d in enumerate(_HULL_EXT_DIRS))}
+  FROM pts GROUP BY source
+), filt AS (
+  SELECT p.source, p.xx, p.yy
+  FROM pts p JOIN ext USING (source)
+  WHERE NOT {_hull_inside_octagon('//')}
+), edges AS (
+  SELECT p.source, p.xx AS px, p.yy AS py, q.xx AS qx, q.yy AS qy
+  FROM filt p JOIN filt q
+    ON p.source = q.source AND (p.xx <> q.xx OR p.yy <> q.yy)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM filt r
+    WHERE r.source = p.source
+      AND (r.xx <> p.xx OR r.yy <> p.yy)
+      AND (r.xx <> q.xx OR r.yy <> q.yy)
+      AND NOT (
+        (q.xx - p.xx) * (r.yy - p.yy) - (q.yy - p.yy) * (r.xx - p.xx) > 0
+        OR (
+          (q.xx - p.xx) * (r.yy - p.yy) - (q.yy - p.yy) * (r.xx - p.xx) = 0
+          AND (r.xx - p.xx) * (q.xx - p.xx)
+              + (r.yy - p.yy) * (q.yy - p.yy) > 0
+          AND (r.xx - p.xx) * (q.xx - p.xx)
+              + (r.yy - p.yy) * (q.yy - p.yy)
+            < (q.xx - p.xx) * (q.xx - p.xx)
+              + (q.yy - p.yy) * (q.yy - p.yy)
+        )
+      )
+  )
+), verts AS (
+  SELECT source, px AS x, py AS y FROM edges
+  UNION
+  SELECT source, qx AS x, qy AS y FROM edges
+), nh AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hull FROM verts GROUP BY source
+), area AS (
+  SELECT source, CAST(SUM(px * qy - qx * py) AS BIGINT) AS area2x
+  FROM edges GROUP BY source
+)
+SELECT v.source, CAST(v.x AS BIGINT) AS x, CAST(v.y AS BIGINT) AS y,
+       np.n_points, nh.n_hull, area.area2x
+FROM verts v
+JOIN np USING (source) JOIN nh USING (source) JOIN area USING (source)
+ORDER BY source, x, y
+"""
+
+
+@register("q_geo_convex_hull", oracle=_HULL_ORACLE)
+def q_geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source convex hull of the POI point cloud, entirely in exact
+    integer centi-degree arithmetic (no transcendental touches the
+    result at all — stronger than the repo's usual quantize-then-fold).
+    Two INDEPENDENT algorithms must agree point-for-point: Spark runs
+    Andrew's monotone chain (strict turns, CCW) inside applyInPandas,
+    the oracle derives the support-edge set in set-based SQL — edge
+    (p,q) is on the hull iff every other point lies strictly left of it
+    or collinear WITHIN the segment — and both emit the hull vertices
+    as rows plus the shoelace 2*area (an exact integer on a CCW
+    traversal, so the unordered SQL SUM and the ordered Python walk
+    must match to the unit).
+
+    The O(m^3) oracle is affordable because both sides first apply the
+    Akl-Toussaint discard, generalized to EIGHT directional extremes:
+    points strictly inside the octagon of the eight arg-max points
+    cannot be hull vertices (lossless — engines may pick different
+    tie-break extremes and different discard sets, yet the surviving
+    hull is identical, which is exactly what the cross-engine hash
+    proves). The filter is one combinable aggregate (eight max_by) +
+    one broadcast join + a map-side predicate.
+
+    Scale shape: the corpus pass is the DISTINCT + the extreme
+    aggregate (both map-side combinable); the chain itself runs on the
+    filtered O(boundary) candidates per group — at 100 TB the discard
+    is the point: a billion-point group funnels through eight max_by
+    into a few hundred candidates, and applyInPandas touches only
+    those. Skewed groups cost one reduce group each, like q_cc_star."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "source",
+        f"({_POI_LON}) AS xx",
+        f"({_POI_LAT}) AS yy",
+    )
+    pts = docs.distinct().withColumn(
+        "enc",
+        (F.col("xx").cast("long") + 20000) * 100000 + (F.col("yy") + 10000),
+    )
+    np_counts = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    ext = pts.groupBy("source").agg(
+        *[
+            F.max_by("enc", F.expr(d)).alias(f"e{k}")
+            for k, d in enumerate(_HULL_EXT_DIRS)
+        ]
+    )
+    filt = (
+        pts.join(F.broadcast(ext), "source")
+        .where(~F.expr(_hull_inside_octagon("div")))
+        .select("source", "xx", "yy")
+    )
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = _monotone_chain(list(zip(pdf["xx"], pdf["yy"])))
+        if len(hull) >= 3:
+            area2 = sum(
+                hull[i][0] * hull[(i + 1) % len(hull)][1]
+                - hull[(i + 1) % len(hull)][0] * hull[i][1]
+                for i in range(len(hull))
+            )
+        else:
+            area2 = 0
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[0],
+                "x": [p[0] for p in hull],
+                "y": [p[1] for p in hull],
+                "n_hull": len(hull),
+                "area2x": area2,
+            }
+        )
+
+    hull = filt.groupBy("source").applyInPandas(
+        chain, schema="source string, x long, y long, n_hull long, area2x long"
+    )
+    return (
+        hull.join(F.broadcast(np_counts), "source")
+        .select("source", "x", "y", "n_points", "n_hull", "area2x")
+        .orderBy("source", "x", "y")
     )

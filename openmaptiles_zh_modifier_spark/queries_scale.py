@@ -1771,3 +1771,144 @@ def q_cow_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(90, cdf.where(F.col("_change_type") == "insert")))
         .orderBy("version")
     )
+
+
+# (applicationId, sf_dir) -> (catalog root, post-txn catalog version)
+_TXN_CATALOGS: dict[tuple, tuple[str, int]] = {}
+
+
+def _txn_catalog(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    return _app_scoped_table_memo(
+        spark, _TXN_CATALOGS, sf_dir, lambda: _txn_build(spark, sf_dir)
+    )
+
+
+def _txn_build(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    import tempfile
+
+    from openmaptiles_zh_modifier_spark.operators.cow_catalog import (
+        CatalogTxn,
+        catalog_create,
+    )
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        cow_append,
+        cow_create,
+        cow_delete,
+    )
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tmp = tempfile.mkdtemp(prefix="omt-cat-")
+    a_root, b_root, cat_root = tmp + "/a", tmp + "/b", tmp + "/cat"
+    cow_create(spark, a_root, orders.where(F.col("o_orderkey") % 2 == 0))
+    cow_create(
+        spark,
+        b_root,
+        orders.where(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 7 == 0)
+        ),
+    )
+    catalog_create(cat_root, {"a": a_root, "b": b_root})
+
+    # the atomic move: rows o_orderkey%10==0 leave a and land in b in
+    # ONE catalog commit — a reader at any catalog version sees the
+    # rows in exactly one table
+    txn = CatalogTxn(cat_root)
+    moved = txn.read(spark, "a").where(F.col("o_orderkey") % 10 == 0)
+    txn.stage("a", cow_delete(spark, txn.root("a"), "o_orderkey % 10 = 0"))
+    txn.stage("b", cow_append(spark, txn.root("b"), moved))
+    cv = txn.commit()
+
+    # simulated crash: a SECOND transaction stages a delete on a but
+    # never commits the catalog — its table version exists on disk, and
+    # the census below must not see it (catalog pins are the truth)
+    cow_delete(spark, a_root, "o_orderkey % 4 = 2")
+    return cat_root, cv
+
+
+@register(
+    "q_cow_txn",
+    oracle="""
+WITH a1 AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+), b1 AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0
+), mv AS (
+  SELECT o_orderkey FROM a1 WHERE o_orderkey % 10 = 0
+), a2 AS (
+  SELECT o_orderkey FROM a1 WHERE NOT o_orderkey % 10 = 0
+), b2 AS (
+  SELECT o_orderkey FROM b1 UNION ALL SELECT o_orderkey FROM mv
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS cat_version, 'a' AS tname,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey FROM a1
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'b', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey) AS BIGINT) FROM b1
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'all', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey) AS BIGINT)
+  FROM (SELECT * FROM a1 UNION ALL SELECT * FROM b1)
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'a', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey) AS BIGINT) FROM a2
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'b', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey) AS BIGINT) FROM b2
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'all', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey) AS BIGINT)
+  FROM (SELECT * FROM a2 UNION ALL SELECT * FROM b2)
+)
+ORDER BY cat_version, tname
+""",
+)
+def q_cow_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ACID transaction measured through a real catalog
+    (round 13 — the Iceberg REST-catalog multi-table commit model; the
+    last format delta the round-12 verdict named vs Delta/Iceberg):
+    two cow tables split orders, then ONE catalog commit atomically
+    moves the %10 slice from a to b (a DV delete staged on a, an append
+    staged on b, both pinned by a single catalog-pointer CAS —
+    operators/cow_catalog.py). A THIRD mutation is then staged on a and
+    deliberately never committed (simulated crash): the census reads
+    every table through catalog pins, so the orphaned version must be
+    invisible — if catalog_read ever leaked table-directory-latest
+    state, the v2 'a' row would shrink and the external oracle would
+    catch it. The 'all' rows pin cross-table conservation: the moved
+    rows appear in exactly one table at every catalog version, and the
+    v1/v2 totals are identical.
+
+    Scale shape: transaction cost is the staged work (here: one
+    DV sidecar + one append) plus TWO metadata writes (the staged
+    manifests, then one catalog pointer) — never a function of table
+    size; optimistic concurrency conflicts are detected per TOUCHED
+    table, so transactions over disjoint tables never serialize against
+    each other (tests/test_cow_catalog.py)."""
+    from openmaptiles_zh_modifier_spark.operators.cow_catalog import (
+        catalog_read,
+    )
+
+    cat_root, cv = _txn_catalog(spark, sf_dir)
+
+    def census(cvn: int, tname: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+        ).select(
+            F.lit(cvn).cast("long").alias("cat_version"),
+            F.lit(tname).alias("tname"),
+            "n_rows",
+            "sum_orderkey",
+        )
+
+    out = None
+    for cvn in (1, cv):
+        ra = catalog_read(spark, cat_root, "a", catalog_version=cvn)
+        rb = catalog_read(spark, cat_root, "b", catalog_version=cvn)
+        for tname, df in (("a", ra), ("b", rb), ("all", ra.unionByName(rb))):
+            leg = census(cvn, tname, df)
+            out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("cat_version", "tname")

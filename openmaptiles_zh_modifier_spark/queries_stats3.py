@@ -1,0 +1,336 @@
+"""Round-13 second stats batch: Kendall tau-b over blocked pair joins,
+bucket-mean quantile normalization across document sources, and a
+sequential probability ratio test (Wald SPRT) monitor over an A/B event
+stream.
+
+Engine-surface extensions (the reference has no statistics surface —
+SURVEY.md §2.3/§2.4 document the absence). Float discipline throughout:
+every aggregate that crosses engines is EXACT integer arithmetic
+(counts, cents, micro-units) until a final scalar op (sqrt/divide) both
+engines execute identically on identical inputs; constants that would
+otherwise come from each engine's libm (the SPRT log-likelihood
+increments) are embedded as shared DECIMAL LITERALS so both engines
+parse the same double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openmaptiles_zh_modifier_spark.registry import load, register
+
+
+@register(
+    "q_kendall_tau",
+    oracle="""
+WITH m AS (
+  SELECT n.n_name,
+         date_trunc('month', o.o_orderdate) AS mth,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), p AS (
+  SELECT a.n_name,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+  FROM m a JOIN m b ON a.n_name = b.n_name AND a.mth < b.mth
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(SUM(disc) AS BIGINT) AS discordant,
+       CASE WHEN (COUNT(*) - SUM(tx)) * (COUNT(*) - SUM(ty)) > 0 THEN
+         ROUND(
+           CAST(SUM(conc) - SUM(disc) AS DOUBLE)
+           / SQRT(CAST((COUNT(*) - SUM(tx)) AS DOUBLE)
+                  * CAST((COUNT(*) - SUM(ty)) AS DOUBLE)), 6)
+       END AS tau_b
+FROM p
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (tie-corrected) between a nation's monthly order
+    count and its monthly revenue — the rank-free sibling of
+    q_spearman_corr, measuring monotone association without assuming
+    rank linearity. The O(m^2) pair enumeration is confined to each
+    nation's MONTHLY series (80 points -> ~3.2k pairs/nation), never
+    the raw orders: the pre-aggregation is what a 100 TB run shrinks
+    through first, exactly the record-linkage blocking discipline.
+    tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with n1/n2 the x-/y-tie
+    pair counts; every term is an exact integer (counts + cents), the
+    only float is the final ratio (identical scalar ops both engines),
+    rounded 6dp.
+
+    Scale shape: groupBy((nation, month)) is the one corpus shuffle
+    (map-side combinable); the pair self-join is an equi-join on the
+    25-value nation key over month-grain rows — thousands of rows per
+    group no matter the corpus size."""
+    from pyspark.sql.functions import broadcast
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("mth"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("y"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    dx = F.col("a.x") - F.col("b.x")
+    dy = F.col("a.y") - F.col("b.y")
+    p = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("a.mth") < F.col("b.mth")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("a.x") == F.col("b.x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0).alias("ty"),
+    )
+    n0 = F.count(F.lit(1))
+    return (
+        p.groupBy("n_name")
+        .agg(
+            n0.alias("n_pairs"),
+            F.sum("conc").alias("concordant"),
+            F.sum("disc").alias("discordant"),
+            F.when(
+                (n0 - F.sum("tx")) * (n0 - F.sum("ty")) > 0,
+                F.round(
+                    (F.sum("conc") - F.sum("disc")).cast("double")
+                    / F.sqrt(
+                        (n0 - F.sum("tx")).cast("double")
+                        * (n0 - F.sum("ty")).cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("tau_b"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         NTILE(20) OVER (PARTITION BY source
+                         ORDER BY n_chars, doc_id) AS bucket
+  FROM documents
+), per_src AS (
+  SELECT source, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(FLOOR(CAST(CAST(SUM(n_chars) AS BIGINT) * 1000000 AS DOUBLE)
+                    / COUNT(*)) AS BIGINT) AS src_mean_micro
+  FROM ranked GROUP BY source, bucket
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket, n_docs, src_mean_micro,
+       CAST(FLOOR(CAST(SUM(src_mean_micro) OVER (PARTITION BY bucket)
+                       AS DOUBLE)
+                  / COUNT(*) OVER (PARTITION BY bucket)) AS BIGINT)
+         AS qn_target_micro
+FROM per_src
+ORDER BY source, bucket
+""",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-mean quantile normalization across document sources — the
+    batch-effect correction a multi-source training mixture applies so
+    one source's length (or score) distribution doesn't dominate:
+    each source is cut into 20 equal-frequency buckets (NTILE over a
+    deterministic (n_chars, doc_id) order), and each bucket maps onto
+    the CROSS-SOURCE target — the unweighted mean of the per-source
+    bucket means (each source votes once, regardless of size; the
+    textbook quantile-normalization row-mean over the rank matrix,
+    coarsened to bucket grain so unequal source sizes need no
+    interpolation). Means are folded to exact integer MICRO-units via
+    floor(sum*1e6/n) — both engines run the identical double division
+    on identical integers, so the floor is bit-stable.
+
+    Scale shape: one window rank per source partition (range-partition
+    friendly at 100 TB — no global sort), two combinable aggregates,
+    and a 400-row (source x bucket) window for the target. The output
+    is the normalization TABLE a curation pass would broadcast-join
+    back onto the corpus."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.ntile(20)
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("bucket"),
+    )
+    per_src = ranked.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(
+            (F.sum("n_chars") * F.lit(1000000)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("src_mean_micro"),
+    )
+    wb = Window.partitionBy("bucket")
+    return per_src.select(
+        "source",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "src_mean_micro",
+        F.floor(
+            F.sum("src_mean_micro").over(wb).cast("double")
+            / F.count(F.lit(1)).over(wb)
+        ).alias("qn_target_micro"),
+    ).orderBy("source", "bucket")
+
+
+# SPRT constants for H0: p = 0.18 vs H1: p = 0.22, alpha = beta = 0.05.
+# EMBEDDED DECIMAL LITERALS cast to DOUBLE, not ln() calls: Spark's ln
+# goes through java.lang.Math.log and DuckDB's through C libm — they
+# are not guaranteed bit-identical, and the crossing comparison would
+# inherit the divergence. Both engines parse the same literal and round
+# it to the same double; the walk is then integer*double ops executed
+# identically on both sides. (The explicit DOUBLE cast also keeps both
+# parsers from treating the literal as DECIMAL, whose product
+# scale/precision rules differ between the engines.)
+_SPRT_C1 = "CAST(0.2006706955 AS DOUBLE)"   # round(ln(0.22/0.18), 10)
+_SPRT_C0 = "CAST(-0.0500104206 AS DOUBLE)"  # round(ln(0.78/0.82), 10)
+_SPRT_UP = "CAST(2.9444389792 AS DOUBLE)"   # round(ln(0.95/0.05), 10)
+_SPRT_LO = "CAST(-2.9444389792 AS DOUBLE)"  # round(ln(0.05/0.95), 10)
+
+
+@register(
+    "q_sprt_monitor",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+         ts, event_id
+  FROM events
+), walk AS (
+  SELECT arm,
+         ROW_NUMBER() OVER w AS n,
+         SUM(conv) OVER w * {_SPRT_C1}
+           + (ROW_NUMBER() OVER w - SUM(conv) OVER w) * {_SPRT_C0} AS llr
+  FROM base
+  WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), crossed AS (
+  SELECT arm, MIN(n) AS n_cross
+  FROM walk WHERE llr >= {_SPRT_UP} OR llr <= {_SPRT_LO}
+  GROUP BY arm
+), totals AS (
+  SELECT arm, MAX(n) AS n_obs FROM walk GROUP BY arm
+)
+SELECT CAST(t.arm AS BIGINT) AS arm,
+       CAST(t.n_obs AS BIGINT) AS n_obs,
+       CAST(c.n_cross AS BIGINT) AS n_cross,
+       ROUND(w.llr, 6) AS llr_cross,
+       CASE WHEN c.n_cross IS NULL THEN 'continue'
+            WHEN w.llr >= {_SPRT_UP} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM totals t
+LEFT JOIN crossed c ON c.arm = t.arm
+LEFT JOIN walk w ON w.arm = c.arm AND w.n = c.n_cross
+ORDER BY arm
+""",
+)
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test over an A/B event stream
+    (arm = user_id parity, conversion = 'purchase'): the early-stopping
+    discipline an online experiment platform runs INSTEAD of a
+    fixed-horizon q_welch_ttest — the cumulative log-likelihood ratio
+    walks until it exits the (ln(beta/(1-alpha)), ln((1-beta)/alpha))
+    corridor, and the monitor reports the first crossing index and the
+    verdict per arm. Because each Bernoulli step adds one of two
+    CONSTANTS, the walk is n1*c1 + n0*c0 over exact cumulative counts —
+    the whole sequential statistic is two integers times two shared
+    decimal literals (see _SPRT_C1 note), so the crossing comparison is
+    bit-stable across engines.
+
+    Scale shape: one window pass per arm ordered by (ts, event_id) —
+    at 100 TB the per-arm cumulative walk is the genuinely sequential
+    part and range-partitions by time like the engine's other
+    cumulative ops; everything after is a 2-row aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+        "ts",
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c1, c0 = F.expr(_SPRT_C1), F.expr(_SPRT_C0)
+    up, lo = F.expr(_SPRT_UP), F.expr(_SPRT_LO)
+    walk = ev.select(
+        "arm",
+        F.row_number()
+        .over(Window.partitionBy("arm").orderBy("ts", "event_id"))
+        .alias("n"),
+        (
+            F.sum("conv").over(w) * c1
+            + (
+                F.row_number()
+                .over(Window.partitionBy("arm").orderBy("ts", "event_id"))
+                - F.sum("conv").over(w)
+            )
+            * c0
+        ).alias("llr"),
+    )
+    crossed = (
+        walk.where((F.col("llr") >= up) | (F.col("llr") <= lo))
+        .groupBy("arm")
+        .agg(F.min("n").alias("n_cross"))
+        .select(F.col("arm").alias("xarm"), "n_cross")
+        .alias("cr")
+    )
+    totals = (
+        walk.groupBy("arm").agg(F.max("n").alias("n_obs")).alias("tot")
+    )
+    wk = walk.alias("wk")
+    at = crossed.join(
+        wk,
+        (F.col("cr.xarm") == F.col("wk.arm"))
+        & (F.col("cr.n_cross") == F.col("wk.n")),
+    ).select(
+        F.col("cr.xarm").alias("xarm"),
+        F.col("cr.n_cross").alias("n_cross"),
+        F.col("wk.llr").alias("llr"),
+    )
+    return (
+        totals.join(at, F.col("tot.arm") == F.col("xarm"), "left")
+        .select(
+            F.col("tot.arm").cast("long").alias("arm"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("n_cross").cast("long").alias("n_cross"),
+            F.round("llr", 6).alias("llr_cross"),
+            F.when(F.col("n_cross").isNull(), "continue")
+            .when(F.col("llr") >= up, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+        )
+        .orderBy("arm")
+    )

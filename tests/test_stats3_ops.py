@@ -1,0 +1,158 @@
+"""Round-13 second stats batch + multi-table txn query: unit pins
+beside the dual-scale oracle hashes (tools/check_oracle.py covers both
+scales; these pin the algebra against independent in-test replicas)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import duckdb
+
+from openmaptiles_zh_modifier_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _kendall_tau_b(xs, ys):
+    c = d = tx = ty = 0
+    n0 = 0
+    for (xa, ya), (xb, yb) in itertools.combinations(zip(xs, ys), 2):
+        n0 += 1
+        if xa == xb:
+            tx += 1
+        if ya == yb:
+            ty += 1
+        s = (xa - xb) * (ya - yb)
+        if s > 0:
+            c += 1
+        elif s < 0:
+            d += 1
+    denom = (n0 - tx) * (n0 - ty)
+    tau = (c - d) / math.sqrt(denom) if denom else None
+    return tau, n0, c, d
+
+
+def test_kendall_matches_pure_python_reference(spark):
+    rows = {r.n_name: r for r in QUERIES["q_kendall_tau"](spark, SF).collect()}
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        SELECT n.n_name, date_trunc('month', o.o_orderdate) AS mth,
+               COUNT(*) AS x,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS y
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        JOIN '{SF}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    by_nation: dict[str, list] = {}
+    for n_name, _mth, x, y in series:
+        by_nation.setdefault(n_name, []).append((x, y))
+    assert set(by_nation) == set(rows)
+    for n_name, pts in by_nation.items():
+        if len(pts) < 2:
+            continue
+        tau, n0, c, d = _kendall_tau_b(
+            [p[0] for p in pts], [p[1] for p in pts]
+        )
+        r = rows[n_name]
+        assert r.n_pairs == n0
+        assert r.concordant == c
+        assert r.discordant == d
+        if tau is None:
+            assert r.tau_b is None
+        else:
+            assert abs(r.tau_b - round(tau, 6)) < 1e-9
+            assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_quantile_normalize_invariants(spark):
+    rows = QUERIES["q_quantile_normalize"](spark, SF).collect()
+    assert rows, "empty normalization table"
+    by_bucket: dict[int, list] = {}
+    per_source_docs: dict[str, int] = {}
+    for r in rows:
+        assert 1 <= r.bucket <= 20
+        by_bucket.setdefault(r.bucket, []).append(r)
+        per_source_docs[r.source] = (
+            per_source_docs.get(r.source, 0) + r.n_docs
+        )
+    con = duckdb.connect()
+    truth = dict(
+        con.execute(
+            f"SELECT source, COUNT(*) FROM '{SF}/documents.parquet' "
+            "GROUP BY 1"
+        ).fetchall()
+    )
+    assert per_source_docs == truth
+    for bucket, rs in by_bucket.items():
+        targets = {r.qn_target_micro for r in rs}
+        assert len(targets) == 1, "target must be shared within a bucket"
+        t = targets.pop()
+        means = [r.src_mean_micro for r in rs]
+        assert min(means) <= t <= max(means)
+        # exact definition: floor(sum/n) of the per-source means
+        assert t == sum(means) // len(means) or t == math.floor(
+            sum(means) / len(means)
+        )
+    # monotone within source: later buckets have >= mean length
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r.bucket)
+        means = [r.src_mean_micro for r in rs]
+        assert means == sorted(means), f"non-monotone buckets for {src}"
+
+
+def test_sprt_matches_pandas_replica(spark):
+    import pandas as pd
+
+    rows = {r.arm: r for r in QUERIES["q_sprt_monitor"](spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")[
+        ["user_id", "event_type", "ts", "event_id"]
+    ]
+    c1, c0 = float("0.2006706955"), float("-0.0500104206")
+    up, lo = float("2.9444389792"), float("-2.9444389792")
+    for arm in (0, 1):
+        sub = ev[ev.user_id % 2 == arm].sort_values(["ts", "event_id"])
+        conv = (sub.event_type == "purchase").astype(int).to_numpy()
+        n1 = conv.cumsum()
+        n = 1 + pd.RangeIndex(len(conv)).to_numpy()
+        llr = n1 * c1 + (n - n1) * c0
+        outside = (llr >= up) | (llr <= lo)
+        r = rows[arm]
+        assert r.n_obs == len(conv)
+        if outside.any():
+            i = int(outside.argmax())
+            assert r.n_cross == i + 1
+            assert abs(r.llr_cross - round(float(llr[i]), 6)) < 1e-9
+            assert r.decision == (
+                "accept_h1" if llr[i] >= up else "accept_h0"
+            )
+        else:
+            assert r.n_cross is None
+            assert r.decision == "continue"
+
+
+def test_cow_txn_conservation(spark):
+    rows = QUERIES["q_cow_txn"](spark, SF).collect()
+    got = {(r.cat_version, r.tname): r for r in rows}
+    assert len(got) == 6
+    for cv in (1, 2):
+        assert (
+            got[(cv, "a")].n_rows + got[(cv, "b")].n_rows
+            == got[(cv, "all")].n_rows
+        )
+        assert (
+            got[(cv, "a")].sum_orderkey + got[(cv, "b")].sum_orderkey
+            == got[(cv, "all")].sum_orderkey
+        )
+    # the move conserves the union across versions
+    assert got[(1, "all")].n_rows == got[(2, "all")].n_rows
+    assert got[(1, "all")].sum_orderkey == got[(2, "all")].sum_orderkey
+    # and actually moved something
+    assert got[(2, "a")].n_rows < got[(1, "a")].n_rows
+    assert got[(2, "b")].n_rows > got[(1, "b")].n_rows
