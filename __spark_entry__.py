@@ -39,22 +39,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
 # dict ordering decides what gets externally verified. Round-13 window
-# (VERDICT r12 #3, routine rotation): the NINE round-13 additions
-# (merge-on-read DV MERGE, RESTORE, streaming CDF drain, mu-law +
-# IMA-ADPCM codecs, Spearman, ACF, Gini, Jaro-Winkler linkage), then the stalest r07 rows, with the last
-# slot swapped for q_dedup_minhash_lsh — the one r11->r12 >1.3x panel
-# mover (VERDICT r12 #1/#2) taking its standard driver-vs-driver
-# confirmation read. Base list from ``python tools/gate_coverage.py
-# --window``.
+# (VERDICT r12 #3, routine rotation): the FOURTEEN round-13 additions
+# (merge-on-read DV MERGE, RESTORE, streaming CDF drain, multi-table
+# catalog txn, convex hull, mu-law + IMA-ADPCM codecs, Spearman, ACF,
+# Gini, Jaro-Winkler, Kendall tau-b, quantile normalization, SPRT),
+# then ALL fifteen remaining r07 rows plus the stalest r08 rows, with
+# the last slot swapped for q_dedup_minhash_lsh — the one r11->r12
+# >1.3x panel mover (VERDICT r12 #1/#2) taking its standard
+# driver-vs-driver confirmation read. Base list from ``python
+# tools/gate_coverage.py --window``.
 _R13_WINDOW = [
     "q_multimodal_mulaw_roundtrip",
     "q_multimodal_adpcm_roundtrip",
     "q_cow_merge_dv",
     "q_cow_restore",
+    "q_cow_txn",
+    "q_geo_convex_hull",
     "q_spearman_corr",
     "q_acf_lags",
     "q_gini_concentration",
     "q_jaro_winkler_linkage",
+    "q_kendall_tau",
+    "q_quantile_normalize",
+    "q_sprt_monitor",
     "q_stream_cow_changes",
     "q_cube_orders",
     "q_curation_pipeline",
@@ -91,11 +98,6 @@ _R13_WINDOW = [
     "q_unigram_apply",
     "q_unigram_lm_step",
     "q_unpivot_measures",
-    "q_vocab_coverage",
-    "zh_backfill_typo_compat",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
     "q_dedup_minhash_lsh",
 ]
 
