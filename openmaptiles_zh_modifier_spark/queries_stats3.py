@@ -311,7 +311,10 @@ def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         walk.groupBy("arm").agg(F.max("n").alias("n_obs")).alias("tot")
     )
     wk = walk.alias("wk")
-    at = crossed.join(
+    # broadcast the 2-row crossing table against the full walk (its
+    # stats are opaque behind the window aggregate, so Catalyst would
+    # otherwise pick SMJ); same for the 2x2 assembly join below
+    at = F.broadcast(crossed).join(
         wk,
         (F.col("cr.xarm") == F.col("wk.arm"))
         & (F.col("cr.n_cross") == F.col("wk.n")),
@@ -321,7 +324,7 @@ def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wk.llr").alias("llr"),
     )
     return (
-        totals.join(at, F.col("tot.arm") == F.col("xarm"), "left")
+        totals.join(F.broadcast(at), F.col("tot.arm") == F.col("xarm"), "left")
         .select(
             F.col("tot.arm").cast("long").alias("arm"),
             F.col("n_obs").cast("long").alias("n_obs"),

@@ -186,6 +186,12 @@ HEADLINE = [
     "q_acf_lags",
     "q_gini_concentration",
     "q_jaro_winkler_linkage",
+    # round-13 second batch
+    "q_kendall_tau",
+    "q_quantile_normalize",
+    "q_sprt_monitor",
+    "q_cow_txn",
+    "q_geo_convex_hull",
 ]
 
 
