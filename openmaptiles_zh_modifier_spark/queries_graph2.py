@@ -536,3 +536,185 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (round 13): weighted PageRank over the word
+# co-occurrence graph, the unsupervised keyword baseline (Mihalcea &
+# Tarau, EMNLP'04).
+
+TR_VOCAB = 120   # node set: top-V corpus words (count DESC, word ASC)
+TR_ITERS = 5
+TR_DAMP = 0.85
+TR_TOP = 20
+
+
+def _tr_iter_sql(i: int) -> str:
+    prev = f"tr{i - 1}"
+    return f"""
+tr{i} AS (
+  SELECT n.w,
+         (CAST(1 AS DOUBLE) - CAST({TR_DAMP} AS DOUBLE))
+             / (SELECT nv FROM nvoc)
+           + CAST({TR_DAMP} AS DOUBLE) * COALESCE(c.s, 0.0) AS r
+  FROM vocab n LEFT JOIN (
+    SELECT e.dst AS w,
+           list_reduce(
+             list_prepend(0.0::DOUBLE, list(p.r * e.w8 / e.ow ORDER BY e.src)),
+             (acc, x) -> acc + x) AS s
+    FROM e JOIN {prev} p ON p.w = e.src
+    GROUP BY e.dst
+  ) c USING (w)
+)"""
+
+
+@register(
+    "q_textrank_keywords",
+    oracle=f"""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+u AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+vocab AS (
+  SELECT w FROM uc ORDER BY c DESC, w LIMIT {TR_VOCAB}
+),
+nvoc AS (SELECT COUNT(*) AS nv FROM vocab),
+bg AS (
+  SELECT unnest(t[:len(t) - 1]) AS w1, unnest(t[2:]) AS w2 FROM toks
+  WHERE len(t) >= 2
+),
+und AS (
+  SELECT LEAST(w1, w2) AS u, GREATEST(w1, w2) AS v, COUNT(*) AS cw
+  FROM bg
+  WHERE w1 <> w2
+    AND w1 IN (SELECT w FROM vocab) AND w2 IN (SELECT w FROM vocab)
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT u AS src, v AS dst, cw FROM und
+  UNION ALL
+  SELECT v AS src, u AS dst, cw FROM und
+),
+outw AS (SELECT src, SUM(cw) AS ow FROM edges GROUP BY src),
+e AS (SELECT edges.src, dst, CAST(cw AS DOUBLE) AS w8, ow
+      FROM edges JOIN outw USING (src)),
+tr0 AS (SELECT w, CAST(1 AS DOUBLE) / (SELECT nv FROM nvoc) AS r
+        FROM vocab),
+{', '.join(_tr_iter_sql(i) for i in range(1, TR_ITERS + 1))}
+SELECT w AS word, ROUND(r, 6) AS textrank,
+       ROW_NUMBER() OVER (ORDER BY r DESC, w) AS rk
+FROM tr{TR_ITERS}
+ORDER BY rk
+LIMIT {TR_TOP}
+""",
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04):
+    weighted PageRank over the adjacent-token co-occurrence graph,
+    restricted to the top-{TR_VOCAB} corpus words (count DESC, word ASC
+    — a deterministic node set), damping {TR_DAMP}, {TR_ITERS} unrolled
+    iterations. Reuses the engine's cross-engine PageRank determinism
+    discipline verbatim (queries_graph.py): per-destination double
+    contributions fold in EXPLICIT ascending-source order on BOTH
+    engines (array_sort+aggregate vs list ORDER BY + list_reduce), and
+    the data-dependent constants 1/N and (1-d)/N are the SAME division
+    executed on the same integers, so every iteration is bit-identical
+    and the only rounding is the final 6dp presentation.
+
+    Scale shape: tokenize + bigram passes are map-side combinable
+    aggregations (the same two corpus passes as q_pmi_cooccurrence);
+    the iteration then lives entirely on the vocab-bounded graph
+    (<= V^2 edges, Zipf-sparse in practice) — at 100 TB the corpus
+    passes are the work and the graph is broadcast-sized. Dangling
+    words inside the vocab keep the (1-d)/N floor, matching the
+    oracle's LEFT JOIN."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    toks = memo_frame_lazy(
+        spark, f"textrank_toks:{sf_dir}", lambda: docs
+    )
+    u = toks.select(F.explode("t").alias("w"))
+    uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        uc.orderBy(F.desc("c"), F.asc("w")).limit(TR_VOCAB).select("w")
+    )
+    nv_df = vocab.agg(F.count(F.lit(1)).alias("nv"))
+
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    v1 = vocab.select(F.col("w").alias("w1"))
+    v2 = vocab.select(F.col("w").alias("w2"))
+    und = (
+        bg.where(F.col("w1") != F.col("w2"))
+        .join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .select(
+            F.least("w1", "w2").alias("u"),
+            F.greatest("w1", "w2").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "cw"
+    ).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "cw")
+    )
+    outw = edges.groupBy("src").agg(F.sum("cw").alias("ow"))
+    e = memo_frame(
+        spark,
+        f"textrank_edges:{sf_dir}",
+        lambda: edges.join(outw, "src").select(
+            "src", "dst", F.col("cw").cast("double").alias("w8"), "ow"
+        ),
+    )
+    # nv is a tiny driver-side scalar: the SAME integer both engines
+    # divide by (constants below are computed, not literals — N is
+    # data-dependent; identical ops on identical ints are bit-stable)
+    nv = nv_df.collect()[0][0]
+    init = 1.0 / nv
+    res = (1.0 - TR_DAMP) / nv
+
+    ranks = vocab.select("w", F.lit(init).alias("r"))
+    for _ in range(TR_ITERS):
+        contribs = e.join(ranks, e.src == ranks.w).select(
+            "dst",
+            "src",
+            (F.col("r") * F.col("w8") / F.col("ow")).alias("contrib"),
+        )
+        summed = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("s")
+        )
+        ranks = (
+            vocab.join(summed, vocab.w == summed.dst, "left")
+            .select(
+                "w",
+                (F.lit(res) + TR_DAMP * F.coalesce("s", F.lit(0.0))).alias(
+                    "r"
+                ),
+            )
+        )
+    w_rk = Window.orderBy(F.desc("r"), F.asc("w"))
+    return (
+        ranks.select(
+            F.col("w").alias("word"),
+            F.round("r", 6).alias("textrank"),
+            F.row_number().over(w_rk).alias("rk"),
+        )
+        .orderBy("rk")
+        .limit(TR_TOP)
+    )

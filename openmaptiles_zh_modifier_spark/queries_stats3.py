@@ -337,3 +337,109 @@ def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "q_theilsen_trend",
+    oracle="""
+WITH m AS (
+  SELECT n.n_name,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) * 12
+              + EXTRACT(MONTH FROM o.o_orderdate) AS BIGINT) AS x,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), slopes AS (
+  SELECT a.n_name,
+         CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+  FROM m a JOIN m b ON a.n_name = b.n_name AND a.x < b.x
+), sl AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         MEDIAN(s) AS slope
+  FROM slopes GROUP BY n_name
+)
+SELECT sl.n_name, sl.n_pairs,
+       sl.slope AS ts_slope,
+       MEDIAN(m.y - sl.slope * m.x) AS ts_intercept
+FROM sl JOIN m ON m.n_name = sl.n_name
+GROUP BY sl.n_name, sl.n_pairs, sl.slope
+ORDER BY sl.n_name
+""",
+)
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation — the median of all pairwise
+    slopes of the monthly revenue series, with the companion median
+    intercept (the estimator with a 29% breakdown point, vs OLS's
+    zero: one whale month cannot move it — the robust sibling of
+    q_ols_trend). Same blocking discipline as q_kendall_tau: the
+    O(m^2) pair join lives on the month-grain pre-aggregate, never the
+    fact table. Determinism: each slope is ONE double division of
+    exact integers (identical op both engines); MEDIAN over an even
+    pair count interpolates the two central values identically
+    (multiset semantics — no ordering ambiguity). The outputs are
+    deliberately UNROUNDED: every value is bit-identical across
+    engines by construction, and it was ROUND itself that diverged in
+    testing (the two engines break a ...98000049999 decimal tie
+    differently) — rounding here would ADD a cross-engine hazard, not
+    remove one.
+
+    Scale shape: one combinable groupBy((nation, month)) corpus pass;
+    the pair join is equi-keyed on the 25-value nation; the intercept
+    pass re-joins the month grain against the 25-row slope table
+    (broadcast)."""
+    from pyspark.sql.functions import broadcast
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("y")
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("s"),
+    )
+    sl = slopes.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.median("s").alias("slope"),
+    )
+    return (
+        m.join(broadcast(sl), "n_name")
+        .groupBy("n_name", "n_pairs", "slope")
+        .agg(
+            F.median(F.col("y") - F.col("slope") * F.col("x")).alias(
+                "ts_intercept"
+            )
+        )
+        .select(
+            "n_name",
+            "n_pairs",
+            F.col("slope").alias("ts_slope"),
+            "ts_intercept",
+        )
+        .orderBy("n_name")
+    )

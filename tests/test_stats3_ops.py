@@ -156,3 +156,50 @@ def test_cow_txn_conservation(spark):
     # and actually moved something
     assert got[(2, "a")].n_rows < got[(1, "a")].n_rows
     assert got[(2, "b")].n_rows > got[(1, "b")].n_rows
+
+
+def test_textrank_invariants(spark):
+    rows = QUERIES["q_textrank_keywords"](spark, SF).collect()
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    vals = [r.textrank for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        assert 0.0 < r.textrank < 1.0
+        assert " " not in r.word
+
+
+def test_theilsen_matches_pure_python_reference(spark):
+    import statistics
+
+    rows = {
+        r.n_name: r for r in QUERIES["q_theilsen_trend"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        SELECT n.n_name,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) * 12
+                    + EXTRACT(MONTH FROM o.o_orderdate) AS BIGINT) AS x,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS y
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        JOIN '{SF}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    by_nation: dict[str, list] = {}
+    for n_name, x, y in series:
+        by_nation.setdefault(n_name, []).append((x, y))
+    for n_name, pts in by_nation.items():
+        slopes = [
+            (yb - ya) / (xb - xa)
+            for (xa, ya), (xb, yb) in itertools.combinations(pts, 2)
+        ]
+        if not slopes:
+            continue
+        slope = statistics.median(slopes)
+        inter = statistics.median(y - slope * x for x, y in pts)
+        r = rows[n_name]
+        assert r.n_pairs == len(slopes)
+        assert r.ts_slope == slope  # bit-identical by construction
+        assert r.ts_intercept == inter
