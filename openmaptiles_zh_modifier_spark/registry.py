@@ -436,6 +436,7 @@ def _register_all() -> None:
     import openmaptiles_zh_modifier_spark.queries_geo  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_stats2  # noqa: F401
     import openmaptiles_zh_modifier_spark.queries_stats3  # noqa: F401
+    import openmaptiles_zh_modifier_spark.queries_tsa  # noqa: F401
     import openmaptiles_zh_modifier_spark.streaming.events  # noqa: F401
 
 
