@@ -443,3 +443,138 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# Fellegi-Sunter field weights for H(match) vs H(non-match), embedded
+# as shared decimal literals (same rationale as the SPRT constants —
+# engine libm ln() is not bit-identical). Source m/u probabilities:
+#   name  m=0.90 u=0.05   type  m=0.85 u=0.15   price m=0.70 u=0.10
+_FS_W = {
+    "name": ("CAST(2.8903717579 AS DOUBLE)", "CAST(-2.2512917986 AS DOUBLE)"),
+    "type": ("CAST(1.7346010554 AS DOUBLE)", "CAST(-1.7346010554 AS DOUBLE)"),
+    "price": ("CAST(1.9459101491 AS DOUBLE)", "CAST(-1.0986122887 AS DOUBLE)"),
+}
+_FS_UP = "CAST(3.0 AS DOUBLE)"
+_FS_LO = "CAST(-3.0 AS DOUBLE)"
+
+
+def _fs_weight_sql(field: str, agree_col: str) -> str:
+    a, d = _FS_W[field]
+    return f"CASE WHEN {agree_col} = 1 THEN {a} ELSE {d} END"
+
+
+@register(
+    "q_fellegi_sunter",
+    oracle=f"""
+WITH pairs AS (
+  SELECT CASE WHEN string_split(a.p_name, ' ')[1]
+              = string_split(b.p_name, ' ')[1] THEN 1 ELSE 0 END AS ag_name,
+         CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ag_type,
+         CASE WHEN ABS(CAST(ROUND(a.p_retailprice * 100) AS BIGINT)
+                       - CAST(ROUND(b.p_retailprice * 100) AS BIGINT))
+                   <= 500 THEN 1 ELSE 0 END AS ag_price
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+), weighted AS (
+  SELECT ag_name, ag_type, ag_price,
+         {_fs_weight_sql('name', 'ag_name')}
+           + {_fs_weight_sql('type', 'ag_type')}
+           + {_fs_weight_sql('price', 'ag_price')} AS w
+  FROM pairs
+)
+SELECT CAST(ag_name AS BIGINT) AS ag_name,
+       CAST(ag_type AS BIGINT) AS ag_type,
+       CAST(ag_price AS BIGINT) AS ag_price,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MIN(w), 6) AS weight,
+       CASE WHEN MIN(w) >= {_FS_UP} THEN 'match'
+            WHEN MIN(w) <= {_FS_LO} THEN 'non_match'
+            ELSE 'possible' END AS decision
+FROM weighted
+GROUP BY ag_name, ag_type, ag_price
+ORDER BY ag_name, ag_type, ag_price
+""",
+)
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969 — the
+    canonical match/possible/non-match decision rule every modern
+    linkage system descends from): blocked candidate pairs are scored
+    by a comparison vector (first-name-token, type, price-within-5.00)
+    whose per-field agree/disagree weights are ln(m/u) and
+    ln((1-m)/(1-u)) under fixed m/u probabilities. The weights are
+    EMBEDDED DECIMAL LITERALS (engine ln() is not bit-identical, the
+    same discipline as q_sprt_monitor), so every pattern's total weight
+    is the identical sum of three shared doubles — bit-stable; counts
+    are exact integers. Output: the 8 agreement patterns with their
+    pair counts, weights, and the classic two-threshold decision.
+
+    Scale shape: the same (p_brand, p_size) blocking as
+    q_jaro_winkler_linkage — O(n^2) confined to blocks — then one
+    map-side-combinable 8-group aggregate. At 100 TB the EM step that
+    would LEARN m/u is two more passes of the same grouped counts."""
+    parts = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice",
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.when(
+            F.split(F.col("a.p_name"), " ")[0]
+            == F.split(F.col("b.p_name"), " ")[0],
+            1,
+        )
+        .otherwise(0)
+        .alias("ag_name"),
+        F.when(F.col("a.p_type") == F.col("b.p_type"), 1)
+        .otherwise(0)
+        .alias("ag_type"),
+        F.when(
+            F.abs(
+                F.round(F.col("a.p_retailprice") * 100).cast("long")
+                - F.round(F.col("b.p_retailprice") * 100).cast("long")
+            )
+            <= 500,
+            1,
+        )
+        .otherwise(0)
+        .alias("ag_price"),
+    )
+    w = (
+        F.when(F.col("ag_name") == 1, F.expr(_FS_W["name"][0]))
+        .otherwise(F.expr(_FS_W["name"][1]))
+        + F.when(F.col("ag_type") == 1, F.expr(_FS_W["type"][0])).otherwise(
+            F.expr(_FS_W["type"][1])
+        )
+        + F.when(F.col("ag_price") == 1, F.expr(_FS_W["price"][0])).otherwise(
+            F.expr(_FS_W["price"][1])
+        )
+    )
+    up, lo = F.expr(_FS_UP), F.expr(_FS_LO)
+    return (
+        pairs.withColumn("w", w)
+        .groupBy("ag_name", "ag_type", "ag_price")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("w"), 6).alias("weight"),
+            F.when(F.min("w") >= up, "match")
+            .when(F.min("w") <= lo, "non_match")
+            .otherwise("possible")
+            .alias("decision"),
+        )
+        .select(
+            F.col("ag_name").cast("long").alias("ag_name"),
+            F.col("ag_type").cast("long").alias("ag_type"),
+            F.col("ag_price").cast("long").alias("ag_price"),
+            "n_pairs",
+            "weight",
+            "decision",
+        )
+        .orderBy("ag_name", "ag_type", "ag_price")
+    )

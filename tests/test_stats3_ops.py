@@ -203,3 +203,40 @@ def test_theilsen_matches_pure_python_reference(spark):
         assert r.n_pairs == len(slopes)
         assert r.ts_slope == slope  # bit-identical by construction
         assert r.ts_intercept == inter
+
+
+def test_fellegi_sunter_patterns(spark):
+    import itertools
+
+    rows = {
+        (r.ag_name, r.ag_type, r.ag_price): r
+        for r in QUERIES["q_fellegi_sunter"](spark, SF).collect()
+    }
+    W = {
+        "name": (2.8903717579, -2.2512917986),
+        "type": (1.7346010554, -1.7346010554),
+        "price": (1.9459101491, -1.0986122887),
+    }
+    total = 0
+    for bits in itertools.product((0, 1), repeat=3):
+        if bits not in rows:
+            continue  # pattern absent in the tiny fixture is fine
+        r = rows[bits]
+        w = sum(
+            W[f][0] if b else W[f][1]
+            for f, b in zip(("name", "type", "price"), bits)
+        )
+        assert r.weight == round(w, 6)
+        want = (
+            "match" if w >= 3.0 else "non_match" if w <= -3.0 else "possible"
+        )
+        assert r.decision == want
+        total += r.n_pairs
+    con = duckdb.connect()
+    n = con.execute(
+        f"""SELECT COUNT(*) FROM '{SF}/part.parquet' a
+            JOIN '{SF}/part.parquet' b
+            ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+            AND a.p_partkey < b.p_partkey"""
+    ).fetchone()[0]
+    assert total == n  # every blocked pair classified exactly once
