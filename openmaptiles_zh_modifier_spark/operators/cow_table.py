@@ -1824,3 +1824,51 @@ def cow_compact(
             manifest[k] = m[k]
     _commit_manifest(root, manifest)
     return manifest["version"]
+
+
+def cow_clone(src_root: str, dst_root: str, version: int | None = None) -> int:
+    """SHALLOW CLONE ``src_root``@``version`` (default latest) into a new
+    table at ``dst_root`` — Delta's ``CREATE TABLE ... SHALLOW CLONE``:
+    ONE metadata write, zero data files copied. The clone's v1 manifest
+    references the source's data files (and deletion-vector sidecars)
+    by ABSOLUTE path; every reader path (_read_files, zone-map
+    pruning, DV anti-join) resolves them unchanged because relative
+    entries are joined onto the root with os.path.join, which passes
+    absolute paths through. Schema, partition spec, column mapping and
+    CHECK constraints carry over; stream_txns and commit history do
+    NOT (the clone starts its own history at v1, like Delta).
+
+    Divergence after the clone is free in both directions: appends /
+    deletes / merges on the clone land under the clone's root (new DV
+    sidecars key rows by globally-unique file basenames, so a clone DV
+    cannot alias a source file), and source mutations never touch the
+    pinned entries. ``cow_vacuum`` on the clone walks only the clone's
+    directory, so it can never reclaim source data; ``cow_vacuum`` on
+    the SOURCE does not know about clones and can break them — Delta's
+    documented shallow-clone hazard, deliberately preserved (the
+    mitigation is the same: source retention >= clone lifetime, or
+    cow_compact on the clone to materialize it into its own files)."""
+    m = _read_manifest(src_root, version)
+    src_abs = os.path.abspath(src_root)
+    files = []
+    for e in m["files"]:
+        e2 = dict(e)
+        e2["path"] = os.path.join(src_abs, e["path"])
+        if e2.get("dv"):
+            e2["dv"] = os.path.join(src_abs, e["dv"])
+        files.append(e2)
+    manifest = {
+        k: v
+        for k, v in m.items()
+        if k not in ("version", "files", "commit_ts", "stream_txns")
+    }
+    manifest.update(
+        {
+            "version": 1,
+            "files": files,
+            "cloned_from": {"root": src_abs, "version": m["version"]},
+        }
+    )
+    os.makedirs(dst_root, exist_ok=True)
+    _commit_manifest(dst_root, manifest)
+    return 1

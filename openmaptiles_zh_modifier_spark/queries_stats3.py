@@ -215,6 +215,12 @@ _SPRT_C1 = "CAST(0.2006706955 AS DOUBLE)"   # round(ln(0.22/0.18), 10)
 _SPRT_C0 = "CAST(-0.0500104206 AS DOUBLE)"  # round(ln(0.78/0.82), 10)
 _SPRT_UP = "CAST(2.9444389792 AS DOUBLE)"   # round(ln(0.95/0.05), 10)
 _SPRT_LO = "CAST(-2.9444389792 AS DOUBLE)"  # round(ln(0.05/0.95), 10)
+# the same four constants as Python doubles (bit-identical to what
+# both SQL parsers produce) — the streaming twin folds with these
+SPRT_C1_F = float("0.2006706955")
+SPRT_C0_F = float("-0.0500104206")
+SPRT_UP_F = float("2.9444389792")
+SPRT_LO_F = float("-2.9444389792")
 
 
 @register(

@@ -1825,3 +1825,140 @@ def q_stream_cow_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(stream).orderBy("change_type")
+
+
+# ---------------------------------------------------------------------------
+# Streaming SPRT (round 13): the q_sprt_monitor decision walk moved
+# into the state store — early-stopping A/B monitoring as a streaming
+# operator rather than a batch sweep.
+# ---------------------------------------------------------------------------
+
+
+def streaming_sprt(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-arm Wald SPRT in ``applyInPandasWithState``: state is the
+    exact integer (n1, n0) conversion counts plus the frozen crossing
+    record (n_cross, llr_cross, decision). Because each Bernoulli step
+    adds one of two CONSTANTS, the whole walk is reconstructible from
+    cumulative integers — the per-batch scan is a numpy cumsum over the
+    batch's conversions shifted by the carried counts, and the first
+    boundary exit (if the arm is still undecided) freezes the decision
+    exactly where the batch replay of q_sprt_monitor would put it.
+    Constants are the SAME Python doubles both SQL engines parse
+    (queries_stats3.SPRT_*_F), so the streaming fold is bit-identical
+    to the batch twin and the one oracle serves both.
+
+    Ordering contract: rows sort by (ts, event_id) within each
+    micro-batch and state carries across batches in arrival order —
+    exact for a time-ordered source, deterministic for the
+    availableNow gate drain.
+
+    State lifecycle: NoTimeout is deliberate — the key domain is the
+    two experiment arms (bounded enum, like streaming_cusum's event
+    types), a handful of constant-width rows by design."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from openmaptiles_zh_modifier_spark.queries_stats3 import (
+        SPRT_C0_F,
+        SPRT_C1_F,
+        SPRT_LO_F,
+        SPRT_UP_F,
+    )
+
+    def update(key, pdfs, state: GroupState):
+        arm = key[0]
+        if state.exists:
+            n1, n0, n_cross, llr_cross, decision = state.get
+        else:
+            n1, n0, n_cross, llr_cross, decision = 0, 0, 0, 0.0, "continue"
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            conv = (pdf["event_type"] == "purchase").to_numpy(dtype="int64")
+            c1 = n1 + np.cumsum(conv)
+            n_all = n1 + n0 + 1 + np.arange(len(conv))
+            llr = c1 * SPRT_C1_F + (n_all - c1) * SPRT_C0_F
+            if decision == "continue":
+                outside = (llr >= SPRT_UP_F) | (llr <= SPRT_LO_F)
+                if outside.any():
+                    i = int(outside.argmax())
+                    n_cross = int(n_all[i])
+                    llr_cross = float(llr[i])
+                    decision = (
+                        "accept_h1" if llr[i] >= SPRT_UP_F else "accept_h0"
+                    )
+            n1 = int(c1[-1])
+            n0 = int(n_all[-1] - c1[-1])
+        state.update((n1, n0, n_cross, llr_cross, decision))
+        yield pd.DataFrame(
+            {
+                "arm": [arm],
+                "n_obs": [n1 + n0],
+                "n_cross": [n_cross],
+                "llr_cross": [llr_cross],
+                "decision": [decision],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            "event_type",
+            "ts",
+            "event_id",
+        )
+        .groupBy("arm")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "arm long, n_obs long, n_cross long, "
+                "llr_cross double, decision string"
+            ),
+            stateStructType=(
+                "n1 long, n0 long, n_cross long, "
+                "llr_cross double, decision string"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@register(
+    "q_stream_sprt",
+    oracle=ORACLE_SQL["q_sprt_monitor"],
+)
+def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_sprt_monitor — ONE oracle serves both: the
+    state-store walk must land on the identical crossing index, LLR
+    and decision as the batch window sweep (and DuckDB's replay),
+    because the fold is exact integers times shared double constants.
+    The gate drain emits one row per arm; the max-n_obs guard keeps
+    the final state row if a source ever splits the drain into
+    multiple micro-batches.
+
+    Scale shape: state is five scalars per arm; each batch is one
+    in-group sort + a numpy cumsum. The undecided->decided transition
+    happens exactly once per arm, after which the walk only counts."""
+    out = run_to_memory(
+        streaming_sprt(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    w = Window.partitionBy("arm").orderBy(F.desc("n_obs"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "arm",
+            "n_obs",
+            F.when(F.col("n_cross") > 0, F.col("n_cross")).alias("n_cross"),
+            F.when(
+                F.col("n_cross") > 0, F.round(F.col("llr_cross"), 6)
+            ).alias("llr_cross"),
+            "decision",
+        )
+        .orderBy("arm")
+    )
