@@ -60,6 +60,18 @@ BENCH_QUERIES = [
     "q_spearman_corr",
     "q_acf_lags",
     "q_gini_concentration",
+    # round-13 second wave (q_fellegi_sunter is part-dim like jaro —
+    # its volume anchor is the sf0.01 -> sf0.1 pair; the cow metadata
+    # ops — txn/restore/clone — have no data-dependent axis)
+    "q_kendall_tau",
+    "q_quantile_normalize",
+    "q_sprt_monitor",
+    "q_geo_convex_hull",
+    "q_textrank_keywords",
+    "q_theilsen_trend",
+    "q_dtw_profiles",
+    "q_haar_wavelet",
+    "q_stream_sprt",
     "q1_pricing_summary",
     "q_window_frames",
     "q_salted_skew_join",
