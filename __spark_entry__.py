@@ -39,10 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
 # dict ordering decides what gets externally verified. Round-13 window
-# (VERDICT r12 #3, routine rotation): the FOURTEEN round-13 additions
-# (merge-on-read DV MERGE, RESTORE, streaming CDF drain, multi-table
-# catalog txn, convex hull, mu-law + IMA-ADPCM codecs, Spearman, ACF,
-# Gini, Jaro-Winkler, Kendall tau-b, quantile normalization, SPRT),
+# (VERDICT r12 #3, routine rotation): the TWENTY-ONE round-13
+# additions (merge-on-read DV MERGE, RESTORE, streaming CDF drain,
+# multi-table catalog txn, shallow clone, convex hull, TextRank,
+# mu-law + IMA-ADPCM codecs, Spearman, ACF, Gini, Jaro-Winkler,
+# Kendall tau-b, Theil-Sen, quantile normalization, Fellegi-Sunter,
+# DTW, Haar, batch + streaming SPRT),
 # then ALL fifteen remaining r07 rows plus the stalest r08 rows, with
 # the last slot swapped for q_dedup_minhash_lsh — the one r11->r12
 # >1.3x panel mover (VERDICT r12 #1/#2) taking its standard
@@ -54,6 +56,8 @@ _R13_WINDOW = [
     "q_cow_merge_dv",
     "q_cow_restore",
     "q_cow_txn",
+    "q_cow_clone",
+    "q_textrank_keywords",
     "q_geo_convex_hull",
     "q_spearman_corr",
     "q_acf_lags",
@@ -62,7 +66,12 @@ _R13_WINDOW = [
     "q_kendall_tau",
     "q_quantile_normalize",
     "q_sprt_monitor",
+    "q_theilsen_trend",
+    "q_fellegi_sunter",
+    "q_dtw_profiles",
+    "q_haar_wavelet",
     "q_stream_cow_changes",
+    "q_stream_sprt",
     "q_cube_orders",
     "q_curation_pipeline",
     "q_customer_order_running",
@@ -91,13 +100,6 @@ _R13_WINDOW = [
     "q_recursive_calendar",
     "q_rollup_returns",
     "q_scalar_functions",
-    "q_skew_audit",
-    "q_stratified_sample",
-    "q_token_budget_select",
-    "q_topk_per_group_agg",
-    "q_unigram_apply",
-    "q_unigram_lm_step",
-    "q_unpivot_measures",
     "q_dedup_minhash_lsh",
 ]
 

@@ -192,6 +192,12 @@ HEADLINE = [
     "q_sprt_monitor",
     "q_cow_txn",
     "q_geo_convex_hull",
+    "q_textrank_keywords",
+    "q_theilsen_trend",
+    "q_dtw_profiles",
+    "q_haar_wavelet",
+    "q_fellegi_sunter",
+    "q_cow_clone",
 ]
 
 
