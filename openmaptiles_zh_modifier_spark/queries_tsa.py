@@ -331,3 +331,107 @@ def q_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("rk"),
     )
     return ranked.unionByName(approx).orderBy("rk", "level")
+
+
+@register(
+    "q_isotonic_fit",
+    oracle="""
+WITH m AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS x,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS ycents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS i, x,
+         ycents, n
+  FROM m
+), pre AS (
+  SELECT i, x, ycents, n,
+         SUM(ycents) OVER (ORDER BY i) AS sy,
+         SUM(n) OVER (ORDER BY i) AS sn
+  FROM idx
+), segavg AS (
+  -- mean of the weighted block [j..k]: one double division of exact
+  -- integer sums, the SAME division PAVA performs for its pools
+  SELECT j.i AS j, k.i AS k,
+         CAST(k.sy - j.sy + j.ycents AS DOUBLE)
+           / (k.sn - j.sn + j.n) AS avgv
+  FROM pre j JOIN pre k ON j.i <= k.i
+), minover AS (
+  -- min_{k >= i} over blocks starting at j: for each (i, j <= i)
+  SELECT p.i, s.j, MIN(s.avgv) AS mn
+  FROM pre p JOIN segavg s ON s.j <= p.i AND s.k >= p.i
+  GROUP BY p.i, s.j
+)
+SELECT p.x AS mth_index, p.n AS n_orders,
+       MAX(mo.mn) AS iso_fit_cents
+FROM pre p JOIN minover mo ON mo.i = p.i
+GROUP BY p.i, p.x, p.n
+ORDER BY mth_index
+""",
+)
+def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression of the monthly mean order value
+    (cents) against time — the shape-constrained calibration fit every
+    probability-calibration pipeline runs (the non-parametric sibling
+    of q_nb_calibration's binning). TWO independent algorithms must
+    agree bit-for-bit: Spark runs POOL-ADJACENT-VIOLATORS inside
+    applyInPandas (the O(n) stack algorithm), while the oracle
+    evaluates the MINIMAX characterization — fitted[i] = max_{j<=i}
+    min_{k>=i} weightedMean(y[j..k]) — which is the textbook duality
+    theorem for isotonic regression, O(n^3) but set-based. Both sides'
+    block means are the same single double division of exact integer
+    (cents, count) sums, so when the minimax picks PAVA's optimal
+    block the VALUES are bit-identical and the output needs no
+    rounding at all.
+
+    Scale shape: the corpus pass is one combinable groupBy(month); the
+    fit runs on the span-bounded series (80 points). At 100 TB with
+    per-segment calibration curves, PAVA runs per group inside the
+    same applyInPandas and the month grain keeps every group small."""
+    import pandas as pd
+
+    orders = load(spark, sf_dir, "orders").select(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = orders.groupBy("x").agg(
+        F.sum("cents").alias("ycents"), F.count(F.lit(1)).alias("n")
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        # stack of blocks: (sum_cents, weight, count_of_points)
+        blocks: list[list[int]] = []
+        for _, r in pdf.iterrows():
+            blocks.append([int(r.ycents), int(r.n), 1])
+            while len(blocks) >= 2 and (
+                blocks[-2][0] * blocks[-1][1]
+                >= blocks[-1][0] * blocks[-2][1]
+            ):
+                # violator: pool (exact integer cross-mult comparison —
+                # no float enters the merge decision)
+                s2, w2, c2 = blocks.pop()
+                blocks[-1][0] += s2
+                blocks[-1][1] += w2
+                blocks[-1][2] += c2
+        fit = []
+        for s, w, c in blocks:
+            fit += [float(s) / w] * c
+        out = pdf[["x", "n"]].copy()
+        out.columns = ["mth_index", "n_orders"]
+        out["iso_fit_cents"] = fit
+        return out
+
+    return (
+        m.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            pava,
+            schema="mth_index long, n_orders long, iso_fit_cents double",
+        )
+        .orderBy("mth_index")
+    )

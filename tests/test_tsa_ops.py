@@ -80,3 +80,27 @@ def test_haar_reconstruction_and_order(spark):
     mags = [abs(r.coef) for r in sorted(dets, key=lambda r: r.rk)]
     assert mags == sorted(mags, reverse=True)
     assert all(1 <= r.level <= 9 for r in dets)
+
+
+def test_isotonic_invariants(spark):
+    rows = QUERIES["q_isotonic_fit"](spark, SF).collect()
+    assert rows
+    fits = [r.iso_fit_cents for r in rows]
+    assert fits == sorted(fits)  # isotonic
+    con = duckdb.connect()
+    months = con.execute(
+        f"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                        + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS x,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y,
+                   COUNT(*) AS n
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    assert [r.mth_index for r in rows] == [m[0] for m in months]
+    # weighted-mean preservation: sum(fit * n) == sum(cents) exactly
+    # up to float on the per-block division (each block's fit*weight
+    # reassembles its integer sum to within rounding)
+    got = sum(f * r.n_orders for f, r in zip(fits, rows))
+    want = sum(m[1] for m in months)
+    assert abs(got - want) < 1e-3 * max(1, abs(want)) ** 0.5 + 1.0
+    means = [m[1] / m[2] for m in months]
+    assert min(means) - 1e-9 <= fits[0] and fits[-1] <= max(means) + 1e-9
