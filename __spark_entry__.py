@@ -39,12 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver gate samples the FIRST 50 registry entries each round, so the
 # dict ordering decides what gets externally verified. Round-13 window
-# (VERDICT r12 #3, routine rotation): the TWENTY-ONE round-13
+# (VERDICT r12 #3, routine rotation): the TWENTY-TWO round-13
 # additions (merge-on-read DV MERGE, RESTORE, streaming CDF drain,
 # multi-table catalog txn, shallow clone, convex hull, TextRank,
 # mu-law + IMA-ADPCM codecs, Spearman, ACF, Gini, Jaro-Winkler,
 # Kendall tau-b, Theil-Sen, quantile normalization, Fellegi-Sunter,
-# DTW, Haar, batch + streaming SPRT),
+# DTW, Haar, batch + streaming SPRT, isotonic regression),
 # then ALL fifteen remaining r07 rows plus the stalest r08 rows, with
 # the last slot swapped for q_dedup_minhash_lsh — the one r11->r12
 # >1.3x panel mover (VERDICT r12 #1/#2) taking its standard
@@ -70,6 +70,7 @@ _R13_WINDOW = [
     "q_fellegi_sunter",
     "q_dtw_profiles",
     "q_haar_wavelet",
+    "q_isotonic_fit",
     "q_stream_cow_changes",
     "q_stream_sprt",
     "q_cube_orders",
@@ -99,7 +100,6 @@ _R13_WINDOW = [
     "q_priority_sample",
     "q_recursive_calendar",
     "q_rollup_returns",
-    "q_scalar_functions",
     "q_dedup_minhash_lsh",
 ]
 

@@ -198,6 +198,7 @@ HEADLINE = [
     "q_haar_wavelet",
     "q_fellegi_sunter",
     "q_cow_clone",
+    "q_isotonic_fit",
 ]
 
 

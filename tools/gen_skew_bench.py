@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q_dtw_profiles",
     "q_haar_wavelet",
     "q_stream_sprt",
+    "q_isotonic_fit",
     "q1_pricing_summary",
     "q_window_frames",
     "q_salted_skew_join",
