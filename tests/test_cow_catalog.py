@@ -163,3 +163,56 @@ def test_stage_must_advance(spark, two_tables):
     txn = CatalogTxn(cat_root)
     with pytest.raises(ValueError, match="does not advance"):
         txn.stage("a", 1)
+
+
+# ---------------------------------------------------------------------------
+# Cross-PROCESS catalog CAS: the multi-table commit pointer uses the
+# same os.link create-if-absent primitive as table manifests, so the
+# duel holds across real processes (test_cow_multiprocess.py pattern).
+
+
+def _race_catalog_commit(args):
+    # every writer targets the SAME pinned version — the genuine duel
+    # (reading latest inside the worker would serialize the versions
+    # as the pool drains and nobody would actually collide)
+    cat_root, target_version, writer_id = args
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from openmaptiles_zh_modifier_spark.operators.cow_catalog import (
+        _publish,
+        catalog_manifest,
+    )
+    from openmaptiles_zh_modifier_spark.operators.cow_table import (
+        CowConflictError,
+    )
+
+    cur = catalog_manifest(cat_root, 1)
+    nxt = {
+        "version": target_version,
+        "tables": cur["tables"],
+        "writer": writer_id,
+    }
+    try:
+        _publish(cat_root, nxt)
+        return ("won", writer_id)
+    except CowConflictError:
+        return ("conflict", writer_id)
+
+
+def test_catalog_cas_across_processes(spark, two_tables):
+    import multiprocessing as mp
+
+    cat_root, _, _ = two_tables
+    with mp.get_context("spawn").Pool(6) as pool:
+        results = pool.map(
+            _race_catalog_commit, [(cat_root, 2, i) for i in range(6)]
+        )
+    wins = [r for r in results if r[0] == "won"]
+    losses = [r for r in results if r[0] == "conflict"]
+    assert len(wins) == 1, results  # exactly one v2 exists
+    assert len(losses) == 5
+    m = catalog_manifest(cat_root)
+    assert m["version"] == 2
+    assert m["writer"] == wins[0][1]  # the winner's payload is the truth
