@@ -635,10 +635,23 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = toks.select(F.explode("t").alias("w"))
     uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    vocab = (
-        uc.orderBy(F.desc("c"), F.asc("w")).limit(TR_VOCAB).select("w")
+    # One corpus unigram pass, collected (<= TR_VOCAB rows, bounded).
+    # The vocab subtree is referenced by every iteration below; as a
+    # lazy plan it re-entered the final plan ~7x (measured: 405-operator
+    # plan, 306 Exchanges, one full corpus agg + top-V sort per
+    # reference — 3.2 s warm). A 120-row local relation keeps results
+    # bit-identical (same deterministic top-V) and collapses the plan
+    # to the two real corpus passes (guide §2.4: remove shuffles
+    # outright; §5: bounded driver collect).
+    vocab_memo = memo_frame(
+        spark,
+        f"textrank_vocab:{sf_dir}",
+        lambda: uc.orderBy(F.desc("c"), F.asc("w"))
+        .limit(TR_VOCAB)
+        .select("w"),
     )
-    nv_df = vocab.agg(F.count(F.lit(1)).alias("nv"))
+    vocab_rows = vocab_memo.collect()
+    vocab = spark.createDataFrame(vocab_rows, "w string")
 
     bg = (
         toks.where(F.size("t") >= 2)
@@ -681,33 +694,38 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nv is a tiny driver-side scalar: the SAME integer both engines
     # divide by (constants below are computed, not literals — N is
     # data-dependent; identical ops on identical ints are bit-stable)
-    nv = nv_df.collect()[0][0]
+    nv = len(vocab_rows)
     init = 1.0 / nv
     res = (1.0 - TR_DAMP) / nv
 
-    ranks = vocab.select("w", F.lit(init).alias("r"))
+    # The fixpoint runs DRIVER-SIDE over the collected vocab-bounded edge
+    # table (<= 2*C(V,2) = 14,280 rows at V=120 — bounded by
+    # construction, not by data volume; guide §1.2 step 1: don't run
+    # constant-size work through distributed machinery). The previous
+    # 5 unrolled Spark iterations cost one ObjectHashAggregate shuffle +
+    # two broadcast joins EACH on a 120-row frame — measured ~2.5 s of
+    # pure stage/AQE overhead warm, vs <1 ms for the same arithmetic in
+    # Python. Bit-exactness is preserved because the fold order is
+    # reproduced literally: per dst, contributions accumulate in
+    # ascending src order (the engine's array_sort(collect_list) order)
+    # with the identical double ops r*w8/ow and res + DAMP*s; the final
+    # ROUND + rank window stay in Spark so presentation semantics are
+    # untouched. At 100 TB the two corpus passes above are the work;
+    # this loop is on the broadcast-sized graph either way.
+    edge_rows = sorted(
+        ((r.dst, r.src, r.w8, r.ow) for r in e.collect())
+    )
+    ranks_d = {w: init for (w,) in vocab_rows}
     for _ in range(TR_ITERS):
-        contribs = e.join(ranks, e.src == ranks.w).select(
-            "dst",
-            "src",
-            (F.col("r") * F.col("w8") / F.col("ow")).alias("contrib"),
-        )
-        summed = contribs.groupBy("dst").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("src", "contrib"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["contrib"],
-            ).alias("s")
-        )
-        ranks = (
-            vocab.join(summed, vocab.w == summed.dst, "left")
-            .select(
-                "w",
-                (F.lit(res) + TR_DAMP * F.coalesce("s", F.lit(0.0))).alias(
-                    "r"
-                ),
-            )
-        )
+        summed: dict[str, float] = {}
+        for dst, src, w8, ow in edge_rows:
+            summed[dst] = summed.get(dst, 0.0) + ranks_d[src] * w8 / ow
+        ranks_d = {
+            w: res + TR_DAMP * summed.get(w, 0.0) for w in ranks_d
+        }
+    ranks = spark.createDataFrame(
+        sorted(ranks_d.items()), "w string, r double"
+    )
     w_rk = Window.orderBy(F.desc("r"), F.asc("w"))
     return (
         ranks.select(
