@@ -1214,13 +1214,24 @@ def pq_recall_vs_exact(
         F.col("qe"), F.col("e")
     )
     w = Window.partitionBy("qid").orderBy("d", "nn_id")
-    ex = (
-        v.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nn_id"), dist.alias("d"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("qid", F.col("nn_id").alias("ex_nn"))
+    # The exact scan is the expensive leg (n_query * n_corpus fold dots
+    # + a per-query top-k window) and is IDENTICAL for every recall
+    # audit (PQ, IVF, RVQ, Matryoshka all compare against the same
+    # brute-force top-k), so it is memoized per session like the other
+    # shared intermediates (tri_edges, cov_partials).
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    ex = memo_frame_lazy(
+        spark,
+        f"exact_topk:{sf_dir}",
+        lambda: (
+            v.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", F.col("vec_id").alias("nn_id"), dist.alias("d"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= TOP_K)
+            .select("qid", F.col("nn_id").alias("ex_nn"))
+        ),
     )
     return (
         pq.join(
@@ -1629,36 +1640,38 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .coalesce(1),
     )
-    idx = m.select("i").distinct()
-    v = idx.select(
-        F.col("i").alias("j"),
-        F.when(F.col("i") == 0, F.lit(PCA_VQ))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("vj"),
-    )
-    from pyspark.sql import Window
+    # The iteration runs DRIVER-SIDE over the collected normalized
+    # matrix — d^2 = 4096 rows BY CONSTRUCTION (the corpus-sized work
+    # already happened inside the covariance scan; the docstring's own
+    # scale claim). The previous in-Spark loop was the measured
+    # 8-iteration stage-scheduling floor (~2.2-3.4 s warm on 24 tiny
+    # single-partition stages); the same arithmetic on the collected
+    # rows is <10 ms and BIT-IDENTICAL because every step quantizes to
+    # integers: each matvec term is ROUND_HALF_UP(cn * vj) summed as
+    # int64 (integer addition is order-free, so partitioning never
+    # mattered), and the renormalization ROUND(wi * 1e6 / wm) is a
+    # single double op on exact inputs. Spark's ROUND on DOUBLE is
+    # BigDecimal(value).setScale(0, HALF_UP) — replicated here with
+    # decimal.Decimal on the exact binary double, not float rounding.
+    from decimal import ROUND_HALF_UP, Decimal
 
-    # renormalization uses an UNPARTITIONED window (d rows, one task)
-    # so each iteration references `w` exactly once — a crossJoin
-    # against a separate max-aggregate would reference the chain twice
-    # per iteration and the plan tree would double every step (2^8
-    # copies of the matvec lineage; measured: analysis never finishes).
-    wm = F.max(F.abs(F.col("wi"))).over(Window.partitionBy())
+    def _round_half_up(x: float) -> int:
+        return int(
+            Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    m_rows = [(r.i, r.j, r.cn) for r in m.collect()]
+    dims = sorted({i for i, _, _ in m_rows})
+    vd = {j: (PCA_VQ if j == 0 else 0) for j in dims}
     for _ in range(PCA_ITERS):
-        w = (
-            m.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(
-                F.sum(F.round(F.col("cn") * F.col("vj")).cast("long")).alias(
-                    "wi"
-                )
-            )
-        )
-        v = w.select(
-            F.col("i").alias("j"),
-            F.round(F.col("wi") * float(PCA_VQ) / wm).cast("long").alias("vj"),
-        )
-    return v.select(
-        F.col("j").alias("component"), F.col("vj").alias("loading_micro")
+        wd = {i: 0 for i in dims}
+        for i, j, cn in m_rows:
+            wd[i] += _round_half_up(cn * vd[j])
+        wm = max(abs(w) for w in wd.values())
+        vd = {
+            i: _round_half_up(w * float(PCA_VQ) / wm)
+            for i, w in wd.items()
+        }
+    return spark.createDataFrame(
+        sorted(vd.items()), "component int, loading_micro long"
     ).orderBy("component")

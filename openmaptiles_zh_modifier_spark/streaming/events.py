@@ -234,8 +234,24 @@ def run_to_memory(
     prev_retain = spark.conf.get(
         "spark.sql.streaming.minBatchesToRetain", "100"
     )
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    # Skip the trailing no-data micro-batch for complete/update drains:
+    # it exists to advance the watermark so APPEND-mode operators can
+    # finalize (close windows, emit outer-join unmatched rows, fire
+    # event-time timeouts) — complete sinks re-emit full state every
+    # batch and this repo's update drains all use NoTimeout state, so
+    # for them the extra batch is one full plan/state/commit cycle of
+    # pure overhead per drain (~0.2-0.5 s at test scale; a no-op for
+    # long-lived production streams where data batches keep arriving).
+    # Append drains keep the default: their final emissions NEED it.
+    if output_mode != "append":
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
     ckpt = _ephemeral_checkpoint_dir()
     try:
         q = (
@@ -250,6 +266,9 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
         # the memory sink owns the rows once the drain terminates; the
         # throwaway checkpoint (possibly RAM-backed tmpfs) is dead weight
         shutil.rmtree(ckpt, ignore_errors=True)
