@@ -163,46 +163,45 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .coalesce(1),
     )
-    nodes = nation.select("node").coalesce(1)
-    state = nodes.select(
-        "node",
-        F.lit(HITS_SCALE).cast("long").alias("a"),
-        F.lit(HITS_SCALE).cast("long").alias("h"),
-    )
-    wk = Window.partitionBy("kind")
+    # The iteration runs DRIVER-SIDE over the collected trade graph —
+    # ep is <= 1250 rows and the node space the fixed 25 nations, both
+    # BY CONSTRUCTION (the corpus-sized work is the memoized edge
+    # build, which stays distributed). Four unrolled Spark rounds were
+    # pure stage overhead on 50-row frames (~1.0 s warm; the
+    # q_textrank_keywords / q_pagerank_nations treatment). Bit-exact by
+    # the query's own design: each round is an INTEGER sum
+    # (order-free), one double renormalize ROUND(r * 1e6 / sum_r)
+    # replicated with Decimal HALF_UP on the identical double ops, and
+    # integer state; the final rank window stays in Spark.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _rhu(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    ep_rows = [(r.key, r.out, r.w, r.kind) for r in ep.collect()]
+    node_ids = [r.node for r in nation.select("node").collect()]
+    a_d = {n: HITS_SCALE for n in node_ids}
+    h_d = {n: HITS_SCALE for n in node_ids}
     for _ in range(HITS_ITERS):
-        raw = (
-            ep.join(F.broadcast(state), F.col("key") == F.col("node"))
-            .groupBy(F.col("out").alias("node"), "kind")
-            .agg(
-                F.sum(
-                    F.when(F.col("kind") == "a", F.col("h")).otherwise(
-                        F.col("a")
-                    )
-                    * F.col("w")
-                ).alias("r")
-            )
-        )
-        nrm = raw.withColumn(
-            "v",
-            F.round(
-                F.col("r") * float(HITS_SCALE) / F.sum("r").over(wk)
-            ).cast("long"),
-        )
-        state = (
-            nodes.join(F.broadcast(nrm), "node", "left")
-            .groupBy("node")
-            .agg(
-                F.coalesce(
-                    F.max(F.when(F.col("kind") == "a", F.col("v"))),
-                    F.lit(0),
-                ).alias("a"),
-                F.coalesce(
-                    F.max(F.when(F.col("kind") == "h", F.col("v"))),
-                    F.lit(0),
-                ).alias("h"),
-            )
-        )
+        raw: dict[tuple[int, str], int] = {}
+        for key, out, w_, kind in ep_rows:
+            inc = (h_d[key] if kind == "a" else a_d[key]) * w_
+            raw[(out, kind)] = raw.get((out, kind), 0) + inc
+        ksum = {"a": 0, "h": 0}
+        for (_, kind), r_ in raw.items():
+            ksum[kind] += r_
+        a_d = {n: 0 for n in node_ids}
+        h_d = {n: 0 for n in node_ids}
+        for (out, kind), r_ in raw.items():
+            v = _rhu(r_ * float(HITS_SCALE) / ksum[kind])
+            if kind == "a":
+                a_d[out] = v
+            else:
+                h_d[out] = v
+    state = spark.createDataFrame(
+        sorted((n, a_d[n], h_d[n]) for n in node_ids),
+        "node int, a long, h long",
+    )
     w = Window.orderBy(F.desc("a"), F.asc("node"))
     return (
         state.join(nation, "node")
