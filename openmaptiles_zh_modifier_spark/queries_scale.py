@@ -217,11 +217,19 @@ def q_tablediff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.cs") != F.col("b.cs"))
         .select("bucket")
     )
+    # prune BOTH replicas to the bad buckets before the row-level join
+    # (k equality implies bucket equality, so the extra semi-filter on
+    # the v2 side cannot change the result — it only keeps the join
+    # shuffle O(changed buckets) on both sides, which is the operator's
+    # documented design; previously v2 shipped in full)
+    v2_bad = v2.join(F.broadcast(bad), "bucket").select(
+        F.col("k").alias("k2"), F.col("cents").alias("cents_b")
+    )
     return (
         v1.alias("x")
         .join(F.broadcast(bad), "bucket")
         .join(
-            v2.select(F.col("k").alias("k2"), F.col("cents").alias("cents_b")),
+            v2_bad,
             F.col("x.k") == F.col("k2"),
         )
         .where(F.col("x.cents") != F.col("cents_b"))

@@ -290,47 +290,43 @@ def q_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("i"),
         "c",
     )
-    grid = spark.range(HAAR_LEN).select(F.col("id").alias("i"))
-    a = grid.join(idx, "i", "left").select(
-        "i", F.coalesce("c", F.lit(0)).alias("c")
-    )
-    dets = []
+    # The butterfly runs DRIVER-SIDE over the collected series — the
+    # transform length is the fixed {HAAR_LEN} BY CONSTRUCTION (a
+    # deterministic prefix window, zero-padded; the corpus-sized work
+    # is the one combinable groupBy(hour) pass above) and everything is
+    # lossless BIGINT, so there is no float-order question at all. The
+    # previous in-Spark level loop embedded the corpus-agg lineage into
+    # EVERY det level's subtree (det_l re-plans a_{l-1} ⊃ ... ⊃ a0 —
+    # ~10 duplicated corpus aggregations in the final plan, 1.6 s
+    # warm); the same 1022 integer adds in Python are free. The top-20
+    # ranking window stays in Spark.
+    series = [0] * HAAR_LEN
+    for r in idx.where(F.col("i") < HAAR_LEN).collect():
+        series[r.i] = r.c
+    det_rows = []
+    a_c = series
     for lvl in range(1, HAAR_LEVELS + 1):
-        nxt = a.groupBy((F.col("i") / 2).cast("long").alias("i")).agg(
-            F.sum("c").alias("c")
+        nxt = [
+            a_c[2 * p] + a_c[2 * p + 1] for p in range(len(a_c) // 2)
+        ]
+        det_rows.extend(
+            (lvl, p, a_c[2 * p] - a_c[2 * p + 1])
+            for p in range(len(a_c) // 2)
         )
-        det = a.groupBy((F.col("i") / 2).cast("long").alias("pos")).agg(
-            F.sum(
-                F.when(F.col("i") % 2 == 0, F.col("c")).otherwise(
-                    -F.col("c")
-                )
-            ).alias("coef")
-        )
-        dets.append(
-            det.select(
-                F.lit(lvl).cast("long").alias("level"), "pos", "coef"
-            )
-        )
-        a = nxt
-    alldet = dets[0]
-    for d in dets[1:]:
-        alldet = alldet.unionByName(d)
-    ranked = alldet.select(
-        "level",
-        "pos",
-        "coef",
-        F.row_number()
-        .over(Window.orderBy(F.abs("coef").desc(), "level", "pos"))
-        .cast("long")
-        .alias("rk"),
-    ).where(F.col("rk") <= HAAR_TOP)
-    approx = a.select(
-        F.lit(99).cast("long").alias("level"),
-        F.lit(0).cast("long").alias("pos"),
-        F.col("c").cast("long").alias("coef"),
-        F.lit(0).cast("long").alias("rk"),
-    )
-    return ranked.unionByName(approx).orderBy("rk", "level")
+        a_c = nxt
+    # top-{HAAR_TOP} by (|coef| DESC, level, pos) is a deterministic
+    # integer sort over the 511 coefficients — done here so only 21
+    # rows enter Spark (a 511-row createDataFrame alone measured 0.43 s
+    # through the pickled-parallelize path, plus a global sort window)
+    det_rows.sort(key=lambda r: (-abs(r[2]), r[0], r[1]))
+    out = [
+        (lvl, pos, coef, rk)
+        for rk, (lvl, pos, coef) in enumerate(det_rows[:HAAR_TOP], 1)
+    ]
+    out.append((99, 0, a_c[0], 0))
+    return spark.createDataFrame(
+        out, "level long, pos long, coef long, rk long"
+    ).orderBy("rk", "level")
 
 
 @register(
