@@ -1673,7 +1673,16 @@ def q_cow_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_custkey",
         )
 
-    cdf = cow_changes(spark, root, 1, v)
+    # the CDF frame feeds BOTH census legs (insert + delete) — without
+    # the memo each leg re-runs the full change-feed scan (Spark does
+    # not dedupe identical subtrees across a union)
+    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
+
+    cdf = memo_frame_lazy(
+        spark,
+        f"mdv_cdf:{root}",
+        lambda: cow_changes(spark, root, 1, v),
+    )
     return (
         census(1, cow_read(spark, root, version=1))
         .unionByName(census(2, cow_read(spark, root, version=v)))
