@@ -38,12 +38,33 @@ COMPAT_CONFS: dict[str, str] = {
 
 # Performance defaults — sized for local[32] testing; a cluster deployment
 # overrides via spark-defaults or the `extra` argument.
+#
+# Scale posture (optimization round 13): shuffle partitions are
+# PARAMETERIZED, not a constant tuned for this box — the default
+# tracks the session's core count (SPARK_GRAFT_CPUS when the driver
+# sets it, else the machine), floored at 32 so the local bench keeps
+# its historical plan shape, and a cluster sets
+# SPARK_GRAFT_SHUFFLE_PARTITIONS (or spark-defaults) to data-sized
+# values (100 MB-1 GB per post-AQE partition, guide §2.2). AQE
+# coalescing then right-sizes small shuffles at runtime either way.
+def _default_shuffle_partitions() -> str:
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if explicit:
+        return explicit
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    try:
+        n = int(cpus)
+    except ValueError:
+        n = os.cpu_count() or 32
+    return str(max(32, n))
+
+
 PERF_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     # 128 MiB splits — the Parquet-native replacement for the reference's
     # manual BETWEEN-range batching (OMTZHModifier.java:130-137).
     "spark.sql.files.maxPartitionBytes": "134217728",
