@@ -209,6 +209,7 @@ def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",
     state_partitions: int = 4,
+    no_data_batch: bool | None = None,
 ) -> DataFrame:
     """Execute a streaming plan to completion (availableNow) into a memory
     sink and return the materialized result as a batch DataFrame.
@@ -247,8 +248,16 @@ def run_to_memory(
     # for them the extra batch is one full plan/state/commit cycle of
     # pure overhead per drain (~0.2-0.5 s at test scale; a no-op for
     # long-lived production streams where data batches keep arriving).
-    # Append drains keep the default: their final emissions NEED it.
-    if output_mode != "append":
+    # Append drains keep the default: their final emissions NEED it —
+    # except where the caller states otherwise (no_data_batch=False):
+    # an INNER stream-stream join emits matches as they arrive and a
+    # streaming dedup emits first-seen rows in their data batch, so for
+    # those the watermark-advance batch only evicts state and its cost
+    # is pure overhead. Outer joins / window-close / timeout-bearing
+    # operators must never pass False.
+    if no_data_batch is False or (
+        no_data_batch is None and output_mode != "append"
+    ):
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", "false"
         )
@@ -310,6 +319,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = run_to_memory(
         dedup_within_watermark(read_events_stream(spark, sf_dir)),
         output_mode="append",
+        # dedup emits first-seen rows in their data batch; the trailing
+        # watermark-advance batch only evicts state
+        no_data_batch=False,
     )
     return (
         deduped.groupBy("event_type")
@@ -554,7 +566,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 parts, 4.0 s at 2, 4.1 s at 1); key cardinality is revisited
     # at production scale where the data, not store init, dominates.
     return run_to_memory(
-        joined, output_mode="append", state_partitions=2
+        joined,
+        output_mode="append",
+        state_partitions=2,
+        # INNER join: matches emit as they arrive; the trailing
+        # watermark-advance batch only evicts buffered state
+        no_data_batch=False,
     ).orderBy("user_id", "click_id", "purchase_id")
 
 
