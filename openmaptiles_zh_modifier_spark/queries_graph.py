@@ -485,22 +485,31 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py:29)."""
     from pyspark.sql import Window
 
-    adj = _copurchase_adj(spark, sf_dir)
-    labels = adj.select("node").distinct().withColumn("lbl", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
-    for _ in range(LPA_ITERS):
-        cnt = (
-            adj.join(
-                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
-            )
-            .groupBy("node", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+    # finished labels memoized per session (the cc_star pattern):
+    # the 3-round lineage is linear but re-executed ~1.2 s of join +
+    # window stages per action otherwise
+    def _lpa_labels() -> DataFrame:
+        adj = _copurchase_adj(spark, sf_dir)
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "lbl")
+            adj.select("node").distinct().withColumn("lbl", F.col("node"))
         )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+        for _ in range(LPA_ITERS):
+            cnt = (
+                adj.join(
+                    labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+                )
+                .groupBy("node", "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "lbl")
+            )
+        return labels
+
+    labels = memo_frame(spark, f"lpa_labels:{sf_dir}", _lpa_labels)
     return labels.select("node", F.col("lbl").alias("community"))
 
 
@@ -539,41 +548,48 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the correctness argument. At 100 TB: same partitioning notes as
     LPA; distances are monotone non-increasing so rounds can stop when a
     round changes nothing (connected_components does exactly that)."""
-    adj = _copurchase_adj(spark, sf_dir)
-    dist = (
-        adj.select("node")
-        .where(F.col("node") % BFS_SEED_MOD == 0)
-        .distinct()
-        .withColumn("hop", F.lit(0))
-    )
     # Each relax reads the PREVIOUS distance table twice (join probe +
-    # outer-merge left side); without a cache boundary every round would
-    # embed two copies of the prior round's plan — 2^rounds duplicated
-    # subtrees that all EXECUTE (measured: 549 exchanges / 15 sort-merge
-    # joins in the 4-round plan, ~3.1 s warm). A LAZY per-round cache
-    # (memo_frame_lazy: no construction-time action, populated by the
-    # query's own single action) collapses each round to one InMemory
-    # reference — plan and execution both linear in rounds.
-    for i in range(BFS_MAX_HOPS):
-        prev = dist
-        nbr_min = (
-            adj.join(prev.select(F.col("node"), "hop"), "node")
-            .groupBy(F.col("nbr").alias("node"))
-            .agg((F.min("hop") + F.lit(1)).alias("nhop"))
+    # outer-merge left side); without a lineage boundary every round
+    # would embed two copies of the prior round's plan — 2^rounds
+    # duplicated subtrees. Round 13 optimization: the per-round LAZY
+    # cache that used to collapse execution still left the 2^k LOGICAL
+    # lineage retained inside each InMemoryRelation, and every action
+    # re-processed it on the driver (~1.4 s of pure plan work per count
+    # on a 189-row cached frame, measured; execution itself was cache-
+    # served). eager_checkpoint per round (the connected_components
+    # idiom, operators/lineage.py) truncates the plan to a LogicalRDD
+    # leaf instead, and the finished distance table is memoized whole
+    # like cc_star's labels.
+    def _bfs_dist() -> DataFrame:
+        from openmaptiles_zh_modifier_spark.operators.lineage import (
+            eager_checkpoint,
         )
-        dist = memo_frame_lazy(
-            spark,
-            f"bfs_dist_{i}:{sf_dir}",
-            lambda prev=prev, nbr_min=nbr_min: (
-                prev.join(nbr_min, "node", "full_outer").select(
+
+        adj = _copurchase_adj(spark, sf_dir)
+        dist = (
+            adj.select("node")
+            .where(F.col("node") % BFS_SEED_MOD == 0)
+            .distinct()
+            .withColumn("hop", F.lit(0))
+        )
+        for _ in range(BFS_MAX_HOPS):
+            nbr_min = (
+                adj.join(dist.select(F.col("node"), "hop"), "node")
+                .groupBy(F.col("nbr").alias("node"))
+                .agg((F.min("hop") + F.lit(1)).alias("nhop"))
+            )
+            dist = eager_checkpoint(
+                dist.join(nbr_min, "node", "full_outer").select(
                     "node",
                     F.least(
                         F.coalesce("hop", F.col("nhop")),
                         F.coalesce("nhop", F.col("hop")),
                     ).alias("hop"),
                 )
-            ),
-        )
+            )
+        return dist
+
+    dist = memo_frame(spark, f"bfs_dist:{sf_dir}", _bfs_dist)
     return dist.select("node", F.col("hop").cast("long").alias("hop"))
 
 
