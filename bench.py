@@ -142,6 +142,18 @@ def main() -> None:
         timings[name] = round(t, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Panel noise resistance (VERDICT r13 #9): two EXTRA reps of each
+    # fixed-panel query, reported as per-query min-of-3 in additional
+    # trailing keys — a driver window with 1.2-1.4x co-tenant CPU drift
+    # (the r12->r13 controls) stops producing phantom "regressions" on
+    # untouched lineage. The main `queries` numbers are untouched: same
+    # loop, same methodology, same keys as every prior round.
+    panel_min3 = {}
+    for q in PANEL:
+        if q not in timings:
+            continue
+        reps = [timings[q], run_once(q, QUERIES[q]), run_once(q, QUERIES[q])]
+        panel_min3[q] = round(min(reps), 4)
     # end-of-window control reps — bracketing the whole run catches load
     # that arrived mid-window (start-only reads would miss it)
     _spin2, _spark2 = _ctl_round()
@@ -152,34 +164,45 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     panel = {q: timings[q] for q in PANEL if q in timings}
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(timings),
-                "sec_per_query": round(total / max(len(timings), 1), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # the fixed reference panel LAST: the driver archives only
-                # a tail of this line, so trailing keys are what survives
-                # for round-over-round comparison (BASELINE.md panel table)
-                "panel": panel,
-                "panel_total": round(sum(panel.values()), 4),
-                "panel_sec_per_query": round(
-                    sum(panel.values()) / max(len(panel), 1), 4
-                ),
-                # calibration controls LAST (VERDICT r11 #1): normalize
-                # panel_sec_per_query across driver windows by the ratio
-                # of ctl_* medians before calling round-over-round drift
-                "ctl_spin_s": round(_median(ctl_spin_reps), 4),
-                "ctl_spin_s_min": round(min(ctl_spin_reps), 4),
-                "ctl_spark_s": round(_median(ctl_spark_reps), 4),
-                "ctl_spark_s_min": round(min(ctl_spark_reps), 4),
-            }
+    record = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sec_per_query": round(total / max(len(timings), 1), 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # the fixed reference panel LAST: the driver archives only
+        # a tail of this line, so trailing keys are what survives
+        # for round-over-round comparison (BASELINE.md panel table)
+        "panel": panel,
+        "panel_total": round(sum(panel.values()), 4),
+        "panel_sec_per_query": round(
+            sum(panel.values()) / max(len(panel), 1), 4
+        ),
+        "panel_min3": panel_min3,
+        "panel_min3_total": round(sum(panel_min3.values()), 4),
+        # calibration controls LAST (VERDICT r11 #1): normalize
+        # panel_sec_per_query across driver windows by the ratio
+        # of ctl_* medians before calling round-over-round drift
+        "ctl_spin_s": round(_median(ctl_spin_reps), 4),
+        "ctl_spin_s_min": round(min(ctl_spin_reps), 4),
+        "ctl_spark_s": round(_median(ctl_spark_reps), 4),
+        "ctl_spark_s_min": round(min(ctl_spark_reps), 4),
+    }
+    line = json.dumps(record)
+    # Defend the record (VERDICT r13 #2): the driver archives only a
+    # TAIL of the stdout line — the r12 archive truncated mid-`queries`
+    # and voided round-over-round comparison. Also write the identical
+    # JSON to a file so a truncated capture can never again be the only
+    # record. Additive: the stdout contract is unchanged.
+    try:
+        (Path(__file__).resolve().parent / "BENCH_LAST.json").write_text(
+            line + "\n"
         )
-    )
+    except OSError:
+        pass  # read-only checkout: stdout remains the record
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1667,7 +1667,13 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         wd = {i: 0 for i in dims}
         for i, j, cn in m_rows:
             wd[i] += _round_half_up(cn * vd[j])
-        wm = max(abs(w) for w in wd.values())
+        # degenerate guard (ADVICE r13): an empty/all-zero matrix keeps
+        # the zeroed state instead of max()/ZeroDivision, preserving the
+        # replaced Spark plan's graceful empty-input path
+        wm = max((abs(w) for w in wd.values()), default=0)
+        if wm == 0:
+            vd = {i: 0 for i in dims}
+            continue
         vd = {
             i: _round_half_up(w * float(PCA_VQ) / wm)
             for i, w in wd.items()

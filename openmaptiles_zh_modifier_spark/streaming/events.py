@@ -240,23 +240,26 @@ def run_to_memory(
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
-    # Skip the trailing no-data micro-batch for complete/update drains:
-    # it exists to advance the watermark so APPEND-mode operators can
-    # finalize (close windows, emit outer-join unmatched rows, fire
-    # event-time timeouts) — complete sinks re-emit full state every
-    # batch and this repo's update drains all use NoTimeout state, so
-    # for them the extra batch is one full plan/state/commit cycle of
-    # pure overhead per drain (~0.2-0.5 s at test scale; a no-op for
-    # long-lived production streams where data batches keep arriving).
-    # Append drains keep the default: their final emissions NEED it —
-    # except where the caller states otherwise (no_data_batch=False):
-    # an INNER stream-stream join emits matches as they arrive and a
-    # streaming dedup emits first-seen rows in their data batch, so for
-    # those the watermark-advance batch only evicts state and its cost
-    # is pure overhead. Outer joins / window-close / timeout-bearing
-    # operators must never pass False.
+    # Skip the trailing no-data micro-batch where it is provably pure
+    # overhead: the batch exists to advance the watermark so that
+    # operators can FINALIZE (close append windows, emit outer-join
+    # unmatched rows, fire event-time/processing-time timeouts).
+    # Complete-mode sinks re-emit full state every batch, so the skip
+    # is the silent default ONLY for complete mode. Update and append
+    # drains must OPT IN with no_data_batch=False after checking their
+    # operator (ADVICE r13: the r13 version skipped for all update
+    # drains because every update operator here uses NoTimeout state —
+    # true, but nothing enforced it for future timeout-bearing update
+    # drains; now the call site carries the claim). Current opted-in
+    # sites: NoTimeout applyInPandasWithState drains (emissions happen
+    # in their data batch), the INNER stream-stream join (matches emit
+    # on arrival), and dropDuplicatesWithinWatermark (first-seen rows
+    # emit in their data batch). Outer joins / window-close /
+    # timeout-bearing operators must never pass False. Cost of the
+    # batch: one full plan/state/commit cycle per drain (~0.2-0.5 s at
+    # test scale; a no-op for long-lived production streams).
     if no_data_batch is False or (
-        no_data_batch is None and output_mode != "append"
+        no_data_batch is None and output_mode == "complete"
     ):
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", "false"
@@ -1071,7 +1074,9 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, the right shape at any scale."""
     ev = read_events_stream(spark, sf_dir)
     totals = running_user_totals(ev)
-    out = run_to_memory(totals, output_mode="update")
+    # NoTimeout state: totals emit in their data batch, the trailing
+    # watermark-advance batch is pure overhead
+    out = run_to_memory(totals, output_mode="update", no_data_batch=False)
     # collapse to final state per user (no-op in the single-batch case,
     # correct under multi-batch replays)
     from pyspark.sql import Window
@@ -1302,7 +1307,10 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch GROUP BY top-k; the multi-batch eviction path is
     pytest-covered separately."""
     ev = read_events_stream(spark, sf_dir)
-    out = run_to_memory(heavy_hitter_topk(ev), output_mode="update")
+    # NoTimeout state: top-k rows emit in their data batch
+    out = run_to_memory(
+        heavy_hitter_topk(ev), output_mode="update", no_data_batch=False
+    )
     wmax = Window.partitionBy("event_type")
     return (
         out.withColumn("__smax", F.max("seq").over(wmax))
@@ -1474,6 +1482,8 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         streaming_cusum(read_events_stream(spark, sf_dir), params),
         output_mode="update",
+        # NoTimeout state: CUSUM rows emit in their data batch
+        no_data_batch=False,
     )
     sig = spark.createDataFrame(
         [(et, s) for et, (_, s) in sorted(params.items())],
@@ -1982,6 +1992,8 @@ def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         streaming_sprt(read_events_stream(spark, sf_dir)),
         output_mode="update",
+        # NoTimeout state: SPRT rows emit in their data batch
+        no_data_batch=False,
     )
     w = Window.partitionBy("arm").orderBy(F.desc("n_obs"))
     return (

@@ -133,10 +133,58 @@ class TestRunToMemoryConfScope:
         QUERIES["q_stream_tumbling"](spark, sf_dir).count()
         assert spark.conf.get(key) == "true"
 
-    def test_append_drain_still_emits_final_windows(self, spark, sf_dir):
-        # q_stream_dedup is an append-mode drain: if the no-data batch
-        # were skipped for append too, its final emissions would vanish
-        from openmaptiles_zh_modifier_spark.registry import QUERIES
+    def test_append_drain_default_keeps_nodata_batch(self, spark, sf_dir):
+        """A windowed APPEND aggregation emits a window only when the
+        watermark passes its end — over an availableNow drain of one
+        finite backlog, EVERY emission happens in the trailing no-data
+        micro-batch. If run_to_memory ever skipped that batch for a
+        default append drain, this output would be empty (ADVICE r13:
+        the old test used q_stream_dedup, which opts INTO the skip and
+        emits first-seen rows in data batches — it could not detect the
+        loss)."""
+        from pyspark.sql import functions as F
 
-        n = QUERIES["q_stream_dedup"](spark, sf_dir).count()
-        assert n > 0
+        from openmaptiles_zh_modifier_spark.streaming.events import (
+            read_events_stream,
+            run_to_memory,
+            windowed_bin_counts,
+        )
+
+        out = run_to_memory(
+            windowed_bin_counts(read_events_stream(spark, sf_dir)),
+            output_mode="append",
+        )
+        got = {
+            (r["wstart"], r["bin"]): r["c"]
+            for r in out.collect()
+        }
+        assert got, "append drain emitted nothing — no-data batch lost"
+        # and the finalized windows match the batch twin over CLOSED
+        # windows (end <= max_ts - 2h watermark)
+        from openmaptiles_zh_modifier_spark.registry import load
+        from openmaptiles_zh_modifier_spark.streaming.events import (
+            PSI_STREAM_BINS,
+            PSI_STREAM_BIN_W,
+        )
+
+        ev = load(spark, sf_dir, "events")
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        b = F.least(
+            F.floor(F.col("value") / PSI_STREAM_BIN_W).cast("long"),
+            F.lit(PSI_STREAM_BINS - 1),
+        )
+        expected = {
+            (r["wstart"], r["bin"]): r["c"]
+            for r in (
+                ev.withColumn("bin", b)
+                .groupBy(F.window("ts", "1 hour"), "bin")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(
+                    F.col("window.end")
+                    <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+                )
+                .select(F.col("window.start").alias("wstart"), "bin", "c")
+                .collect()
+            )
+        }
+        assert got == expected
