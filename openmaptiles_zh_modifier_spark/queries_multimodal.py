@@ -893,24 +893,33 @@ def q_multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = wav_vad_frames(docs)
     speech = frames.where(F.col("energy") > 0)
     w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    # Round 14 (guide §2.4): the frame witness rides the SAME
+    # aggregation ladder as the segments — every speech frame belongs
+    # to exactly one (doc, grp) run, so Σ frame_idx per segment summed
+    # up the ladder equals the per-doc witness (exact integer sums,
+    # order-free). The old separate `witness = speech.groupBy(...)` leg
+    # re-referenced the codec stage, and Spark does not dedupe
+    # identical subtrees across a join — the WAV decode mapInPandas ran
+    # TWICE per action (measured: 1.36 s -> 0.86 s warm at sf0.1); the
+    # per-doc join is gone with it.
     segs = (
         speech.withColumn(
             "grp", F.col("frame_idx") - F.row_number().over(w)
         )
         .groupBy("doc_id", "source", "grp")
-        .agg(F.count(F.lit(1)).alias("seg_len"))
+        .agg(
+            F.count(F.lit(1)).alias("seg_len"),
+            F.sum("frame_idx").alias("wit_part"),
+        )
     )
     per_doc = segs.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("seg_len").alias("speech_frames"),
         F.max("seg_len").alias("longest_seg"),
-    )
-    witness = speech.groupBy("doc_id").agg(
-        F.sum("frame_idx").alias("wit")
+        F.sum("wit_part").alias("wit"),
     )
     return (
-        per_doc.join(witness, "doc_id")
-        .groupBy("source")
+        per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_clips"),
             F.sum("n_segments").alias("total_segments"),

@@ -93,6 +93,65 @@ class CowFilePartition(InputPartition):
     dv: str | None = None
 
 
+@dataclass
+class CowBundle(InputPartition):
+    """Several per-file partitions served by ONE read task (round 14,
+    guide §6 small-files packing applied to the Python DSv2 boundary).
+
+    A Python data-source task pays a fixed worker round-trip — spawn +
+    pyarrow/pandas import on a cold worker (~0.6 s measured) + Arrow
+    transport setup — REGARDLESS of bytes, so one task per small file
+    multiplies that floor by the file count (q_stream_cow_changes: 15
+    change files x tiny reads; the raw pyarrow reads of the whole
+    98,710-row backlog measure 0.135 s, the drain's addBatch measured
+    ~2.5 s warm). Planning packs files into ~split-sized bundles: one
+    task per `SPARK_GRAFT_COW_SPLIT_BYTES` (default 128 MiB, matching
+    spark.sql.files.maxPartitionBytes) of real bytes — a small backlog
+    drains in one worker round-trip while a 100 TB scan still fans out
+    to one task per 128 MiB, exactly like Spark's own FilePartition
+    packing."""
+
+    items: tuple
+
+
+def _split_target_bytes() -> int:
+    raw = os.environ.get("SPARK_GRAFT_COW_SPLIT_BYTES", "")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        return 128 * 1024 * 1024
+
+
+def _bundle_partitions(parts: list) -> list:
+    """Pack per-file partitions into ceil(total_bytes / split) read
+    tasks (capped by file count), balancing by file size (first-fit on
+    the least-loaded bundle, descending sizes; bundle-internal order
+    stays path-stable). Row-level results are order-independent — every
+    consumer aggregates or re-sorts."""
+    if len(parts) <= 1:
+        return list(parts)
+    sizes = []
+    for p in parts:
+        try:
+            sizes.append(os.path.getsize(p.path))
+        except OSError:
+            sizes.append(0)
+    target = _split_target_bytes()
+    n_tasks = max(1, min(len(parts), -(-sum(sizes) // target)))
+    if n_tasks >= len(parts):
+        return list(parts)
+    order = sorted(range(len(parts)), key=lambda i: (-sizes[i], i))
+    bins: list[list[int]] = [[] for _ in range(n_tasks)]
+    loads = [0] * n_tasks
+    for i in order:
+        j = loads.index(min(loads))
+        bins[j].append(i)
+        loads[j] += sizes[i]
+    return [
+        CowBundle(tuple(parts[i] for i in sorted(b))) for b in bins if b
+    ]
+
+
 def _schema_of(manifest: dict) -> StructType:
     return StructType.fromJson(json.loads(manifest["schema"]))
 
@@ -264,19 +323,25 @@ class CowBatchReader(DataSourceReader):
             ]
         if self._zone_filters:
             files = [e for e in files if self._zone_keep(e)]
-        return [
-            CowFilePartition(
-                os.path.join(self._root, e["path"]),
-                e["partition"],
-                os.path.join(self._root, e["dv"]) if e.get("dv") else None,
-            )
-            for e in files
-        ]
+        return _bundle_partitions(
+            [
+                CowFilePartition(
+                    os.path.join(self._root, e["path"]),
+                    e["partition"],
+                    os.path.join(self._root, e["dv"]) if e.get("dv") else None,
+                )
+                for e in files
+            ]
+        )
 
-    def read(self, partition: CowFilePartition | None) -> Iterator:
+    def read(self, partition) -> Iterator:
         # pruning (or an empty manifest) can leave ZERO partitions; the
         # Spark worker then substitutes [None] and still calls read once
         if partition is None:
+            return
+        if isinstance(partition, CowBundle):
+            for item in partition.items:
+                yield from self.read(item)
             return
         yield from _read_file_batches(
             partition.path, self._schema, self._cmap, dv_dir=partition.dv
@@ -329,13 +394,21 @@ class CowStreamReader(DataSourceStreamReader):
         if sv >= 1:
             old = {e["path"] for e in _read_manifest(self._root, sv)["files"]}
         new = _read_manifest(self._root, ev)["files"]
-        return [
-            CowFilePartition(os.path.join(self._root, e["path"]), e["partition"])
-            for e in new
-            if e["path"] not in old
-        ]
+        return _bundle_partitions(
+            [
+                CowFilePartition(
+                    os.path.join(self._root, e["path"]), e["partition"]
+                )
+                for e in new
+                if e["path"] not in old
+            ]
+        )
 
-    def read(self, partition: CowFilePartition) -> Iterator:
+    def read(self, partition) -> Iterator:
+        if isinstance(partition, CowBundle):
+            for item in partition.items:
+                yield from self.read(item)
+            return
         yield from _read_file_batches(partition.path, self._schema, self._cmap)
 
     def commit(self, end: dict) -> None:
@@ -478,11 +551,15 @@ class CowChangesStreamReader(DataSourceStreamReader):
                         dv=ap(self._root, dv) if dv else None,
                     ))
             prev = cur
-        return out
+        return _bundle_partitions(out)
 
-    def read(self, partition: CowChangePartition) -> Iterator:
+    def read(self, partition) -> Iterator:
         import pyarrow as pa
 
+        if isinstance(partition, CowBundle):
+            for item in partition.items:
+                yield from self.read(item)
+            return
         tag = "insert" if partition.kind == "insert" else "delete"
         if partition.kind == "delete_dv":
             new = _dv_positions(partition.dv, os.path.basename(partition.path))

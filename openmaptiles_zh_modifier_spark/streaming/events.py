@@ -1076,7 +1076,18 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = running_user_totals(ev)
     # NoTimeout state: totals emit in their data batch, the trailing
     # watermark-advance batch is pure overhead
-    out = run_to_memory(totals, output_mode="update", no_data_batch=False)
+    # applyInPandasWithState drains are PYTHON-bound per key (attribution:
+    # allUpdatesTimeMs ~9.3 s summed across 4 partitions for 1500 keys at
+    # sf0.1 vs 550 ms state commit) — 16 state partitions parallelize the
+    # per-key Python work across workers (measured min 2.67 s @4 -> 1.83 s
+    # @16, flat at 32); built-in state ops keep the r7 4-partition tuning
+    # (store-init-bound). Production sizes to key cardinality either way.
+    out = run_to_memory(
+        totals,
+        output_mode="update",
+        state_partitions=16,
+        no_data_batch=False,
+    )
     # collapse to final state per user (no-op in the single-batch case,
     # correct under multi-batch replays)
     from pyspark.sql import Window
@@ -1308,8 +1319,12 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-covered separately."""
     ev = read_events_stream(spark, sf_dir)
     # NoTimeout state: top-k rows emit in their data batch
+    # python-stateful: 16 state partitions (see running_totals note)
     out = run_to_memory(
-        heavy_hitter_topk(ev), output_mode="update", no_data_batch=False
+        heavy_hitter_topk(ev),
+        output_mode="update",
+        state_partitions=16,
+        no_data_batch=False,
     )
     wmax = Window.partitionBy("event_type")
     return (
@@ -1482,6 +1497,8 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         streaming_cusum(read_events_stream(spark, sf_dir), params),
         output_mode="update",
+        # python-stateful: 16 state partitions (see running_totals note)
+        state_partitions=16,
         # NoTimeout state: CUSUM rows emit in their data batch
         no_data_batch=False,
     )
@@ -1656,6 +1673,8 @@ def q_stream_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs = run_to_memory(
         trajectory_leg_stream(read_events_stream(spark, sf_dir)),
         output_mode="append",
+        # python-stateful: 16 state partitions (see running_totals note)
+        state_partitions=16,
     )
     return (
         legs.groupBy("user_id")
@@ -1992,6 +2011,8 @@ def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         streaming_sprt(read_events_stream(spark, sf_dir)),
         output_mode="update",
+        # python-stateful: 16 state partitions (see running_totals note)
+        state_partitions=16,
         # NoTimeout state: SPRT rows emit in their data batch
         no_data_batch=False,
     )

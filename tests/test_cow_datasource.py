@@ -29,6 +29,19 @@ def cow_root(spark, sf_dir, tmp_path):
     return root
 
 
+def _n_files(parts):
+    """File count across read tasks — round 14 packs per-file
+    partitions into bundles (CowBundle), so pruning assertions count
+    FILES, not tasks."""
+    from openmaptiles_zh_modifier_spark.sources.cow_datasource import (
+        CowBundle,
+    )
+
+    return sum(
+        len(p.items) if isinstance(p, CowBundle) else 1 for p in parts
+    )
+
+
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
@@ -82,9 +95,9 @@ def test_partition_pruning_reduces_files_scanned(spark, cow_root):
     )
 
     rdr = CowBatchReader(cow_root, None)
-    n_full = len(rdr.partitions())
+    n_full = _n_files(rdr.partitions())
     leftover = list(rdr.pushFilters([EqualTo(("n_regionkey",), 2)]))
-    n_pruned = len(rdr.partitions())
+    n_pruned = _n_files(rdr.partitions())
     assert n_pruned < n_full, (n_pruned, n_full)
     assert leftover  # filters stay row-level: pruning is file-granular
 
@@ -514,15 +527,15 @@ def test_zone_map_file_skipping(spark, tmp_path):
     assert all("stats" in e and "id" in e["stats"] for e in m["files"])
 
     reader = CowBatchReader(root, None)
-    assert len(reader.partitions()) == 3
+    assert _n_files(reader.partitions()) == 3
     reader.pushFilters([GreaterThan(("id",), 205)])
-    assert len(reader.partitions()) == 1  # only the [200,300) file
+    assert _n_files(reader.partitions()) == 1  # only the [200,300) file
     reader2 = CowBatchReader(root, None)
     reader2.pushFilters([EqualTo(("id",), 150)])
-    assert len(reader2.partitions()) == 1
+    assert _n_files(reader2.partitions()) == 1
     reader3 = CowBatchReader(root, None)
     reader3.pushFilters([EqualTo(("val",), "zzz")])  # string zone maps
-    assert len(reader3.partitions()) == 0
+    assert _n_files(reader3.partitions()) == 0
 
     # end-to-end result correctness through the registered source
     register_cow_datasource(spark)
@@ -559,9 +572,9 @@ def test_zone_maps_survive_rename_and_widen(spark, tmp_path):
     cow_rename_column(root, "score", "points")
     r = CowBatchReader(root, None)
     r.pushFilters([GreaterThan(("points",), 150)])
-    assert len(r.partitions()) == 1  # pruned via physical 'score' stats
+    assert _n_files(r.partitions()) == 1  # pruned via physical 'score' stats
     cow_widen_column(root, "points", "bigint")
     r2 = CowBatchReader(root, None)
     r2.pushFilters([GreaterThan(("points",), 150)])
     # old int stats still comparable with python ints -> still prunes
-    assert len(r2.partitions()) == 1
+    assert _n_files(r2.partitions()) == 1
