@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openmaptiles_zh_modifier_spark.registry import load, register
+from openmaptiles_zh_modifier_spark.registry import load, local_frame, register
 
 DIM = 64
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -1678,6 +1678,6 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             i: _round_half_up(w * float(PCA_VQ) / wm)
             for i, w in wd.items()
         }
-    return spark.createDataFrame(
-        sorted(vd.items()), "component int, loading_micro long"
+    return local_frame(
+        spark, sorted(vd.items()), "component int, loading_micro long"
     ).orderBy("component")

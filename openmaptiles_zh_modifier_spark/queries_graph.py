@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from openmaptiles_zh_modifier_spark.registry import (
     load,
+    local_frame,
     memo_frame,
     memo_frame_lazy,
     register,
@@ -134,8 +135,8 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         for dst, src, w_, ow_ in edge_rows:
             summed[dst] = summed.get(dst, 0.0) + ranks_d[src] * w_ / ow_
         ranks_d = {n: res + damp * summed.get(n, 0.0) for n in ranks_d}
-    ranks = spark.createDataFrame(
-        sorted(ranks_d.items()), "node int, r double"
+    ranks = local_frame(
+        spark, sorted(ranks_d.items()), "node int, r double"
     )
     from pyspark.sql import Window
 

@@ -24,6 +24,7 @@ from openmaptiles_zh_modifier_spark.queries_graph import (
 )
 from openmaptiles_zh_modifier_spark.registry import (
     load,
+    local_frame,
     memo_frame,
     memo_frame_lazy,
     register,
@@ -201,7 +202,8 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 a_d[out] = v
             else:
                 h_d[out] = v
-    state = spark.createDataFrame(
+    state = local_frame(
+        spark,
         sorted((n, a_d[n], h_d[n]) for n in node_ids),
         "node int, a long, h long",
     )
@@ -666,7 +668,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w"),
     )
     vocab_rows = vocab_memo.collect()
-    vocab = spark.createDataFrame(vocab_rows, "w string")
+    vocab = local_frame(spark, vocab_rows, "w string")
 
     bg = (
         toks.where(F.size("t") >= 2)
@@ -738,8 +740,8 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks_d = {
             w: res + TR_DAMP * summed.get(w, 0.0) for w in ranks_d
         }
-    ranks = spark.createDataFrame(
-        sorted(ranks_d.items()), "w string, r double"
+    ranks = local_frame(
+        spark, sorted(ranks_d.items()), "w string, r double"
     )
     w_rk = Window.orderBy(F.desc("r"), F.asc("w"))
     return (

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from openmaptiles_zh_modifier_spark.registry import load, register
+from openmaptiles_zh_modifier_spark.registry import load, local_frame, register
 
 
 @register(
@@ -467,7 +467,8 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
     n_total = digits.agg(F.count(F.lit(1)).alias("n"))
-    expected = spark.createDataFrame(
+    expected = local_frame(
+        spark,
         [(d, float(p)) for d, p in _BENFORD.items()],
         "digit int, p_benford double",
     )

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from openmaptiles_zh_modifier_spark.registry import load, register
+from openmaptiles_zh_modifier_spark.registry import load, local_frame, register
 
 # 2-hour diurnal buckets: 12-point profiles keep the value-iteration
 # oracle at 23 unrolled rounds (n+m-1) over 144-cell grids.
@@ -324,8 +324,8 @@ def q_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rk, (lvl, pos, coef) in enumerate(det_rows[:HAAR_TOP], 1)
     ]
     out.append((99, 0, a_c[0], 0))
-    return spark.createDataFrame(
-        out, "level long, pos long, coef long, rk long"
+    return local_frame(
+        spark, out, "level long, pos long, coef long, rk long"
     ).orderBy("rk", "level")
 
 

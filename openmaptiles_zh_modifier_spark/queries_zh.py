@@ -25,6 +25,7 @@ from openmaptiles_zh_modifier_spark.registry import (
     _pick_spark,
     _pick_sql,
     load,
+    local_frame,
     register,
 )
 
@@ -97,7 +98,7 @@ def q_zh_segment_fmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select(
         "doc_id", _pick_spark(SEG_TEXTS, F.col("doc_id")).alias("text")
     )
-    lex = spark.createDataFrame(SEG_LEXICON, "word string, dst string")
+    lex = local_frame(spark, SEG_LEXICON, "word string, dst string")
     out = fmm_segment_convert(src, lex, S2T_FROM, S2T_TO, lmax=_LMAX)
     return out.orderBy("doc_id")
 
@@ -174,7 +175,7 @@ def q_zh_convert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select(
         "doc_id", _pick_spark(SEG_TEXTS, F.col("doc_id")).alias("text")
     )
-    lex = spark.createDataFrame(_AUDIT_PAIRS, "word string, dst string")
+    lex = local_frame(spark, _AUDIT_PAIRS, "word string, dst string")
     fmm = fmm_segment_convert(
         src, lex, S2T_FROM, S2T_TO, lmax=_AUDIT_LMAX
     ).select("doc_id", F.col("converted").alias("fmm_out"))

@@ -94,6 +94,25 @@ def memo_frame_lazy(spark: SparkSession, key: str, builder) -> DataFrame:
     return df
 
 
+def local_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Arrow-backed local-frame construction (round 14, guide §6
+    "Arrow for driver transfers"): ``createDataFrame(list-of-tuples)``
+    goes through the pickled-parallelize path and costs ~0.4-0.5 s per
+    action even for a 25-row frame (measured warm, sf0.1 session);
+    routing the same rows through a pandas DataFrame takes the Arrow
+    path (~0.12-0.16 s). Rows bind to the schema POSITIONALLY, exactly
+    like the list path; values must be plain scalars (int/float/str).
+    Empty input falls back to the list path (nothing to convert)."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    import pandas as pd
+
+    names = [c.strip().split()[0] for c in schema.split(",")]
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
 def clear_frame_cache() -> None:
     """Drop memoized base tables and intermediate frames (use after
     rewriting parquet under a cached path — the cached file listing would

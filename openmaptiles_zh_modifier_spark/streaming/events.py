@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from openmaptiles_zh_modifier_spark.registry import load, register
+from openmaptiles_zh_modifier_spark.registry import load, local_frame, register
 
 # Parquet streaming source needs an explicit schema; ts is TIMESTAMP(NANOS)
 # on disk. How that surfaces depends on the installed Spark: 4.x reads it
@@ -1502,7 +1502,8 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NoTimeout state: CUSUM rows emit in their data batch
         no_data_batch=False,
     )
-    sig = spark.createDataFrame(
+    sig = local_frame(
+        spark,
         [(et, s) for et, (_, s) in sorted(params.items())],
         "event_type string, sigma double",
     )
