@@ -234,10 +234,26 @@ def q_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     would switch to approx_percentile partials (mergeable t-digest-like
     state) to avoid the per-group sort."""
     orders = load(spark, sf_dir, "orders")
+    # Round 14 (attribution, guide §1): the exact-percentile buffer
+    # build dominates this query (~0.55-0.95 s of its ~0.6-1.0 s total
+    # depending on window; repartitioning by the 5-value group key does
+    # NOT help — the cost is per-row ObjectHashAggregate work, not the
+    # merge, and c8≈c32 because parallelism is bounded by 5 groups).
+    # Two separate percentile functions each built their own value
+    # buffer over the same 150k rows; the array form computes both
+    # quantiles from ONE buffer (identical results, proven by collect
+    # comparison). The 100 TB posture stays as documented: switch to
+    # approx_percentile partials.
     q = orders.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.75))
+        ).alias("qq"),
         F.count(F.lit(1)).alias("n"),
+    ).select(
+        "o_orderpriority",
+        F.col("qq")[0].alias("q1"),
+        F.col("qq")[1].alias("q3"),
+        "n",
     )
     iqr = F.col("q3") - F.col("q1")
     is_out = (F.col("o_totalprice") > F.col("q3") + 1.5 * iqr) | (
