@@ -900,8 +900,9 @@ def q_multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-free). The old separate `witness = speech.groupBy(...)` leg
     # re-referenced the codec stage, and Spark does not dedupe
     # identical subtrees across a join — the WAV decode mapInPandas ran
-    # TWICE per action (measured: 1.36 s -> 0.86 s warm at sf0.1); the
-    # per-doc join is gone with it.
+    # TWICE per action (same-session A/B at sf0.1: 2.63 -> 2.27 s min;
+    # the per-doc join is gone with it and the plan drops 10 -> 6
+    # Exchanges with ONE MapInPandas subtree).
     segs = (
         speech.withColumn(
             "grp", F.col("frame_idx") - F.row_number().over(w)
